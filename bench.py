@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed once as a warm-up-free wall-clock measurement of
+the full pipeline (scan → plan → execute → collect-to-driver count).  The
+headline metric is the sum over the query set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from uda_spark.registry import all_specs
+from uda_spark.session import get_spark
+
+# Headline set: one representative per operator family (SURVEY §2).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "join_outer_agg",
+    "window_rank_orders",
+    "kv_partition_merge",
+    "terasort_rank",
+    "wordcount_documents",
+    "events_sessionize",
+    "events_asof_signup",
+    "dedup_minhash_near_pairs",
+    "dedup_simhash_near_pairs",
+    "sim_knn_bruteforce",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("uda_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # noop sink executes the FULL plan (all columns, sorts kept) —
+        # count() would let Catalyst eliminate sorts and prune the plan.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

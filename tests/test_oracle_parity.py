@@ -1,0 +1,65 @@
+"""Oracle-parity harness — the local twin of the driver's t2 gate.
+
+For every registered query with an oracle, run the Spark DataFrame and the
+DuckDB SQL on the same parquet tables and compare row sets exactly
+(sorted by all columns, column order normalized).  Exact comparison, not
+approximate: the queries are designed to be engine-exact (see
+functions/portable.py and queries/common.py), and this test is what
+enforces that design holds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from uda_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+
+
+def _normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # collapse -0.0 / 0.0 and format deterministically
+        return repr(value + 0.0)
+    if isinstance(value, bytes):
+        return value.hex()
+    return value
+
+
+def _rows_to_set(columns, rows):
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        out.append(tuple(_normalize(row[i]) for i in idx))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, spark, duck_smoke):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck_smoke.sql(spec.oracle)
+    d_cols = [c.lower() for c in rel.columns]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={s_cols} duck={d_cols}"
+    )
+    s_set = _rows_to_set(s_cols, s_rows)
+    d_set = _rows_to_set(d_cols, d_rows)
+    assert len(s_set) == len(d_set), (
+        f"{name}: row count spark={len(s_set)} duck={len(d_set)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"

@@ -1,0 +1,178 @@
+"""Portable expression fragments — each helper emits a (Spark SQL, DuckDB
+SQL) pair computing the *bit-identical* value in both engines.
+
+Why: the driver's correctness gate value-hashes our Spark output against a
+DuckDB oracle.  Anything float-order-dependent or engine-hash-dependent
+would flake, so every hashing / text / vector primitive here is built from
+operations with identical semantics in both engines:
+
+  * ``md5`` hex strings (identical), string compares (bytewise),
+  * integer arithmetic (order-independent, exact),
+  * doubles only as a final deterministic function of exact integers.
+
+This is the analog of the reference's comparator discipline: UDA picks one
+byte-level comparator per job and every stage agrees on it
+(src/Merger/CompareFunc.cc:95-113); here both engines agree on one
+byte-level definition of every derived value.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# tokenization
+
+
+def tokens(col: str, engine: str) -> str:
+    """Lowercased space-split tokens. Both engines keep empty strings."""
+    if engine == "spark":
+        return f"split(lower({col}), ' ')"
+    return f"string_split(lower({col}), ' ')"
+
+
+def shingles(toks: str, k: int, engine: str) -> str:
+    """k-token shingles joined by ' '; short docs yield one whole-doc shingle.
+
+    Spark's ``sequence(1, n)`` descends when n < 1 (would emit bogus
+    shingles) and DuckDB's ``range(1, n)`` is empty — both sides therefore
+    guard explicitly on token count < k.
+    """
+    if engine == "spark":
+        return (
+            f"CASE WHEN size({toks}) >= {k} THEN "
+            f"transform(sequence(1, size({toks}) - {k} + 1), "
+            f"i -> array_join(slice({toks}, i, {k}), ' ')) "
+            f"ELSE array(array_join({toks}, ' ')) END"
+        )
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k} - 1), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable hashing (md5-derived, engine-identical)
+
+
+def hash60(expr: str, engine: str) -> str:
+    """60-bit non-negative integer hash: fold the first 15 hex chars of md5.
+
+    Pure BIGINT arithmetic (acc*16 + digit), exact in both engines.
+    """
+    if engine == "spark":
+        return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, 16), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+
+def minhash_sig(shingles_expr: str, n_hashes: int, engine: str) -> str:
+    """Array of ``n_hashes`` MinHash values: sig[h] = min(md5(h || '|' || s)).
+
+    The "permutation" family is salted md5; the min of hex strings is a
+    bytewise min, identical across engines (CompareFunc.cc:70-73 analog).
+    """
+    if engine == "spark":
+        return (
+            f"transform(sequence(0, {n_hashes - 1}), h -> "
+            f"array_min(transform({shingles_expr}, s -> "
+            f"md5(concat(cast(h AS STRING), '|', s)))))"
+        )
+    return (
+        f"list_transform(range(0, {n_hashes}), h -> "
+        f"list_min(list_transform({shingles_expr}, s -> "
+        f"md5(h::VARCHAR || '|' || s))))"
+    )
+
+
+def simhash32(toks: str, engine: str) -> str:
+    """32-bit SimHash from token md5 nibbles.
+
+    Bit i of token t votes +1 if hex char i of md5(t) >= '8' (high bit of
+    the nibble), else -1; signature bit i is 1 iff the vote sum >= 0.
+    Integer-only, order-independent — safe under any partitioning.
+    """
+    if engine == "spark":
+        votes = (
+            f"aggregate({toks}, transform(sequence(1, 32), x -> 0L), "
+            f"(acc, t) -> zip_with(acc, transform(sequence(1, 32), "
+            f"i -> IF(substr(md5(t), i, 1) >= '8', 1L, -1L)), (a, b) -> a + b))"
+        )
+        return (
+            f"aggregate(zip_with({votes}, sequence(1, 32), "
+            f"(v, i) -> IF(v >= 0, shiftleft(1L, 32 - i), 0L)), 0L, (a, b) -> a + b)"
+        )
+    # DuckDB relational formulation is easier via unnest; callers embed this
+    # per-token bit expression in a GROUP BY i query instead.
+    raise NotImplementedError("use simhash32_duck_sql for the oracle side")
+
+
+def simhash32_duck_sql(source: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle fragment: (``id_col``, sig) per row of ``source``
+    (a table name or a parenthesized subquery)."""
+    toks = tokens(text_col, "duck")
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({toks}) AS t FROM {source}
+),
+votes AS (
+  SELECT {id_col}, i,
+         SUM(CASE WHEN substr(md5(t), i, 1) >= '8' THEN 1 ELSE -1 END) AS v
+  FROM tok, range(1, 33) r(i)
+  GROUP BY {id_col}, i
+)
+SELECT {id_col}, SUM(CASE WHEN v >= 0 THEN 1::BIGINT << (32 - i) ELSE 0 END)::BIGINT AS sig
+FROM votes GROUP BY {id_col}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# vectors (exact integer fixed-point; see similarity.py)
+
+FIXED_POINT = 1_000_000
+
+
+def int_vec(vec: str, engine: str) -> str:
+    """float32 vector -> exact fixed-point BIGINT vector (×1e6, rounded)."""
+    if engine == "spark":
+        return (
+            f"transform({vec}, v -> CAST(round(CAST(v AS DOUBLE) * {FIXED_POINT}, 0) AS BIGINT))"
+        )
+    return (
+        f"list_transform({vec}, v -> CAST(round(CAST(v AS DOUBLE) * {FIXED_POINT}, 0) AS BIGINT))"
+    )
+
+
+def int_dot(a: str, b: str, engine: str) -> str:
+    """Exact integer dot product of two fixed-point vectors."""
+    if engine == "spark":
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+def cosine_from_ints(dot: str, norm_a: str, norm_b: str) -> str:
+    """Deterministic double cosine from exact integer dot/norms (same text
+    works in both engines)."""
+    return (
+        f"CAST({dot} AS DOUBLE) / (sqrt(CAST({norm_a} AS DOUBLE)) * "
+        f"sqrt(CAST({norm_b} AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic pseudo-random (pi workload)
+
+
+def lcg_unit(i: str, mult: int, inc: int) -> str:
+    """Uniform [0,1) from an integer index via a 31-bit LCG — exact integer
+    mod then one double division.
+
+    NOTE: fractional literals are avoided throughout this module — Spark
+    SQL parses ``2147483648.0`` as DECIMAL (DuckDB divides as DOUBLE),
+    which silently changes arithmetic.  Always CAST to DOUBLE explicitly.
+    """
+    return f"(CAST(({i} * {mult} + {inc}) % 2147483648 AS DOUBLE) / 2147483648)"

@@ -1,0 +1,114 @@
+"""Deduplication operators for large-scale document corpora (north-star).
+
+Scale design (100 TB corpus):
+  * exact dedup — hash-groupBy on a digest of the content, never on the
+    content itself: the shuffle moves 32-byte keys + doc ids, not bodies.
+  * MinHash/LSH near-dup — per-doc signatures are computed map-side with
+    higher-order functions (no Python, no shuffle); only (band, band-hash,
+    doc_id) triples shuffle for the band join, and candidate verification
+    re-joins the (small) candidate set back to the shingle arrays.
+  * SimHash — one 64/32-bit integer per doc; near-dup = small Hamming
+    distance, bucketed by signature prefix for the scale path.
+
+Everything is deterministic and engine-portable (functions/portable.py),
+so each operator has a DuckDB oracle in uda_spark/queries/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uda_spark.functions import portable
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per distinct content digest.
+
+    groupBy(md5(content)) — the canonical exact-dedup shape: the exchange
+    key is a fixed-width digest regardless of document size.
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
+    toks = portable.tokens(text_col, "spark")
+    return df.withColumn("shingles", F.expr(portable.shingles(toks, k, "spark")))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(id, h, sig) MinHash rows — computed entirely map-side (HOFs), then
+    posexploded; no shuffle until the consumer groups by band."""
+    sh = with_shingles(df, text_col, k)
+    sig = F.expr(portable.minhash_sig("shingles", n_hashes, "spark"))
+    return sh.select(F.col(id_col), F.posexplode(sig).alias("h", "sig"))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature become
+    candidate pairs; candidates are verified with exact shingle-set Jaccard.
+
+    Shuffle profile: one exchange of (band, band_hash, id) triples, a
+    self-join on the (tiny) matching buckets, then a re-join to fetch the
+    two shingle arrays for verification.  Document bodies never shuffle.
+    """
+    rows_per_band = n_hashes // bands
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct("shingles").alias("sset"),
+        F.expr(portable.minhash_sig("shingles", n_hashes, "spark")).alias("sig"),
+    )
+    banded = sh.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'bh', "
+                f"md5(array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), '|'))))"
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    sets = sh.select("doc", "sset")
+    pairs = (
+        cand.join(sets.withColumnsRenamed({"doc": "doc_a", "sset": "set_a"}), on="doc_a")
+        .join(sets.withColumnsRenamed({"doc": "doc_b", "sset": "set_b"}), on="doc_b")
+        .withColumn("n_inter", F.expr("size(filter(set_a, x -> array_contains(set_b, x)))"))
+        .withColumn(
+            "jaccard",
+            F.expr("CAST(n_inter AS DOUBLE) / (size(set_a) + size(set_b) - n_inter)"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return pairs
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sig) 32-bit SimHash per document — pure map-side HOF compute."""
+    toks = portable.tokens(text_col, "spark")
+    return df.select(
+        F.col(id_col), F.expr(portable.simhash32(toks, "spark")).alias("sig")
+    )

@@ -1,0 +1,83 @@
+"""Join surface (SURVEY §2.2: no join code exists in the reference; the
+workloads and the 100 TB north star need the full set).
+
+Strategy notes for scale:
+  * ``broadcast_join`` — dims under the broadcast threshold never shuffle
+    the fact side; at 100 TB the fact table stays put.
+  * plain ``join`` on keys — Catalyst picks sort-merge with both sides
+    exchanged on the key; AQE converts to broadcast at runtime if a side
+    turns out small, and splits skewed partitions (skew-join).
+  * ``asof_join`` — implemented as union + ordered window "last non-null
+    carry-forward" instead of an inequality join: one exchange on the key,
+    no O(n*m) range explosion, scales linearly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: Sequence[str] | str, how: str = "inner"
+) -> DataFrame:
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str) -> DataFrame:
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str) -> DataFrame:
+    return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (backward) sharing the ``on`` key.
+
+    Spark-first formulation: tag and union both sides, then one window pass
+    per key ordered by (ts, side) carrying the last non-null right payload
+    forward.  Exactly one shuffle (by ``on``), no inequality-join blowup —
+    this is the scalable pattern for 100 TB event streams.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only direction='backward' is implemented")
+
+    payload = F.struct(*[F.col(c) for c in right_values]).alias("_r")
+    left_cols = [c for c in left.columns]
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in left_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    out = merged.where(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col("_match").getField(c).alias(f"asof_{c}") for c in right_values],
+    )
+    return out

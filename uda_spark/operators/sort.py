@@ -1,0 +1,117 @@
+"""Total-order sort + validation — the terasort slice (SURVEY §2.3).
+
+The reference achieves global order via Hadoop's TotalOrderPartitioner
+(range partition) + per-reducer merge (scripts/regression/executeMain.sh:
+230-252); the contractual property is the *output ordering*, which Spark's
+``orderBy`` guarantees with the same physical strategy (sampled range
+partitioner + per-partition sort — no single-node sort barrier, scales to
+any cluster width).
+
+``validate_sorted`` is the teravalidate equivalent
+(scripts/regression/mr-dstatExcel.sh:249-302): it checks physical order
+without a global shuffle — per-partition monotonicity plus a tiny
+partition-boundary check (num_partitions rows on the driver).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order_sort(df: DataFrame, keys: Sequence[str], ascending: bool = True) -> DataFrame:
+    """Globally sort ``df`` by ``keys`` (range partition + partition sort)."""
+    cols = [F.col(k).asc() if ascending else F.col(k).desc() for k in keys]
+    return df.orderBy(*cols)
+
+
+def top_k(df: DataFrame, keys: Sequence[str], k: int, ascending: bool = False) -> DataFrame:
+    """Top-k by ``keys``: per-partition take-ordered + driver merge.
+
+    Spark plans this as TakeOrderedAndProject — each task keeps only k rows,
+    so no full sort or full shuffle happens regardless of input size.
+    """
+    cols = [F.col(c).asc() if ascending else F.col(c).desc() for c in keys]
+    return df.orderBy(*cols).limit(k)
+
+
+def global_rank(
+    df: DataFrame,
+    keys: Sequence[str],
+    num_partitions: int | None = None,
+    alias: str = "rnk",
+) -> DataFrame:
+    """1-based dense global rank by ``keys`` without a single-partition
+    window (the scalable total-order-rank pattern).
+
+    Range-partition by the keys, row_number within each partition, then add
+    per-partition offsets (one tiny driver-side pass over num_partitions
+    counts — the same metadata volume as the reference's MOF index, O2).
+    Requires unique key tuples for a deterministic result.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    key_cols = [F.col(k) for k in keys]
+    parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
+    # Persist the partitioned snapshot: the offsets job and the rank job
+    # must observe the SAME physical partitioning, but AQE may coalesce a
+    # re-evaluated range exchange differently per downstream plan, which
+    # would silently shift partition ids between the two jobs.
+    snap = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    ranked = snap.withColumn("_rn", F.row_number().over(w))
+
+    counts = sorted(
+        ranked.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offset_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    return (
+        ranked.withColumn(alias, (F.col("_rn") + offset_map[F.col("_pid")]).cast("long"))
+        .drop("_pid", "_rn")
+    )
+
+
+def validate_sorted(df: DataFrame, keys: Sequence[str]) -> bool:
+    """Teravalidate equivalent: is ``df`` physically in global ``keys`` order?
+
+    Scalable strategy (no global window):
+      1. snapshot physical order with ``monotonically_increasing_id`` (which
+         encodes partition index + in-partition position);
+      2. per partition, count rows where the key tuple decreases vs the
+         previous physical row (distributed window keyed by partition id);
+      3. check partition boundaries: max(partition i) <= min(partition i+1)
+         over one tiny collected row per partition.
+    """
+    snap = df.select(
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+        F.struct(*[F.col(k) for k in keys]).alias("_key"),
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    within_violations = (
+        snap.withColumn("_prev", F.lag("_key").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("_prev") > F.col("_key")))
+        .count()
+    )
+    if within_violations:
+        return False
+
+    bounds = (
+        snap.groupBy("_pid")
+        .agg(F.min("_key").alias("lo"), F.max("_key").alias("hi"))
+        .orderBy("_pid")
+        .collect()
+    )
+    for prev, cur in zip(bounds, bounds[1:]):
+        if prev["hi"] > cur["lo"]:
+            return False
+    return True

@@ -1,0 +1,227 @@
+"""Deduplication queries (north-star): exact, fingerprint, MinHash+LSH,
+SimHash — each oracle-checked against DuckDB.
+
+The raw documents table contains no duplicates, so dedup queries operate
+on a *derived corpus*: the originals plus exact copies (ids +1,000,000)
+and near-duplicate perturbations (ids +2,000,000, three tokens appended).
+Both engines construct the identical corpus in-query, so the dedup
+semantics are genuinely exercised (copies collapse, near-dups pair up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uda_spark.functions import portable
+from uda_spark.operators import dedup as D
+from uda_spark.queries.common import t
+from uda_spark.registry import register
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+JACCARD_T = 0.4
+HAMMING_T = 3
+
+_DUCK_CORPUS_EXACT = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_DUCK_CORPUS_NEAR = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' extra extra extra' AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra extra extra")).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH corpus AS ({_DUCK_CORPUS_EXACT})
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       COUNT(*)::BIGINT AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+    tags=("dedup", "north-star"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: shuffle 32-byte hashes + ids, never
+    document bodies — the only exact-dedup shape that works at 100 TB."""
+    return D.exact_dedup(_corpus_exact(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+WITH corpus AS ({_DUCK_CORPUS_EXACT}),
+tk AS (SELECT doc_id, {portable.tokens('text', 'duck')} AS toks FROM corpus),
+fp AS (SELECT doc_id,
+              list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> {portable.hash60('t', 'duck')})),
+                          (acc, x) -> (acc * 31 + x) % 1000000000000000) AS fingerprint
+       FROM tk)
+SELECT fingerprint, min(doc_id) AS keep_id, COUNT(*)::BIGINT AS n_copies
+FROM fp GROUP BY fingerprint
+""",
+    tags=("dedup", "north-star"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by token-stream rolling hash (robust to whitespace/case noise
+    that md5-of-bytes dedup would miss)."""
+    from uda_spark.functions import text as TXT
+
+    corpus = _corpus_exact(spark, sf_dir).withColumn(
+        "toks", F.expr(portable.tokens("text", "spark"))
+    )
+    return (
+        corpus.select("doc_id", F.expr(TXT.fingerprint("toks", "spark")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {portable.tokens('text', 'duck')} AS toks FROM documents),
+sh AS (SELECT doc_id, {portable.shingles('toks', 3, 'duck')} AS shingles FROM tk),
+sig AS (SELECT doc_id, {portable.minhash_sig('shingles', N_HASHES, 'duck')} AS sig FROM sh)
+SELECT doc_id, CAST(r.h AS INT) AS h, sig[r.h + 1] AS sig_hash
+FROM sig, range(0, {N_HASHES}) r(h)
+""",
+    tags=("dedup", "north-star"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature rows (16 salted-md5 min-hashes over
+    3-token shingles) — computed entirely map-side with HOFs."""
+    docs = t(spark, sf_dir, "documents")
+    rows = D.minhash_signatures(docs, "text", "doc_id", n_hashes=N_HASHES, k=3)
+    return rows.select("doc_id", F.col("h").cast("int").alias("h"), F.col("sig").alias("sig_hash"))
+
+
+@register(
+    "dedup_minhash_near_pairs",
+    oracle=f"""
+WITH corpus AS ({_DUCK_CORPUS_NEAR}),
+tk AS (SELECT doc_id, {portable.tokens('text', 'duck')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {portable.shingles('toks', 3, 'duck')} AS shingles FROM tk),
+sig AS (SELECT doc_id,
+               {portable.minhash_sig('shingles', N_HASHES, 'duck')} AS sig,
+               list_distinct(shingles) AS sset
+        FROM sh),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * {ROWS_PER_BAND} + 1, b * {ROWS_PER_BAND} + {ROWS_PER_BAND}), '|')) AS bh
+  FROM sig, range(0, {BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS n_inter,
+         len(sa.sset) AS na, len(sb.sset) AS nb
+  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+FROM scored
+WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {JACCARD_T}
+""",
+    tags=("dedup", "north-star", "join"),
+)
+def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs, verified by exact
+    shingle-set Jaccard.  Shuffle profile: (band, hash, id) triples only;
+    candidate verification re-joins the small candidate set (operators/
+    dedup.py).  Candidate recall is identical in both engines because the
+    hash family is identical."""
+    return D.minhash_near_dup_pairs(
+        _corpus_near(spark, sf_dir),
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        k=3,
+        jaccard_threshold=JACCARD_T,
+    )
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=portable.simhash32_duck_sql("documents", "doc_id", "text"),
+    tags=("dedup", "north-star"),
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — one integer signature, map-side only."""
+    return D.simhash_signatures(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+WITH corpus AS ({_DUCK_CORPUS_NEAR}),
+sigs AS ({portable.simhash32_duck_sql('corpus', 'doc_id', 'text')})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_T}
+""",
+    tags=("dedup", "north-star", "join"),
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming <= 3.
+
+    Spark side uses exact byte-band LSH: split the 32-bit signature into 4
+    bytes; by pigeonhole any pair within hamming 3 agrees on >= 1 whole
+    byte, so banding loses nothing — candidates self-join per band, then
+    the exact hamming filter runs only on candidates.  The oracle brute-
+    forces all pairs; results are provably identical."""
+    corpus = _corpus_near(spark, sf_dir)
+    sigs = D.simhash_signatures(corpus, "text", "doc_id")
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(sig, b * 8) % 256))")
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"))
+        .where(F.col("hamming") <= HAMMING_T)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,216 @@
+"""Event-stream (time-series) queries: tumbling windows, sessionization,
+as-of join, semi-structured extraction.  Batch formulations; the streaming
+module mirrors the same semantics with watermarks.
+
+Timestamp discipline: the events table stores nanosecond parquet
+timestamps, which Spark reads only as BIGINT nanos
+(spark.sql.legacy.parquet.nanosAsLong — set automatically by
+sources.load_table) and DuckDB truncates to microseconds.  So both sides
+normalize to exact BIGINT *microseconds* (Spark: ``ts div 1000``, DuckDB:
+``epoch_us(ts)``) and all derived times are integer arithmetic — no
+floating-point epoch, no precision skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uda_spark.operators import join as J
+from uda_spark.operators import window as W
+from uda_spark.queries.common import t
+from uda_spark.registry import register
+
+SESSION_GAP_S = 1800
+
+# exact microsecond / second accessors, one per engine
+_SPARK_US = "(ts div 1000)"
+_DUCK_US = "epoch_us(ts)"
+
+
+def _with_us(ev: DataFrame) -> DataFrame:
+    return ev.withColumn("ts_us", F.expr(_SPARK_US))
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+SELECT ({_DUCK_US} // 3600000000) * 3600 AS bucket_epoch,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window", "aggregation"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (batch twin of the streaming
+    version).  Group key is tiny; shuffle is O(buckets × types)."""
+    ev = _with_us(t(spark, sf_dir, "events"))
+    return ev.groupBy(
+        F.expr("(ts_us div 3600000000) * 3600").alias("bucket_epoch"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, {_DUCK_US} AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*)::BIGINT AS n_events,
+       min(ts_us) // 1000000 AS session_start,
+       max(ts_us) // 1000000 AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+    tags=("events", "window", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session stats.
+
+    One exchange on user_id, ordered passes within — the scalable batch
+    sessionization shape; ties broken by event_id for determinism.
+    """
+    ev = _with_us(t(spark, sf_dir, "events")).select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("ts_us") - prev) > SESSION_GAP_S * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("min(ts_us) div 1000000").alias("session_start"),
+        F.expr("max(ts_us) div 1000000").alias("session_end"),
+    )
+
+
+@register(
+    "events_asof_signup",
+    oracle=f"""
+WITH signups AS (
+  SELECT user_id, {_DUCK_US} AS ts_us, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id, ts_us
+),
+purchases AS (
+  SELECT event_id, user_id, {_DUCK_US} AS ts_us FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       p.ts_us // 1000000 AS purchase_epoch,
+       s.signup_event_id AS asof_signup_event_id,
+       (p.ts_us - s.ts_us) // 1000000 AS seconds_since_signup
+FROM purchases p ASOF JOIN signups s
+  ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+""",
+    tags=("events", "join", "asof"),
+)
+def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior signup.
+
+    Spark lacks a native as-of join; ours is the union + ordered-window
+    carry-forward (operators/join.py) — one exchange, linear scaling.
+    The right side is deduped per (user, ts) so ties are deterministic.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .withColumnRenamed("ts_us", "signup_ts_us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    joined = J.asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="signup_ts_us",
+        right_values=["signup_event_id", "signup_ts_us"],
+    )
+    return joined.where(F.col("asof_signup_event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.expr("ts_us div 1000000").alias("purchase_epoch"),
+        "asof_signup_event_id",
+        F.expr("(ts_us - asof_signup_ts_us) div 1000000").alias("seconds_since_signup"),
+    )
+
+
+@register(
+    "events_props_extract",
+    oracle=r"""
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
+       MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "scalar", "json"),
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props extraction (regex — RE2-compatible in both
+    engines) + aggregation; integer sums are engine-exact."""
+    ev = t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_user_activity",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, {_DUCK_US} AS ts_us FROM events
+),
+sess AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                   > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       (max(ts_us) - min(ts_us)) // 1000000 AS active_span_s
+FROM sess GROUP BY user_id
+""",
+    tags=("events", "window", "aggregation"),
+)
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile built on the sessionize operator."""
+    ev = _with_us(t(spark, sf_dir, "events")).select("user_id", "event_id", "ts_us")
+    sess = W.sessionize(ev, "user_id", "ts_us", SESSION_GAP_S * 1_000_000)
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("active_span_s"),
+    )

@@ -1,0 +1,128 @@
+"""Similarity-search queries over the embeddings table (north-star).
+
+Scores are exact fixed-point integer dot products (functions/portable.py)
+— order-independent, so identical across engines and partitionings; the
+final cosine double is a deterministic function of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uda_spark.functions import portable
+from uda_spark.operators import similarity as SIM
+from uda_spark.queries.common import t
+from uda_spark.registry import register
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+_IV = portable.int_vec("embedding", "duck")
+
+
+@register(
+    "sim_embedding_norms",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_IV} AS v FROM embeddings)
+SELECT vec_id, label,
+       {portable.int_dot('v', 'v', 'duck')} AS norm_sq_fp,
+       round(sqrt(CAST({portable.int_dot('v', 'v', 'duck')} AS DOUBLE)) / {portable.FIXED_POINT}, 6)
+         AS l2_norm
+FROM iv
+""",
+    tags=("similarity", "north-star"),
+)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via exact fixed-point arithmetic (map-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    norm_sq = F.expr(portable.int_dot("v", "v", "spark"))
+    return iv.select(
+        "vec_id",
+        "label",
+        norm_sq.alias("norm_sq_fp"),
+        F.round(F.sqrt(norm_sq.cast("double")) / portable.FIXED_POINT, 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "sim_knn_bruteforce",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "north-star", "join"),
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × one corpus scan + windowed
+    top-k (operators/similarity.py).  The corpus never shuffles."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    out = SIM.knn_bruteforce(emb, queries, "vec_id", "embedding", top_k=TOP_K)
+    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "sim_label_centroid_dist",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+-- exact integer per-label centroid numerators (×FIXED_POINT), dims unrolled
+dims AS (
+  SELECT label, d, SUM(v[d + 1]) AS s, COUNT(*)::BIGINT AS n
+  FROM iv, range(0, 64) r(d)
+  GROUP BY label, d
+),
+means AS (
+  SELECT label, n, CAST(s AS DOUBLE) / n / {portable.FIXED_POINT} AS m FROM dims
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+       round(sqrt(SUM(m * m)), 6) AS centroid_l2
+FROM means GROUP BY label
+""",
+    tags=("similarity", "north-star", "aggregation"),
+)
+def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm — the IVF coarse-quantizer building block
+    (centroids are what an IVF index partitions the corpus by).
+
+    Numerators stay exact integers through the aggregation; the division
+    and norm are deterministic double ops on exact inputs.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select("label", F.expr(portable.int_vec("embedding", "spark")).alias("v"))
+    dims = (
+        iv.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    means = dims.withColumn(
+        "m", F.col("s").cast("double") / F.col("n") / portable.FIXED_POINT
+    )
+    return means.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_l2"),
+    )
+
+
+@register("sim_lsh_knn", oracle=None, tags=("similarity", "north-star", "approx"))
+def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection buckets (the scale path
+    — candidates shrink ~2^n_planes-fold).  Deterministic but too gnarly
+    for a SQL oracle; the parity test instead checks recall >= 0.4 against
+    the exact brute-force result."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return SIM.lsh_knn(emb, queries, "vec_id", "embedding", top_k=TOP_K, n_planes=6)

@@ -1,0 +1,98 @@
+"""Text-analysis queries over the documents table (north-star ops):
+token statistics, language ID, quality scoring, fingerprinting.
+
+Spark side is pure higher-order functions over the token array — no
+Python, no shuffle before the final (tiny) aggregation; at 100 TB these
+are map-only passes.  Every derived value is engine-portable
+(functions/portable.py + functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uda_spark.functions import portable, text as TXT
+from uda_spark.queries.common import t
+from uda_spark.registry import register
+
+_SP_TOKS = portable.tokens("text", "spark")
+_DU_TOKS = portable.tokens("text", "duck")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_DU_TOKS} AS toks, n_chars FROM documents)
+SELECT doc_id,
+       CAST({TXT.token_count('toks', 'duck')} AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       CAST({TXT.stopword_hits('toks', 'duck')} AS BIGINT) AS n_stopwords,
+       {TXT.fingerprint('toks', 'duck')} AS fingerprint
+FROM base
+""",
+    tags=("text", "north-star"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + order-sensitive rolling-hash fingerprint."""
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    return docs.select(
+        "doc_id",
+        F.expr(TXT.token_count("toks", "spark")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq_tokens"),
+        F.expr(TXT.stopword_hits("toks", "spark")).cast("long").alias("n_stopwords"),
+        F.expr(TXT.fingerprint("toks", "spark")).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality_langid",
+    oracle=f"""
+WITH base AS (SELECT doc_id, lang, {_DU_TOKS} AS toks, n_chars FROM documents)
+SELECT doc_id,
+       {TXT.quality_score_ppm('toks', 'n_chars', 'duck')} AS quality_ppm,
+       {TXT.lang_predict('toks', 'duck')} AS lang_pred,
+       CAST(CASE WHEN {TXT.lang_predict('toks', 'duck')} = lang THEN 1 ELSE 0 END AS INT)
+         AS lang_match
+FROM base
+""",
+    tags=("text", "north-star"),
+)
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + marker-vocabulary language-ID heuristic per doc."""
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    pred = F.expr(TXT.lang_predict("toks", "spark"))
+    return docs.select(
+        "doc_id",
+        F.expr(TXT.quality_score_ppm("toks", "n_chars", "spark")).alias("quality_ppm"),
+        pred.alias("lang_pred"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).cast("int").alias("lang_match"),
+    )
+
+
+@register(
+    "text_quality_by_source",
+    oracle=f"""
+WITH base AS (SELECT source, {_DU_TOKS} AS toks, n_chars FROM documents)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM({TXT.quality_score_ppm('toks', 'n_chars', 'duck')}) // COUNT(*) AS avg_quality_ppm,
+       CAST(SUM({TXT.token_count('toks', 'duck')}) AS BIGINT) AS total_tokens
+FROM base GROUP BY source
+""",
+    tags=("text", "north-star", "aggregation"),
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation view: per-source quality/size profile.
+
+    Integer ppm scores sum exactly; the integer-division average is
+    engine-exact by construction.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    q = F.expr(TXT.quality_score_ppm("toks", "n_chars", "spark"))
+    ntok = F.expr(TXT.token_count("toks", "spark"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(f"sum({TXT.quality_score_ppm('toks', 'n_chars', 'spark')}) div count(*)").alias("avg_quality_ppm"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+    )

@@ -1,0 +1,78 @@
+"""Central query registry — the single source of truth for the driver
+contract (__spark_entry__.py) and the local oracle-parity tests.
+
+Each registered query pairs a PySpark callable ``fn(spark, sf_dir) ->
+DataFrame`` with an equivalent ANSI-SQL string DuckDB can run over the same
+parquet tables.  Column names are required to match exactly (the driver
+sorts columns by name and value-hashes), so every computed column is
+aliased identically on both sides.
+
+Queries with ``oracle=None`` are genuinely non-SQL-expressible (custom
+stateful streaming, iterative algorithms) and get the driver's weaker
+rows-only check.
+"""
+
+from __future__ import annotations
+
+import importlib
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+# Modules that register queries on import (uda_spark.queries.*).
+_QUERY_MODULES = (
+    "uda_spark.queries.relational",
+    "uda_spark.queries.workloads",
+    "uda_spark.queries.events",
+    "uda_spark.queries.text",
+    "uda_spark.queries.dedup",
+    "uda_spark.queries.similarity",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]
+    tags: tuple[str, ...]
+    doc: str
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None
+    }
