@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from uda_spark.registry import all_specs
 from uda_spark.session import get_spark
 
@@ -45,6 +47,12 @@ def main() -> None:
     spark = get_spark("uda_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
+
+    # Warm up the JVM (codegen, shuffle machinery, parquet footers) so the
+    # first measured query isn't charged for session startup.
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,173 @@
+"""Operator-level behavior tests: properties the oracle comparison can't
+see (physical sortedness, plan shapes, workload validators)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from uda_spark.operators import join as J
+from uda_spark.operators import kv as KV
+from uda_spark.operators import sort as SRT
+from uda_spark.operators import workloads as WL
+from uda_spark.sources.tables import load_table
+
+
+class TestKV:
+    def test_partition_and_merge_sorted_within_partitions(self, spark):
+        li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+        merged = KV.partition_and_merge(li, ["l_orderkey"], num_partitions=4)
+
+        def check(it):
+            prev = None
+            for row in it:
+                if prev is not None and row.l_orderkey < prev:
+                    yield Row(violation=1)
+                prev = row.l_orderkey
+
+        violations = merged.rdd.mapPartitions(check).count()
+        assert violations == 0
+
+    def test_partition_and_merge_disjoint_key_ranges_not_required(self, spark):
+        # hash partitioning: same key always lands in the same partition
+        li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+        merged = KV.partition_and_merge(li, ["l_orderkey"], num_partitions=4)
+        per_key = (
+            merged.withColumn("pid", F.spark_partition_id())
+            .groupBy("l_orderkey")
+            .agg(F.count_distinct("pid").alias("n_pids"))
+            .agg(F.max("n_pids").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert per_key == 1
+
+    def test_preserves_multiset(self, spark):
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        merged = KV.partition_and_merge(li, ["l_orderkey"])
+        assert merged.count() == li.count()
+
+
+class TestSort:
+    def test_total_order_sort_validates(self, spark):
+        ev = load_table(spark, SF_SMOKE, "events").select("event_id")
+        sorted_df = SRT.total_order_sort(ev, ["event_id"])
+        assert SRT.validate_sorted(sorted_df, ["event_id"])
+
+    def test_validate_sorted_detects_disorder(self, spark):
+        ev = load_table(spark, SF_SMOKE, "events").select("event_id")
+        # unsorted input with >1 partition is (with random data) not ordered
+        shuffled = ev.repartition(4)
+        sorted_ok = SRT.validate_sorted(shuffled, ["event_id"])
+        assert not sorted_ok
+
+    def test_global_rank_is_dense_and_ordered(self, spark):
+        ev = load_table(spark, SF_SMOKE, "events").select("event_id").limit(1000)
+        ranked = SRT.global_rank(ev, ["event_id"], num_partitions=4)
+        rows = {r["event_id"]: r["rnk"] for r in ranked.collect()}
+        ordered_ids = sorted(rows)
+        assert [rows[k] for k in ordered_ids] == list(range(1, len(ordered_ids) + 1))
+
+    def test_top_k_plan_avoids_global_sort(self, spark):
+        from uda_spark.plans.explain import plan_str
+
+        orders = load_table(spark, SF_SMOKE, "orders")
+        top = SRT.top_k(orders, ["o_totalprice"], 10)
+        assert "TakeOrderedAndProject" in plan_str(top)
+
+
+class TestAsofJoin:
+    def test_semantics_small(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+            ["k", "ts", "payload"],
+        )
+        right = spark.createDataFrame(
+            [(1, 100, "r1"), (1, 200, "r2"), (2, 60, "r3")], ["k", "rts", "v"]
+        )
+        out = J.asof_join(left, right, on="k", left_ts="ts", right_ts="rts", right_values=["v"])
+        got = {r["payload"]: r["asof_v"] for r in out.collect()}
+        # ts=100 matches right at 100 (inclusive); ts=205 takes latest (200);
+        # k=2 at 50 has no earlier right row; k=3 has no right rows at all.
+        assert got == {"a": "r1", "b": "r2", "c": None, "d": None}
+
+    def test_one_exchange_only(self, spark):
+        from uda_spark.plans.explain import count_exchanges
+
+        ev = load_table(spark, SF_SMOKE, "events")
+        left = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+        right = ev.where(F.col("event_type") == "signup").select(
+            "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("rid")
+        )
+        out = J.asof_join(left, right, on="user_id", left_ts="ts", right_ts="rts", right_values=["rid"])
+        # union + window: exactly one hash exchange (by user_id)
+        assert count_exchanges(out) == 1
+
+
+class TestWorkloads:
+    def test_terasort_roundtrip(self, spark):
+        records = WL.gen_terasort_records(spark, 20_000)
+        sorted_df = WL.terasort(records)
+        assert WL.teravalidate(sorted_df)
+        # count + checksum preserved (teravalidate's second half)
+        before = records.agg(F.sum(F.crc32("key")).alias("c"), F.count("*").alias("n")).collect()[0]
+        after = sorted_df.agg(F.sum(F.crc32("key")).alias("c"), F.count("*").alias("n")).collect()[0]
+        assert (before["c"], before["n"]) == (after["c"], after["n"])
+
+    def test_pi_within_reference_tolerance(self, spark):
+        est = WL.pi_estimate(spark, 1_000_000).collect()[0]["pi_est"]
+        # reference gate: |pi - 3.141592654| <= 0.1 (defaultsConf.sh:70-72)
+        assert abs(est - 3.141592654) <= 0.1
+
+    def test_dfsio_roundtrip(self, spark, tmp_path):
+        stats = WL.dfsio(spark, str(tmp_path / "dfsio"), n_rows=50, payload_kb=8)
+        assert stats["rows"] == 50
+        assert stats["write_sec"] > 0 and stats["read_sec"] > 0
+
+    def test_wordcount_total_tokens(self, spark):
+        docs = load_table(spark, SF_SMOKE, "documents")
+        wc = WL.wordcount(docs, "text")
+        total_words = wc.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+        expected = docs.select(
+            F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias("n")
+        ).agg(F.sum("n").alias("s")).collect()[0]["s"]
+        assert total_words == expected
+
+
+class TestPlanQuality:
+    """The 100 TB gate: filters pushed, columns pruned, dims broadcast."""
+
+    def test_q6_filters_pushed_to_scan(self, spark):
+        from uda_spark.plans.explain import pushed_filters, read_schemas
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["q6_forecast_revenue"].fn(spark, SF_SMOKE)
+        pushed = " ".join(pushed_filters(df))
+        assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+        # column pruning: scan must not read l_orderkey etc.
+        schemas = " ".join(read_schemas(df))
+        assert "l_returnflag" not in schemas
+
+    def test_filter_project_prunes_columns(self, spark):
+        from uda_spark.plans.explain import read_schemas
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["filter_project"].fn(spark, SF_SMOKE)
+        schemas = " ".join(read_schemas(df))
+        assert "l_shipdate" not in schemas and "l_tax" not in schemas
+
+    def test_dim_join_broadcasts(self, spark):
+        from uda_spark.plans.explain import count_broadcasts
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["join_broadcast_dim"].fn(spark, SF_SMOKE)
+        assert count_broadcasts(df) >= 1
+
+    def test_q1_single_exchange(self, spark):
+        from uda_spark.plans.explain import count_exchanges
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["q1_pricing_summary"].fn(spark, SF_SMOKE)
+        # partial agg map-side, one exchange of partial states
+        assert count_exchanges(df) == 1

@@ -71,21 +71,30 @@ def hash60(expr: str, engine: str) -> str:
 
 
 def minhash_sig(shingles_expr: str, n_hashes: int, engine: str) -> str:
-    """Array of ``n_hashes`` MinHash values: sig[h] = min(md5(h || '|' || s)).
+    """Array of ``n_hashes`` MinHash values (8-hex-char strings).
 
-    The "permutation" family is salted md5; the min of hex strings is a
-    bytewise min, identical across engines (CompareFunc.cc:70-73 analog).
+    The "permutation" family is chunked salted md5: hash h uses salt
+    ``h div 4`` and hex chunk ``h mod 4`` of md5(salt || '|' || shingle),
+    so ``n_hashes`` hash functions cost only ``n_hashes / 4`` md5 calls
+    per shingle (md5 dominated the minhash runtime at 16 calls/shingle).
+    The min of hex strings is a bytewise min, identical across engines
+    (CompareFunc.cc:70-73 analog); 32 bits per hash is ample for min-hash.
+    ``n_hashes`` must be a multiple of 4.
     """
+    if n_hashes % 4 != 0:
+        raise ValueError("n_hashes must be a multiple of 4")
     if engine == "spark":
         return (
-            f"transform(sequence(0, {n_hashes - 1}), h -> "
+            f"flatten(transform(sequence(0, {n_hashes // 4 - 1}), salt -> "
+            f"transform(sequence(0, 3), c -> "
             f"array_min(transform({shingles_expr}, s -> "
-            f"md5(concat(cast(h AS STRING), '|', s)))))"
+            f"substring(md5(concat(cast(salt AS STRING), '|', s)), c * 8 + 1, 8))))))"
         )
     return (
-        f"list_transform(range(0, {n_hashes}), h -> "
+        f"flatten(list_transform(range(0, {n_hashes // 4}), salt -> "
+        f"list_transform(range(0, 4), c -> "
         f"list_min(list_transform({shingles_expr}, s -> "
-        f"md5(h::VARCHAR || '|' || s))))"
+        f"substr(md5(salt::VARCHAR || '|' || s), c * 8 + 1, 8))))))"
     )
 
 
@@ -97,10 +106,12 @@ def simhash32(toks: str, engine: str) -> str:
     Integer-only, order-independent — safe under any partitioning.
     """
     if engine == "spark":
+        # md5 once per token (transform first), not once per (token, bit).
         votes = (
-            f"aggregate({toks}, transform(sequence(1, 32), x -> 0L), "
-            f"(acc, t) -> zip_with(acc, transform(sequence(1, 32), "
-            f"i -> IF(substr(md5(t), i, 1) >= '8', 1L, -1L)), (a, b) -> a + b))"
+            f"aggregate(transform({toks}, t -> md5(t)), "
+            f"transform(sequence(1, 32), x -> 0L), "
+            f"(acc, m) -> zip_with(acc, transform(sequence(1, 32), "
+            f"i -> IF(substr(m, i, 1) >= '8', 1L, -1L)), (a, b) -> a + b))"
         )
         return (
             f"aggregate(zip_with({votes}, sequence(1, 32), "

@@ -1,0 +1,15 @@
+from uda_spark.multimodal.blob import (
+    BLOB_META_SCHEMA,
+    attach_blob_column,
+    decode_images,
+    extract_features,
+    sample_frames,
+)
+
+__all__ = [
+    "BLOB_META_SCHEMA",
+    "attach_blob_column",
+    "decode_images",
+    "extract_features",
+    "sample_frames",
+]

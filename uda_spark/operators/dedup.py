@@ -67,10 +67,17 @@ def minhash_near_dup_pairs(
     two shingle arrays for verification.  Document bodies never shuffle.
     """
     rows_per_band = n_hashes // bands
-    sh = with_shingles(df, text_col, k).select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct("shingles").alias("sset"),
-        F.expr(portable.minhash_sig("shingles", n_hashes, "spark")).alias("sig"),
+    # Persist: the signature relation feeds the band explode AND both sides
+    # of the candidate-verification join — without it the (md5-heavy)
+    # shingle/signature subtree is recomputed three times.
+    sh = (
+        with_shingles(df, text_col, k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct("shingles").alias("sset"),
+            F.expr(portable.minhash_sig("shingles", n_hashes, "spark")).alias("sig"),
+        )
+        .persist()
     )
     banded = sh.select(
         "doc",

@@ -24,9 +24,19 @@ def plan_str(df: DataFrame, mode: str = "formatted") -> str:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (broadcast
-    exchanges excluded — those are the cheap ones we *want*)."""
+    exchanges excluded — those are the cheap ones we *want*).
+
+    Matches both simple mode (``Exchange hashpartitioning(...)``) and
+    formatted mode (``(5) Exchange`` + ``Arguments: hashpartitioning``).
+    """
     plan = plan_str(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning)"
+            r"|Arguments: (?:hashpartitioning|rangepartitioning)",
+            plan,
+        )
+    )
 
 
 def count_broadcasts(df: DataFrame) -> int:

@@ -199,7 +199,9 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact hamming filter runs only on candidates.  The oracle brute-
     forces all pairs; results are provably identical."""
     corpus = _corpus_near(spark, sf_dir)
-    sigs = D.simhash_signatures(corpus, "text", "doc_id")
+    # Persist: the banded relation self-joins; without it the md5-vote
+    # signature subtree is evaluated once per join side.
+    sigs = D.simhash_signatures(corpus, "text", "doc_id").persist()
     banded = sigs.select(
         "doc_id",
         "sig",

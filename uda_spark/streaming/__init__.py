@@ -1,0 +1,13 @@
+from uda_spark.streaming.windows import (
+    events_file_stream,
+    hourly_counts_stream,
+    sessionize_stream,
+    run_stream_to_memory,
+)
+
+__all__ = [
+    "events_file_stream",
+    "hourly_counts_stream",
+    "sessionize_stream",
+    "run_stream_to_memory",
+]

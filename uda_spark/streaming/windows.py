@@ -1,0 +1,100 @@
+"""Structured Streaming twins of the batch event operators.
+
+The reference is batch-shuffle only (SURVEY §2.2: no streaming), but the
+events table is a stream in disguise; these operators give the engine the
+readStream → watermark → windowed-agg → writeStream path.  Semantics are
+kept identical to the batch queries in uda_spark/queries/events.py (same
+microsecond normalization, same gap/window definitions) so batch output
+is the correctness oracle for the streaming output — asserted in
+tests/test_streaming.py.
+
+Scale notes: watermarks bound state; the aggregation state store is keyed
+by (window, type) / session key, so state size is O(active windows), not
+O(events).  File-source streaming here stands in for Kafka/queue sources
+in production — the operator graph is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uda_spark.sources.tables import table_path
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with an event-time column.
+
+    The parquet stores nanosecond timestamps (read as BIGINT nanos, see
+    sources/tables.py); event time is reconstructed at microsecond
+    precision for watermarking, alongside the exact integer ts_us used by
+    value logic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # The test tables are single parquet FILES; the file-stream source
+    # requires a directory, so stream the sf dir filtered to the one file.
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed counts with late-data watermark —
+    streaming twin of the events_hourly_rollup batch query."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session aggregation via native session windows —
+    streaming twin of the events_sessionize batch query (same gap rule).
+
+    ``session_window`` merges events whose gaps are < gap into one growing
+    window; the watermark lets the state store emit and drop closed
+    sessions — bounded state on an unbounded stream.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", f"{gap_seconds} seconds"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min(ts_us) div 1000000").alias("session_start"),
+            F.expr("max(ts_us) div 1000000").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+def run_stream_to_memory(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Execute a streaming query over all currently-available input
+    (availableNow trigger) into an in-memory table; returns the table as a
+    DataFrame.  Used by tests to compare streaming vs batch output."""
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return result.sparkSession.table(name)
