@@ -1,0 +1,101 @@
+"""Format scans/sinks and layout behavior: round-trips, partition
+pruning on partitioned writes, bucketed-table exchange elimination,
+salted aggregation correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from uda_spark.plans.explain import count_exchanges, plan_str
+from uda_spark.plans.partitioning import explode_salt_for_join, salted_agg, with_salt
+from uda_spark.sources import formats
+from uda_spark.sources.tables import load_table
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_csv")
+    formats.write_csv(orders, path)
+    back = formats.read_csv(spark, path, orders.schema)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    s = orders.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")).collect()[0]["s"]
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")).collect()[0]["s"]
+    assert s == b
+
+
+def test_json_roundtrip(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "props")
+    path = str(tmp_path / "events_json")
+    formats.write_json(ev, path)
+    back = formats.read_json(spark, path, ev.schema)
+    assert back.count() == ev.count()
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_parted")
+    formats.write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = plan_str(back)
+    # partition filter must appear as PartitionFilters, not a row filter
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    want = orders.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == want
+
+
+def test_bucketed_table_join_avoids_exchange(spark):
+    # bucketed tables land in the default warehouse dir (gitignored)
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    formats.write_bucketed_table(orders, "b_orders", ["o_orderkey"], 4, mode="overwrite")
+    formats.write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 4, mode="overwrite")
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    # disable broadcast so the join would otherwise need two exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        n_ex = count_exchanges(joined)
+        assert n_ex == 0, plan_str(joined)
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r["event_type"],): (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    salted = salted_agg(
+        ev,
+        ["event_type"],
+        n_salts=8,
+        partial_aggs=[
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("ps"),
+        ],
+        final_aggs=[F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+    )
+    got = {(r["event_type"],): (r["n"], r["s"]) for r in salted.collect()}
+    assert got == plain
+
+
+def test_salted_join_matches_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")  # user_id is skewed-ish
+    users = ev.select("user_id").distinct().withColumn("tag", F.col("user_id") % 3)
+    plain = ev.join(users, on="user_id").groupBy("tag").count().collect()
+    big = with_salt(ev, 4)
+    small = explode_salt_for_join(users, 4)
+    salted = big.join(small, on=["user_id", "_salt"]).groupBy("tag").count().collect()
+    assert sorted((r["tag"], r["count"]) for r in plain) == sorted(
+        (r["tag"], r["count"]) for r in salted
+    )

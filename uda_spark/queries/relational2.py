@@ -1,0 +1,338 @@
+"""Relational surface, part 2: subqueries (correlated EXISTS / IN /
+scalar), grouping sets, LIKE predicates, HAVING, percentiles, and a
+bucketed range join — completing the SURVEY §2.2 category checklist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uda_spark.operators import join as J
+from uda_spark.queries.common import REVENUE_SQL, dsum_sql, t
+from uda_spark.registry import register
+
+
+def _revenue():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "subquery"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted): correlated EXISTS — planned as a left-semi join
+    on orderkey; the lineitem side carries only (orderkey, shipdate)."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-04-01 00:00:00'"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q12_late_shipments",
+    oracle="""
+SELECT o_orderpriority,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+                THEN 1 ELSE 0 END)::BIGINT AS late_count,
+       COUNT(*)::BIGINT AS total_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "join", "aggregation"),
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted): shipping-delay buckets per priority."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = F.when(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 60, 1
+    ).otherwise(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(late).cast("long").alias("late_count"), F.count("*").alias("total_count"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE) AS promo_revenue,
+       {REVENUE_SQL} AS total_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+""",
+    tags=("relational", "join", "aggregation"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (adapted): promo vs total revenue; part is a broadcast dim."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-02-01 00:00:00'"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(_revenue()).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_parts",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey AS pk, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS aq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*)::BIGINT AS n_small,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+FROM lineitem JOIN avg_qty ON l_partkey = pk
+WHERE l_quantity < CAST(2 AS DOUBLE) * aq / 10
+""",
+    tags=("relational", "subquery", "aggregation"),
+)
+def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted): correlated scalar subquery (per-part average)
+    — planned as an aggregate + re-join on partkey, both sides shuffling
+    once on the same key (co-partitioned join)."""
+    li = t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("aq")
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < F.lit(2).cast("double") * F.col("aq") / 10)
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey AS ok, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, total_qty
+FROM big JOIN orders ON o_orderkey = ok
+         JOIN customer ON c_custkey = o_custkey
+""",
+    tags=("relational", "subquery", "aggregation"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (adapted): HAVING over a grouped subquery, joined back to
+    dims.  The HAVING filter shrinks the join input before any wide join."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .where(F.col("q") > 150)
+        .select("ok", F.col("q").cast("double").alias("total_qty"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("ok"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+    )
+
+
+@register(
+    "q19_bracket_join",
+    oracle="""
+SELECT COUNT(*)::BIGINT AS n_matches,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+    tags=("relational", "join", "filter"),
+)
+def q19_bracket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted): disjunctive bracket predicates over a
+    broadcast-dim join — the OR-of-ANDs stays a post-join filter while the
+    equi-key keeps the join hash-based."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(F.count("*").alias("n_matches"), F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "in_subquery_segments",
+    oracle="""
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+GROUP BY o_orderstatus
+""",
+    tags=("relational", "subquery"),
+)
+def in_subquery_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join against a filtered broadcast dim."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    return (
+        J.semi_join(orders, F.broadcast(cust), on=[orders.o_custkey == cust.c_custkey])
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "grouping_sets_sales",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
+       COUNT(*)::BIGINT AS n_rows,
+       {dsum_sql('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), (l_returnflag, year(l_shipdate)))
+""",
+    tags=("relational", "aggregation"),
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): one Expand + one
+    exchange for three grouping shapes."""
+    t_li = t(spark, sf_dir, "lineitem")
+    t_li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM _gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), (l_returnflag, year(l_shipdate)))
+"""
+    )
+
+
+@register(
+    "like_name_patterns",
+    oracle="""
+SELECT p_brand,
+       SUM(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END)::BIGINT AS n_small,
+       SUM(CASE WHEN p_name LIKE '%bolt' THEN 1 ELSE 0 END)::BIGINT AS n_bolt,
+       SUM(CASE WHEN p_name LIKE '%ed%' THEN 1 ELSE 0 END)::BIGINT AS n_ed
+FROM part GROUP BY p_brand
+""",
+    tags=("relational", "filter", "scalar"),
+)
+def like_name_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE prefix/suffix/infix predicates (prefix LIKE can push down as a
+    string-range scan filter)."""
+    part = t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("p_name").like("small%"), 1).otherwise(0)).cast("long").alias("n_small"),
+        F.sum(F.when(F.col("p_name").like("%bolt"), 1).otherwise(0)).cast("long").alias("n_bolt"),
+        F.sum(F.when(F.col("p_name").like("%ed%"), 1).otherwise(0)).cast("long").alias("n_ed"),
+    )
+
+
+@register(
+    "percentile_order_values",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(floor(quantile_cont(o_totalprice, 0.5) * 100 + CAST(1 AS DOUBLE) / 2) AS BIGINT) AS median_cents,
+       CAST(floor(quantile_cont(o_totalprice, 0.9) * 100 + CAST(1 AS DOUBLE) / 2) AS BIGINT) AS p90_cents
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("relational", "aggregation"),
+)
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per group, emitted as
+    integer cents (floor of an identical double is engine-deterministic)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "CAST(floor(percentile(o_totalprice, CAST(1 AS DOUBLE)/2) * 100 + CAST(1 AS DOUBLE)/2) AS BIGINT)"
+        ).alias("median_cents"),
+        F.expr(
+            "CAST(floor(percentile(o_totalprice, CAST(9 AS DOUBLE)/10) * 100 + CAST(1 AS DOUBLE)/2) AS BIGINT)"
+        ).alias("p90_cents"),
+    )
+
+
+@register(
+    "range_join_value_buckets",
+    oracle="""
+WITH buckets(bucket_name, lo, hi) AS (
+  VALUES ('low', CAST(0 AS DOUBLE), CAST(50 AS DOUBLE)),
+         ('mid', CAST(50 AS DOUBLE), CAST(200 AS DOUBLE)),
+         ('high', CAST(200 AS DOUBLE), CAST(1000 AS DOUBLE))
+)
+SELECT bucket_name, COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN buckets ON value >= lo AND value < hi
+GROUP BY bucket_name
+""",
+    tags=("relational", "join", "range"),
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events against value brackets.
+
+    The bracket table is tiny → broadcast nested-loop with the range
+    predicate, which is the right physical plan; for two LARGE sides the
+    scalable pattern is bucketing both sides by floor(value/width) and
+    equi-joining bucket±1 (see operators/join.py notes)."""
+    ev = t(spark, sf_dir, "events")
+    buckets = ev.sparkSession.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1000.0)],
+        ["bucket_name", "lo", "hi"],
+    )
+    return (
+        ev.join(F.broadcast(buckets), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("bucket_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

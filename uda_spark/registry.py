@@ -27,11 +27,13 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # Modules that register queries on import (uda_spark.queries.*).
 _QUERY_MODULES = (
     "uda_spark.queries.relational",
+    "uda_spark.queries.relational2",
     "uda_spark.queries.workloads",
     "uda_spark.queries.events",
     "uda_spark.queries.text",
     "uda_spark.queries.dedup",
     "uda_spark.queries.similarity",
+    "uda_spark.queries.udfs",
 )
 
 

@@ -1,0 +1,87 @@
+"""File-format scans and sinks (SURVEY §2.2: the reference reads only raw
+MOF byte files; our engine must cover the standard format surface).
+
+Readers return DataFrames with explicit schemas (never inference in
+production paths — schema inference is a full extra pass at 100 TB).
+Writers expose the layout knobs that matter at scale: partitioning
+columns (partition pruning on read), max records per file (no
+giant-file stragglers), and compression.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True, sep: str = ","
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line, column ``value`` — the randomtextwriter-style
+    input for wordcount workloads."""
+    return spark.read.text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int | None = None,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with layout control.
+
+    ``partition_by`` columns become directory partitions → scans with
+    equality/range predicates on them prune whole directories (the read-
+    side analog of the reference's per-partition MOF files, O1/O2).
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    WRITE time, so later equi-joins/aggregations on those columns skip the
+    exchange entirely — the persistent version of kv.partition_and_merge
+    (pre-shuffled data at rest, as the reference's MOFs are).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
