@@ -98,31 +98,39 @@ def minhash_sig(shingles_expr: str, n_hashes: int, engine: str) -> str:
     )
 
 
-def simhash32(toks: str, engine: str) -> str:
-    """32-bit SimHash from token md5 nibbles.
+SIMHASH_BITS = 60
 
-    Bit i of token t votes +1 if hex char i of md5(t) >= '8' (high bit of
-    the nibble), else -1; signature bit i is 1 iff the vote sum >= 0.
+
+def simhash60(toks: str, engine: str) -> str:
+    """60-bit SimHash from token md5 nibbles (two md5s per token: bits
+    1-32 from md5(t), 33-60 from md5('x' || t)).
+
+    Bit i of token t votes +1 if its hex char >= '8' (high bit of the
+    nibble), else -1; signature bit i is 1 iff the vote sum >= 0.
     Integer-only, order-independent — safe under any partitioning.
+    60 bits (not 64) keeps the packed signature positive in a BIGINT.
+    32-bit signatures proved too coarse on natural-ish text: frequent
+    tokens dominate the votes and unrelated documents collide, which
+    both degrades near-dup precision and blows up the LSH band join.
     """
     if engine == "spark":
-        # md5 once per token (transform first), not once per (token, bit).
+        # md5 twice per token (transform first), not once per (token, bit).
         votes = (
-            f"aggregate(transform({toks}, t -> md5(t)), "
-            f"transform(sequence(1, 32), x -> 0L), "
-            f"(acc, m) -> zip_with(acc, transform(sequence(1, 32), "
+            f"aggregate(transform({toks}, t -> concat(md5(t), md5(concat('x', t)))), "
+            f"transform(sequence(1, {SIMHASH_BITS}), x -> 0L), "
+            f"(acc, m) -> zip_with(acc, transform(sequence(1, {SIMHASH_BITS}), "
             f"i -> IF(substr(m, i, 1) >= '8', 1L, -1L)), (a, b) -> a + b))"
         )
         return (
-            f"aggregate(zip_with({votes}, sequence(1, 32), "
-            f"(v, i) -> IF(v >= 0, shiftleft(1L, 32 - i), 0L)), 0L, (a, b) -> a + b)"
+            f"aggregate(zip_with({votes}, sequence(1, {SIMHASH_BITS}), "
+            f"(v, i) -> IF(v >= 0, shiftleft(1L, {SIMHASH_BITS} - i), 0L)), 0L, (a, b) -> a + b)"
         )
     # DuckDB relational formulation is easier via unnest; callers embed this
     # per-token bit expression in a GROUP BY i query instead.
-    raise NotImplementedError("use simhash32_duck_sql for the oracle side")
+    raise NotImplementedError("use simhash60_duck_sql for the oracle side")
 
 
-def simhash32_duck_sql(source: str, id_col: str, text_col: str) -> str:
+def simhash60_duck_sql(source: str, id_col: str, text_col: str) -> str:
     """DuckDB oracle fragment: (``id_col``, sig) per row of ``source``
     (a table name or a parenthesized subquery)."""
     toks = tokens(text_col, "duck")
@@ -132,11 +140,12 @@ WITH tok AS (
 ),
 votes AS (
   SELECT {id_col}, i,
-         SUM(CASE WHEN substr(md5(t), i, 1) >= '8' THEN 1 ELSE -1 END) AS v
-  FROM tok, range(1, 33) r(i)
+         SUM(CASE WHEN substr(md5(t) || md5('x' || t), i, 1) >= '8' THEN 1 ELSE -1 END) AS v
+  FROM tok, range(1, {SIMHASH_BITS + 1}) r(i)
   GROUP BY {id_col}, i
 )
-SELECT {id_col}, SUM(CASE WHEN v >= 0 THEN 1::BIGINT << (32 - i) ELSE 0 END)::BIGINT AS sig
+SELECT {id_col},
+       SUM(CASE WHEN v >= 0 THEN 1::BIGINT << ({SIMHASH_BITS} - i) ELSE 0 END)::BIGINT AS sig
 FROM votes GROUP BY {id_col}
 """.strip()
 

@@ -114,8 +114,8 @@ def minhash_near_dup_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, sig) 32-bit SimHash per document — pure map-side HOF compute."""
+    """(id, sig) 60-bit SimHash per document — pure map-side HOF compute."""
     toks = portable.tokens(text_col, "spark")
     return df.select(
-        F.col(id_col), F.expr(portable.simhash32(toks, "spark")).alias("sig")
+        F.col(id_col), F.expr(portable.simhash60(toks, "spark")).alias("sig")
     )

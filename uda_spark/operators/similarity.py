@@ -64,27 +64,37 @@ def knn_bruteforce(
     )
 
 
-def srp_buckets(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> DataFrame:
-    """Sign-random-projection bucket id per vector.
+def srp_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 4, n_tables: int = 8
+) -> DataFrame:
+    """Sign-random-projection buckets, one per hash table (multi-table
+    LSH): rows (id, table, bucket).
 
-    Hyperplane p's component for dimension d is +1/-1 from a portable hash
-    bit (md5(p|d) first hex char >= '8') — deterministic, no stored model.
-    Bucket = the n_planes sign bits packed into an int.
+    Hyperplane (t, p)'s component for dimension d is +1/-1 from a portable
+    hash bit (md5(t|p|d) first hex char >= '8') — deterministic, no stored
+    model.  Bucket = the n_planes sign bits packed into an int.  A pair is
+    a candidate if it shares a bucket in ANY table: recall ~ 1-(1-p^k)^L
+    — the (k=n_planes, L=n_tables) pair is the recall/cost knob.
     """
     iv = portable.int_vec(vec_col, "spark")
     prepped = df.select(F.col(id_col), F.expr(iv).alias("_v"))
-    # dot with hyperplane p: sum_d (v[d] * sign(p, d))
     proj = (
         f"transform(sequence(0, {n_planes - 1}), p -> "
         f"aggregate(zip_with(_v, sequence(0, size(_v) - 1), "
-        f"(x, d) -> IF(substr(md5(concat(cast(p AS STRING), '|', cast(d AS STRING))), 1, 1) >= '8', x, -x)), "
+        f"(x, d) -> IF(substr(md5(concat(cast(t AS STRING), '|', cast(p AS STRING), '|', cast(d AS STRING))), 1, 1) >= '8', x, -x)), "
         f"0L, (acc, x) -> acc + x))"
     )
     bucket = (
         f"aggregate(zip_with({proj}, sequence(1, {n_planes}), "
         f"(s, i) -> IF(s >= 0, shiftleft(1L, {n_planes} - i), 0L)), 0L, (a, b) -> a + b)"
     )
-    return prepped.select(F.col(id_col), F.expr(bucket).alias("bucket"))
+    tables = (
+        f"transform(sequence(0, {n_tables - 1}), t -> "
+        f"named_struct('table', t, 'bucket', {bucket}))"
+    )
+    return prepped.select(
+        F.col(id_col), F.explode(F.expr(tables)).alias("tb")
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
 def lsh_knn(
@@ -93,22 +103,35 @@ def lsh_knn(
     id_col: str,
     vec_col: str,
     top_k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only same-SRP-bucket candidates.
+    """Approximate top-k via multi-table SRP LSH: score only candidates
+    sharing a bucket with the query in at least one table.
 
-    One exchange on the bucket id; candidate set shrinks ~2^n_planes-fold.
-    Recall is traded for scan width — the knob a 100 TB deployment tunes.
+    One exchange on (table, bucket); candidates dedup before scoring so
+    each pair is scored once.  At 100 TB the candidate set per query is
+    ~L * corpus/2^k — the tunable fraction of a full scan.
     """
-    cb = srp_buckets(corpus, id_col, vec_col, n_planes).withColumnRenamed(id_col, "c_id")
-    qb = srp_buckets(queries, id_col, vec_col, n_planes).withColumnRenamed(id_col, "q_id")
-    c = _prep(corpus, id_col, vec_col, "c").join(cb, on="c_id")
-    q = _prep(queries, id_col, vec_col, "q").join(qb, on="q_id")
+    cb = srp_buckets(corpus, id_col, vec_col, n_planes, n_tables).withColumnRenamed(
+        id_col, "c_id"
+    )
+    qb = srp_buckets(queries, id_col, vec_col, n_planes, n_tables).withColumnRenamed(
+        id_col, "q_id"
+    )
+    cand = (
+        cb.join(F.broadcast(qb), on=["table", "bucket"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    c = _prep(corpus, id_col, vec_col, "c")
+    q = _prep(queries, id_col, vec_col, "q")
     dot = portable.int_dot("q_vec", "c_vec", "spark")
     score = portable.cosine_from_ints(dot, "q_norm", "c_norm")
     scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .where(F.col("q_id") != F.col("c_id"))
+        cand.join(c, on="c_id")
+        .join(F.broadcast(q), on="q_id")
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),

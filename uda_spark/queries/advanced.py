@@ -1,0 +1,219 @@
+"""Coverage batch: n-gram Jaccard similarity, IVF-style ANN, sketch
+cardinality, ntile/lead/lag window shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uda_spark.functions import portable
+from uda_spark.queries.common import t
+from uda_spark.registry import register
+
+NGRAM_JACCARD_T = "CAST(1 AS DOUBLE) / 20"  # 0.05 without decimal literals
+
+
+@register(
+    "text_ngram_jaccard_pairs",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, lang, source,
+         list_distinct({portable.shingles(portable.tokens('text', 'duck'), 2, 'duck')}) AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS n_inter,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM tk a JOIN tk b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+FROM pairs
+WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {NGRAM_JACCARD_T}
+""",
+    tags=("text", "north-star", "join"),
+)
+def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-bigram Jaccard over (lang, source)-blocked pairs.
+
+    Blocking is the scale lever: the self-join shuffles once on the block
+    key and pairs only form inside blocks — O(sum of block^2), not O(n^2).
+    The unblocked scale path is MinHash LSH (dedup_minhash_near_pairs);
+    this exact variant is the quality oracle for it.
+    """
+    toks = portable.tokens("text", "spark")
+    grams = portable.shingles(toks, 2, "spark")
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.array_distinct(F.expr(grams)).alias("grams")
+    )
+    a, b = tk.alias("a"), tk.alias("b")
+    pairs = (
+        a.join(b, on=["lang", "source"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("size(filter(a.grams, x -> array_contains(b.grams, x)))").alias("n_inter"),
+            F.size("a.grams").alias("na"),
+            F.size("b.grams").alias("nb"),
+        )
+    )
+    jac = F.expr("CAST(n_inter AS DOUBLE) / (na + nb - n_inter)")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.expr(NGRAM_JACCARD_T))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+IVF_NPROBE = 3
+
+
+@register("sim_ivf_knn", oracle=None, tags=("similarity", "north-star", "approx"))
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus by label centroid, then
+    search only the query's nprobe=3 nearest partitions.
+
+    The centroids here are the per-label means (sim_label_centroid_dist
+    builds them); a production IVF trains k-means centroids the same way.
+    Shuffle profile: centroid build is one tiny agg; search is a broadcast
+    of queries against ~nprobe/k of the corpus.  Rows-only check (approx
+    op); recall vs brute force is asserted in tests (these synthetic
+    embeddings are near-uniform, so recall ~ nprobe/k is the expectation —
+    clustered real data recalls far higher at the same nprobe).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    # per-label centroid (exact integer sums -> double means)
+    cent = (
+        iv.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("m")))).alias("cm"))
+        .select("label", F.expr("transform(cm, e -> e.m)").alias("centroid"))
+    )
+    # drop the query's own label: the crossJoin below must have exactly one
+    # label column (the centroid's)
+    queries = iv.where(F.col("vec_id") < 10).select("vec_id", "v")
+    # assign each query to its nearest centroid by exact double distance
+    q_cent = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist2",
+            F.expr(
+                "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)), "
+                "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist2", "label")),
+        )
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"), F.col("label").alias("probe_label"))
+    )
+    # search only the probed partition (alias both sides: q_cent shares
+    # lineage with iv, so attribute references would be ambiguous)
+    dot = portable.int_dot("q.q_vec", "c.v", "spark")
+    qn = portable.int_dot("q.q_vec", "q.q_vec", "spark")
+    cn = portable.int_dot("c.v", "c.v", "spark")
+    scored = (
+        iv.alias("c")
+        .join(F.broadcast(q_cent.alias("q")), F.expr("c.label = q.probe_label"))
+        .where(F.col("c.vec_id") != F.col("q.q_id"))
+        .select(
+            F.col("q.q_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(F.expr(portable.cosine_from_ints(dot, qn, cn)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register("approx_distinct_users", oracle=None, tags=("aggregation", "sketch"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality sketch per event type — the 100 TB path
+    for distinct counts (fixed-size sketch merge, no value shuffle).
+    Rows-only check: HLL implementations differ across engines by design;
+    the accuracy bound vs exact counts is asserted in tests.
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "window_ntile_deciles",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile::INT AS decile, COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM ranked GROUP BY decile
+""",
+    tags=("relational", "window"),
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment + per-decile totals.
+
+    NOTE: ntile over a global ORDER BY is a single-partition window —
+    acceptable for a decile *report* (output is 10 rows); the scale path
+    for per-row quantile tagging is width_bucket over approx quantile
+    boundaries (see global_rank for the same pattern applied to ranks).
+    """
+    orders = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(COALESCE(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)), -1) AS INT)
+         AS days_since_prev,
+       CAST(COALESCE(date_diff('day', CAST(o_orderdate AS DATE), CAST(lead(o_orderdate) OVER w AS DATE)), -1) AS INT)
+         AS days_to_next,
+       CAST(first_value(o_orderdate) OVER w AS DATE) AS first_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("relational", "window"),
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value over per-customer order history — one exchange
+    on the customer key, one ordered pass."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_d = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    next_d = F.lead(F.col("o_orderdate").cast("date")).over(w)
+    cur_d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.datediff(cur_d, prev_d), F.lit(-1)).cast("int").alias("days_since_prev"),
+        F.coalesce(F.datediff(next_d, cur_d), F.lit(-1)).cast("int").alias("days_to_next"),
+        F.first(cur_d).over(w).alias("first_order_date"),
+    )

@@ -170,11 +170,11 @@ def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_signatures",
-    oracle=portable.simhash32_duck_sql("documents", "doc_id", "text"),
+    oracle=portable.simhash60_duck_sql("documents", "doc_id", "text"),
     tags=("dedup", "north-star"),
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document — one integer signature, map-side only."""
+    """60-bit SimHash per document — one integer signature, map-side only."""
     return D.simhash_signatures(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
@@ -182,7 +182,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_near_pairs",
     oracle=f"""
 WITH corpus AS ({_DUCK_CORPUS_NEAR}),
-sigs AS ({portable.simhash32_duck_sql('corpus', 'doc_id', 'text')})
+sigs AS ({portable.simhash60_duck_sql('corpus', 'doc_id', 'text')})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -193,11 +193,11 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_T}
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming <= 3.
 
-    Spark side uses exact byte-band LSH: split the 32-bit signature into 4
-    bytes; by pigeonhole any pair within hamming 3 agrees on >= 1 whole
-    byte, so banding loses nothing — candidates self-join per band, then
-    the exact hamming filter runs only on candidates.  The oracle brute-
-    forces all pairs; results are provably identical."""
+    Spark side uses exact band LSH: split the 60-bit signature into 6
+    bands of 10 bits; by pigeonhole any pair within hamming 3 agrees on
+    >= 3 whole bands, so banding loses nothing — candidates self-join per
+    band, then the exact hamming filter runs only on candidates.  The
+    oracle brute-forces all pairs; results are provably identical."""
     corpus = _corpus_near(spark, sf_dir)
     # Persist: the banded relation self-joins; without it the md5-vote
     # signature subtree is evaluated once per join side.
@@ -206,7 +206,7 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sig",
         F.explode(
-            F.expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(sig, b * 8) % 256))")
+            F.expr("transform(sequence(0, 5), b -> named_struct('band', b, 'bv', shiftright(sig, b * 10) % 1024))")
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     a = banded.alias("a")

@@ -125,4 +125,6 @@ def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact brute-force result."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return SIM.lsh_knn(emb, queries, "vec_id", "embedding", top_k=TOP_K, n_planes=6)
+    return SIM.lsh_knn(
+        emb, queries, "vec_id", "embedding", top_k=TOP_K, n_planes=4, n_tables=8
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "uda_spark.queries.dedup",
     "uda_spark.queries.similarity",
     "uda_spark.queries.udfs",
+    "uda_spark.queries.advanced",
 )
 
 
