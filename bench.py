@@ -27,6 +27,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q9_product_profit",
+    "q21_suppliers_kept_waiting",
     "join_outer_agg",
     "window_rank_orders",
     "kv_partition_merge",

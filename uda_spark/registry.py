@@ -28,6 +28,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 _QUERY_MODULES = (
     "uda_spark.queries.relational",
     "uda_spark.queries.relational2",
+    "uda_spark.queries.relational3",
     "uda_spark.queries.workloads",
     "uda_spark.queries.events",
     "uda_spark.queries.text",
