@@ -49,3 +49,18 @@ def test_ivf_knn_recall(spark):
     # so expected recall is ~ nprobe/k = 0.3; assert a safe floor
     recalls = [len(exact[q] & ivf.get(q, set())) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark):
+    specs = all_specs()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in specs["dedup_embedding_near_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in specs["dedup_embedding_near_pairs_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    assert lsh <= exact  # LSH candidates pass the same exact filter
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.4

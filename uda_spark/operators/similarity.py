@@ -144,3 +144,50 @@ def lsh_knn(
         .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    use_lsh: bool = False,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (id_a, id_b, score) with
+    id_a < id_b and score >= threshold.
+
+    Exact mode is the quadratic self-join — the correctness oracle, fine
+    for a blocked subset but not a 100 TB corpus.  ``use_lsh=True`` is the
+    scale path: multi-table SRP buckets produce the candidate pairs (one
+    exchange on (table, bucket), candidate count ~ L·n²/2^k per-bucket
+    quadratic instead of global), and the exact cosine filter runs only on
+    candidates.  Same output schema; recall < 1 is the documented trade.
+    """
+    a = _prep(df, id_col, vec_col, "a")
+    b = _prep(df, id_col, vec_col, "b")
+    if use_lsh:
+        buckets = srp_buckets(df, id_col, vec_col, n_planes, n_tables)
+        x = buckets.withColumnRenamed(id_col, "a_id")
+        y = buckets.withColumnRenamed(id_col, "b_id")
+        pairs = (
+            x.join(y, on=["table", "bucket"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+            .join(a, on="a_id")
+            .join(b, on="b_id")
+        )
+    else:
+        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    dot = portable.int_dot("a_vec", "b_vec", "spark")
+    score = portable.cosine_from_ints(dot, "a_norm", "b_norm")
+    return (
+        pairs.select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            F.round(F.expr(score), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -227,3 +227,58 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= HAMMING_T)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+COSINE_T = "CAST(0.35 AS DOUBLE)"
+_DUCK_IV = f"""
+  SELECT vec_id, {portable.int_vec('embedding', 'duck')} AS v FROM embeddings
+"""
+
+
+@register(
+    "dedup_embedding_near_pairs",
+    oracle=f"""
+WITH iv AS ({_DUCK_IV}),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nrm FROM iv)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({portable.cosine_from_ints(
+           "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))",
+           'a.nrm', 'b.nrm')}, 6) AS score
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND({portable.cosine_from_ints(
+           "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))",
+           'a.nrm', 'b.nrm')}, 6) >= {COSINE_T}
+""",
+    tags=("dedup", "similarity", "north-star"),
+)
+def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all pairs with
+    cosine >= 0.35 (these synthetic embeddings are near-uniform; real
+    corpora use ~0.95+).
+
+    This exact quadratic variant is the oracle for the LSH scale path
+    (dedup_embedding_near_pairs_lsh).  Fixed-point integer dots keep the
+    score bit-identical across engines.
+    """
+    from uda_spark.operators import similarity as SIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+@register(
+    "dedup_embedding_near_pairs_lsh",
+    oracle=None,
+    tags=("dedup", "similarity", "north-star", "approx"),
+)
+def dedup_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via multi-table SRP LSH — the 100 TB path:
+    candidates form inside (table, bucket) groups (one exchange), the
+    exact cosine filter runs only on candidates.  Subset of the exact
+    variant by construction; recall is asserted in tests."""
+    from uda_spark.operators import similarity as SIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, use_lsh=True
+    )
