@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "uda_spark.queries.similarity",
     "uda_spark.queries.udfs",
     "uda_spark.queries.advanced",
+    "uda_spark.queries.pipelines",
 )
 
 
