@@ -569,12 +569,15 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     date, no commit/receipt dates): suppliers who were the sole late
     supplier on a multi-supplier finalized order.
 
-    Scale shape: the EXISTS/NOT-EXISTS pair is decorrelated into one
-    per-order aggregate (distinct suppliers, distinct late suppliers) —
-    a single shuffle on orderkey replaces two correlated probes of
-    lineitem; the per-order relation then joins back on the same key, so
-    AQE coalesces it into the same exchange.
+    Scale shape: the EXISTS/NOT-EXISTS pair is decorrelated into
+    per-order window aggregates (distinct suppliers, distinct late
+    suppliers) over the SAME joined relation — one shuffle on orderkey,
+    one scan of each fact.  The first formulation (group-by + join-back)
+    scanned and joined lineitem⋈orders twice; windows over the join's
+    existing orderkey partitioning halved the exchange count.
     """
+    from pyspark.sql import Window
+
     orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -587,16 +590,20 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CASE WHEN {_Q21_LATE_SPARK} THEN 1 ELSE 0 END").alias("late"),
         )
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    w = Window.partitionBy("l_orderkey")
+    flagged = lines.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late") == 1, F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
     waiting = (
-        lines.where(F.col("late") == 1)
-        .join(per_order, on="l_orderkey")
-        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        flagged.where(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
