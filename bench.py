@@ -56,15 +56,26 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Two measured iterations per query, report the min: the host runs
+    # other tenants, so single cold samples swing ±80%; min-of-2 is the
+    # steady-state estimate.  clearCache() between iterations drops any
+    # persist()ed intermediates so iteration 2 re-executes the FULL
+    # pipeline (JVM/codegen warmth is kept — that is the point).
+    ITERS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # noop sink executes the FULL plan (all columns, sorts kept) —
-        # count() would let Catalyst eliminate sorts and prune the plan.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(ITERS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # noop sink executes the FULL plan (all columns, sorts kept) —
+            # count() would let Catalyst eliminate sorts and prune the plan.
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -217,3 +217,39 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.datediff(next_d, cur_d), F.lit(-1)).cast("int").alias("days_to_next"),
         F.first(cur_d).over(w).alias("first_order_date"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    tags=("skew", "aggregation"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a hot-key group-by.
+
+    event_type has 5 values — without salting, 5 reduce tasks own ALL
+    rows no matter how wide the cluster (the aggregation analog of the
+    reference's fetch hotspot, MergeManager.cc:58-63).  Stage 1 groups by
+    (key, salt16) so the hot keys spread over 16 partitions of partial
+    states; stage 2 merges 5×16 tiny rows.  Decimal partials keep the
+    result bit-equal to the unsalted plan, which the oracle runs.
+    """
+    from uda_spark.plans.partitioning import salted_agg
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    return salted_agg(
+        ev,
+        ["event_type"],
+        16,
+        partial_aggs=[F.count("*").alias("pc"), F.sum("v").alias("ps")],
+        final_aggs=[
+            F.sum("pc").cast("long").alias("n_events"),
+            F.sum("ps").cast("double").alias("total_value"),
+        ],
+    )

@@ -96,3 +96,34 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum({TXT.quality_score_ppm('toks', 'n_chars', 'spark')}) div count(*)").alias("avg_quality_ppm"),
         F.sum(ntok).cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "text_bpe_token_hist",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+  FROM documents
+)
+SELECT len(toks)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS n_docs
+FROM tk GROUP BY 1
+""",
+    tags=("text", "north-star"),
+)
+def text_bpe_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-document token counts under a BPE-ish regex
+    tokenizer (letter runs | digit runs | single punctuation) — the
+    pre-merge vocabulary a byte-pair encoder starts from.
+
+    Pure map-side regexp (identical RE semantics in both engines for
+    this character-class-only pattern) + one tiny exchange on the
+    histogram key.
+    """
+    toks = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.size(F.expr(toks)).cast("long").alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count("*").alias("n_docs"))
+    )
