@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the core dataflow invariants —
+the engine-level guarantees the reference establishes end-to-end with
+cluster regression runs (SURVEY §5): merge preserves the KV multiset,
+total-order sort is a permutation that validates, banding loses no
+near-dup candidates.
+
+Spark-backed properties use few, large examples (a session round-trip
+per example); pure-Python properties run at full hypothesis defaults.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from uda_spark.operators import kv as KV
+from uda_spark.operators import sort as SRT
+
+SPARK_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+kv_rows = st.lists(
+    st.tuples(
+        st.binary(min_size=1, max_size=20),
+        st.binary(min_size=0, max_size=40),
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@SPARK_SETTINGS
+@given(rows=kv_rows)
+def test_partition_and_merge_preserves_multiset(spark, rows):
+    # Inject duplicate keys deliberately (FIXTURES.md B2: ~5% dup keys).
+    rng = random.Random(7)
+    rows = rows + [rows[rng.randrange(len(rows))] for _ in range(len(rows) // 20)]
+    df = spark.createDataFrame(rows, "key binary, value binary")
+    merged = KV.partition_and_merge(df, ["key"], num_partitions=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(rows)
+
+
+@SPARK_SETTINGS
+@given(keys=st.lists(st.binary(min_size=1, max_size=16), min_size=1, max_size=300))
+def test_total_order_sort_validates_and_permutes(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "key binary")
+    out = SRT.total_order_sort(df, ["key"])
+    assert SRT.validate_sorted(out, ["key"])
+    assert sorted(r["key"] for r in out.collect()) == sorted(keys)
+
+
+@SPARK_SETTINGS
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    )
+)
+def test_global_rank_is_the_sort_permutation(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    ranked = SRT.global_rank(df, ["k"], num_partitions=4).collect()
+    by_rank = [r["k"] for r in sorted(ranked, key=lambda r: r["rnk"])]
+    assert by_rank == sorted(keys)
+    assert sorted(r["rnk"] for r in ranked) == list(range(1, len(keys) + 1))
+
+
+# ---------------------------------------------------------------------------
+# pure-Python properties of the LSH band constructions (no Spark session)
+
+
+@given(
+    sig=st.integers(min_value=0, max_value=2**60 - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=59), max_size=3),
+)
+def test_simhash_band_pigeonhole_is_lossless(sig, flips):
+    """dedup_simhash_near_pairs claims: hamming(a, b) <= 3 implies a and
+    b agree on >= 3 of the 6 ten-bit bands — so the band join cannot drop
+    a true pair.  Exhaustively property-checked here."""
+    other = sig
+    for f in flips:
+        other ^= 1 << f
+    bands_a = [(sig >> (b * 10)) % 1024 for b in range(6)]
+    bands_b = [(other >> (b * 10)) % 1024 for b in range(6)]
+    agree = sum(a == b for a, b in zip(bands_a, bands_b))
+    assert agree >= 6 - len(flips) >= 3
+
+
+@given(
+    sig_a=st.lists(st.integers(min_value=0, max_value=2**32), min_size=16, max_size=16),
+    swaps=st.lists(st.integers(min_value=0, max_value=15), max_size=4),
+)
+def test_minhash_banding_catches_band_equal_sigs(sig_a, swaps):
+    """If two signatures agree on all 4 rows of any band, the band join
+    emits the pair — band hashes are a pure function of the band rows."""
+    sig_b = list(sig_a)
+    for s in swaps:
+        sig_b[s] += 1  # corrupt some rows
+    bands_a = [tuple(sig_a[b * 4 : b * 4 + 4]) for b in range(4)]
+    bands_b = [tuple(sig_b[b * 4 : b * 4 + 4]) for b in range(4)]
+    shares_band = any(x == y for x, y in zip(bands_a, bands_b))
+    untouched_band_exists = any(
+        all(b * 4 + r not in swaps for r in range(4)) for b in range(4)
+    )
+    assert shares_band == untouched_band_exists or shares_band

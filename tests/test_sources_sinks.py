@@ -99,3 +99,38 @@ def test_salted_join_matches_plain(spark):
     assert sorted((r["tag"], r["count"]) for r in plain) == sorted(
         (r["tag"], r["count"]) for r in salted
     )
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from uda_spark.sources import formats as FF
+    from uda_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    FF.write_orc(li, path)
+    back = FF.read_orc(spark, path).where(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:120]
+    expect = li.where(F.col("l_returnflag") == "R").count()
+    assert back.count() == expect
+
+
+def test_parquet_codec_matrix_roundtrip(spark, tmp_path):
+    """O12 analog: the engine reads/writes every production codec."""
+    from uda_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "orders").limit(500)
+    expect = src.count()
+    checksum = src.agg(F.sum("o_orderkey")).collect()[0][0]
+    for codec in ("snappy", "gzip", "zstd", "lz4"):
+        path = str(tmp_path / f"orders_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        assert back.count() == expect, codec
+        assert back.agg(F.sum("o_orderkey")).collect()[0][0] == checksum, codec

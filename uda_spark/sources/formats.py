@@ -85,3 +85,27 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (both are
+    columnar with min/max stripe stats); schema optional because ORC
+    footers carry it, but passing one skips the footer read on the
+    driver for wide directory listings."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
