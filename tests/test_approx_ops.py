@@ -64,3 +64,52 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark):
     assert lsh <= exact  # LSH candidates pass the same exact filter
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.4
+
+
+def test_connected_components_matches_union_find(spark):
+    from uda_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (5, 6), (6, 7), (7, 5), (3, 10)]
+    # plain union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expect = {n: find(n) for n in parent}
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expect
+
+
+def test_approx_percentile_within_bound(spark):
+    from pyspark.sql import functions as F2
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    approx = {
+        r["o_orderpriority"]: (r["p50"], r["p95"])
+        for r in all_specs()["approx_percentile_prices"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["e50"], r["e95"])
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F2.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+            F2.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+        )
+        .collect()
+    }
+    for k, (e50, e95) in exact.items():
+        a50, a95 = approx[k]
+        assert abs(a50 - e50) / max(e50, 1) < 0.05, (k, a50, e50)
+        assert abs(a95 - e95) / max(e95, 1) < 0.05, (k, a95, e95)

@@ -119,3 +119,71 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), F.expr(portable.simhash60(toks, "spark")).alias("sig")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node in the near-dup pair graph with its component's
+    minimum id — the clustering step that turns pairwise matches into
+    dedup groups (keep min id, drop the rest).
+
+    Algorithm: large-star/small-star-style min-label propagation.  Each
+    iteration joins the current (node, label) assignment to the edge
+    list and lowers each node's label to the min over its neighborhood;
+    terminates when no label changes.  Converges in O(log n) iterations
+    for the path-ish components LSH emits (near-dup clusters are tiny
+    and dense in practice, so 2-3 iterations is typical).
+
+    Scale shape per iteration: one shuffle of (node, label) keyed by
+    node for the edge join, one groupBy(node) min — both on the same
+    key, so AQE reuses the partitioning.  The edge list never grows;
+    checkpointing via localCheckpoint() every iteration truncates the
+    lineage so plan size stays constant.
+
+    Output: (node, component) — component = min node id in the cluster.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for each edge (src,dst), dst's current label
+        nbr = (
+            edges.join(
+                labels.withColumnsRenamed({"node": "dst", "component": "nbr_label"}),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="node")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("node", "component")

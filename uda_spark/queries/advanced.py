@@ -253,3 +253,32 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ps").cast("double").alias("total_value"),
         ],
     )
+
+
+@register(
+    "approx_percentile_prices",
+    oracle=None,
+    tags=("aggregation", "approx", "sketch"),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles per order priority via the Greenwald-Khanna
+    sketch (percentile_approx, accuracy 10000) — the sketch path for
+    quantiles over data too large to sort.  Mergeable partial sketches
+    shuffle O(sketch) state per group, not O(rows); the error bound vs
+    the exact percentile is asserted in tests (rows-only here: sketch
+    merge order is partitioning-dependent in general).
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("pcts"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+            "n_orders",
+        )
+    )

@@ -120,9 +120,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select("doc_id", F.col("h").cast("int").alias("h"), F.col("sig").alias("sig_hash"))
 
 
-@register(
-    "dedup_minhash_near_pairs",
-    oracle=f"""
+_MINHASH_PAIRS_SQL = f"""
 WITH corpus AS ({_DUCK_CORPUS_NEAR}),
 tk AS (SELECT doc_id, {portable.tokens('text', 'duck')} AS toks FROM corpus),
 sh AS (SELECT doc_id, {portable.shingles('toks', 3, 'duck')} AS shingles FROM tk),
@@ -148,7 +146,12 @@ scored AS (
 SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
 FROM scored
 WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {JACCARD_T}
-""",
+"""
+
+
+@register(
+    "dedup_minhash_near_pairs",
+    oracle=_MINHASH_PAIRS_SQL,
     tags=("dedup", "north-star", "join"),
 )
 def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,4 +284,50 @@ def dedup_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     emb = t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.35, use_lsh=True
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node, LEAST(node, MIN(r))::BIGINT AS component
+FROM reach GROUP BY node
+""",
+    tags=("dedup", "north-star", "iterative"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labeling: MinHash near-dup pairs → connected
+    components via iterative min-label propagation — each node gets its
+    cluster's minimum doc id (the canonical survivor; dedup = keep rows
+    whose id equals their component).
+
+    The iteration is a genuine DataFrame loop (join + groupBy-min per
+    round, lineage truncated via localCheckpoint); the oracle computes
+    the same components with a recursive-CTE transitive closure — only
+    viable at oracle scale, which is exactly why the iterative
+    formulation exists for 100 TB.
+    """
+    pairs = D.minhash_near_dup_pairs(
+        _corpus_near(spark, sf_dir),
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        k=3,
+        jaccard_threshold=JACCARD_T,
+    )
+    return D.connected_components(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
     )

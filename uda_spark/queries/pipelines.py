@@ -170,3 +170,21 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = feats.where(F.col("doc_id") < 10)
     return SIM.knn_bruteforce(feats, queries, "doc_id", "embedding", top_k=3)
+
+
+@register(
+    "streaming_distinct_users",
+    oracle="SELECT DISTINCT user_id FROM events",
+    tags=("streaming", "dedup"),
+)
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over the event stream —
+    first arrival wins, later duplicates are suppressed by keyed state.
+    The emitted SET is order-independent, so the batch DISTINCT oracle
+    checks it exactly.  Production streams bound the dedup state with
+    dropDuplicatesWithinWatermark; one availableNow pass has no late
+    data, so the unbounded variant is exact here.
+    """
+    ev = ST.events_file_stream(spark, sf_dir)
+    result = ev.select("user_id").dropDuplicates(["user_id"])
+    return ST.run_stream_to_memory(result, _sink_name("distinct_sink"), mode="append")
