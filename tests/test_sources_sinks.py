@@ -134,3 +134,21 @@ def test_parquet_codec_matrix_roundtrip(spark, tmp_path):
         back = spark.read.parquet(path)
         assert back.count() == expect, codec
         assert back.agg(F.sum("o_orderkey")).collect()[0][0] == checksum, codec
+
+
+def test_shuffle_transport_conf_applies(spark):
+    """The shuffle seam is pure config: the tuning keys must be accepted
+    by a live session (values are strings Spark parses)."""
+    from uda_spark.shuffle import TRANSPORT_TUNING, shuffle_plugin_conf
+
+    conf = shuffle_plugin_conf(
+        shuffle_manager="org.apache.spark.shuffle.sort.SortShuffleManager"
+    )
+    assert conf["spark.shuffle.manager"].endswith("SortShuffleManager")
+    assert set(TRANSPORT_TUNING) <= set(conf)
+    # stock fallback: no manager key when no plugin is named
+    assert "spark.shuffle.manager" not in shuffle_plugin_conf()
+    # a fresh session accepts the tuning (would raise on bad values)
+    for k, v in TRANSPORT_TUNING.items():
+        if k.startswith("spark.sql."):
+            spark.conf.set(k, v)

@@ -282,3 +282,49 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "array_order_profiles",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(l_quantity ORDER BY l_linenumber)) AS qty_sorted
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qty_sorted)::BIGINT AS n_lines,
+       qty_sorted[1] AS min_qty,
+       qty_sorted[-1] AS max_qty,
+       list_sum(qty_sorted[1:3]) AS bottom3_qty
+FROM per_order
+WHERE len(qty_sorted) >= 3
+""",
+    tags=("relational", "array", "aggregation"),
+)
+def array_order_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: per-order quantity profiles via
+    collect_list → sort_array → slice/aggregate — the nested-type
+    repertoire (collect, sort, index, slice, fold) the reference's
+    opaque-bytes model cannot express.
+
+    Determinism: the collected list is sorted before any use, and the
+    bottom-3 sum folds doubles in sorted order — identical fold order in
+    both engines.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("qty_sorted")
+    )
+    return (
+        per_order.where(F.size("qty_sorted") >= 3)
+        .select(
+            "l_orderkey",
+            F.size("qty_sorted").cast("long").alias("n_lines"),
+            F.element_at("qty_sorted", 1).alias("min_qty"),
+            F.element_at("qty_sorted", -1).alias("max_qty"),
+            F.expr(
+                "aggregate(slice(qty_sorted, 1, 3), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("bottom3_qty"),
+        )
+    )

@@ -214,3 +214,42 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_id").cast("long").alias("n_sessions"),
         F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("active_span_s"),
     )
+
+
+ASOF_TOLERANCE_S = 7 * 24 * 3600
+
+
+@register(
+    "events_asof_tolerance",
+    oracle=f"""
+WITH signups AS (
+  SELECT user_id, {_DUCK_US} AS ts_us, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id, ts_us
+),
+purchases AS (
+  SELECT event_id, user_id, {_DUCK_US} AS ts_us FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT p.event_id, p.user_id,
+         p.ts_us // 1000000 AS purchase_epoch,
+         s.signup_event_id AS asof_signup_event_id,
+         (p.ts_us - s.ts_us) // 1000000 AS seconds_since_signup
+  FROM purchases p ASOF JOIN signups s
+    ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+)
+SELECT * FROM matched WHERE seconds_since_signup <= {ASOF_TOLERANCE_S}
+""",
+    tags=("events", "join", "asof"),
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 7-day tolerance window: a purchase matches its
+    latest prior signup only if it happened within the window.
+
+    For an inner as-of join, tolerance ≡ post-filtering the nearest
+    match (any other candidate is strictly farther), so the operator is
+    the same union + carry-forward window with one extra predicate — no
+    new shuffle.
+    """
+    base = events_asof_signup(spark, sf_dir)
+    return base.where(F.col("seconds_since_signup") <= ASOF_TOLERANCE_S)
