@@ -328,3 +328,83 @@ def array_order_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bottom3_qty"),
         )
     )
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "pivot_priority_by_nation",
+    oracle=f"""
+SELECT n_name,
+       {", ".join(
+           f"COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END)::BIGINT AS p{i + 1}"
+           for i, p in enumerate(_PRIORITIES)
+       )}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("relational", "pivot", "aggregation"),
+)
+def pivot_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per nation × priority, one column per
+    priority.  Spark's pivot with an explicit value list is a single
+    hash aggregate (no second shuffle, no distinct-values job); columns
+    are renamed p1..p5 to keep both engines' headers identical.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = o.join(c, F.col("o_custkey") == F.col("c_custkey")).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    pivoted = (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(_PRIORITIES)}
+    out = pivoted.withColumnsRenamed(renames)
+    # pivot emits NULL for empty cells; the oracle's COUNT emits 0
+    return out.select(
+        "n_name",
+        *[F.coalesce(F.col(f"p{i + 1}"), F.lit(0)).alias(f"p{i + 1}") for i in range(5)],
+    )
+
+
+@register(
+    "events_daily_from_hourly",
+    oracle=f"""
+SELECT ((epoch_us(ts) // 3600000000) * 3600 // 86400) * 86400 AS day_epoch,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "rollup", "aggregation"),
+)
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: the DAILY aggregate is computed FROM the
+    hourly partials, not from raw events — the continuous-aggregate
+    pattern (hypertable-style): at 100 TB the hourly layer is
+    materialized once and every coarser granularity re-aggregates
+    O(buckets) rows instead of re-scanning the fact.
+
+    Decimal partials make partial→final re-aggregation exact, so the
+    oracle can aggregate straight from raw events and still hash-match.
+    """
+    from uda_spark.queries.events import events_hourly_rollup
+
+    hourly = events_hourly_rollup(spark, sf_dir)
+    return (
+        hourly.groupBy(
+            F.expr("(bucket_epoch div 86400) * 86400").alias("day_epoch"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
