@@ -16,7 +16,9 @@ from uda_spark.sources.tables import load_table
 
 
 def _blobs(spark, n=50):
-    docs = load_table(spark, SF_SMOKE, "documents").limit(n)
+    # filter, not limit: GlobalLimit inserts an Exchange SinglePartition,
+    # which would make the map-only plan assertions below vacuously fail
+    docs = load_table(spark, SF_SMOKE, "documents").where(F.col("doc_id") < n)
     return attach_blob_column(docs, "text", "doc_id")
 
 
