@@ -9,7 +9,7 @@ are map-only passes.  Every derived value is engine-portable
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uda_spark.functions import portable, text as TXT
@@ -126,4 +126,70 @@ def text_bpe_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.size(F.expr(toks)).cast("long").alias("n_tokens"))
         .groupBy("n_tokens")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, unnest({portable.tokens('text', 'duck')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tk GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tk GROUP BY term
+),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(CAST(tf.tf AS DOUBLE) * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+""",
+    tags=("text", "north-star", "aggregation"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic text-relevance
+    pipeline as three aggregations: term frequency per (doc, term),
+    document frequency per term, corpus size; idf = ln((N+1)/(df+1)).
+
+    Scale shape: one explode + two shuffles (doc-term TF, term DF); the
+    DF relation is vocabulary-sized and broadcast back onto TF; top-k per
+    doc is a bounded window.  Every tfidf input is an exact integer, so
+    ln() and the product are bit-identical across engines; ties break on
+    the term itself.
+    """
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(portable.tokens("text", "spark"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), on="term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log((F.lit(n_docs) + F.lit(1)) / (F.col("df") + F.lit(1)).cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("tfidf", F.round("tfidf", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rnk")
     )
