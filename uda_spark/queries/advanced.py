@@ -408,3 +408,53 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "merge_orders_refresh",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, CAST(o_totalprice + 100 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, CAST(42 AS DOUBLE) FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+       t.o_orderstatus AS o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 'updated'
+            WHEN t.o_orderkey IS NULL THEN 'inserted'
+            ELSE 'unchanged' END AS merge_action
+FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+""",
+    tags=("relational", "merge", "join"),
+)
+def merge_orders_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert (the TPC-H refresh-function analog): a delta
+    batch repricing 10% of orders and inserting new ones merges into the
+    orders snapshot — matched rows update, new keys insert, the rest
+    pass through, each row tagged with its merge action.
+
+    operators/merge.py compiles this to one keyed full outer join — the
+    same plan Delta/Iceberg MERGE generates; at 100 TB the delta side
+    broadcasts and partition pruning joins only touched partitions.
+    """
+    from uda_spark.operators.merge import merge_upsert
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    src = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 100).cast("double").alias("o_totalprice"),
+        )
+        .union(
+            orders.where(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit(42).cast("double").alias("o_totalprice"),
+            )
+        )
+    )
+    return merge_upsert(orders, src, keys=["o_orderkey"])
