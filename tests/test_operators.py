@@ -171,3 +171,36 @@ class TestPlanQuality:
         df = all_specs()["q1_pricing_summary"].fn(spark, SF_SMOKE)
         # partial agg map-side, one exchange of partial states
         assert count_exchanges(df) == 1
+
+
+class TestMergeUpsert:
+    def test_merge_semantics(self, spark):
+        from uda_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+            "k long, price double, tag string",
+        )
+        source = spark.createDataFrame(
+            [(2, 99.0), (4, 44.0), (3, None)],
+            "k long, price double",
+        )
+        out = {r["k"]: r for r in merge_upsert(target, source, ["k"]).collect()}
+        assert len(out) == 4
+        assert out[1]["price"] == 10.0 and out[1]["merge_action"] == "unchanged"
+        assert out[2]["price"] == 99.0 and out[2]["merge_action"] == "updated"
+        # NULL source value falls back to target (coalesce-update)
+        assert out[3]["price"] == 30.0 and out[3]["merge_action"] == "updated"
+        assert out[4]["price"] == 44.0 and out[4]["merge_action"] == "inserted"
+        assert out[4]["tag"] is None
+        # target-only column passes through on updates
+        assert out[2]["tag"] == "b"
+
+    def test_merge_rejects_unknown_source_columns(self, spark):
+        import pytest
+        from uda_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        source = spark.createDataFrame([(1, 2.0)], "k long, other double")
+        with pytest.raises(ValueError):
+            merge_upsert(target, source, ["k"])

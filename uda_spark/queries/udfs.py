@@ -80,3 +80,67 @@ def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
     )
     return median_by_group(orders, "o_orderstatus", F.col("cents"), "median_cents")
+
+
+@register(
+    "udf_cogroup_order_lines",
+    oracle="""
+SELECT o.o_orderkey,
+       COUNT(l.l_orderkey)::BIGINT AS n_lines,
+       CAST(COALESCE(SUM(l.l_quantity), 0) AS DOUBLE) AS total_qty,
+       o.o_totalprice
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 20 = 0
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+    tags=("udf", "cogroup", "join"),
+)
+def udf_cogroup_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas transform: orders and lineitem cogrouped on
+    orderkey, each group pair handed to one Python function — the
+    arbitrary two-sided grouped-map surface (custom join logic, per-key
+    reconciliation) that a plain join can't express in general.
+
+    Here the pandas fn computes per-order line counts/quantity so the
+    LEFT JOIN aggregate oracle can check it exactly: counts are ints and
+    quantities are integral-valued doubles, so pandas' sum order cannot
+    change the result.  Scale shape: one shuffle per side on the key,
+    Arrow-batched group hand-off, output is one row per order.
+    """
+    import pandas as pd
+
+    def fill(key, orders_pdf, lines_pdf):
+        (orderkey,) = key
+        if not len(orders_pdf):
+            # line-only group (no matching order) contributes nothing —
+            # the cogroup surface hands us both dangling sides
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "total_qty", "o_totalprice"]
+            )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [orderkey],
+                "n_lines": [len(lines_pdf)],
+                "total_qty": [float(lines_pdf["l_quantity"].sum()) if len(lines_pdf) else 0.0],
+                "o_totalprice": [float(orders_pdf["o_totalprice"].iloc[0])],
+            }
+        )
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    lines = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_quantity")
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            fill,
+            schema="o_orderkey long, n_lines long, total_qty double, o_totalprice double",
+        )
+    )
