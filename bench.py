@@ -39,7 +39,9 @@ HEADLINE = [
     "dedup_minhash_near_pairs",
     "dedup_simhash_near_pairs",
     "sim_knn_bruteforce",
+    "sim_lsh_knn",
     "text_token_stats",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -75,23 +75,39 @@ def srp_buckets(
     model.  Bucket = the n_planes sign bits packed into an int.  A pair is
     a candidate if it shares a bucket in ANY table: recall ~ 1-(1-p^k)^L
     — the (k=n_planes, L=n_tables) pair is the recall/cost knob.
+
+    The sign matrix depends only on (table, plane, dim), so it is hashed
+    ONCE driver-side (hashlib md5 — same family as SQL md5) and embedded
+    as an array literal; per-vector work is then pure integer arithmetic.
+    The first formulation hashed inside the row expression —
+    corpus × L × k × dim md5 calls (10M at sf0.1) — and was 30× slower.
     """
+    import hashlib
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+
+    def sign(t: int, p: int, d: int) -> int:
+        h = hashlib.md5(f"{t}|{p}|{d}".encode()).hexdigest()
+        return 1 if h[0] >= "8" else -1
+
     iv = portable.int_vec(vec_col, "spark")
     prepped = df.select(F.col(id_col), F.expr(iv).alias("_v"))
-    proj = (
-        f"transform(sequence(0, {n_planes - 1}), p -> "
-        f"aggregate(zip_with(_v, sequence(0, size(_v) - 1), "
-        f"(x, d) -> IF(substr(md5(concat(cast(t AS STRING), '|', cast(p AS STRING), '|', cast(d AS STRING))), 1, 1) >= '8', x, -x)), "
-        f"0L, (acc, x) -> acc + x))"
-    )
-    bucket = (
-        f"aggregate(zip_with({proj}, sequence(1, {n_planes}), "
-        f"(s, i) -> IF(s >= 0, shiftleft(1L, {n_planes} - i), 0L)), 0L, (a, b) -> a + b)"
-    )
-    tables = (
-        f"transform(sequence(0, {n_tables - 1}), t -> "
-        f"named_struct('table', t, 'bucket', {bucket}))"
-    )
+    tables_exprs = []
+    for t in range(n_tables):
+        plane_sums = []
+        for p in range(n_planes):
+            signs = ",".join(str(sign(t, p, d)) for d in range(dim))
+            plane_sums.append(
+                f"aggregate(zip_with(_v, array({signs}), (x, s) -> x * s), "
+                f"0L, (acc, x) -> acc + x)"
+            )
+        bucket = "+".join(
+            f"IF(({s}) >= 0, {1 << (n_planes - 1 - i)}L, 0L)"
+            for i, s in enumerate(plane_sums)
+        )
+        tables_exprs.append(f"named_struct('table', {t}, 'bucket', {bucket})")
+    tables = f"array({', '.join(tables_exprs)})"
     return prepped.select(
         F.col(id_col), F.explode(F.expr(tables)).alias("tb")
     ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
