@@ -111,3 +111,39 @@ def test_minhash_banding_catches_band_equal_sigs(sig_a, swaps):
         all(b * 4 + r not in swaps for r in range(4)) for b in range(4)
     )
     assert shares_band == untouched_band_exists or shares_band
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=100), # ts
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SPARK_SETTINGS
+@given(left=asof_events, right=asof_events)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from uda_spark.operators.join import asof_join
+
+    # dedupe right on (key, ts): the operator contract (ties resolved
+    # upstream, as events_asof_signup does with a groupBy)
+    rmap = {}
+    for i, (k, ts) in enumerate(right):
+        rmap[(k, ts)] = i
+    rrows = [(k, ts, v) for (k, ts), v in rmap.items()]
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, lts long")
+    rdf = spark.createDataFrame(rrows, "k long, rts long, rv long")
+    out = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_values=["rv"]
+        ).collect()
+    }
+    for lid, k, lts in lrows:
+        cands = [(ts, v) for (kk, ts), v in rmap.items() if kk == k and ts <= lts]
+        expect = max(cands)[1] if cands else None
+        assert out[lid] == expect, (lid, k, lts, out[lid], expect)

@@ -102,7 +102,7 @@ def minhash_near_dup_pairs(
     pairs = (
         cand.join(sets.withColumnsRenamed({"doc": "doc_a", "sset": "set_a"}), on="doc_a")
         .join(sets.withColumnsRenamed({"doc": "doc_b", "sset": "set_b"}), on="doc_b")
-        .withColumn("n_inter", F.expr("size(filter(set_a, x -> array_contains(set_b, x)))"))
+        .withColumn("n_inter", F.expr("size(array_intersect(set_a, set_b))"))
         .withColumn(
             "jaccard",
             F.expr("CAST(n_inter AS DOUBLE) / (size(set_a) + size(set_b) - n_inter)"),

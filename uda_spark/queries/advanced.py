@@ -55,7 +55,7 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("size(filter(a.grams, x -> array_contains(b.grams, x)))").alias("n_inter"),
+            F.expr("size(array_intersect(a.grams, b.grams))").alias("n_inter"),
             F.size("a.grams").alias("na"),
             F.size("b.grams").alias("nb"),
         )
