@@ -113,3 +113,23 @@ def test_approx_percentile_within_bound(spark):
         a50, a95 = approx[k]
         assert abs(a50 - e50) / max(e50, 1) < 0.05, (k, a50, e50)
         assert abs(a95 - e95) / max(e95, 1) < 0.05, (k, a95, e95)
+
+
+def test_hll_two_level_matches_exact_within_bound(spark):
+    from pyspark.sql import functions as F3
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in all_specs()["hll_sketch_two_level"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F3.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)

@@ -458,3 +458,26 @@ def merge_orders_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(orders, src, keys=["o_orderkey"])
+
+
+@register(
+    "hll_sketch_two_level",
+    oracle=None,
+    tags=("aggregation", "approx", "sketch"),
+)
+def hll_sketch_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct-count: per-(type, shard) HLL sketches
+    (datasketches) union into a per-type estimate — the re-aggregation
+    property a plain approx_count_distinct result lacks, and exactly how
+    a 100 TB rollup keeps distinct counts: store sketch bytes per
+    partition/day, union on demand at any granularity.  Rows-only check
+    (estimates are sketch-seeded); error vs exact is asserted in tests.
+    """
+    ev = t(spark, sf_dir, "events")
+    shards = ev.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("shard")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        shards.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"))
+    )

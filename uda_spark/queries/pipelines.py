@@ -188,3 +188,36 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ST.events_file_stream(spark, sf_dir)
     result = ev.select("user_id").dropDuplicates(["user_id"])
     return ST.run_stream_to_memory(result, _sink_name("distinct_sink"), mode="append")
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, {_DUCK_US} AS p_ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+  SELECT event_id AS signup_id, user_id, {_DUCK_US} AS s_ts_us
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.purchase_id, p.user_id, s.signup_id,
+       (p.p_ts_us - s.s_ts_us) // 1000000 AS lag_seconds
+FROM purchases p JOIN signups s
+  ON p.user_id = s.user_id
+ AND s.s_ts_us <= p.p_ts_us
+ AND p.p_ts_us <= s.s_ts_us + 3600000000::BIGINT
+""",
+    tags=("streaming", "join"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and a
+    time-bounded condition (purchases × signups of the same user within
+    the preceding hour) — state on both sides is expirable, the required
+    shape for unbounded streams.  One availableNow pass equals the batch
+    range join, which is the oracle.
+    """
+    ev1 = ST.events_file_stream(spark, sf_dir)
+    ev2 = ST.events_file_stream(spark, sf_dir)
+    result = ST.purchase_after_signup_stream(ev1, ev2, window_s=3600)
+    return ST.run_stream_to_memory(result, _sink_name("ssj_sink"), mode="append")

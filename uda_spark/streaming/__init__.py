@@ -1,5 +1,6 @@
 from uda_spark.streaming.windows import (
     events_file_stream,
+    purchase_after_signup_stream,
     hourly_counts_stream,
     sessionize_stream,
     run_stream_to_memory,
@@ -7,6 +8,7 @@ from uda_spark.streaming.windows import (
 
 __all__ = [
     "events_file_stream",
+    "purchase_after_signup_stream",
     "hourly_counts_stream",
     "sessionize_stream",
     "run_stream_to_memory",

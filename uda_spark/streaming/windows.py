@@ -98,3 +98,50 @@ def run_stream_to_memory(result: DataFrame, name: str, mode: str = "complete") -
     )
     query.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def purchase_after_signup_stream(
+    events: DataFrame, events2: DataFrame, window_s: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases joined to the same user's
+    signups that happened in the preceding ``window_s`` seconds.
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match (signup_time <= purchase_time <= signup_time + window), so the
+    state store can expire both sides — the REQUIRED shape for an
+    unbounded stream-stream join (unbounded conditions would grow state
+    forever).  One availableNow pass over static input equals the batch
+    range join, which is the oracle.
+    """
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts_us").alias("p_ts_us"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", watermark)
+    )
+    signups = (
+        events2.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts_us").alias("s_ts_us"),
+            F.col("event_time").alias("s_time"),
+        )
+        .withWatermark("s_time", watermark)
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("s_time") <= F.col("p_time"))
+        & (F.col("p_time") <= F.col("s_time") + F.expr(f"INTERVAL {window_s} SECONDS")),
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "signup_id",
+        F.expr("(p_ts_us - s_ts_us) div 1000000").alias("lag_seconds"),
+    )
