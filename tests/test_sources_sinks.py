@@ -152,3 +152,36 @@ def test_shuffle_transport_conf_applies(spark):
     for k, v in TRANSPORT_TUNING.items():
         if k.startswith("spark.sql."):
             spark.conf.set(k, v)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema reads unioned columns across parquet batches written
+    with evolving schemas — nulls where a batch lacks the column."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p + "/b=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p + "/b=2")
+    back = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(back.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_csv_permissive_mode_keeps_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE scan: malformed rows null out, clean rows survive —
+    the 100 TB posture (one bad record must not kill a 6-hour job)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    f = tmp_path / "dirty.csv"
+    f.write_text("id,qty\n1,10\nnotanumber,xx\n3,30\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("qty", LongType())]
+    )
+    from uda_spark.sources.formats import read_csv
+
+    df = read_csv(spark, str(f), schema)
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r["id"]: r["qty"] for r in rows if r["id"] is not None}
+    assert good == {1: 10, 3: 30}

@@ -481,3 +481,30 @@ def hll_sketch_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards.groupBy("event_type")
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"))
     )
+
+
+_SQL_API_TEXT = """
+SELECT n_name,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 0
+GROUP BY n_name
+"""
+
+
+@register(
+    "sql_api_supplier_balances",
+    oracle=_SQL_API_TEXT.replace("COUNT(*)", "COUNT(*)::BIGINT"),
+    tags=("relational", "sql-api"),
+)
+def sql_api_supplier_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry path: tables registered as views, the query
+    submitted as ANSI SQL through ``spark.sql`` — same Catalyst plan as
+    the DataFrame API (the engine's two front doors are one engine).
+    The oracle is literally the same SQL text, which both engines parse.
+    """
+    from uda_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_TEXT)
