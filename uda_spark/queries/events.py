@@ -253,3 +253,32 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = events_asof_signup(spark, sf_dir)
     return base.where(F.col("seconds_since_signup") <= ASOF_TOLERANCE_S)
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS distinct_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT) % 97) AS BIGINT) AS sum_k_mod
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "variant", "json"),
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type: props parsed ONCE
+    into a variant, fields read with typed variant_get — the
+    shred-at-read path for JSON at scale (parse cost paid once per row,
+    not once per extraction; Parquet variant shredding materializes
+    common paths columnar).  Integer aggregates keep the oracle exact
+    (DuckDB reads the same values with json_extract).
+    """
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.countDistinct("k").alias("distinct_k"),
+        F.sum(F.col("k") % 97).alias("sum_k_mod"),
+    )
