@@ -204,3 +204,15 @@ class TestMergeUpsert:
         source = spark.createDataFrame([(1, 2.0)], "k long, other double")
         with pytest.raises(ValueError):
             merge_upsert(target, source, ["k"])
+
+
+    def test_merge_null_key_rows_labeled_by_side(self, spark):
+        from uda_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k long, v double")
+        source = spark.createDataFrame([(None, 9.0), (1, 3.0)], "k long, v double")
+        rows = merge_upsert(target, source, ["k"]).collect()
+        actions = sorted(r["merge_action"] for r in rows)
+        # NULL keys never equi-match: target NULL-key row passes through
+        # 'unchanged', source NULL-key row is an insert, k=1 updates
+        assert actions == ["inserted", "unchanged", "updated"]

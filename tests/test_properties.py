@@ -147,3 +147,15 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         cands = [(ts, v) for (kk, ts), v in rmap.items() if kk == k and ts <= lts]
         expect = max(cands)[1] if cands else None
         assert out[lid] == expect, (lid, k, lts, out[lid], expect)
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    import pytest
+    from uda_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 8)]  # diameter 7 path
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iterations=2)
+    ok = connected_components(df, max_iterations=10).collect()
+    assert {r["component"] for r in ok} == {1}

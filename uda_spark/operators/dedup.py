@@ -134,9 +134,12 @@ def connected_components(
     Algorithm: large-star/small-star-style min-label propagation.  Each
     iteration joins the current (node, label) assignment to the edge
     list and lowers each node's label to the min over its neighborhood;
-    terminates when no label changes.  Converges in O(log n) iterations
-    for the path-ish components LSH emits (near-dup clusters are tiny
-    and dense in practice, so 2-3 iterations is typical).
+    terminates when no label changes and RAISES if max_iterations rounds
+    were insufficient (silent non-convergence would emit split clusters).
+    Propagation is one hop per round, so rounds ~ component diameter —
+    near-dup clusters are tiny and dense in practice (2-3 rounds); the
+    O(log n) large-star/small-star variant is the upgrade path if LSH
+    ever emits long chains.
 
     Scale shape per iteration: one shuffle of (node, label) keyed by
     node for the edge join, one groupBy(node) min — both on the same
@@ -150,6 +153,10 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize once: every iteration joins the edge list, and the
+        # upstream pair pipeline (LSH band join + verification) must not
+        # re-execute per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -186,4 +193,10 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the bound) — raise "
+            "max_iterations; propagation is one hop per round"
+        )
     return labels.select("node", "component")

@@ -40,8 +40,8 @@ def merge_upsert(
     extra = set(source.columns) - set(target.columns)
     if extra:
         raise ValueError(f"source columns not in target: {sorted(extra)}")
-    t = target.alias("t")
-    s = source.alias("s")
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     cond = None
     for k in keys:
         eq = F.col(f"t.{k}") == F.col(f"s.{k}")
@@ -49,7 +49,12 @@ def merge_upsert(
     joined = t.join(s, cond, "full_outer")
 
     src_cols = set(source.columns)
-    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
+    # side presence via sentinel columns, not key nullability: NULL merge
+    # keys never equi-match, and a NULL-keyed row must still be labeled
+    # by which side it came from
+    t_present = F.coalesce(F.col("t._t_present"), F.lit(False))
+    s_present = F.coalesce(F.col("s._s_present"), F.lit(False))
+    matched = t_present & s_present
     out = []
     for c in target.columns:
         if c in keys:
@@ -61,7 +66,7 @@ def merge_upsert(
     if action_col:
         out.append(
             F.when(matched, F.lit("updated"))
-            .when(F.col(f"t.{keys[0]}").isNull(), F.lit("inserted"))
+            .when(s_present & ~t_present, F.lit("inserted"))
             .otherwise(F.lit("unchanged"))
             .alias(action_col)
         )

@@ -65,7 +65,12 @@ def knn_bruteforce(
 
 
 def srp_buckets(
-    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 4, n_tables: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-random-projection buckets, one per hash table (multi-table
     LSH): rows (id, table, bucket).
@@ -84,8 +89,15 @@ def srp_buckets(
     """
     import hashlib
 
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"])
+    if dim is None:
+        # one-row probe job; pass dim explicitly to skip it (and to make
+        # empty input well-defined)
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dim_row is None:  # empty input: no vectors, no buckets
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, table int, bucket long"
+            )
+        dim = int(dim_row["d"])
 
     def sign(t: int, p: int, d: int) -> int:
         h = hashlib.md5(f"{t}|{p}|{d}".encode()).hexdigest()

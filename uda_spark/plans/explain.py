@@ -64,6 +64,13 @@ def read_schemas(df: DataFrame) -> list[str]:
     return list(dict.fromkeys(re.findall(r"ReadSchema: (\S+)", plan)))
 
 
+def count_scans(df: DataFrame) -> int:
+    """Number of file scans in the (final) plan — counted from the simple
+    tree, NOT from deduped detail sections (two scans of the same file
+    with identical schemas are still two scans)."""
+    return len(re.findall(r"FileScan|Scan parquet", plan_str(df, mode="simple")))
+
+
 def codegen_stages(df: DataFrame) -> int:
     """Count whole-stage-codegen spans — wider is better (JVM-side fused).
 

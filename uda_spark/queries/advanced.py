@@ -393,8 +393,12 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once and every coarser granularity re-aggregates
     O(buckets) rows instead of re-scanning the fact.
 
-    Decimal partials make partial→final re-aggregation exact, so the
-    oracle can aggregate straight from raw events and still hash-match.
+    Exactness caveat: the hourly layer emits total_value as DOUBLE, so
+    the decimal recast here is exact only while each hourly sum's cents
+    fit a double's 53-bit mantissa (~$90 trillion/bucket — ample here; a
+    production continuous aggregate stores the DECIMAL partial itself).
+    Within that range the oracle can aggregate straight from raw events
+    and still hash-match.
     """
     from uda_spark.queries.events import events_hourly_rollup
 

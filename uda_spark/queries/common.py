@@ -45,3 +45,13 @@ CHARGE_SQL = (
     "(1 - CAST(l_discount AS DECIMAL(18,2))) * "
     "(1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)"
 )
+
+
+def revenue_expr():
+    """DataFrame-side twin of REVENUE_SQL: exact decimal
+    extendedprice*(1-discount) — keep the two in sync."""
+    from pyspark.sql import functions as F
+
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )

@@ -13,13 +13,11 @@ from pyspark.sql import functions as F
 from uda_spark.operators import agg as A
 from uda_spark.operators import join as J
 from uda_spark.operators import setops as S
-from uda_spark.queries.common import CHARGE_SQL, REVENUE_SQL, davg_sql, dsum_sql, t
+from uda_spark.queries.common import revenue_expr, CHARGE_SQL, REVENUE_SQL, davg_sql, dsum_sql, t
 from uda_spark.registry import register
 
 def _revenue():
-    return F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
+    return revenue_expr()
 
 
 def _charge():

@@ -17,14 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from uda_spark.queries.common import REVENUE_SQL, dsum_sql, t
+from uda_spark.queries.common import revenue_expr, REVENUE_SQL, dsum_sql, t
 from uda_spark.registry import register
 
 
 def _revenue():
-    return F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
+    return revenue_expr()
 
 
 # --------------------------------------------------------------------------
