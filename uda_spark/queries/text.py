@@ -165,19 +165,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline as three aggregations: term frequency per (doc, term),
     document frequency per term, corpus size; idf = ln((N+1)/(df+1)).
 
-    Scale shape: one explode + two shuffles (doc-term TF, term DF); the
-    DF relation is vocabulary-sized and broadcast back onto TF; top-k per
-    doc is a bounded window.  Every tfidf input is an exact integer, so
-    ln() and the product are bit-identical across engines; ties break on
-    the term itself.
+    Scale shape: ONE explode; DF is derived from the TF relation (each
+    (doc, term) row counts once toward the term's document frequency), so
+    the corpus is scanned and exploded once, not twice.  The DF relation
+    is vocabulary-sized and broadcast back onto TF; top-k per doc is a
+    bounded window.  Every tfidf input is an exact integer, so ln() and
+    the product are bit-identical across engines; ties break on the term
+    itself.
     """
     docs = t(spark, sf_dir, "documents")
     n_docs = docs.count()
     terms = docs.select(
         "doc_id", F.explode(F.expr(portable.tokens("text", "spark"))).alias("term")
     )
+    # no persist: both consumers of tf hang off the same exchange, which
+    # Spark reuses (ReusedExchange) — caching measured strictly slower
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df), on="term").select(
         "doc_id",
         "term",
