@@ -331,3 +331,58 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    fp, damp = 1_000_000_000, 85
+    ctes = [
+        f"pairs AS ({_MINHASH_PAIRS_SQL})",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "params AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, ({fp}::BIGINT // (SELECT n FROM params))::BIGINT AS rank_fp FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n.node, "
+            f"(({fp}::BIGINT * {100 - damp}) // (100 * (SELECT n FROM params)))::BIGINT "
+            f"+ ({damp} * COALESCE(c.s, 0)) // 100 AS rank_fp "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, SUM(r.rank_fp // d.deg)::BIGINT AS s "
+            f"FROM edges e JOIN deg d ON e.src = d.src "
+            f"JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst) c "
+            f"ON n.node = c.dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank_fp FROM r{iterations}"
+
+
+@register(
+    "graph_pagerank_neardup",
+    oracle=_pagerank_oracle(5),
+    tags=("dedup", "graph", "iterative", "north-star"),
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (5 iterations) over the near-dup pair graph:
+    ranks the most central document of each duplicate cluster — the
+    representative-selection step beyond min-id (connected components).
+
+    Integer-only arithmetic (floor div contributions) makes each
+    iteration bit-identical across engines, so an ITERATIVE algorithm
+    gets a full value-hash oracle (5 unrolled CTE rounds in SQL); the
+    Spark side is the same two-exchange-per-round loop as
+    connected_components with lineage truncated per round.
+    """
+    from uda_spark.operators.graph import pagerank_fp
+
+    pairs = D.minhash_near_dup_pairs(
+        _corpus_near(spark, sf_dir),
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        k=3,
+        jaccard_threshold=JACCARD_T,
+    )
+    return pagerank_fp(pairs, "doc_a", "doc_b", iterations=5)
