@@ -512,3 +512,36 @@ def sql_api_supplier_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_API_TEXT)
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(LENGTH(o_orderpriority) AS DOUBLE) AS priority_len
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey, metric, value FROM base
+UNPIVOT (value FOR metric IN (totalprice, priority_len))
+""",
+    tags=("relational", "unpivot"),
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide metric columns to (key, metric, value) rows —
+    the inverse of pivot, via the stack() table generator.  Map-only: one
+    input row fans out to one row per metric, no shuffle.
+    """
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.length("o_orderpriority").cast("double").alias("priority_len"),
+    )
+    return base.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', totalprice, 'priority_len', priority_len) "
+            "AS (metric, value)"
+        ),
+    )
