@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uda_spark.operators import join as J
+from uda_spark.operators import setops as S
 from uda_spark.queries.common import revenue_expr, REVENUE_SQL, dsum_sql, t
 from uda_spark.registry import register
 
@@ -334,3 +335,90 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "window_range_30d_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS sum_30d
+FROM orders
+""",
+    tags=("relational", "window", "range-frame"),
+)
+def window_range_30d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per customer, the rolling 30-day
+    order-value sum (peers by *time distance*, not row count — the frame
+    the reference's row-stream model cannot express at all).
+
+    Spark's ``rangeBetween`` needs a numeric ordering key, so the
+    timestamp is mapped to epoch *days* (``unix_date`` — timezone-free
+    for NTZ data) and the frame is ±30 days; the oracle uses the native
+    INTERVAL frame over the timestamp — identical because these
+    timestamps are midnight-aligned and day arithmetic is fixed-width in
+    naive time.  Decimal accumulation keeps the sum association-order
+    independent.
+
+    Scale shape: one hash exchange on o_custkey, then a per-partition
+    sort — same cost envelope as any other window; no extra shuffle for
+    the range frame itself.
+    """
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("sum_30d"),
+    )
+
+
+@register(
+    "setops_all_suppliers",
+    oracle="""
+WITH h1 AS (SELECT l_suppkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'),
+     h2 AS (SELECT l_suppkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-04-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00')
+SELECT 'common' AS tag, l_suppkey FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2)
+UNION ALL
+SELECT 'q1_extra' AS tag, l_suppkey FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)
+""",
+    tags=("relational", "setops", "multiset"),
+)
+def setops_all_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset (bag) semantics, preserving
+    per-key multiplicity: shipments per supplier common to both quarters
+    vs. surplus in Q1.  Complements ``setops_customers`` (distinct
+    forms).
+
+    Plans as an aggregate of per-side counts + a join (Catalyst rewrites
+    intersectAll/exceptAll to count-min replication) — one exchange per
+    side on the value columns, no row-at-a-time logic.
+    """
+    li = t(spark, sf_dir, "lineitem")
+
+    def quarter(start: str, end: str) -> DataFrame:
+        return li.where(
+            (F.col("l_shipdate") >= F.expr(f"TIMESTAMP '{start} 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr(f"TIMESTAMP '{end} 00:00:00'"))
+        ).select("l_suppkey")
+
+    h1, h2 = quarter("1995-01-01", "1995-04-01"), quarter("1995-04-01", "1995-07-01")
+    common = S.intersect(h1, h2, keep_duplicates=True).select(
+        F.lit("common").alias("tag"), "l_suppkey"
+    )
+    extra = S.difference(h1, h2, keep_duplicates=True).select(
+        F.lit("q1_extra").alias("tag"), "l_suppkey"
+    )
+    return S.union_all(common, extra)
