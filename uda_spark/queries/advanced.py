@@ -545,3 +545,39 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (metric, value)"
         ),
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE chain(part, ancestor, depth) AS (
+  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part WHERE p_partkey <= 50
+  UNION ALL
+  SELECT part, CAST(FLOOR(ancestor / 2) AS BIGINT), depth + CAST(1 AS BIGINT)
+  FROM chain WHERE ancestor > 1
+)
+SELECT part, ancestor, depth FROM chain
+"""
+
+
+@register(
+    "recursive_cte_part_ancestors",
+    oracle=_RECURSIVE_CHAIN_SQL,
+    tags=("relational", "recursive-cte", "iterative"),
+)
+def recursive_cte_part_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — native recursive CTE (new in Spark 4.x): walks the
+    implicit binary-tree part hierarchy (parent = node div 2) from each
+    part up to the root, emitting (part, ancestor, depth) chains.  The
+    identical SQL text runs on both engines (integer division spelled as
+    FLOOR(x/2) because bare ``/`` is fractional in both).
+
+    This is the declarative counterpart of the hand-rolled fixed-point
+    loops (``graph_pagerank_neardup``, connected components): Catalyst
+    unrolls each recursive step as a join+union iteration, depth is
+    O(log partkey) ≈ 6 here, and each step is a narrow map over the
+    frontier — no driver-side collect.  The reference engine has no
+    notion of iteration at all (one-pass merge streams, SURVEY §0).
+    """
+    from uda_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
