@@ -581,3 +581,106 @@ def recursive_cte_part_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@register(
+    "lateral_top_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey <= 200
+""",
+    tags=("relational", "join", "subquery", "limit"),
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join via the DataFrame ``lateralJoin`` API
+    (Spark 4.x): for each customer, the inner query re-executes with the
+    outer row bound (``F.col(...).outer()``) and yields that customer's
+    top-2 orders by price.
+
+    Catalyst rewrites the correlated limit-per-group into a join +
+    windowed rank under ``DecorrelateInnerQuery`` — no per-row driver
+    loop, one shuffle on the correlation key.  The window formulation is
+    registered separately (``topk_orders``); this exercises the lateral
+    operator surface itself.  Ties broken by orderkey so both engines
+    pick identical rows.
+    """
+    customer = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    inner = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return customer.lateralJoin(inner).select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+# Exact second moments: n*Σx² − (Σx)² and n*Σxy − ΣxΣy stay in DECIMAL
+# (integer-scaled, order-independent) until one final cast — so variance
+# and covariance are bit-identical across engines, unlike var_samp/corr
+# whose float accumulation order differs.
+_MOMENTS_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       CAST(n_rows * sqq - sq * sq AS DOUBLE) AS scaled_var_qty,
+       CAST(n_rows * spp - sp * sp AS DOUBLE) AS scaled_var_price,
+       CAST(n_rows * sqp - sq * sp AS DOUBLE) AS scaled_cov
+FROM m
+"""
+
+
+@register(
+    "stats_scaled_moments",
+    oracle=_MOMENTS_SQL,
+    tags=("aggregation", "relational", "scalar"),
+)
+def stats_scaled_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact second moments per return flag: scaled variance
+    n·Σx²−(Σx)² and covariance n·Σxy−Σx·Σy computed entirely in DECIMAL
+    (every partial is an exact scaled integer, so partial-aggregation
+    order — which differs between Spark's map-side combine and DuckDB's
+    single-node hash agg, and across cluster widths — cannot change the
+    result).  ``var_samp``/``covar_samp``/``corr`` accumulate in DOUBLE
+    and are NOT reproducible across engines; this is the portable form,
+    same discipline as common.REVENUE_SQL.  One shuffle, map-side
+    partials, no joins — survives any scale-up.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(dq).alias("sq"),
+        F.sum(dp).alias("sp"),
+        F.sum(dq * dq).alias("sqq"),
+        F.sum(dp * dp).alias("spp"),
+        F.sum(dq * dp).alias("sqp"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n_rows",
+        (F.col("n_rows") * F.col("sqq") - F.col("sq") * F.col("sq"))
+        .cast("double")
+        .alias("scaled_var_qty"),
+        (F.col("n_rows") * F.col("spp") - F.col("sp") * F.col("sp"))
+        .cast("double")
+        .alias("scaled_var_price"),
+        (F.col("n_rows") * F.col("sqp") - F.col("sq") * F.col("sp"))
+        .cast("double")
+        .alias("scaled_cov"),
+    )
