@@ -684,3 +684,60 @@ def stats_scaled_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("scaled_cov"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(spend) AS DOUBLE) AS total_spend
+FROM per JOIN customer ON custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("join", "aggregation", "north-star", "skew"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join via bucketed tables (operators/bucketing.py):
+    orders and customer are persisted bucketed+sorted on the customer
+    key, then the per-customer aggregation AND the customer join run
+    with ZERO shuffle exchanges — the only exchange left is the final
+    5-row segment rollup.  tests/test_bucketing.py asserts the exchange
+    counts; the oracle only checks values (bucketing must never change
+    results, just plans).
+
+    At 100 TB this is the difference between re-shuffling the fact table
+    per query and paying the shuffle once at ingest: the layout replaces
+    the exchange, exactly like the reference's pre-partitioned MOF files
+    replace a fetch-time repartition (SURVEY §2.1 O1/O2).
+    """
+    from uda_spark.operators.bucketing import colocated_join, write_bucketed
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    customer = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    write_bucketed(orders, "uda_b_orders", "custkey", buckets=8)
+    write_bucketed(customer, "uda_b_customer", "custkey", buckets=8)
+
+    per = spark.table("uda_b_orders").groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price").alias("spend"),
+    )
+    per.createOrReplaceTempView("uda_b_per")
+    joined = colocated_join(spark, "uda_b_per", "uda_b_customer", "custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("spend").cast("double").alias("total_spend"),
+    )
