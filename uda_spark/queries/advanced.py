@@ -741,3 +741,51 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("bigint").alias("n_orders"),
         F.sum("spend").cast("double").alias("total_spend"),
     )
+
+
+_SAMPLE_RATE = "CASE WHEN lang = 'en' THEN 200 ELSE 50 END"  # per-mille
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE {portable.hash60("CAST(doc_id AS VARCHAR)", "duck")} % 1000
+      < {_SAMPLE_RATE}
+GROUP BY source, lang
+""",
+    tags=("text", "north-star", "sampling"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content hash, not rand().
+
+    A training-data pipeline needs samples that are REPRODUCIBLE across
+    runs, engines, and partitionings: ``df.sample()`` / ``rand()`` give a
+    different subset per run and per partition layout, so lineage breaks.
+    Hashing a stable key (md5-folded to a 60-bit int, functions/
+    portable.py) and keeping ``hash % 1000 < rate`` is run-independent,
+    engine-portable (this query is value-checked against DuckDB), and
+    embarrassingly parallel — a pure narrow filter evaluated at the scan,
+    no shuffle, no RNG state, so it scales to 100 TB as a map-only stage.
+    Per-stratum rates (English kept at 20%, other languages downsampled
+    to 5%) are just a CASE on the rate — the mechanism the reference's
+    sampling hooks expose per input split (SURVEY §2.3).
+    """
+    h = portable.hash60("CAST(doc_id AS STRING)", "spark")
+    rate = F.expr(_SAMPLE_RATE)
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.expr(h) % F.lit(1000) < rate)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
