@@ -18,6 +18,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from uda_spark.cache import release_persisted
 from uda_spark.registry import all_specs
 from uda_spark.session import get_spark
 
@@ -69,6 +70,7 @@ def main() -> None:
         spec = specs[name]
         best = None
         for _ in range(ITERS):
+            release_persisted()  # drop tracked handles from the previous run
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
@@ -88,6 +90,11 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                # Each per-query number is already the MIN over this many
+                # full-pipeline executions inside this single process (the
+                # host has ±80% cold-run variance; min-of-N is the
+                # steady-state estimate even when the harness runs us once).
+                "iters_per_query": ITERS,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -14,6 +14,7 @@ import math
 
 import pytest
 
+from uda_spark.cache import release_persisted
 from uda_spark.registry import all_specs
 from tests.conftest import SF_SMOKE
 
@@ -22,14 +23,19 @@ ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
 
 
 def _normalize(value):
+    # Tag every value with a None-rank so sorting is total even when a
+    # column mixes NULL and non-NULL (sorted() on bare None raises
+    # TypeError instead of reporting a clean mismatch).
+    if value is None:
+        return (0, "")
     if isinstance(value, float):
         if math.isnan(value):
-            return "NaN"
+            return (1, "NaN")
         # collapse -0.0 / 0.0 and format deterministically
-        return repr(value + 0.0)
+        return (1, repr(value + 0.0))
     if isinstance(value, bytes):
-        return value.hex()
-    return value
+        return (1, value.hex())
+    return (1, value)
 
 
 def _rows_to_set(columns, rows):
@@ -45,7 +51,10 @@ def test_query_matches_oracle(name, spark, duck_smoke):
     spec = SPECS[name]
     sdf = spec.fn(spark, SF_SMOKE)
     s_cols = [c.lower() for c in sdf.columns]
-    s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        release_persisted()  # drop tracked intermediates (minhash/simhash)
 
     rel = duck_smoke.sql(spec.oracle)
     d_cols = [c.lower() for c in rel.columns]

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from uda_spark import cache
 from uda_spark.functions import portable
 
 
@@ -67,17 +68,17 @@ def minhash_near_dup_pairs(
     two shingle arrays for verification.  Document bodies never shuffle.
     """
     rows_per_band = n_hashes // bands
-    # Persist: the signature relation feeds the band explode AND both sides
-    # of the candidate-verification join — without it the (md5-heavy)
-    # shingle/signature subtree is recomputed three times.
-    sh = (
+    # Tracked persist: the signature relation feeds the band explode AND
+    # both sides of the candidate-verification join — without it the
+    # (md5-heavy) shingle/signature subtree is recomputed three times.
+    # Long-lived callers release via uda_spark.cache.release_persisted().
+    sh = cache.tracked_persist(
         with_shingles(df, text_col, k)
         .select(
             F.col(id_col).alias("doc"),
             F.array_distinct("shingles").alias("sset"),
             F.expr(portable.minhash_sig("shingles", n_hashes, "spark")).alias("sig"),
         )
-        .persist()
     )
     banded = sh.select(
         "doc",

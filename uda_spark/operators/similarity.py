@@ -94,8 +94,11 @@ def srp_buckets(
         # empty input well-defined)
         dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if dim_row is None:  # empty input: no vectors, no buckets
+            # Preserve the actual id type (string doc ids, ints, ...) so
+            # downstream joins/unions in lsh_knn stay type-correct.
+            id_type = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(
-                [], f"{id_col} long, table int, bucket long"
+                [], f"{id_col} {id_type}, table int, bucket long"
             )
         dim = int(dim_row["d"])
 

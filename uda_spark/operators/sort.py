@@ -55,11 +55,13 @@ def global_rank(
     n = num_partitions or spark.sparkContext.defaultParallelism
     key_cols = [F.col(k) for k in keys]
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
-    # Persist the partitioned snapshot: the offsets job and the rank job
-    # must observe the SAME physical partitioning, but AQE may coalesce a
-    # re-evaluated range exchange differently per downstream plan, which
-    # would silently shift partition ids between the two jobs.
-    snap = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    # localCheckpoint (eager), not persist: the offsets job and the rank job
+    # must observe the SAME physical partition ids.  A persisted plan can
+    # still recompute (cache eviction / executor loss), and a re-evaluated
+    # range exchange may be coalesced differently by AQE per downstream
+    # plan, silently shifting ids between the two jobs.  Checkpointing
+    # truncates lineage so both jobs read the one materialized snapshot.
+    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     w = Window.partitionBy("_pid").orderBy(*key_cols)
     ranked = snap.withColumn("_rn", F.row_number().over(w))
 

@@ -25,7 +25,11 @@ def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame
     return df.withColumn(
         salt_col,
         (
-            F.abs(F.hash(F.spark_partition_id(), F.monotonically_increasing_id())) % n_salts
+            # pmod, not abs+%: abs(Integer.MIN_VALUE) is still negative and
+            # Spark's % keeps the dividend's sign, so abs+% can emit a salt
+            # outside [0, n_salts) ~1 in 2^32 rows — such a row would never
+            # match the exploded 0..n_salts-1 range on the small join side.
+            F.pmod(F.hash(F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(n_salts))
         ).cast("int"),
     )
 

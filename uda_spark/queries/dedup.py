@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uda_spark.cache import tracked_persist
 from uda_spark.functions import portable
 from uda_spark.operators import dedup as D
 from uda_spark.queries.common import t
@@ -202,9 +203,11 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, then the exact hamming filter runs only on candidates.  The
     oracle brute-forces all pairs; results are provably identical."""
     corpus = _corpus_near(spark, sf_dir)
-    # Persist: the banded relation self-joins; without it the md5-vote
-    # signature subtree is evaluated once per join side.
-    sigs = D.simhash_signatures(corpus, "text", "doc_id").persist()
+    # Tracked persist: the banded relation self-joins; without it the
+    # md5-vote signature subtree is evaluated once per join side.  The
+    # handle is registered in uda_spark.cache so long-lived callers can
+    # release it after materialization (see cache.release_persisted).
+    sigs = tracked_persist(D.simhash_signatures(corpus, "text", "doc_id"))
     banded = sigs.select(
         "doc_id",
         "sig",
