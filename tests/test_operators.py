@@ -104,6 +104,48 @@ class TestAsofJoin:
         # union + window: exactly one hash exchange (by user_id)
         assert count_exchanges(out) == 1
 
+    def test_forward_semantics(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+            ["k", "ts", "payload"],
+        )
+        right = spark.createDataFrame(
+            [(1, 100, "r1"), (1, 200, "r2"), (2, 40, "r3")], ["k", "rts", "v"]
+        )
+        out = J.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["v"], direction="forward",
+        )
+        got = {r["payload"]: r["asof_v"] for r in out.collect()}
+        # ts=100 matches right at 100 (inclusive); ts=205 has nothing later;
+        # k=2 at 50 has no right row at-or-after; k=3 has no right rows.
+        assert got == {"a": "r1", "b": None, "c": None, "d": None}
+
+    def test_nearest_semantics_and_tie(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 149, "b"), (1, 151, "c"), (2, 50, "d")],
+            ["k", "ts", "payload"],
+        )
+        right = spark.createDataFrame(
+            [(1, 98, "back"), (1, 202, "fwd"), (2, 80, "only_fwd")],
+            ["k", "rts", "v"],
+        )
+        out = J.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["v"], direction="nearest",
+        )
+        got = {r["payload"]: r["asof_v"] for r in out.collect()}
+        # a: 98 is 2 away vs 202 at 102 -> back; b: 51 vs 53 -> back;
+        # c: 53 vs 51 -> fwd; d: only a forward candidate exists.
+        assert got == {"a": "back", "b": "back", "c": "fwd", "d": "only_fwd"}
+        # exact tie (dist 50 both ways) resolves backward
+        tie_left = spark.createDataFrame([(1, 150, "t")], ["k", "ts", "payload"])
+        tie = J.asof_join(
+            tie_left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["v"], direction="nearest",
+        )
+        assert tie.collect()[0]["asof_v"] == "back"
+
 
 class TestWorkloads:
     def test_terasort_roundtrip(self, spark):

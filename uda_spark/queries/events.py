@@ -255,6 +255,125 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.where(F.col("seconds_since_signup") <= ASOF_TOLERANCE_S)
 
 
+_DUCK_ASOF_CTES = f"""
+signups AS (
+  SELECT user_id, {_DUCK_US} AS ts_us, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id, ts_us
+),
+purchases AS (
+  SELECT event_id, user_id, {_DUCK_US} AS ts_us FROM events WHERE event_type = 'purchase'
+)"""
+
+
+def _signups_purchases(spark: SparkSession, sf_dir: str):
+    ev = _with_us(t(spark, sf_dir, "events"))
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .withColumnRenamed("ts_us", "signup_ts_us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return signups, purchases
+
+
+@register(
+    "events_asof_forward",
+    oracle=f"""
+WITH {_DUCK_ASOF_CTES}
+SELECT p.event_id, p.user_id,
+       p.ts_us // 1000000 AS purchase_epoch,
+       s.signup_event_id AS next_signup_event_id,
+       (s.ts_us - p.ts_us) // 1000000 AS seconds_until_signup
+FROM purchases p ASOF JOIN signups s
+  ON p.user_id = s.user_id AND p.ts_us <= s.ts_us
+""",
+    tags=("events", "join", "asof"),
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's EARLIEST
+    signup at-or-after the purchase (operators/join.py direction='forward'
+    — the leading-frame mirror of the carry-forward window; still one
+    exchange on user_id)."""
+    signups, purchases = _signups_purchases(spark, sf_dir)
+    joined = J.asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="signup_ts_us",
+        right_values=["signup_event_id", "signup_ts_us"],
+        direction="forward",
+    )
+    return joined.where(F.col("asof_signup_event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.expr("ts_us div 1000000").alias("purchase_epoch"),
+        F.col("asof_signup_event_id").alias("next_signup_event_id"),
+        F.expr("(asof_signup_ts_us - ts_us) div 1000000").alias("seconds_until_signup"),
+    )
+
+
+@register(
+    "events_asof_nearest",
+    oracle=f"""
+WITH {_DUCK_ASOF_CTES},
+b AS (
+  SELECT p.event_id, p.user_id, p.ts_us,
+         s.signup_event_id AS b_id, s.ts_us AS b_ts
+  FROM purchases p ASOF LEFT JOIN signups s
+    ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+),
+f AS (
+  SELECT p.event_id, s.signup_event_id AS f_id, s.ts_us AS f_ts
+  FROM purchases p ASOF LEFT JOIN signups s
+    ON p.user_id = s.user_id AND p.ts_us <= s.ts_us
+),
+pick AS (
+  SELECT b.event_id, b.user_id, b.ts_us,
+         CASE WHEN b_id IS NULL THEN f_id
+              WHEN f_id IS NULL THEN b_id
+              WHEN (b.ts_us - b_ts) <= (f_ts - b.ts_us) THEN b_id
+              ELSE f_id END AS nearest_signup_event_id,
+         CASE WHEN b_id IS NULL THEN f_ts - b.ts_us
+              WHEN f_id IS NULL THEN b.ts_us - b_ts
+              WHEN (b.ts_us - b_ts) <= (f_ts - b.ts_us) THEN b.ts_us - b_ts
+              ELSE f_ts - b.ts_us END AS dist_us
+  FROM b JOIN f USING (event_id)
+)
+SELECT event_id, user_id, ts_us // 1000000 AS purchase_epoch,
+       nearest_signup_event_id, dist_us // 1000000 AS seconds_to_signup
+FROM pick WHERE nearest_signup_event_id IS NOT NULL
+""",
+    tags=("events", "join", "asof"),
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase matched to the signup closest in
+    time, either direction; exact ties resolve backward (pandas
+    merge_asof semantics).  Still one exchange on user_id — the nearest
+    pick compares the backward and forward window results in place."""
+    signups, purchases = _signups_purchases(spark, sf_dir)
+    joined = J.asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="signup_ts_us",
+        right_values=["signup_event_id", "signup_ts_us"],
+        direction="nearest",
+    )
+    return joined.where(F.col("asof_signup_event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.expr("ts_us div 1000000").alias("purchase_epoch"),
+        F.col("asof_signup_event_id").alias("nearest_signup_event_id"),
+        F.expr("abs(asof_signup_ts_us - ts_us) div 1000000").alias("seconds_to_signup"),
+    )
+
+
 @register(
     "events_props_variant",
     oracle="""

@@ -1,9 +1,19 @@
 """UDA acceptance-workload queries (SURVEY §2.3): terasort, sort,
-wordcount, pi — each as an oracle-checked query; dfsio is covered by
-bench.py (throughput metric, no oracle semantics to check).
+wordcount, pi, dfsio — each as an oracle-checked query.
+
+dfsio_roundtrip is the TestDFSIO equivalent
+(reference scripts/regression/testDFSIORunner.sh, defaultsConf.sh:67-69):
+deterministic payloads -> bulk write -> read-back -> (row count, checksum)
+compared against a DuckDB oracle that recomputes the same payloads without
+touching the files — so the round-trip through the storage layer is what
+is actually being checked.  Throughput at real volume is bench territory;
+correctness of the write/read path is oracle territory.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,6 +122,52 @@ def kv_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"],
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+DFSIO_ROWS = 2000
+DFSIO_PAYLOAD_HEX_CHARS = 2048  # 1 KiB binary payload per row
+_DFSIO_HEX = "lower(hex(payload))"
+
+
+@register(
+    "dfsio_roundtrip",
+    oracle=f"""
+SELECT COUNT(*)::BIGINT AS n_rows,
+       bit_xor({portable.hash60('payload_hex', 'duck')}) AS checksum
+FROM (
+  SELECT rpad(sha256(id::VARCHAR), {DFSIO_PAYLOAD_HEX_CHARS}, 'ab') AS payload_hex
+  FROM range(0, {DFSIO_ROWS}) t(id)
+)
+""",
+    tags=("workload", "io"),
+)
+def dfsio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TestDFSIO equivalent: deterministic binary payloads are written to
+    parquet, read back, and reduced to (row count, 60-bit xor checksum).
+
+    The oracle recomputes the identical payloads in DuckDB from the same
+    generator (sha256 of the row id, rpad to width) WITHOUT reading the
+    written files — a checksum mismatch therefore means the storage
+    round-trip corrupted or dropped data.  xor (not sum) keeps the
+    checksum inside 60 bits regardless of row count.  Scale: both the
+    write and the read-back aggregate are embarrassingly parallel; the
+    only exchange is the final 1-row reduce.
+    """
+    path = os.path.join(
+        tempfile.gettempdir(), f"uda_dfsio_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    payload_hex = F.rpad(
+        F.sha2(F.col("id").cast("string"), 256), DFSIO_PAYLOAD_HEX_CHARS, "ab"
+    )
+    df = spark.range(DFSIO_ROWS).select(
+        "id", F.to_binary(payload_hex, F.lit("hex")).alias("payload")
+    )
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.expr(f"bit_xor({portable.hash60(_DFSIO_HEX, 'spark')})").alias("checksum"),
     )
 
 

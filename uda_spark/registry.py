@@ -38,8 +38,8 @@ _QUERY_MODULES = (
     "uda_spark.queries.events",
     "uda_spark.queries.pipelines",
     "uda_spark.queries.udfs",
-    "uda_spark.queries.advanced",
     "uda_spark.queries.workloads",
+    "uda_spark.queries.advanced",
     "uda_spark.queries.relational",
     "uda_spark.queries.relational2",
     "uda_spark.queries.relational3",
