@@ -66,6 +66,21 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark):
         assert len(lsh & exact) / len(exact) >= 0.4
 
 
+def test_embedding_exact_mode_gated_by_row_cap(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from uda_spark.operators.similarity import embedding_near_dup_pairs
+
+    big = spark.range(101).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="use_lsh=True"):
+        embedding_near_dup_pairs(
+            big, "vec_id", "embedding", threshold=0.9, max_exact_rows=100
+        )
+
+
 def test_connected_components_matches_union_find(spark):
     from uda_spark.operators.dedup import connected_components
 

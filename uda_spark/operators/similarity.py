@@ -177,6 +177,9 @@ def lsh_knn(
     )
 
 
+EXACT_PAIRS_ROW_CAP = 100_000
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -185,19 +188,34 @@ def embedding_near_dup_pairs(
     use_lsh: bool = False,
     n_planes: int = 4,
     n_tables: int = 8,
+    max_exact_rows: int = EXACT_PAIRS_ROW_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: (id_a, id_b, score) with
     id_a < id_b and score >= threshold.
 
-    Exact mode is the quadratic self-join — the correctness oracle, fine
-    for a blocked subset but not a 100 TB corpus.  ``use_lsh=True`` is the
-    scale path: multi-table SRP buckets produce the candidate pairs (one
-    exchange on (table, bucket), candidate count ~ L·n²/2^k per-bucket
-    quadratic instead of global), and the exact cosine filter runs only on
-    candidates.  Same output schema; recall < 1 is the documented trade.
+    ``use_lsh=True`` is the PRIMARY, scale-safe path: multi-table SRP
+    buckets produce the candidate pairs (one exchange on (table, bucket),
+    candidate count ~ L·n²/2^k per-bucket quadratic instead of global),
+    and the exact cosine filter runs only on candidates.  Same output
+    schema; recall < 1 is the documented trade.
+
+    Exact mode is the quadratic self-join — it exists as the correctness
+    oracle for the LSH path and is GATED: inputs larger than
+    ``max_exact_rows`` raise instead of silently planning an O(n²)
+    nested-loop join over a 100 TB corpus.  Pass a larger cap explicitly
+    to accept the quadratic cost on a deliberately blocked subset.
     """
     a = _prep(df, id_col, vec_col, "a")
     b = _prep(df, id_col, vec_col, "b")
+    if not use_lsh:
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"exact embedding_near_dup_pairs is O(n²) and the input has "
+                f"{n} rows (> max_exact_rows={max_exact_rows}); use "
+                f"use_lsh=True for the scale path, or raise max_exact_rows "
+                f"for a deliberately blocked subset"
+            )
     if use_lsh:
         buckets = srp_buckets(df, id_col, vec_col, n_planes, n_tables)
         x = buckets.withColumnRenamed(id_col, "a_id")

@@ -12,6 +12,7 @@ from uda_spark.queries.common import t
 from uda_spark.registry import register
 
 NGRAM_JACCARD_T = "CAST(1 AS DOUBLE) / 20"  # 0.05 without decimal literals
+NGRAM_BLOCK_CAP = 1000  # max docs per (lang, source) block entering the pair join
 
 
 @register(
@@ -21,6 +22,10 @@ WITH tk AS (
   SELECT doc_id, lang, source,
          list_distinct({portable.shingles(portable.tokens('text', 'duck'), 2, 'duck')}) AS grams
   FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY lang, source
+    ORDER BY {portable.hash60("doc_id::VARCHAR", "duck")}, doc_id
+  ) <= {NGRAM_BLOCK_CAP}
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -36,17 +41,35 @@ WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {NGRAM_JACCARD_T}
     tags=("text", "north-star", "join"),
 )
 def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-bigram Jaccard over (lang, source)-blocked pairs.
+    """Exact token-bigram Jaccard over (lang, source)-blocked pairs, with a
+    deterministic per-block cap.
 
-    Blocking is the scale lever: the self-join shuffles once on the block
-    key and pairs only form inside blocks — O(sum of block^2), not O(n^2).
-    The unblocked scale path is MinHash LSH (dedup_minhash_near_pairs);
-    this exact variant is the quality oracle for it.
+    Blocking is the first scale lever: the self-join shuffles once on the
+    block key and pairs only form inside blocks — O(sum of block²), not
+    O(n²).  The cap is the second: at 100 TB a single ("en", "web") block
+    is nearly the whole corpus, so each block admits at most
+    NGRAM_BLOCK_CAP docs, chosen by a deterministic hash rank (the same
+    engine-portable stratified-sample pattern as sample_stratified_hash) —
+    block² is then bounded by CAP² regardless of corpus size.  Both
+    engines apply the identical cap, so the oracle stays exact; at the
+    test SFs every block is under the cap and results are unchanged.
+    The unblocked, uncapped scale path is MinHash LSH
+    (dedup_minhash_near_pairs); this exact variant is its quality oracle.
     """
     toks = portable.tokens("text", "spark")
     grams = portable.shingles(toks, 2, "spark")
-    tk = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", F.array_distinct(F.expr(grams)).alias("grams")
+    hash_rank = portable.hash60("CAST(doc_id AS STRING)", "spark")
+    w_cap = Window.partitionBy("lang", "source").orderBy(
+        F.expr(hash_rank), F.col("doc_id")
+    )
+    tk = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "source", F.array_distinct(F.expr(grams)).alias("grams")
+        )
+        .withColumn("_rn", F.row_number().over(w_cap))
+        .where(F.col("_rn") <= NGRAM_BLOCK_CAP)
+        .drop("_rn")
     )
     a, b = tk.alias("a"), tk.alias("b")
     pairs = (
