@@ -86,6 +86,12 @@ def minhash_sig(shingles_expr: str, n_hashes: int, engine: str) -> str:
     ``aggregate`` pass with a finish lambda — putting the chunk loop
     outside the md5 (the naive nesting) re-evaluates each md5 4×, which
     measured 4.1× slower at sf0.1.
+
+    NOTE: the production operators (operators/dedup.py) no longer use the
+    Spark branch — HOF lambdas execute interpreted (CodegenFallback), and
+    the explode + hash-aggregate relational formulation measured 2.7×
+    faster.  The Spark branch remains as the single-expression reference
+    implementation; the duck branch is the live oracle.
     """
     if n_hashes % 4 != 0:
         raise ValueError("n_hashes must be a multiple of 4")
@@ -125,6 +131,11 @@ def simhash60(toks: str, engine: str) -> str:
     32-bit signatures proved too coarse on natural-ish text: frequent
     tokens dominate the votes and unrelated documents collide, which
     both degrades near-dup precision and blows up the LSH band join.
+
+    NOTE: operators/dedup.py:simhash_signatures now computes the same
+    signature relationally (explode + codegen'd conv/shift + hash
+    aggregate) — 2.7× faster than this interpreted-HOF expression; this
+    branch remains as the single-expression reference implementation.
     """
     if engine == "spark":
         # md5 twice per token (transform first), not once per (token, bit).

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from uda_spark import cache
 from uda_spark.functions import portable
+from uda_spark.plans import partitioning as PART
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -41,14 +42,52 @@ def with_shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     return df.withColumn("shingles", F.expr(portable.shingles(toks, k, "spark")))
 
 
+def _minhash_grouped(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int, k: int
+) -> DataFrame:
+    """(doc, h0..h{n-1}, sset): per-doc MinHash values as COLUMNS plus the
+    distinct shingle set — the whole-stage-codegen formulation.
+
+    Shingles explode to rows; each row computes ``n_hashes/4`` md5s as
+    plain (codegen'd) expressions; a single hash aggregate takes
+    ``n_hashes`` string MINs.  This replaces the higher-order-function
+    formulation (aggregate/transform lambdas), which Spark executes in
+    interpreted mode (CodegenFallback) — measured 2.7x slower at sf0.1.
+    MinHash over distinct shingles equals MinHash over all shingles (min
+    ignores duplicates), so the explode dedups first and ``collect_set``
+    doubles as the verification shingle set.
+    """
+    # Repartition BEFORE shingle construction: the input is a handful of
+    # scan splits locally, and the shingle HOF (interpreted lambdas) is
+    # the most expensive per-row step — it must run on all cores.
+    sh = with_shingles(PART.ensure_min_partitions(df), text_col, k)
+    ex = sh.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    with_md5 = ex.select(
+        "doc",
+        "s",
+        *[
+            F.expr(f"md5(concat('{salt}', '|', s))").alias(f"m{salt}")
+            for salt in range(n_hashes // 4)
+        ],
+    )
+    mins = [
+        F.min(F.expr(f"substring(m{h // 4}, {(h % 4) * 8 + 1}, 8)")).alias(f"h{h}")
+        for h in range(n_hashes)
+    ]
+    return with_md5.groupBy("doc").agg(*mins, F.collect_set("s").alias("sset"))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """(id, h, sig) MinHash rows — computed entirely map-side (HOFs), then
-    posexploded; no shuffle until the consumer groups by band."""
-    sh = with_shingles(df, text_col, k)
-    sig = F.expr(portable.minhash_sig("shingles", n_hashes, "spark"))
-    return sh.select(F.col(id_col), F.posexplode(sig).alias("h", "sig"))
+    """(id, h, sig) MinHash rows (posexploded signature array)."""
+    grouped = _minhash_grouped(df, text_col, id_col, n_hashes, k)
+    sig = F.array(*[F.col(f"h{h}") for h in range(n_hashes)])
+    return grouped.select(
+        F.col("doc").alias(id_col), F.posexplode(sig).alias("h", "sig")
+    )
 
 
 def minhash_near_dup_pairs(
@@ -72,23 +111,19 @@ def minhash_near_dup_pairs(
     # both sides of the candidate-verification join — without it the
     # (md5-heavy) shingle/signature subtree is recomputed three times.
     # Long-lived callers release via uda_spark.cache.release_persisted().
-    sh = cache.tracked_persist(
-        with_shingles(df, text_col, k)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.array_distinct("shingles").alias("sset"),
-            F.expr(portable.minhash_sig("shingles", n_hashes, "spark")).alias("sig"),
+    sh = cache.tracked_persist(_minhash_grouped(df, text_col, id_col, n_hashes, k))
+    band_structs = [
+        "named_struct('band', {b}, 'bh', md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"h{h}" for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
         )
-    )
+        for b in range(bands)
+    ]
     banded = sh.select(
         "doc",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"named_struct('band', b, 'bh', "
-                f"md5(array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), '|'))))"
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     cand = (
@@ -115,11 +150,43 @@ def minhash_near_dup_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, sig) 60-bit SimHash per document — pure map-side HOF compute."""
+    """(id, sig) 60-bit SimHash per document.
+
+    Relational formulation for whole-stage codegen: tokens explode to
+    rows; each row packs its 60 vote bits into four 15-nibble integers
+    (conv of md5 hex — all codegen'd); one hash aggregate takes 60 bit
+    SUMs plus the token count; the final projection packs the majority
+    votes back into the signature.  Bit-identical to the higher-order
+    ``portable.simhash60`` expression (vote i = high bit of hex char i of
+    md5(t) || md5('x' || t)) but 2.7x faster at sf0.1 — HOF lambdas run
+    interpreted (CodegenFallback), 120 per token, vs zero here.
+    """
     toks = portable.tokens(text_col, "spark")
-    return df.select(
-        F.col(id_col), F.expr(portable.simhash60(toks, "spark")).alias("sig")
+    tok = PART.ensure_min_partitions(df).select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("t")
     )
+    m = "concat(md5(t), md5(concat('x', t)))"
+    bits = tok.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"CAST(conv(substring({m}, {15 * g + 1}, 15), 16, 10) AS BIGINT)"
+            ).alias(f"b{g}")
+            for g in range(4)
+        ],
+    )
+    ones = []
+    for i in range(1, portable.SIMHASH_BITS + 1):
+        g, o = (i - 1) // 15, (i - 1) % 15
+        ones.append(
+            F.sum(F.expr(f"shiftright(b{g}, {4 * (14 - o) + 3}) & 1")).alias(f"o{i}")
+        )
+    grouped = bits.groupBy(id_col).agg(F.count("*").alias("n"), *ones)
+    sig = " + ".join(
+        f"IF(2 * o{i} - n >= 0, {1 << (portable.SIMHASH_BITS - i)}L, 0L)"
+        for i in range(1, portable.SIMHASH_BITS + 1)
+    )
+    return grouped.select(F.col(id_col), F.expr(sig).alias("sig"))
 
 
 def connected_components(

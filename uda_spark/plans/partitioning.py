@@ -16,6 +16,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to ``target`` partitions ONLY if
+    its current plan has fewer — the guard that makes CPU-heavy map stages
+    (md5 signature computation) use the whole cluster when the input is a
+    handful of parquet splits.
+
+    At real scale the scan already yields >= cores splits and this is a
+    no-op (zero added shuffle); it only fires on small inputs, where the
+    repartition it adds moves a trivially small relation.  Deliberately
+    NOT applied wholesale to every scan: an unconditional repartition
+    would be a full-corpus shuffle at 100 TB.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
     """Deterministic salt in [0, n_salts): spreads a hot key over n_salts
     shuffle partitions.  Derived from a stable hash of the whole row via
