@@ -91,89 +91,143 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_NPROBE = 3
-
-
-@register("sim_ivf_knn", oracle=None, tags=("similarity", "north-star", "approx"))
-def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus by label centroid, then
-    search only the query's nprobe=3 nearest partitions.
-
-    The centroids here are the per-label means (sim_label_centroid_dist
-    builds them); a production IVF trains k-means centroids the same way.
-    Shuffle profile: centroid build is one tiny agg; search is a broadcast
-    of queries against ~nprobe/k of the corpus.  Rows-only check (approx
-    op); recall vs brute force is asserted in tests (these synthetic
-    embeddings are near-uniform, so recall ~ nprobe/k is the expectation —
-    clustered real data recalls far higher at the same nprobe).
-    """
-    emb = t(spark, sf_dir, "embeddings")
-    iv = emb.select(
-        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
-    )
-    # per-label centroid (exact integer sums -> double means)
-    cent = (
-        iv.select("label", F.posexplode("v").alias("d", "x"))
-        .groupBy("label", "d")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("m")))).alias("cm"))
-        .select("label", F.expr("transform(cm, e -> e.m)").alias("centroid"))
-    )
-    # drop the query's own label: the crossJoin below must have exactly one
-    # label column (the centroid's)
-    queries = iv.where(F.col("vec_id") < 10).select("vec_id", "v")
-    # assign each query to its nearest centroid by exact double distance
-    q_cent = (
-        queries.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "dist2",
-            F.expr(
-                "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)), "
-                "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
-            ),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist2", "label")),
-        )
-        .where(F.col("rn") <= IVF_NPROBE)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"), F.col("label").alias("probe_label"))
-    )
-    # search only the probed partition (alias both sides: q_cent shares
-    # lineage with iv, so attribute references would be ambiguous)
-    dot = portable.int_dot("q.q_vec", "c.v", "spark")
-    qn = portable.int_dot("q.q_vec", "q.q_vec", "spark")
-    cn = portable.int_dot("c.v", "c.v", "spark")
-    scored = (
-        iv.alias("c")
-        .join(F.broadcast(q_cent.alias("q")), F.expr("c.label = q.probe_label"))
-        .where(F.col("c.vec_id") != F.col("q.q_id"))
-        .select(
-            F.col("q.q_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            F.round(F.expr(portable.cosine_from_ints(dot, qn, cn)), 6).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
-    )
-
-
-@register("approx_distinct_users", oracle=None, tags=("aggregation", "sketch"))
+@register(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+    tags=("aggregation", "sketch"),
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality sketch per event type — the 100 TB path
     for distinct counts (fixed-size sketch merge, no value shuffle).
-    Rows-only check: HLL implementations differ across engines by design;
-    the accuracy bound vs exact counts is asserted in tests.
+
+    Bounded oracle: sketch estimates are engine-specific by design, so the
+    raw estimate is NOT emitted.  Instead the query also computes the
+    exact count and emits ``within_bound`` = |approx − exact| ≤ 10% of
+    exact (HLL++ at rsd 0.02 is ~6% at 3σ); the DuckDB oracle computes
+    the exact count and a literal TRUE — an out-of-bound sketch therefore
+    hash-mismatches.  The exact column exists to make the oracle bite;
+    the production path at 100 TB is the sketch alone.
     """
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.02) - F.count_distinct(F.col("user_id")))
+            * 10 <= F.count_distinct(F.col("user_id"))
+        ).alias("within_bound"),
+    )
+
+
+PCT_ACCURACY = 10000
+
+
+@register(
+    "approx_percentile_prices",
+    oracle="""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("aggregation", "approx", "sketch"),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles per order priority via the Greenwald-Khanna
+    sketch (percentile_approx, accuracy 10000) — the sketch path for
+    quantiles over data too large to sort; mergeable partials shuffle
+    O(sketch) state per group, not O(rows).
+
+    Bounded oracle: GK guarantees the returned value's true rank is
+    within εn (ε = 1/accuracy) of the target rank.  The query joins the
+    sketch result back to the data, counts rows strictly-below and
+    at-or-below each returned quantile, and emits ``p50_ok`` / ``p95_ok``
+    = the [count_lt, count_le] rank window intersects the target rank
+    ± (2εn + 2).  The oracle emits literal TRUE — a sketch outside its
+    contract hash-mismatches.  The verification join is the harness, not
+    the production path.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    pct = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.95], PCT_ACCURACY).alias("pcts"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+        )
+    )
+    joined = o.join(F.broadcast(pct), on="o_orderpriority")
+    counted = joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("p50"), 1).otherwise(0)).alias("lt50"),
+        F.sum(F.when(F.col("o_totalprice") <= F.col("p50"), 1).otherwise(0)).alias("le50"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("p95"), 1).otherwise(0)).alias("lt95"),
+        F.sum(F.when(F.col("o_totalprice") <= F.col("p95"), 1).otherwise(0)).alias("le95"),
+    )
+
+    def ok(lt, le, target_num, target_den):
+        # target rank = n * num/den; slack = 2n/accuracy + 2 (all integer
+        # arithmetic scaled by target_den * PCT_ACCURACY to avoid floats)
+        n, acc = F.col("n_orders"), PCT_ACCURACY
+        scale = target_den * acc
+        target = n * target_num * acc  # rank * scale / den... see below
+        lo = target - (2 * n * target_den + 2 * scale)
+        hi = target + (2 * n * target_den + 2 * scale)
+        return (F.col(le) * scale >= lo) & (F.col(lt) * scale <= hi)
+
+    return counted.select(
+        "o_orderpriority",
+        "n_orders",
+        ok("lt50", "le50", 1, 2).alias("p50_ok"),
+        ok("lt95", "le95", 19, 20).alias("p95_ok"),
+    )
+
+
+@register(
+    "hll_sketch_two_level",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+    tags=("aggregation", "approx", "sketch"),
+)
+def hll_sketch_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct-count: per-(type, shard) HLL sketches
+    (datasketches) union into a per-type estimate — the re-aggregation
+    property a plain approx_count_distinct result lacks, and exactly how
+    a 100 TB rollup keeps distinct counts: store sketch bytes per
+    partition/day, union on demand at any granularity.
+
+    Bounded oracle (same pattern as approx_distinct_users): the estimate
+    itself is sketch-seeded, so the query emits the exact count plus
+    ``within_bound`` = |estimate − exact| ≤ 10% of exact, and the oracle
+    emits exact + TRUE.
+    """
+    ev = t(spark, sf_dir, "events")
+    shards = ev.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("shard")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    est = shards.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("exact_users")
+    )
+    return est.join(exact, on="event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) * 10
+            <= F.col("exact_users")
+        ).alias("within_bound"),
     )
 
 
@@ -275,35 +329,6 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pc").cast("long").alias("n_events"),
             F.sum("ps").cast("double").alias("total_value"),
         ],
-    )
-
-
-@register(
-    "approx_percentile_prices",
-    oracle=None,
-    tags=("aggregation", "approx", "sketch"),
-)
-def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-price quantiles per order priority via the Greenwald-Khanna
-    sketch (percentile_approx, accuracy 10000) — the sketch path for
-    quantiles over data too large to sort.  Mergeable partial sketches
-    shuffle O(sketch) state per group, not O(rows); the error bound vs
-    the exact percentile is asserted in tests (rows-only here: sketch
-    merge order is partitioning-dependent in general).
-    """
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("pcts"),
-            F.count("*").alias("n_orders"),
-        )
-        .select(
-            "o_orderpriority",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p95"),
-            "n_orders",
-        )
     )
 
 
@@ -487,26 +512,75 @@ def merge_orders_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, src, keys=["o_orderkey"])
 
 
-@register(
-    "hll_sketch_two_level",
-    oracle=None,
-    tags=("aggregation", "approx", "sketch"),
-)
-def hll_sketch_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level mergeable distinct-count: per-(type, shard) HLL sketches
-    (datasketches) union into a per-type estimate — the re-aggregation
-    property a plain approx_count_distinct result lacks, and exactly how
-    a 100 TB rollup keeps distinct counts: store sketch bytes per
-    partition/day, union on demand at any granularity.  Rows-only check
-    (estimates are sketch-seeded); error vs exact is asserted in tests.
+IVF_NPROBE = 3
+
+
+@register("sim_ivf_knn", oracle=None, tags=("similarity", "north-star", "approx"))
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus by label centroid, then
+    search only the query's nprobe=3 nearest partitions.
+
+    The centroids here are the per-label means (sim_label_centroid_dist
+    builds them); a production IVF trains k-means centroids the same way.
+    Shuffle profile: centroid build is one tiny agg; search is a broadcast
+    of queries against ~nprobe/k of the corpus.  Rows-only check (approx
+    op); recall vs brute force is asserted in tests (these synthetic
+    embeddings are near-uniform, so recall ~ nprobe/k is the expectation —
+    clustered real data recalls far higher at the same nprobe).
     """
-    ev = t(spark, sf_dir, "events")
-    shards = ev.groupBy(
-        "event_type", (F.col("user_id") % 8).alias("shard")
-    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    # per-label centroid (exact integer sums -> double means)
+    cent = (
+        iv.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("m")))).alias("cm"))
+        .select("label", F.expr("transform(cm, e -> e.m)").alias("centroid"))
+    )
+    # drop the query's own label: the crossJoin below must have exactly one
+    # label column (the centroid's)
+    queries = iv.where(F.col("vec_id") < 10).select("vec_id", "v")
+    # assign each query to its nearest centroid by exact double distance
+    q_cent = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist2",
+            F.expr(
+                "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)), "
+                "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist2", "label")),
+        )
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"), F.col("label").alias("probe_label"))
+    )
+    # search only the probed partition (alias both sides: q_cent shares
+    # lineage with iv, so attribute references would be ambiguous)
+    dot = portable.int_dot("q.q_vec", "c.v", "spark")
+    qn = portable.int_dot("q.q_vec", "q.q_vec", "spark")
+    cn = portable.int_dot("c.v", "c.v", "spark")
+    scored = (
+        iv.alias("c")
+        .join(F.broadcast(q_cent.alias("q")), F.expr("c.label = q.probe_label"))
+        .where(F.col("c.vec_id") != F.col("q.q_id"))
+        .select(
+            F.col("q.q_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(F.expr(portable.cosine_from_ints(dot, qn, cn)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
-        shards.groupBy("event_type")
-        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"))
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
     )
 
 
