@@ -35,6 +35,24 @@ def test_json_roundtrip(spark, tmp_path):
     assert back.count() == ev.count()
 
 
+def test_avro_gated(spark, tmp_path):
+    """Avro round-trips when spark-avro is present; raises the documented
+    error when absent (this container ships without the external module)."""
+    import pytest
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_avro")
+    if formats.avro_available(spark):
+        formats.write_avro(nation, path)
+        back = formats.read_avro(spark, path, nation.schema)
+        assert back.count() == nation.count()
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            formats.write_avro(nation, path)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            formats.read_avro(spark, path)
+
+
 def test_partitioned_parquet_prunes(spark, tmp_path):
     orders = load_table(spark, SF_SMOKE, "orders")
     path = str(tmp_path / "orders_parted")

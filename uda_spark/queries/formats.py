@@ -1,0 +1,73 @@
+"""Format-surface round-trip queries: CSV, JSON, ORC (SURVEY §2.2 file
+formats; reference scope is raw MOF byte files — src/Merger/StreamRW.cc —
+so the standard-format surface is engine-added).
+
+Each query writes a source table through the format under test
+(sources/formats.py writers), reads it back with an explicit schema (no
+inference — that is a full extra pass at 100 TB), and returns the rows.
+The DuckDB oracle reads the ORIGINAL parquet, so any loss in the
+write/read round trip (quoting, null handling, float formatting)
+hash-mismatches.  CSV deliberately routes a DOUBLE column to prove the
+text round trip is bit-exact (Java shortest-round-trip formatting).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from uda_spark.queries.common import t
+from uda_spark.registry import register
+from uda_spark.sources import formats as FMT
+
+
+def _fmt_path(fmt: str, sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"uda_fmt_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+@register(
+    "csv_roundtrip_supplier",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("formats", "io"),
+)
+def csv_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → CSV (headered, quoted) → explicit-schema scan → rows.
+
+    The s_acctbal DOUBLE column proves text round-trip exactness."""
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _fmt_path("csv", sf_dir)
+    FMT.write_csv(src, path)
+    return FMT.read_csv(spark, path, src.schema)
+
+
+@register(
+    "json_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("formats", "io"),
+)
+def json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → JSON lines → explicit-schema scan → rows."""
+    src = t(spark, sf_dir, "nation")
+    path = _fmt_path("json", sf_dir)
+    FMT.write_json(src, path)
+    return FMT.read_json(spark, path, src.schema)
+
+
+@register(
+    "orc_roundtrip_part",
+    oracle="SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+    tags=("formats", "io"),
+)
+def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC (zstd) → scan → rows; columnar round trip with stripe
+    stats, same pushdown properties as parquet."""
+    src = t(spark, sf_dir, "part")
+    path = _fmt_path("orc", sf_dir)
+    FMT.write_orc(src, path)
+    return FMT.read_orc(spark, path, src.schema)

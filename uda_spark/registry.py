@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "uda_spark.queries.udfs",
     "uda_spark.queries.workloads",
     "uda_spark.queries.advanced",
+    "uda_spark.queries.formats",
     "uda_spark.queries.relational",
     "uda_spark.queries.relational2",
     "uda_spark.queries.relational3",

@@ -87,6 +87,55 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro module is on the classpath.
+
+    Avro is an *external* Spark module (spark-avro jar) since 2.4; this
+    container ships without it, so callers must gate.  The probe is a
+    driver-side class lookup — no job, no I/O.
+    """
+    try:
+        # the same resolution spark.read.format("avro") performs (a bare
+        # Class.forName is NOT enough: the avro classes can be present in
+        # the distribution jar while the data source stays unregistered)
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Avro scan (row-oriented container format, the common Kafka/Hadoop
+    interchange).  Raises a clear error when the spark-avro module is
+    absent instead of Spark's opaque ClassNotFound chain.
+
+    LZO note (reference O12, src/Merger/LzoDecompressor.cc:151-167): Spark
+    ships no LZO codec at all (GPL licensing); snappy/lz4/zstd cover the
+    streaming-decompression capability across every format here.
+    """
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath (external module since "
+            "Spark 2.4); add org.apache.spark:spark-avro to use Avro I/O"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro is not on the classpath (external module since "
+            "Spark 2.4); add org.apache.spark:spark-avro to use Avro I/O"
+        )
+    df.write.mode(mode).format("avro").save(path)
+
+
 def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """ORC scan — same pushdown/pruning properties as parquet (both are
     columnar with min/max stripe stats); schema optional because ORC
