@@ -17,7 +17,9 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from uda_spark.functions import portable
 from uda_spark.queries.common import t
 from uda_spark.registry import register
 from uda_spark.sources import formats as FMT
@@ -57,6 +59,63 @@ def json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fmt_path("json", sf_dir)
     FMT.write_json(src, path)
     return FMT.read_json(spark, path, src.schema)
+
+
+@register(
+    "kv_sequencefile_roundtrip",
+    oracle=f"""
+SELECT COUNT(*)::BIGINT AS n_rows,
+       bit_xor({portable.hash60("event_id::VARCHAR || '|' || event_type", 'duck')}) AS checksum
+FROM events
+""",
+    tags=("formats", "io", "kv"),
+)
+def kv_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (event_id, event_type) → Hadoop SequenceFile (native Writable
+    conversion) → read-back → (rows, 60-bit xor checksum).  The oracle
+    recomputes the checksum from the original table, so the Writable
+    round trip is what is checked — the standard-container half of the
+    reference's Hadoop KV input domain (SURVEY §1.5)."""
+    from uda_spark.sources import hadoop_kv as HKV
+
+    path = _fmt_path("seq", sf_dir)
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    HKV.write_sequence_file(ev, path, "event_id", "event_type")
+    back = HKV.read_sequence_file(spark, path, "event_id long, event_type string")
+    chk = portable.hash60("concat(cast(event_id AS STRING), '|', event_type)", "spark")
+    return back.agg(
+        F.count("*").alias("n_rows"), F.expr(f"bit_xor({chk})").alias("checksum")
+    )
+
+
+@register(
+    "kv_vint_stream_roundtrip",
+    oracle=f"""
+SELECT COUNT(*)::BIGINT AS n_rows,
+       bit_xor({portable.hash60("o_orderkey::VARCHAR || '|' || o_orderstatus", 'duck')}) AS checksum
+FROM orders
+""",
+    tags=("formats", "io", "kv"),
+)
+def kv_vint_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (o_orderkey, o_orderstatus) → raw VInt-framed KV blobs (the
+    reference's MOF segment layout: [vint klen][key][vint vlen][value],
+    Hadoop WritableUtils wire format) → parse back → (rows, checksum).
+    Exercises the byte-level framing the reference ingests
+    (src/Merger/StreamRW.cc:334-404) re-expressed as an ingestion codec;
+    downstream of the parse everything is ordinary JVM-side DataFrame."""
+    from uda_spark.sources import hadoop_kv as HKV
+
+    path = _fmt_path("vint", sf_dir)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    HKV.write_kv_stream(o, path, "o_orderkey", "o_orderstatus")
+    back = HKV.read_kv_stream(spark, path)
+    chk = portable.hash60(
+        "concat(cast(key AS STRING), '|', cast(value AS STRING))", "spark"
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"), F.expr(f"bit_xor({chk})").alias("checksum")
+    )
 
 
 @register(
