@@ -31,8 +31,8 @@ def test_blob_schema(spark):
 
 def test_decode_deterministic_and_complete(spark):
     blobs = _blobs(spark)
-    a = {r["id"]: r["pixels_crc"] for r in decode_images(blobs, "doc_id").collect()}
-    b = {r["id"]: r["pixels_crc"] for r in decode_images(blobs, "doc_id").collect()}
+    a = {r["id"]: r["pixels_fp"] for r in decode_images(blobs, "doc_id").collect()}
+    b = {r["id"]: r["pixels_fp"] for r in decode_images(blobs, "doc_id").collect()}
     assert a == b
     assert len(a) == blobs.count()
 

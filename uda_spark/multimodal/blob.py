@@ -18,13 +18,14 @@ case, the pointer case is the same schema with ``data`` nulled.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from uda_spark.functions import portable
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -58,15 +59,29 @@ def attach_blob_column(
     df: DataFrame, payload_col: str, id_col: str, mime: str = "image/png"
 ) -> DataFrame:
     """Synthesize a deterministic binary blob + metadata from any string
-    column (test stand-in for reading real media files)."""
-    data = F.to_binary(F.sha2(F.col(payload_col).cast("string"), 512), F.lit("hex"))
+    column (test stand-in for reading real media files).
+
+    Everything derives from the md5 family (functions/portable.py
+    discipline) so downstream decode/feature outputs stay engine-portable
+    and the multimodal queries carry REAL DuckDB oracles: blob bytes =
+    unhex(md5(payload) || md5('x' || payload)), width/height = salted
+    hash60 of the blob hex, never zero.
+    """
+    hex_expr = (
+        f"concat(md5(CAST({payload_col} AS STRING)), "
+        f"md5(concat('x', CAST({payload_col} AS STRING))))"
+    )
+    data = F.unhex(F.expr(hex_expr))
+    salted = f"concat('h|', {hex_expr})"
+    w = f"1 + pmod({portable.hash60(hex_expr, 'spark')}, 1919)"
+    h = f"1 + pmod({portable.hash60(salted, 'spark')}, 1079)"
     return df.select(
         F.col(id_col),
         data.alias("data"),
         F.struct(
             F.lit(mime).alias("mime"),
-            (F.crc32(data) % 1920).cast("int").alias("width"),
-            (F.crc32(data) % 1080).cast("int").alias("height"),
+            F.expr(w).cast("int").alias("width"),
+            F.expr(h).cast("int").alias("height"),
             F.lit(0).cast("int").alias("duration_ms"),
             F.length(data).cast("long").alias("n_bytes"),
         ).alias("meta"),
@@ -78,24 +93,34 @@ DECODED_SCHEMA = StructType(
         StructField("id", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("pixels_crc", LongType()),
+        StructField("pixels_fp", LongType()),
     ]
 )
 
 
-def _fake_decode(blob: bytes, width: int, height: int) -> bytes:
+def _fake_decode_hex(blob: bytes, width: int, height: int) -> str:
     """Deterministic stand-in for an image codec: expand the blob into a
-    pseudo-pixel buffer of the metadata-declared dimensions."""
-    seed = hashlib.sha256(blob).digest()
-    need = max(width * height, 1)
-    return (seed * (need // len(seed) + 1))[:need]
+    pseudo-pixel buffer of the metadata-declared dimensions, expressed in
+    the hex-string domain so a SQL oracle can recompute it
+    (``substr(repeat(md5(hex(blob)), ...), 1, 2*w*h)``)."""
+    seed_hex = hashlib.md5(blob.hex().encode()).hexdigest()  # 32 chars = 16 px
+    need_chars = 2 * max(width * height, 1)
+    return (seed_hex * (need_chars // len(seed_hex) + 1))[:need_chars]
+
+
+def _hash60_py(s: str) -> int:
+    """Python twin of portable.hash60: fold md5's first 15 hex chars."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def decode_images(df: DataFrame, id_col: str = "id") -> DataFrame:
-    """Decode blobs to pixel buffers and emit per-image stats.
+    """Decode blobs to pixel buffers and emit per-image stats
+    (``pixels_fp`` = 60-bit fingerprint of the pixel buffer).
 
     Arrow-batched mapInPandas: each batch is a pandas DataFrame of blobs;
     real decoders (PIL) plug into the marked seam.  Map-only — no shuffle.
+    Output is deterministic and md5-derived, so queries over it carry
+    exact DuckDB oracles (queries/pipelines.py multimodal_decode_stats).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,8 +129,8 @@ def decode_images(df: DataFrame, id_col: str = "id") -> DataFrame:
                 raise NotImplementedError("real PIL decode path not wired yet")
             widths = pdf["meta"].map(lambda m: m["width"]).astype("int32")
             heights = pdf["meta"].map(lambda m: m["height"]).astype("int32")
-            pixels = [
-                _fake_decode(blob, w, h)
+            fps = [
+                _hash60_py(_fake_decode_hex(blob, w, h))
                 for blob, w, h in zip(pdf["data"], widths, heights)
             ]
             yield pd.DataFrame(
@@ -113,7 +138,7 @@ def decode_images(df: DataFrame, id_col: str = "id") -> DataFrame:
                     "id": pdf["_id"],
                     "width": widths,
                     "height": heights,
-                    "pixels_crc": [zlib.crc32(p) for p in pixels],
+                    "pixels_fp": fps,
                 }
             )
 
@@ -131,15 +156,23 @@ FEATURES_SCHEMA = StructType(
 
 
 def extract_features(df: DataFrame, id_col: str = "id", dim: int = 8) -> DataFrame:
-    """Per-blob feature vector (deterministic sha-derived stand-in for a
-    vision encoder) — the output feeds the similarity operators."""
+    """Per-blob feature vector (deterministic md5-derived stand-in for a
+    vision encoder) — the output feeds the similarity operators.
+
+    Component i is the i-th byte of md5(hex(blob)) as a float — small
+    integers are exact in float32, and cosine is scale-invariant per
+    vector, so the downstream fixed-point scoring (portable.int_vec) is
+    bit-identical to a SQL oracle recomputing the same bytes from
+    ``md5`` hex chars.  ``dim`` <= 16 (one md5)."""
+    if dim > 16:
+        raise ValueError("dim > 16 needs more than one md5 block")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs = []
             for blob in pdf["data"]:
-                h = hashlib.sha256(blob).digest()
-                embs.append([round(b / 255.0, 6) for b in h[:dim]])
+                h = hashlib.md5(blob.hex().encode()).digest()
+                embs.append([float(b) for b in h[:dim]])
             yield pd.DataFrame(
                 {
                     "id": pdf["_id"],

@@ -12,20 +12,22 @@ Multimodal queries run the blob plumbing end-to-end (binary column +
 typed metadata struct → Arrow-batched mapInPandas decode / feature
 extraction → downstream relational or similarity ops).  The codec seam is
 deterministic-stub by design (no image libs in this environment, see
-uda_spark/multimodal/blob.py), and sha512/crc32 are not expressible in
-the oracle dialect, so these are rows-only checks; their numeric
-properties are asserted in tests/test_multimodal.py instead.
+uda_spark/multimodal/blob.py) and md5-derived on purpose: the DuckDB
+oracles below recompute the synthetic decode/feature outputs from the
+same md5 hex algebra, so even the Python mapInPandas path is value-hash
+checked end-to-end.
 """
 
 from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uda_spark import multimodal as MM
 from uda_spark import streaming as ST
+from uda_spark.functions import portable
 from uda_spark.queries.common import t
 from uda_spark.queries.events import _DUCK_US, SESSION_GAP_S
 from uda_spark.registry import register
@@ -107,35 +109,81 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_running_totals",
-    oracle=None,
+    oracle="""
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
     tags=("streaming", "stateful"),
 )
 def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     (count, value-total) across triggers — the arbitrary-state escape
-    hatch for operators session/tumbling windows can't express.  Float
-    accumulation order inside the state update is partition-dependent, so
-    this is a rows-only check; exact totals are covered by the batch
-    aggregate tests.
+    hatch for operators session/tumbling windows can't express.
+
+    The state accumulates exact integer cents (order-independent), and
+    update mode emits one row per key per trigger, so the FINAL row per
+    user (the one with the highest running count) must equal the batch
+    aggregate — that is the oracle.  The final-row filter is a window
+    over the tiny sink table, not the stream.
     """
     from uda_spark.streaming.stateful import running_totals_stream
 
     ev = ST.events_file_stream(spark, sf_dir)
     result = running_totals_stream(ev)
-    return ST.run_stream_to_memory(
+    sink = ST.run_stream_to_memory(
         result, _sink_name("running_sink"), mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# Oracle-side algebra for the deterministic multimodal codec stubs
+# (multimodal/blob.py): blob hex, salted hash60 dims, md5-expanded pixel
+# buffer, md5-byte feature vector — all recomputable in DuckDB.
+_MM_BHEX = "md5(CAST(text AS VARCHAR)) || md5('x' || CAST(text AS VARCHAR))"
+_MM_HEXDIG = "'0123456789abcdef'"
+
+
+def _mm_byte(fh: str, i: int) -> str:
+    """DuckDB value of byte ``i`` (0-based) of hex string ``fh``."""
+    return (
+        f"((strpos({_MM_HEXDIG}, substr({fh}, {2 * i + 1}, 1)) - 1) * 16 + "
+        f"(strpos({_MM_HEXDIG}, substr({fh}, {2 * i + 2}, 1)) - 1))"
     )
 
 
 @register(
     "multimodal_decode_stats",
-    oracle=None,
+    oracle=f"""
+WITH b AS (SELECT {_MM_BHEX} AS bhex FROM documents),
+m AS (SELECT bhex,
+        1 + {portable.hash60('bhex', 'duck')} % 1919 AS w,
+        1 + {portable.hash60("'h|' || bhex", 'duck')} % 1079 AS h
+      FROM b),
+d AS (SELECT w, h,
+        {portable.hash60("substr(repeat(md5(bhex), (2 * w * h) // 32 + 1), 1, 2 * w * h)", 'duck')} AS fp
+      FROM m)
+SELECT (w % 16)::INT AS width_bucket, COUNT(*)::BIGINT AS n_images,
+       SUM(w::BIGINT * h)::BIGINT AS total_pixels,
+       COUNT(DISTINCT fp)::BIGINT AS distinct_payloads
+FROM d GROUP BY 1
+""",
     tags=("multimodal", "north-star"),
 )
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob decode pipeline: documents → synthesized binary blobs + typed
     metadata → Arrow-batched mapInPandas decode → per-dimension-bucket
     stats.  Map-only until the final tiny aggregation; blobs never shuffle.
+
+    The decode runs in Python (the real-codec seam), but its stub output
+    is md5-derived, so the oracle recomputes the identical pixel
+    fingerprints in SQL — the mapInPandas plumbing itself is value-hash
+    checked, not just row-counted.
     """
     docs = t(spark, sf_dir, "documents")
     blobs = MM.attach_blob_column(docs, "text", "doc_id")
@@ -145,21 +193,42 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_images"),
             F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
-            F.countDistinct("pixels_crc").alias("distinct_payloads"),
+            F.countDistinct("pixels_fp").alias("distinct_payloads"),
         )
     )
 
 
+_MM_FEATURE_VEC = "[" + ", ".join(
+    f"{_mm_byte('fh', i)} * 1000000" for i in range(8)
+) + "]"
+
+
 @register(
     "multimodal_feature_knn",
-    oracle=None,
+    oracle=f"""
+WITH b AS (SELECT doc_id, {_MM_BHEX} AS bhex FROM documents WHERE doc_id < 100),
+f AS (SELECT doc_id, md5(bhex) AS fh FROM b),
+vec AS (SELECT doc_id, {_MM_FEATURE_VEC} AS v FROM f),
+n AS (SELECT doc_id, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM vec),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM n q JOIN n c ON q.doc_id < 10 AND q.doc_id <> c.doc_id
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+""",
     tags=("multimodal", "similarity", "north-star"),
 )
 def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal similarity: blobs → feature vectors (stubbed
     vision encoder via mapInPandas) → exact cosine top-3 neighbors for the
     first 10 items.  Demonstrates the binary-column → embedding-column →
-    similarity-operator composition on real Spark plumbing.
+    similarity-operator composition on real Spark plumbing; the md5-byte
+    stub features let the oracle rebuild the same vectors and rankings.
     """
     from uda_spark.operators import similarity as SIM
 
@@ -169,7 +238,10 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "embedding"
     )
     queries = feats.where(F.col("doc_id") < 10)
-    return SIM.knn_bruteforce(feats, queries, "doc_id", "embedding", top_k=3)
+    out = SIM.knn_bruteforce(feats, queries, "doc_id", "embedding", top_k=3)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank")
+    )
 
 
 @register(

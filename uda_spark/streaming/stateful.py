@@ -31,19 +31,23 @@ RUNNING_TOTALS_SCHEMA = StructType(
     ]
 )
 
-_STATE_SCHEMA = "n LONG, total DOUBLE"
+# State accumulates integer CENTS, not doubles: integer addition is exact
+# and order-independent, so the emitted totals are deterministic under any
+# partitioning / trigger slicing — which is what lets the batch SQL oracle
+# value-hash the streaming result.
+_STATE_SCHEMA = "n LONG, cents LONG"
 
 
 def _update_running_totals(
     key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int(pdf["value_cents"].sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
     )
 
 
@@ -51,15 +55,18 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     """Running per-user (count, value-total) maintained across triggers —
     a custom stateful accumulator the built-in aggregations cover in
     batch but which demonstrates the arbitrary-state API for streams.
-    State per key is two scalars; no timeout (bounded key domain)."""
-    return (
-        events.select("user_id", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _update_running_totals,
-            outputStructType=RUNNING_TOTALS_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    State per key is two scalars (exact integer cents); no timeout
+    (bounded key domain)."""
+    from pyspark.sql import functions as F
+
+    prepped = events.select(
+        "user_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG)").alias("value_cents"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
