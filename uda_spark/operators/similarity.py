@@ -64,6 +64,44 @@ def knn_bruteforce(
     )
 
 
+def srp_sign(t: int, p: int, d: int) -> int:
+    """Hyperplane (table t, plane p)'s ±1 component for dimension d —
+    deterministic md5 bit, shared by the Spark operator and the SQL
+    oracles (which embed the resulting sign matrix as literals)."""
+    import hashlib
+
+    h = hashlib.md5(f"{t}|{p}|{d}".encode()).hexdigest()
+    return 1 if h[0] >= "8" else -1
+
+
+def srp_buckets_duck_sql(
+    n_planes: int, n_tables: int, dim: int, id_col: str = "vec_id"
+) -> str:
+    """DuckDB oracle twin of :func:`srp_buckets`: (id, tbl, bucket) rows
+    over a CTE named ``iv`` with columns (``id_col``, v fixed-point list).
+
+    The sign matrix is deterministic (:func:`srp_sign`), so it is embedded
+    as ±1 literals — the oracle recomputes the EXACT buckets the Spark
+    operator assigns, making LSH-based queries value-hash checkable.
+    """
+    selects = []
+    for t in range(n_tables):
+        plane_terms = []
+        for p in range(n_planes):
+            signs = ", ".join(str(srp_sign(t, p, d)) for d in range(dim))
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> v[i] * ([{signs}])[i]))"
+            )
+            plane_terms.append(
+                f"CASE WHEN {dot} >= 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END"
+            )
+        selects.append(
+            f"SELECT {id_col}, {t} AS tbl, {' + '.join(plane_terms)} AS bucket FROM iv"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 def srp_buckets(
     df: DataFrame,
     id_col: str,
@@ -87,8 +125,6 @@ def srp_buckets(
     The first formulation hashed inside the row expression —
     corpus × L × k × dim md5 calls (10M at sf0.1) — and was 30× slower.
     """
-    import hashlib
-
     if dim is None:
         # one-row probe job; pass dim explicitly to skip it (and to make
         # empty input well-defined)
@@ -102,9 +138,7 @@ def srp_buckets(
             )
         dim = int(dim_row["d"])
 
-    def sign(t: int, p: int, d: int) -> int:
-        h = hashlib.md5(f"{t}|{p}|{d}".encode()).hexdigest()
-        return 1 if h[0] >= "8" else -1
+    sign = srp_sign
 
     iv = portable.int_vec(vec_col, "spark")
     prepped = df.select(F.col(id_col), F.expr(iv).alias("_v"))

@@ -514,19 +514,65 @@ def merge_orders_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_NPROBE = 3
 
+_IVF_IV = portable.int_vec("embedding", "duck")
+_IVF_QDOT = portable.int_dot("p.q_vec", "c.v", "duck")
+_IVF_QN = portable.int_dot("p.q_vec", "p.q_vec", "duck")
+_IVF_CN = portable.int_dot("c.v", "c.v", "duck")
 
-@register("sim_ivf_knn", oracle=None, tags=("similarity", "north-star", "approx"))
+
+@register(
+    "sim_ivf_knn",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_IVF_IV} AS v FROM embeddings),
+dims AS (
+  SELECT label, d, SUM(v[d + 1]) AS s, COUNT(*)::BIGINT AS n
+  FROM iv, range(0, 64) r(d) GROUP BY label, d
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY d) AS centroid
+  FROM dims GROUP BY label
+),
+q AS (SELECT vec_id, v FROM iv WHERE vec_id < 10),
+qc AS (
+  SELECT q.vec_id, q.v, c.label,
+         list_sum(list_transform(range(1, 65),
+           i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS dist2
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT vec_id AS q_id, v AS q_vec, label AS probe_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, label) AS rn FROM qc)
+  WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.q_id AS query_id, c.vec_id AS neighbor_id,
+         round({portable.cosine_from_ints(_IVF_QDOT, _IVF_QN, _IVF_CN)}, 6) AS score
+  FROM iv c JOIN probes p ON c.label = p.probe_label AND c.vec_id <> p.q_id
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""",
+    tags=("similarity", "north-star", "approx"),
+)
 def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus by label centroid, then
     search only the query's nprobe=3 nearest partitions.
 
+    Oracle-checked despite being an "approximate" op: every step is a
+    deterministic function of exact integers (fixed-point vectors, exact
+    centroid numerators, IEEE doubles evaluated in the same dimension
+    order in both engines), so DuckDB reproduces the identical probe
+    assignment and ranking.
+
     The centroids here are the per-label means (sim_label_centroid_dist
     builds them); a production IVF trains k-means centroids the same way.
     Shuffle profile: centroid build is one tiny agg; search is a broadcast
-    of queries against ~nprobe/k of the corpus.  Rows-only check (approx
-    op); recall vs brute force is asserted in tests (these synthetic
-    embeddings are near-uniform, so recall ~ nprobe/k is the expectation —
-    clustered real data recalls far higher at the same nprobe).
+    of queries against ~nprobe/k of the corpus.  Recall vs brute force is
+    additionally asserted in tests (these synthetic embeddings are
+    near-uniform, so recall ~ nprobe/k is the expectation — clustered
+    real data recalls far higher at the same nprobe).
     """
     emb = t(spark, sf_dir, "embeddings")
     iv = emb.select(

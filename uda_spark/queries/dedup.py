@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from uda_spark.cache import tracked_persist
 from uda_spark.functions import portable
 from uda_spark.operators import dedup as D
+from uda_spark.operators import similarity as SIM_OP
 from uda_spark.queries.common import t
 from uda_spark.registry import register
 
@@ -272,16 +273,34 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
 
 
+_LSH_PAIRS_ORACLE = f"""
+WITH iv AS (SELECT vec_id, {portable.int_vec('embedding', 'duck')} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nrm FROM iv),
+buckets AS ({{buckets}}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT cand.id_a, cand.id_b,
+       ROUND({portable.cosine_from_ints(portable.int_dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}, 6) AS score
+FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b
+WHERE ROUND({portable.cosine_from_ints(portable.int_dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}, 6) >= {COSINE_T}
+"""
+
+
 @register(
     "dedup_embedding_near_pairs_lsh",
-    oracle=None,
+    oracle=_LSH_PAIRS_ORACLE.format(buckets=SIM_OP.srp_buckets_duck_sql(4, 8, 64)),
     tags=("dedup", "similarity", "north-star", "approx"),
 )
 def dedup_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via multi-table SRP LSH — the 100 TB path:
     candidates form inside (table, bucket) groups (one exchange), the
     exact cosine filter runs only on candidates.  Subset of the exact
-    variant by construction; recall is asserted in tests."""
+    variant by construction (asserted in tests); the oracle embeds the
+    deterministic sign matrix and recomputes the same buckets/pairs, so
+    the approximation is value-hash checked."""
     from uda_spark.operators import similarity as SIM
 
     emb = t(spark, sf_dir, "embeddings")

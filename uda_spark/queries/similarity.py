@@ -117,14 +117,52 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_lsh_knn", oracle=None, tags=("similarity", "north-star", "approx"))
+LSH_PLANES = 4
+LSH_TABLES = 8
+EMB_DIM = 64
+
+_SRP_BUCKETS_SQL = SIM.srp_buckets_duck_sql(LSH_PLANES, LSH_TABLES, EMB_DIM)
+
+
+@register(
+    "sim_lsh_knn",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+buckets AS ({_SRP_BUCKETS_SQL}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.c_id
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "north-star", "approx"),
+)
 def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection buckets (the scale path
-    — candidates shrink ~2^n_planes-fold).  Deterministic but too gnarly
-    for a SQL oracle; the parity test instead checks recall >= 0.4 against
-    the exact brute-force result."""
+    — candidates shrink ~2^n_planes-fold per table).
+
+    The hyperplanes are deterministic md5 bits, so the oracle embeds the
+    sign matrix as literals and recomputes the same buckets, candidates,
+    and ranking — the approximation itself is value-hash checked, not
+    just recall-tested (recall >= 0.4 vs brute force is still asserted
+    in tests/test_approx_ops.py)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return SIM.lsh_knn(
-        emb, queries, "vec_id", "embedding", top_k=TOP_K, n_planes=4, n_tables=8
+    out = SIM.lsh_knn(
+        emb, queries, "vec_id", "embedding",
+        top_k=TOP_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank")
     )
