@@ -59,12 +59,12 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Two measured iterations per query, report the min: the host runs
-    # other tenants, so single cold samples swing ±80%; min-of-2 is the
+    # Three measured iterations per query, report the min: the host runs
+    # other tenants, so single cold samples swing ±80%; min-of-3 is the
     # steady-state estimate.  clearCache() between iterations drops any
-    # persist()ed intermediates so iteration 2 re-executes the FULL
+    # persist()ed intermediates so every iteration re-executes the FULL
     # pipeline (JVM/codegen warmth is kept — that is the point).
-    ITERS = 2
+    ITERS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
