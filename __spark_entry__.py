@@ -1,9 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Backed by the uda_spark query registry: every entry pairs a DataFrame
-formulation with a DuckDB oracle (uda_spark/registry.py); non-SQL-
-expressible ops (approximate LSH search) register with oracle=None and get
-the weaker rows-only check.
+formulation with a DuckDB oracle (uda_spark/registry.py).  ALL registered
+queries carry oracles — including the LSH/IVF "approximate" ops, whose
+deterministic md5 hyperplanes are embedded in the oracle SQL.
 """
 
 from __future__ import annotations
@@ -18,8 +18,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
-    return get_queries()["q1_pricing_summary"](spark, SMOKE_SF_DIR)
+    """Flagship: the end-to-end training-data pipeline (quality filter →
+    exact dedup → MinHash near-dup removal → deterministic sample →
+    corpus stats) on /root/testdata/sf0.001."""
+    return get_queries()["pipeline_training_data"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from uda_spark import multimodal as MM
 from uda_spark import streaming as ST
 from uda_spark.functions import portable
+from uda_spark.operators import dedup as D
 from uda_spark.queries.common import t
 from uda_spark.queries.events import _DUCK_US, SESSION_GAP_S
 from uda_spark.registry import register
@@ -37,6 +38,156 @@ _SINK_IDS = itertools.count()
 
 def _sink_name(prefix: str) -> str:
     return f"{prefix}_{next(_SINK_IDS)}"
+
+
+# ---------------------------------------------------------------------------
+# Flagship end-to-end training-data pipeline
+
+PIPE_QMIN_PPM = 350_000  # quality floor (ppm); drops the bottom ~15%
+PIPE_SAMPLE_PCT = 8  # keep hash%10 < 8 => deterministic 80% sample
+_PIPE_N_HASHES, _PIPE_BANDS, _PIPE_K, _PIPE_JACCARD = 16, 4, 3, 0.4
+
+_PIPE_DUCK_CORPUS = """
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source, text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, lang, source,
+         text || ' extra extra extra' AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _pipe_oracle() -> str:
+    from uda_spark.functions import text as TXT
+
+    toks = portable.tokens("text", "duck")
+    quality = TXT.quality_score_ppm("toks", "length(text)", "duck")
+    fp = TXT.fingerprint("toks", "duck")
+    rows_per_band = _PIPE_N_HASHES // _PIPE_BANDS
+    return f"""
+WITH corpus AS ({_PIPE_DUCK_CORPUS}),
+tk AS (SELECT doc_id, lang, source, text, {toks} AS toks FROM corpus),
+scoredq AS (SELECT *, {quality} AS q_ppm FROM tk),
+filt AS (SELECT * FROM scoredq WHERE q_ppm >= {PIPE_QMIN_PPM}),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM filt
+  ) WHERE rn = 1
+),
+sh AS (SELECT doc_id, {portable.shingles('toks', _PIPE_K, 'duck')} AS shingles FROM kept),
+sig AS (SELECT doc_id,
+               {portable.minhash_sig('shingles', _PIPE_N_HASHES, 'duck')} AS sig,
+               list_distinct(shingles) AS sset
+        FROM sh),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * {rows_per_band} + 1, b * {rows_per_band} + {rows_per_band}), '|')) AS bh
+  FROM sig, range(0, {_PIPE_BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM (SELECT doc_a, doc_b,
+               len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS n_inter,
+               len(sa.sset) AS na, len(sb.sset) AS nb
+        FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+  WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= CAST({_PIPE_JACCARD * 10:.0f} AS DOUBLE) / 10
+),
+surv AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+),
+samp AS (
+  SELECT * FROM surv
+  WHERE {portable.hash60("'smp|' || doc_id::VARCHAR", 'duck')} % 10 < {PIPE_SAMPLE_PCT}
+)
+SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+       SUM(len(toks))::BIGINT AS sum_tokens,
+       SUM(q_ppm)::BIGINT AS sum_quality_ppm,
+       bit_xor({TXT.fingerprint('toks', 'duck')}) AS fp_xor
+FROM samp GROUP BY lang, source
+"""
+
+
+@register(
+    "pipeline_training_data",
+    oracle=_pipe_oracle(),
+    tags=("pipeline", "dedup", "text", "north-star"),
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end LLM training-data pipeline in ONE declarative
+    DataFrame chain — the composite every large-scale corpus build runs:
+
+      1. quality + language scoring (map-side HOFs, zero shuffle),
+      2. quality filter (floor at {PIPE_QMIN_PPM} ppm),
+      3. exact dedup (min doc_id per content digest — one digest shuffle),
+      4. near-dup removal via MinHash banding (drop the later doc of each
+         verified pair; greedy pairwise rule, the cluster-canonical
+         variant is dedup_cluster_canonical),
+      5. deterministic 80% hash sample (reproducible splits, no RNG),
+      6. per-(lang, source) corpus stats incl. a fingerprint XOR that
+         pins the exact surviving content, not just counts.
+
+    Every stage is engine-portable, so the DuckDB oracle replays the
+    whole pipeline and value-hashes the result.  Scale: stages 1-2 and 5
+    are map-only; 3 shuffles digests; 4 is the banded LSH exchange
+    (never all-pairs); 6 is a tiny agg.  Corpus = documents + injected
+    exact copies + near-dup perturbations so every stage provably bites.
+    """
+    from uda_spark.functions import text as TXT
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "source", "text"
+    )
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat(F.col("text"), F.lit(" extra extra extra")).alias("text"),
+    )
+    corpus = docs.unionByName(copies).unionByName(near)
+
+    toks = portable.tokens("text", "spark")
+    quality = TXT.quality_score_ppm("toks", "length(text)", "spark")
+    scored = corpus.withColumn("toks", F.expr(toks)).withColumn(
+        "q_ppm", F.expr(quality)
+    )
+    filt = scored.where(F.col("q_ppm") >= PIPE_QMIN_PPM)
+
+    w_digest = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        filt.withColumn("_rn", F.row_number().over(w_digest))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    pairs = D.minhash_near_dup_pairs(
+        kept.select("doc_id", "text"),
+        "text",
+        "doc_id",
+        n_hashes=_PIPE_N_HASHES,
+        bands=_PIPE_BANDS,
+        k=_PIPE_K,
+        jaccard_threshold=_PIPE_JACCARD,
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    surv = kept.join(drop, on="doc_id", how="left_anti")
+
+    keep_hash = portable.hash60("concat('smp|', CAST(doc_id AS STRING))", "spark")
+    samp = surv.where(F.expr(f"pmod({keep_hash}, 10) < {PIPE_SAMPLE_PCT}"))
+
+    fp = TXT.fingerprint("toks", "spark")
+    return samp.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_tokens"),
+        F.sum("q_ppm").alias("sum_quality_ppm"),
+        F.expr(f"bit_xor({fp})").alias("fp_xor"),
+    )
 
 
 @register(
