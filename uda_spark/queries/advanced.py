@@ -512,6 +512,127 @@ def merge_orders_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, src, keys=["o_orderkey"])
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+_KM_IV = portable.int_vec("embedding", "duck")
+
+
+def _km_assign_sql(iv_rel: str, cent_rel: str) -> str:
+    """DuckDB: assign every vector in ``iv_rel`` (vec_id, v) to its nearest
+    centroid in ``cent_rel`` (cluster, centroid double-list); ties go to
+    the lower cluster id.  dist2 is IEEE doubles over exact integers in a
+    fixed dimension order — identical in both engines."""
+    return f"""
+  SELECT vec_id, v, cluster FROM (
+    SELECT i.vec_id, i.v, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY i.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+               d -> (i.v[d] - c.centroid[d]) * (i.v[d] - c.centroid[d]))), c.cluster
+           ) AS rn
+    FROM {iv_rel} i CROSS JOIN {cent_rel} c
+  ) WHERE rn = 1
+"""
+
+
+def _km_means_sql(assigned_rel: str) -> str:
+    """DuckDB: per-cluster mean vector (exact integer sums -> doubles)."""
+    return f"""
+  SELECT cluster, list(CAST(s AS DOUBLE) / n ORDER BY d) AS centroid FROM (
+    SELECT cluster, d, SUM(v[d + 1]) AS s, COUNT(*)::BIGINT AS n
+    FROM {assigned_rel}, range(0, 64) r(d)
+    GROUP BY cluster, d
+  ) GROUP BY cluster
+"""
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_KM_IV} AS v FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cluster, list_transform(v, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM iv WHERE vec_id < {KMEANS_K}
+),
+a1 AS ({_km_assign_sql('iv', 'c0')}),
+c1 AS ({_km_means_sql('a1')}),
+a2 AS ({_km_assign_sql('iv', 'c1')}),
+c2 AS ({_km_means_sql('a2')})
+SELECT a2.cluster, COUNT(*)::BIGINT AS n_vectors,
+       SUM(a2.vec_id)::BIGINT AS member_checksum,
+       round(sqrt(list_sum(list_transform(c2.centroid,
+             m -> (m / {portable.FIXED_POINT}) * (m / {portable.FIXED_POINT})))), 6) AS centroid_l2
+FROM a2 JOIN c2 ON a2.cluster = c2.cluster
+GROUP BY a2.cluster, c2.centroid
+""",
+    tags=("similarity", "iterative", "north-star"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings (k=4, 2 iterations) — the
+    iterative model-training loop an IVF index builds its coarse
+    quantizer with (sim_ivf_knn consumes exactly such centroids).
+
+    Deterministic end to end: init = the first k vectors, exact
+    fixed-point integer inputs, IEEE double distances evaluated in a
+    fixed dimension order, ties to the lower cluster id — so the oracle
+    UNROLLS both iterations in SQL CTEs and value-hashes the final
+    assignment (member_checksum pins membership exactly).
+
+    Scale: each iteration is one broadcast of k×dim centroid doubles +
+    one map-side assignment + one (cluster, d) aggregation — no
+    all-pairs anything; iterations are driver-side loop steps exactly
+    like the reference's regression harness loops (PageRank/CC use the
+    same pattern with localCheckpoint for long chains).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    cent = iv.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.expr("transform(v, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    dist2 = (
+        "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)), "
+        "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster")
+        assigned = (
+            iv.crossJoin(F.broadcast(cent))
+            .withColumn("dist2", F.expr(dist2))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster")
+        )
+        cent = (
+            assigned.select("cluster", F.posexplode("v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("m")))
+                ).alias("cm")
+            )
+            .select("cluster", F.expr("transform(cm, e -> e.m)").alias("centroid"))
+        )
+    fp = portable.FIXED_POINT
+    l2 = (
+        f"round(sqrt(aggregate(transform(centroid, m -> (m / {fp}) * (m / {fp})), "
+        f"CAST(0 AS DOUBLE), (acc, e) -> acc + e)), 6)"
+    )
+    stats = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("vec_id").alias("member_checksum"),
+    )
+    return stats.join(cent, on="cluster").select(
+        "cluster", "n_vectors", "member_checksum", F.expr(l2).alias("centroid_l2")
+    )
+
+
 IVF_NPROBE = 3
 
 _IVF_IV = portable.int_vec("embedding", "duck")

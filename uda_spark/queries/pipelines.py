@@ -414,6 +414,34 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_watermarked",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production streaming dedup: dropDuplicatesWithinWatermark — the
+    BOUNDED-state variant (keyed state is evicted once the watermark
+    passes, so an unbounded stream runs in bounded memory, unlike the
+    unbounded dropDuplicates above).
+
+    The oracle is exact because the watermark delay here (365 days)
+    spans the whole test stream: no key's state is evicted mid-pass, so
+    the emitted set equals batch DISTINCT.  Production deployments set
+    the delay to the duplicate-arrival horizon; correctness then holds
+    per-horizon by the same argument.
+    """
+    ev = ST.events_file_stream(spark, sf_dir)
+    result = (
+        ev.withWatermark("event_time", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return ST.run_stream_to_memory(
+        result, _sink_name("dedup_wm_sink"), mode="append"
+    )
+
+
+@register(
     "streaming_stream_stream_join",
     oracle=f"""
 WITH purchases AS (
