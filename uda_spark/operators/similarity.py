@@ -178,10 +178,14 @@ def lsh_knn(
     each pair is scored once.  At 100 TB the candidate set per query is
     ~L * corpus/2^k — the tunable fraction of a full scan.
     """
-    cb = srp_buckets(corpus, id_col, vec_col, n_planes, n_tables).withColumnRenamed(
+    # Probe the dimensionality ONCE (tiny driver job) and share it with
+    # both srp_buckets calls — each would otherwise run its own probe.
+    dim_row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row is not None else None
+    cb = srp_buckets(corpus, id_col, vec_col, n_planes, n_tables, dim=dim).withColumnRenamed(
         id_col, "c_id"
     )
-    qb = srp_buckets(queries, id_col, vec_col, n_planes, n_tables).withColumnRenamed(
+    qb = srp_buckets(queries, id_col, vec_col, n_planes, n_tables, dim=dim).withColumnRenamed(
         id_col, "q_id"
     )
     cand = (
