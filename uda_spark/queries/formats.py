@@ -62,6 +62,31 @@ def json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_roundtrip_documents",
+    oracle=f"""
+SELECT COUNT(*)::BIGINT AS n_rows,
+       bit_xor({portable.hash60('text', 'duck')}) AS checksum
+FROM documents
+""",
+    tags=("formats", "io", "text"),
+)
+def text_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → line-oriented text files (the randomtextwriter-
+    style wordcount input) → read_text scan → (rows, checksum).  The
+    oracle recomputes the checksum from the original column, so line
+    framing (no quoting layer — text must be newline-free) is what is
+    checked."""
+    path = _fmt_path("text", sf_dir)
+    src = t(spark, sf_dir, "documents").select("text")
+    src.write.mode("overwrite").text(path)
+    back = FMT.read_text(spark, path)
+    chk = portable.hash60("value", "spark")
+    return back.agg(
+        F.count("*").alias("n_rows"), F.expr(f"bit_xor({chk})").alias("checksum")
+    )
+
+
+@register(
     "kv_sequencefile_roundtrip",
     oracle=f"""
 SELECT COUNT(*)::BIGINT AS n_rows,

@@ -144,3 +144,49 @@ def udf_cogroup_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="o_orderkey long, n_lines long, total_qty double, o_totalprice double",
         )
     )
+
+
+@register(
+    "udtf_order_metrics",
+    oracle="""
+SELECT o_orderkey, 'price_per_key' AS metric,
+       o_totalprice / (o_orderkey + 1) AS value
+FROM orders WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+FROM orders WHERE o_orderkey % 50 = 0
+""",
+    tags=("udf", "udtf"),
+)
+def udtf_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 4 surface): each
+    order row fans out to one row per derived metric via a LATERAL join —
+    the table-function escape hatch for row→many-rows logic that scalar
+    UDFs can't express (parsers, exploders, generators).
+
+    Completes the UDF/UDAF/UDTF trio (scalar + grouped-agg pandas UDFs
+    and grouped-map/cogrouped transforms are the other queries here).
+    Values are IEEE results of exact inputs (double price, integer key),
+    so the UNPIVOT-style UNION ALL oracle matches exactly.  Scale: the
+    UDTF is applied map-side under the lateral join — no shuffle; Python
+    row cost is bounded by the pre-filter.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, metric string, value double")
+    class OrderMetrics:
+        def eval(self, o_orderkey: int, o_totalprice: float):
+            yield o_orderkey, "totalprice", o_totalprice
+            yield o_orderkey, "price_per_key", o_totalprice / (o_orderkey + 1)
+
+    spark.udtf.register("order_metrics", OrderMetrics)
+    from uda_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT m.o_orderkey, m.metric, m.value
+        FROM orders o, LATERAL order_metrics(o.o_orderkey, o.o_totalprice) m
+        WHERE o.o_orderkey % 50 = 0
+        """
+    )
