@@ -258,3 +258,40 @@ class TestMergeUpsert:
         # NULL keys never equi-match: target NULL-key row passes through
         # 'unchanged', source NULL-key row is an insert, k=1 updates
         assert actions == ["inserted", "unchanged", "updated"]
+
+
+class TestPartitioningHelpers:
+    def test_ensure_min_partitions_repartitions_small_input(self, spark):
+        from uda_spark.plans.partitioning import ensure_min_partitions
+
+        small = spark.range(100).coalesce(1)
+        out = ensure_min_partitions(small, target=8)
+        assert out.rdd.getNumPartitions() == 8
+        assert out.count() == 100
+
+    def test_ensure_min_partitions_noop_when_wide_enough(self, spark):
+        from uda_spark.plans.partitioning import ensure_min_partitions
+
+        wide = spark.range(100).repartition(16)
+        out = ensure_min_partitions(wide, target=8)
+        # unchanged plan object — no extra exchange inserted
+        assert out is wide
+
+    def test_with_salt_in_range(self, spark):
+        from uda_spark.plans.partitioning import with_salt
+
+        df = with_salt(spark.range(10_000), n_salts=7)
+        bad = df.where((F.col("_salt") < 0) | (F.col("_salt") >= 7)).count()
+        assert bad == 0
+
+
+class TestCacheLifecycle:
+    def test_tracked_persist_releases(self, spark):
+        from uda_spark import cache
+
+        df = cache.tracked_persist(spark.range(1000))
+        df.count()  # materialize the cached blocks
+        assert df.storageLevel.useMemory
+        released = cache.release_persisted()
+        assert released >= 1
+        assert not cache._TRACKED

@@ -293,6 +293,60 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, md5(CAST(text AS VARCHAR)) || md5('x' || CAST(text AS VARCHAR)) AS bhex
+  FROM documents WHERE doc_id < 200
+),
+-- blob is 32 bytes; 4 frames => step 8 bytes = 16 hex chars per frame
+frames AS (
+  SELECT doc_id, f AS frame_no, substr(bhex, f * 16 + 1, 16) AS fhex
+  FROM b, range(0, 4) r(f)
+)
+SELECT doc_id, frame_no::INT AS frame_no,
+       {portable.hash60('fhex', 'duck')} AS frame_fp
+FROM frames
+""",
+    tags=("multimodal", "north-star"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: each blob fans out to 4 equally-spaced
+    frame chunks via mapInPandas (one row in → n rows out, still
+    map-only; ffmpeg plugs into the same seam).  The stub slices bytes,
+    so the oracle recomputes each frame's hash60 fingerprint from the
+    same hex algebra — fan-out plumbing is value-hash checked."""
+    from uda_spark.multimodal.blob import _hash60_py
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    blobs = MM.attach_blob_column(docs, "text", "doc_id")
+    frames = MM.sample_frames(blobs, n_frames=4, id_col="doc_id")
+    from pyspark.sql.types import LongType, IntegerType, StructField, StructType
+    import pandas as pd
+
+    def fp(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "frame_no": pdf["frame_no"],
+                    "frame_fp": [
+                        _hash60_py(bytes(fr).hex()) for fr in pdf["frame"]
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("frame_fp", LongType()),
+        ]
+    )
+    return frames.mapInPandas(fp, schema=schema)
+
+
 # Oracle-side algebra for the deterministic multimodal codec stubs
 # (multimodal/blob.py): blob hex, salted hash60 dims, md5-expanded pixel
 # buffer, md5-byte feature vector — all recomputable in DuckDB.
