@@ -216,6 +216,77 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_gap_fill",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, {_DUCK_US} // 3600000000 AS h,
+         COUNT(*)::BIGINT AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+),
+joined AS (
+  SELECT s.event_type, s.h, hourly.n, hourly.cents
+  FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+),
+grouped AS (
+  SELECT *, COUNT(cents) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM joined
+)
+SELECT event_type, h * 3600 AS hour_epoch,
+       COALESCE(n, 0)::BIGINT AS n_events,
+       MAX(cents) OVER (PARTITION BY event_type, grp) AS locf_cents
+FROM grouped
+""",
+    tags=("events", "window", "timeseries"),
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense hourly spine per event type (every
+    hour between the corpus min and max), missing hours filled with
+    count 0 and the value total carried forward (LOCF — the
+    hypertable/continuous-aggregate interpolation shape).
+
+    LOCF uses the portable count-over/max-per-group trick (COUNT skips
+    NULLs, so each observation opens a group) instead of IGNORE NULLS,
+    which not every engine spells identically.  Totals are integer cents
+    — exact in both engines.  Scale: the spine is |types| × |hours| rows
+    (tiny relative to events); one exchange for the hourly rollup, one
+    broadcast-able spine join, one window per type.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS LONG)").alias("cents"),
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(lo, hi)")).alias("h")
+    )
+    joined = spine.join(hourly, on=["event_type", "h"], how="left")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = joined.withColumn("grp", F.count("cents").over(w_run))
+    w_grp = Window.partitionBy("event_type", "grp")
+    return grouped.select(
+        "event_type",
+        (F.col("h") * 3600).alias("hour_epoch"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.max("cents").over(w_grp).alias("locf_cents"),
+    )
+
+
 ASOF_TOLERANCE_S = 7 * 24 * 3600
 
 

@@ -347,6 +347,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.mapInPandas(fp, schema=schema)
 
 
+PACK_CONTEXT_TOKENS = 2048
+PACK_SHARDS = 4
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         len({portable.tokens('text', 'duck')}) AS n_tokens,
+         {portable.hash60("'shard|' || doc_id::VARCHAR", 'duck')} % {PACK_SHARDS} AS shard
+  FROM documents
+),
+packed AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         (SUM(n_tokens) OVER w - n_tokens) // {PACK_CONTEXT_TOKENS} AS bin_id
+  FROM tk
+  WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT lang, shard::INT AS shard, bin_id::BIGINT AS bin_id,
+       COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens,
+       bit_xor({portable.hash60("'p|' || doc_id::VARCHAR", 'duck')}) AS member_fp
+FROM packed GROUP BY lang, shard, bin_id
+""",
+    tags=("pipeline", "text", "north-star"),
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-budget context bins ({PACK_CONTEXT_TOKENS} tokens) by a running
+    token cumsum — bin = floor(start_offset / budget), the contiguous
+    greedy packing every pretraining data loader performs up front.
+
+    Scale: packing is sequential BY DESIGN within a stream, so the
+    parallelism knob is sharding — docs are hash-split into
+    {PACK_SHARDS} deterministic shards per language and packed within
+    (lang, shard); each shard's window is an independent partition, so
+    1000 executors pack 1000 streams concurrently.  A per-bin member
+    fingerprint (xor of doc-id hashes) pins exact membership in the
+    oracle, not just counts.
+    """
+    toks = portable.tokens("text", "spark")
+    shard_h = portable.hash60("concat('shard|', CAST(doc_id AS STRING))", "spark")
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(toks)).alias("n_tokens"),
+        F.expr(f"pmod({shard_h}, {PACK_SHARDS})").cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tk.withColumn(
+        "_start", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    ).withColumn("bin_id", F.expr(f"_start div {PACK_CONTEXT_TOKENS}"))
+    member_h = portable.hash60("concat('p|', CAST(doc_id AS STRING))", "spark")
+    return packed.groupBy("lang", "shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.expr(f"bit_xor({member_h})").alias("member_fp"),
+    )
+
+
 # Oracle-side algebra for the deterministic multimodal codec stubs
 # (multimodal/blob.py): blob hex, salted hash60 dims, md5-expanded pixel
 # buffer, md5-byte feature vector — all recomputable in DuckDB.
