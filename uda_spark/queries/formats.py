@@ -144,6 +144,55 @@ def kv_vint_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_evolution_scan",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT COUNT(*)::BIGINT AS n_rows,
+       COUNT(o_orderstatus)::BIGINT AS n_with_status,
+       bit_xor({portable.hash60(
+           "o_orderkey::VARCHAR || '|' || COALESCE(o_orderstatus, '-')", 'duck')}) AS checksum
+FROM merged
+""",
+    tags=("formats", "io", "schema-evolution"),
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations: generation 1
+    lacks a column that generation 2 added; a mergeSchema scan reads both
+    under one directory, null-filling the missing column — the
+    append-only table-evolution pattern every long-lived 100 TB dataset
+    hits.  The checksum covers the null-filled column, so the merge
+    semantics (not just row counts) are what the oracle checks."""
+    base = _fmt_path("evolve", sf_dir)
+    o = t(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    chk = portable.hash60(
+        "concat(cast(o_orderkey AS STRING), '|', coalesce(o_orderstatus, '-'))",
+        "spark",
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.expr(f"bit_xor({chk})").alias("checksum"),
+    )
+
+
+@register(
     "orc_roundtrip_part",
     oracle="SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
     tags=("formats", "io"),

@@ -259,6 +259,34 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_rollup",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, {_DUCK_US} // 3600000000 AS h, value FROM events
+),
+expanded AS (
+  SELECT event_type, (h - k) AS ws, value FROM ev, range(0, 2) r(k)
+)
+SELECT ws * 3600 AS window_epoch, event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded GROUP BY 1, 2
+""",
+    tags=("streaming", "window", "aggregation"),
+)
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour/1-hour windowed rollup over the event STREAM — the
+    overlapping-window (moving aggregate) shape: every event lands in
+    duration/slide = 2 windows.  The batch oracle expands each event to
+    its two member windows (hour h -> starts h-1 and h, matching Spark's
+    slide-aligned window starts) and must equal the one-pass streaming
+    result."""
+    ev = ST.events_file_stream(spark, sf_dir)
+    result = ST.sliding_counts_stream(ev, duration="2 hours", slide="1 hour")
+    return ST.run_stream_to_memory(result, _sink_name("sliding_sink"))
+
+
+@register(
     "streaming_running_totals",
     oracle="""
 SELECT user_id, COUNT(*)::BIGINT AS n_events,

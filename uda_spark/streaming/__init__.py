@@ -2,6 +2,7 @@ from uda_spark.streaming.windows import (
     events_file_stream,
     purchase_after_signup_stream,
     hourly_counts_stream,
+    sliding_counts_stream,
     sessionize_stream,
     run_stream_to_memory,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "events_file_stream",
     "purchase_after_signup_stream",
     "hourly_counts_stream",
+    "sliding_counts_stream",
     "sessionize_stream",
     "run_stream_to_memory",
 ]

@@ -63,6 +63,32 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (overlapping) windowed counts: each event lands in
+    duration/slide windows — the moving-average / trailing-window shape
+    tumbling windows can't express.  State is O(open windows × types),
+    watermark-evicted like the tumbling variant."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", duration, slide), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
 ) -> DataFrame:
