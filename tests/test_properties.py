@@ -149,6 +149,51 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert out[lid] == expect, (lid, k, lts, out[lid], expect)
 
 
+@SPARK_SETTINGS
+@given(left=asof_events, right=asof_events)
+def test_asof_forward_nearest_match_bruteforce(spark, left, right):
+    from uda_spark.operators.join import asof_join
+
+    rmap = {}
+    for i, (k, ts) in enumerate(right):
+        rmap[(k, ts)] = i
+    rrows = [(k, ts, v) for (k, ts), v in rmap.items()]
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, lts long")
+    rdf = spark.createDataFrame(rrows, "k long, rts long, rv long")
+
+    fwd = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_values=["rv"], direction="forward",
+        ).collect()
+    }
+    near = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_values=["rv"], direction="nearest",
+        ).collect()
+    }
+    for lid, k, lts in lrows:
+        back_c = [(ts, v) for (kk, ts), v in rmap.items() if kk == k and ts <= lts]
+        fwd_c = [(ts, v) for (kk, ts), v in rmap.items() if kk == k and ts >= lts]
+        expect_f = min(fwd_c)[1] if fwd_c else None
+        assert fwd[lid] == expect_f, ("fwd", lid, k, lts, fwd[lid], expect_f)
+        b = max(back_c) if back_c else None
+        f = min(fwd_c) if fwd_c else None
+        if b is None and f is None:
+            expect_n = None
+        elif b is None:
+            expect_n = f[1]
+        elif f is None:
+            expect_n = b[1]
+        else:  # tie goes backward
+            expect_n = b[1] if (lts - b[0]) <= (f[0] - lts) else f[1]
+        assert near[lid] == expect_n, ("near", lid, k, lts, near[lid], expect_n)
+
+
 def test_connected_components_raises_on_iteration_exhaustion(spark):
     import pytest
     from uda_spark.operators.dedup import connected_components
