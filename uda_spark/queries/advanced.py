@@ -512,6 +512,52 @@ def merge_orders_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, src, keys=["o_orderkey"])
 
 
+@register(
+    "hll_sketch_persisted_rollup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+    tags=("aggregation", "approx", "sketch", "io"),
+)
+def hll_sketch_persisted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches AT REST: per-(type, shard) HLL sketch BYTES are written to
+    parquet (a binary column — exactly how a 100 TB rollup stores
+    per-partition/day distinct-count state), read back in a separate
+    scan, and unioned to per-type estimates.  The round trip proves the
+    sketch survives serialization through the storage layer with its
+    mergeability intact; the bounded oracle is the same
+    exact + within_bound pattern as hll_sketch_two_level."""
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    shards = ev.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("shard")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"uda_hll_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shards.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    est = stored.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("exact_users")
+    )
+    return est.join(exact, on="event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) * 10
+            <= F.col("exact_users")
+        ).alias("within_bound"),
+    )
+
+
 KMEANS_K = 4
 KMEANS_ITERS = 2
 
