@@ -375,6 +375,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.mapInPandas(fp, schema=schema)
 
 
+@register(
+    "streaming_foreachbatch_sink",
+    oracle="""
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+""",
+    tags=("streaming", "sink", "io"),
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production streaming SINK path: foreachBatch lands every
+    micro-batch in parquet under ``epoch=<id>`` with per-epoch dynamic
+    OVERWRITE — the idempotent exactly-once-per-epoch pattern (a task
+    retry rewrites its epoch directory instead of double-appending).
+    The memory sinks used elsewhere are test harness conveniences; this
+    query exercises the real durable path end-to-end: stream → batch
+    writer → storage → scan → aggregate, checked against the batch
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"uda_fb_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_ckpt", ignore_errors=True)
+
+    ev = ST.events_file_stream(spark, sf_dir).select(
+        "user_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG)").alias("cents"),
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(path, f"epoch={epoch_id}"))
+
+    q = (
+        ev.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.option("basePath", path).parquet(path + "/epoch=*")
+    return landed.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("cents").alias("total_cents")
+    )
+
+
 PACK_CONTEXT_TOKENS = 2048
 PACK_SHARDS = 4
 

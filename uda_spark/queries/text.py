@@ -197,3 +197,113 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style tokenizer training (2 unrolled merge steps)
+
+_BPE_DUCK_STEP = """
+syms{k} AS (
+  SELECT f, list_filter(string_split(s, '|'), x -> x <> '') AS syms FROM {src}
+),
+pairs{k} AS (
+  SELECT p, SUM(f)::BIGINT AS freq FROM (
+    SELECT f, unnest(list_transform(range(1, len(syms)), i -> syms[i] || '|' || syms[i + 1])) AS p
+    FROM syms{k}
+  ) GROUP BY p
+),
+top{k} AS (
+  SELECT p, string_split(p, '|')[1] AS a, string_split(p, '|')[2] AS b, freq
+  FROM pairs{k} ORDER BY freq DESC, p ASC LIMIT 1
+),
+m{k} AS (
+  SELECT replace({src}.s, '|' || t.a || '|' || t.b || '|', '|' || t.a || t.b || '|') AS s, f
+  FROM {src} CROSS JOIN top{k} t
+)
+""".strip()
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=f"""
+WITH wf AS (
+  SELECT w AS word, COUNT(*)::BIGINT AS f FROM (
+    SELECT unnest({_DU_TOKS}) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+s0 AS (
+  SELECT '|' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), '|') || '|' AS s, f
+  FROM wf
+),
+{_BPE_DUCK_STEP.format(k=1, src='s0')},
+{_BPE_DUCK_STEP.format(k=2, src='m1')}
+SELECT 1 AS step, a AS sym_a, b AS sym_b, freq AS pair_freq FROM top1
+UNION ALL
+SELECT 2 AS step, a AS sym_a, b AS sym_b, freq AS pair_freq FROM top2
+""",
+    tags=("text", "north-star", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first two merge rules: count adjacent
+    symbol pairs over the word-frequency table, merge the most frequent
+    pair corpus-wide, repeat — the iterative loop every subword
+    tokenizer (BPE/WordPiece) runs over a training corpus.
+
+    Deterministic and engine-portable by formulation: symbol sequences
+    live as '|'-delimited strings ('|h|e|l|l|o|'), so the merge is ONE
+    anchored string replace — left-to-right non-overlapping in both
+    engines, which is exactly BPE's greedy merge rule — and ties pick
+    the lexically smallest pair.  Everything after the word-frequency
+    aggregation operates on the VOCABULARY (tiny relative to the
+    corpus): the corpus is read once; each merge step is a vocab-sized
+    map + one pair-count aggregation + a 1-row broadcast join.  The
+    oracle unrolls both steps in CTEs.
+    """
+    toks = F.expr(_SP_TOKS)
+    wf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    chars = "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '|')"
+    rel = wf.select(F.expr(f"concat('|', {chars}, '|')").alias("s"), "f")
+
+    tops = []
+    for step in (1, 2):
+        syms = F.expr("filter(split(s, '\\\\|'), x -> x <> '')")
+        pairs = rel.select(
+            "f",
+            F.explode(
+                # sequence(1, n) DESCENDS when n < 1 (single-symbol words),
+                # so guard explicitly — same pitfall as portable.shingles
+                F.expr(
+                    "CASE WHEN size(filter(split(s, '\\\\|'), x -> x <> '')) < 2 "
+                    "THEN CAST(array() AS ARRAY<STRING>) "
+                    "ELSE transform(sequence(1, size(filter(split(s, '\\\\|'), x -> x <> '')) - 1), "
+                    "i -> concat(element_at(filter(split(s, '\\\\|'), x -> x <> ''), i), '|', "
+                    "element_at(filter(split(s, '\\\\|'), x -> x <> ''), i + 1))) END"
+                )
+            ).alias("p"),
+        ).groupBy("p").agg(F.sum("f").alias("freq"))
+        top = (
+            pairs.orderBy(F.col("freq").desc(), F.col("p").asc())
+            .limit(1)
+            .select(
+                F.expr("split(p, '\\\\|')[0]").alias("a"),
+                F.expr("split(p, '\\\\|')[1]").alias("b"),
+                "freq",
+            )
+        )
+        tops.append(top.select(F.lit(step).alias("step"),
+                               F.col("a").alias("sym_a"),
+                               F.col("b").alias("sym_b"),
+                               F.col("freq").alias("pair_freq")))
+        rel = rel.crossJoin(F.broadcast(top)).select(
+            F.expr(
+                "replace(s, concat('|', a, '|', b, '|'), concat('|', a, b, '|'))"
+            ).alias("s"),
+            "f",
+        )
+    return tops[0].unionByName(tops[1])
