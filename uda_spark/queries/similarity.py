@@ -26,7 +26,7 @@ _IV = portable.int_vec("embedding", "duck")
     oracle=f"""
 WITH iv AS (SELECT vec_id, label, {_IV} AS v FROM embeddings)
 SELECT vec_id, label,
-       {portable.int_dot('v', 'v', 'duck')} AS norm_sq_fp,
+       CAST({portable.int_dot('v', 'v', 'duck')} AS BIGINT) AS norm_sq_fp,
        round(sqrt(CAST({portable.int_dot('v', 'v', 'duck')} AS DOUBLE)) / {portable.FIXED_POINT}, 6)
          AS l2_norm
 FROM iv

@@ -76,7 +76,7 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (SELECT source, {_DU_TOKS} AS toks, n_chars FROM documents)
 SELECT source,
        COUNT(*)::BIGINT AS n_docs,
-       SUM({TXT.quality_score_ppm('toks', 'n_chars', 'duck')}) // COUNT(*) AS avg_quality_ppm,
+       CAST(SUM({TXT.quality_score_ppm('toks', 'n_chars', 'duck')}) // COUNT(*) AS BIGINT) AS avg_quality_ppm,
        CAST(SUM({TXT.token_count('toks', 'duck')}) AS BIGINT) AS total_tokens
 FROM base GROUP BY source
 """,
