@@ -65,24 +65,30 @@ def main() -> None:
     # persist()ed intermediates so every iteration re-executes the FULL
     # pipeline (JVM/codegen warmth is kept — that is the point).
     ITERS = 3
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         spec = specs[name]
         best = None
-        for _ in range(ITERS):
-            release_persisted()  # drop tracked handles from the previous run
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # noop sink executes the FULL plan (all columns, sorts kept) —
-            # count() would let Catalyst eliminate sorts and prune the plan.
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # A query that errors records null instead of killing the whole
+        # run — one regression must not zero the round's perf signal.
+        try:
+            for _ in range(ITERS):
+                release_persisted()  # drop tracked handles from the previous run
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                # noop sink executes the FULL plan (all columns, sorts kept) —
+                # count() would let Catalyst eliminate sorts and prune the plan.
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            print(f"# {name}: FAILED ({type(exc).__name__}: {exc})", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -96,6 +102,7 @@ def main() -> None:
                 # steady-state estimate even when the harness runs us once).
                 "iters_per_query": ITERS,
                 "queries": timings,
+                "failed_queries": sorted(n for n, v in timings.items() if v is None),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -295,3 +295,36 @@ class TestCacheLifecycle:
         released = cache.release_persisted()
         assert released >= 1
         assert not cache._TRACKED
+
+
+class TestBpeMergeRule:
+    """The BPE merge must be GREEDY: merging pair (a,b) in 'ababab' yields
+    three 'ab' symbols, not alternate occurrences.  A single-'|' symbol
+    encoding shares the boundary anchor between adjacent occurrences and a
+    left-to-right replace-all then merges only every other one — this test
+    pins the double-delimiter encoding that avoids it, in BOTH engines."""
+
+    def test_bpe_consecutive_pair_merge(self, spark):
+        import duckdb
+
+        # 'ababab' encoded one-symbol-per-'|…|', as text_bpe_train_merges
+        # builds it: |a||b||a||b||a||b|
+        enc = "'|' || array_join(transform(sequence(1, 6), i -> substring('ababab', i, 1)), '||') || '|'"
+        merged = spark.sql(
+            f"SELECT replace({enc}, '|a||b|', '|ab|') AS s"
+        ).first()["s"]
+        assert merged == "|ab||ab||ab|"
+
+        con = duckdb.connect()
+        duck = con.sql(
+            "SELECT replace('|' || array_to_string(list_transform(range(1, 7), "
+            "i -> 'ababab'[i]), '||') || '|', '|a||b|', '|ab|') AS s"
+        ).fetchone()[0]
+        assert duck == merged
+
+    def test_bpe_merge_respects_symbol_boundaries(self, spark):
+        # symbols [xa, b]: pair (a, b) must NOT match inside symbol 'xa'
+        row = spark.sql(
+            "SELECT replace('|xa||b|', '|a||b|', '|ab|') AS s"
+        ).first()
+        assert row["s"] == "|xa||b|"

@@ -2,13 +2,12 @@
 as-of join, semi-structured extraction.  Batch formulations; the streaming
 module mirrors the same semantics with watermarks.
 
-Timestamp discipline: the events table stores nanosecond parquet
-timestamps, which Spark reads only as BIGINT nanos
-(spark.sql.legacy.parquet.nanosAsLong — set automatically by
-sources.load_table) and DuckDB truncates to microseconds.  So both sides
-normalize to exact BIGINT *microseconds* (Spark: ``ts div 1000``, DuckDB:
-``epoch_us(ts)``) and all derived times are integer arithmetic — no
-floating-point epoch, no precision skew.
+Timestamp discipline: the events table's ``ts`` column has shipped in two
+physical layouts (int64 nanoseconds, parquet ``timestamp[us]``), so both
+engines normalize to exact BIGINT *microseconds* before any time logic:
+Spark via the schema-adaptive ``sources.tables.event_micros`` and DuckDB
+via ``epoch_us(ts)`` (exact for both layouts).  All derived times are
+integer arithmetic — no floating-point epoch, no precision skew.
 """
 
 from __future__ import annotations
@@ -23,13 +22,15 @@ from uda_spark.registry import register
 
 SESSION_GAP_S = 1800
 
-# exact microsecond / second accessors, one per engine
-_SPARK_US = "(ts div 1000)"
+# exact microsecond accessor, oracle side (Spark side is schema-adaptive:
+# sources.tables.event_micros)
 _DUCK_US = "epoch_us(ts)"
 
 
 def _with_us(ev: DataFrame) -> DataFrame:
-    return ev.withColumn("ts_us", F.expr(_SPARK_US))
+    from uda_spark.sources.tables import event_micros
+
+    return ev.withColumn("ts_us", event_micros(ev))
 
 
 @register(

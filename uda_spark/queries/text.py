@@ -217,7 +217,7 @@ top{k} AS (
   FROM pairs{k} ORDER BY freq DESC, p ASC LIMIT 1
 ),
 m{k} AS (
-  SELECT replace({src}.s, '|' || t.a || '|' || t.b || '|', '|' || t.a || t.b || '|') AS s, f
+  SELECT replace({src}.s, '|' || t.a || '||' || t.b || '|', '|' || t.a || t.b || '|') AS s, f
   FROM {src} CROSS JOIN top{k} t
 )
 """.strip()
@@ -232,7 +232,7 @@ WITH wf AS (
   ) WHERE w <> '' GROUP BY w
 ),
 s0 AS (
-  SELECT '|' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), '|') || '|' AS s, f
+  SELECT '|' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), '||') || '|' AS s, f
   FROM wf
 ),
 {_BPE_DUCK_STEP.format(k=1, src='s0')},
@@ -249,10 +249,14 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair corpus-wide, repeat — the iterative loop every subword
     tokenizer (BPE/WordPiece) runs over a training corpus.
 
-    Deterministic and engine-portable by formulation: symbol sequences
-    live as '|'-delimited strings ('|h|e|l|l|o|'), so the merge is ONE
-    anchored string replace — left-to-right non-overlapping in both
-    engines, which is exactly BPE's greedy merge rule — and ties pick
+    Deterministic and engine-portable by formulation: each symbol is
+    individually '|'-wrapped ('|h||e||l||l||o|'), so the merge is ONE
+    anchored string replace whose pattern '|a||b|' shares NO characters
+    with an adjacent occurrence — left-to-right replace-all then merges
+    every consecutive occurrence (e.g. 'ababab' -> 'ab ab ab'), which is
+    exactly BPE's greedy merge rule.  (A single-'|' encoding would share
+    the boundary anchor and merge only alternate occurrences — caught by
+    tests/test_operators.py::test_bpe_consecutive_pair_merge.)  Ties pick
     the lexically smallest pair.  Everything after the word-frequency
     aggregation operates on the VOCABULARY (tiny relative to the
     corpus): the corpus is read once; each merge step is a vocab-sized
@@ -267,7 +271,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("f"))
     )
-    chars = "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '|')"
+    chars = "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '||')"
     rel = wf.select(F.expr(f"concat('|', {chars}, '|')").alias("s"), "f")
 
     tops = []
@@ -302,7 +306,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("freq").alias("pair_freq")))
         rel = rel.crossJoin(F.broadcast(top)).select(
             F.expr(
-                "replace(s, concat('|', a, '|', b, '|'), concat('|', a, b, '|'))"
+                "replace(s, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))"
             ).alias("s"),
             "f",
         )

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import (uda_spark.queries.*).
-# Module order groups related queries; the exported ordering is then
-# adjusted by verification status (see ``_verification_priority``).
+# Module order groups related queries; the exported ordering is exactly
+# registration order — deterministic and independent of any external state.
 _QUERY_MODULES = (
     "uda_spark.queries.dedup",
     "uda_spark.queries.similarity",
@@ -71,49 +71,11 @@ def _load() -> None:
         importlib.import_module(mod)
 
 
-def _verification_priority() -> frozenset[str]:
-    """Names of queries that still need a fully-green external verification row.
-
-    The external correctness harness verifies a bounded window of registered
-    queries per run and records results in ``CORRECTNESS_r*.json`` at the repo
-    root.  To complete verification coverage of the whole registry across
-    runs, queries that have never earned a fully-green row (never checked, or
-    checked with a rows/schema/hash mismatch or error) are exported first;
-    once every query has a green row this reordering becomes a no-op.
-    """
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
-    seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            seen.add(name)
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") is not False  # rows-only checks omit it
-                and not row.get("err")
-            ):
-                green.add(name)
-    return frozenset(n for n in _REGISTRY if n not in green)
-
-
 def all_specs() -> dict[str, QuerySpec]:
+    """All registered queries in registration (module) order — fixed,
+    reproducible, and independent of anything outside the package."""
     _load()
-    pending = _verification_priority()
-    ordered = [n for n in _REGISTRY if n in pending] + [
-        n for n in _REGISTRY if n not in pending
-    ]
-    return {n: _REGISTRY[n] for n in ordered}
+    return dict(_REGISTRY)
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -11,7 +11,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -36,11 +38,42 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # The events table stores nanosecond timestamps, which Spark refuses by
-    # default (PARQUET_TYPE_ILLEGAL).  Read them as BIGINT nanos; the query
-    # layer normalizes to exact integer microseconds (queries/events.py).
+    # Compatibility shim: if the events parquet stores *nanosecond*
+    # timestamps (one historical layout of the test data), Spark refuses
+    # them by default (PARQUET_TYPE_ILLEGAL); this conf reads them as
+    # BIGINT nanos instead.  It is a no-op for micro/millisecond layouts.
+    # Either way the query layer normalizes via ``event_micros`` below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def event_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Exact BIGINT epoch-microseconds for an event-time column, whatever
+    physical type the parquet stored.
+
+    The test data's events table has shipped as both int64 *nanoseconds*
+    (read as BIGINT via nanosAsLong) and parquet ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ); queries must not care.  This sniffs the bound schema and
+    emits the right expression — pure column arithmetic either way, so it
+    stays inside whole-stage codegen and costs nothing at any scale.
+    DuckDB's ``epoch_us(ts)`` is the oracle-side twin (exact for both
+    layouts: ns values truncate, µs values pass through).
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # int64 nanoseconds → integer-divide to exact microseconds.
+        return F.expr(f"({col} div 1000)")
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        # NTZ casts to TIMESTAMP via the session time zone.  session.py
+        # pins UTC, but the external driver builds a PLAIN session — pin
+        # it here too so naive parquet times read as exact epoch micros
+        # (DuckDB's epoch_us treats them the same way) on any host tz.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    raise TypeError(
+        f"column {col!r} has unsupported event-time type {dt}; "
+        "expected BIGINT nanos or TIMESTAMP/TIMESTAMP_NTZ"
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

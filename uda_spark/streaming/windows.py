@@ -19,16 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from uda_spark.sources.tables import table_path
+from uda_spark.sources.tables import event_micros, table_path
 
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with an event-time column.
 
-    The parquet stores nanosecond timestamps (read as BIGINT nanos, see
-    sources/tables.py); event time is reconstructed at microsecond
-    precision for watermarking, alongside the exact integer ts_us used by
-    value logic.
+    The physical ``ts`` layout varies (int64 nanos or timestamp[us], see
+    sources/tables.py:event_micros); event time is reconstructed at
+    microsecond precision for watermarking, alongside the exact integer
+    ts_us used by value logic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
@@ -39,7 +39,7 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+    return stream.withColumn("ts_us", event_micros(stream)).withColumn(
         "event_time", F.timestamp_micros(F.col("ts_us"))
     )
 
