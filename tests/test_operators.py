@@ -328,3 +328,51 @@ class TestBpeMergeRule:
             "SELECT replace('|xa||b|', '|a||b|', '|ab|') AS s"
         ).first()
         assert row["s"] == "|xa||b|"
+
+
+class TestDedupNullText:
+    """Pin the NULL-text contract of the signature operators: documents
+    with NULL text produce NO output row (never a (id, NULL) row, never a
+    crash); empty and short texts still sign (empty tokens are kept and
+    sub-k-token docs get one whole-doc shingle)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, None),
+                (3, ""),
+                (4, "ab"),  # one token < k=3 shingle window
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_minhash_skips_null_docs_signs_short_ones(self, spark):
+        from uda_spark.operators.dedup import minhash_signatures
+
+        out = minhash_signatures(self._docs(spark), "text", "doc_id").collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids == {1, 3, 4}
+        assert all(r["sig"] is not None for r in out)
+
+    def test_simhash_skips_null_docs_signs_empty_ones(self, spark):
+        from uda_spark.operators.dedup import simhash_signatures
+
+        out = simhash_signatures(self._docs(spark), "text", "doc_id").collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids == {1, 3, 4}
+        assert all(r["sig"] is not None for r in out)
+
+    def test_minhash_pairs_with_null_docs_present(self, spark):
+        from uda_spark.operators.dedup import minhash_near_dup_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, None),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = minhash_near_dup_pairs(docs, "text", "doc_id").collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]

@@ -50,3 +50,50 @@ def test_running_totals_stateful(spark):
     got = {r["user_id"]: r["n_events"] for r in result.collect()}
     want = {r["user_id"]: r["n_events"] for r in batch.collect()}
     assert got == want
+
+
+def test_evicting_update_accumulates_and_sets_timeout():
+    """Function-level check of the ProcessingTimeTimeout eviction logic
+    (stream-level: availableNow never fires processing-time timers, so the
+    timer path is exercised against a fake GroupState here)."""
+    import pandas as pd
+
+    from uda_spark.streaming.stateful import _make_evicting_update
+
+    class FakeState:
+        def __init__(self, value=None, timed_out=False):
+            self._v, self.hasTimedOut = value, timed_out
+            self.removed, self.timeout_set = False, None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    update = _make_evicting_update(60_000)
+
+    # data batch: accumulate into state and re-arm the timer
+    st = FakeState(value=(2, 300))
+    batch = pd.DataFrame({"value_cents": [100, 50]})
+    [out] = list(update((7,), [batch], st))
+    assert st._v == (4, 450)
+    assert st.timeout_set == 60_000 and not st.removed
+    assert out["n_events"].iloc[0] == 4 and out["total_value"].iloc[0] == 4.5
+
+    # timer fired: flush the final totals and evict the key
+    st = FakeState(value=(4, 450), timed_out=True)
+    [out] = list(update((7,), [], st))
+    assert st.removed and st.timeout_set is None
+    assert out["n_events"].iloc[0] == 4 and out["total_value"].iloc[0] == 4.5

@@ -47,12 +47,13 @@ BLOB_META_SCHEMA = StructType(
     ]
 )
 
-try:  # pragma: no cover - not present in this environment
-    from PIL import Image  # noqa: F401
+def _have_pil() -> bool:  # pragma: no cover - library absent here
+    try:
+        from PIL import Image  # noqa: F401
 
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
+        return True
+    except ImportError:
+        return False
 
 
 def attach_blob_column(
@@ -113,19 +114,27 @@ def _hash60_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def decode_images(df: DataFrame, id_col: str = "id") -> DataFrame:
+def decode_images(
+    df: DataFrame, id_col: str = "id", use_real_codec: bool = False
+) -> DataFrame:
     """Decode blobs to pixel buffers and emit per-image stats
     (``pixels_fp`` = 60-bit fingerprint of the pixel buffer).
 
     Arrow-batched mapInPandas: each batch is a pandas DataFrame of blobs;
-    real decoders (PIL) plug into the marked seam.  Map-only — no shuffle.
-    Output is deterministic and md5-derived, so queries over it carry
-    exact DuckDB oracles (queries/pipelines.py multimodal_decode_stats).
+    Map-only — no shuffle.  The default path is the deterministic stub
+    codec regardless of what libraries happen to be installed, so query
+    results never depend on the environment; ``use_real_codec=True`` is
+    the explicit opt-in seam where a real decoder (PIL) plugs in, and
+    raises until one is wired.  Stub output is deterministic and
+    md5-derived, so queries over it carry exact DuckDB oracles
+    (queries/pipelines.py multimodal_decode_stats).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL:  # pragma: no cover - library absent here
+            if use_real_codec:  # pragma: no cover - explicit opt-in seam
+                if not _have_pil():
+                    raise ImportError("use_real_codec=True requires pillow")
                 raise NotImplementedError("real PIL decode path not wired yet")
             widths = pdf["meta"].map(lambda m: m["width"]).astype("int32")
             heights = pdf["meta"].map(lambda m: m["height"]).astype("int32")

@@ -56,11 +56,21 @@ def _minhash_grouped(
     MinHash over distinct shingles equals MinHash over all shingles (min
     ignores duplicates), so the explode dedups first and ``collect_set``
     doubles as the verification shingle set.
+
+    NULL contract: documents whose text is NULL have no MinHash — they
+    produce NO output row (filtered explicitly here, not dropped as an
+    explode side-effect) and can never appear as near-dup candidates.
+    Empty and short texts DO sign: the tokenizer keeps empty strings and
+    sub-k-token docs yield one whole-doc shingle (portable.shingles), so
+    e.g. all empty documents are mutual near-duplicates — the curation-
+    friendly reading.
     """
     # Repartition BEFORE shingle construction: the input is a handful of
     # scan splits locally, and the shingle HOF (interpreted lambdas) is
     # the most expensive per-row step — it must run on all cores.
-    sh = with_shingles(PART.ensure_min_partitions(df), text_col, k)
+    sh = with_shingles(
+        PART.ensure_min_partitions(df.where(F.col(text_col).isNotNull())), text_col, k
+    )
     ex = sh.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct("shingles")).alias("s")
     )
@@ -160,9 +170,15 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ``portable.simhash60`` expression (vote i = high bit of hex char i of
     md5(t) || md5('x' || t)) but 2.7x faster at sf0.1 — HOF lambdas run
     interpreted (CodegenFallback), 120 per token, vs zero here.
+
+    NULL contract: documents whose text is NULL have no SimHash — they
+    produce NO output row (filtered explicitly here, not dropped as an
+    explode side-effect) and can never appear as near-dup candidates.
+    Empty text DOES sign (it tokenizes to one empty token — the
+    tokenizer keeps empty strings), matching the MinHash contract.
     """
     toks = portable.tokens(text_col, "spark")
-    tok = PART.ensure_min_partitions(df).select(
+    tok = PART.ensure_min_partitions(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col), F.explode(F.expr(toks)).alias("t")
     )
     m = "concat(md5(t), md5(concat('x', t)))"
