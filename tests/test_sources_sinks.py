@@ -203,3 +203,46 @@ def test_csv_permissive_mode_keeps_corrupt_rows(spark, tmp_path):
     assert len(rows) == 3
     good = {r["id"]: r["qty"] for r in rows if r["id"] is not None}
     assert good == {1: 10, 3: 30}
+
+
+class TestEventMicros:
+    """event_micros must yield identical epoch-microseconds for BOTH
+    physical layouts the events table has shipped in (int64 nanoseconds
+    and parquet timestamp[us]) — the regenerated-testdata hazard."""
+
+    MICROS = [1_700_000_000_000_000, 1_700_000_123_456_789, 0]
+
+    def test_nanos_and_timestamp_layouts_agree(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from uda_spark.sources.tables import event_micros
+
+        ns_path = str(tmp_path / "ev_ns.parquet")
+        us_path = str(tmp_path / "ev_us.parquet")
+        pq.write_table(
+            pa.table({"ts": pa.array([m * 1000 for m in self.MICROS], pa.timestamp("ns"))}),
+            ns_path,
+        )
+        pq.write_table(
+            pa.table({"ts": pa.array(self.MICROS, pa.timestamp("us"))}), us_path
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns_df = spark.read.parquet(ns_path)
+        us_df = spark.read.parquet(us_path)
+        assert ns_df.schema["ts"].dataType.simpleString() == "bigint"
+        assert us_df.schema["ts"].dataType.simpleString().startswith("timestamp")
+
+        got_ns = sorted(r["us"] for r in ns_df.select(event_micros(ns_df).alias("us")).collect())
+        got_us = sorted(r["us"] for r in us_df.select(event_micros(us_df).alias("us")).collect())
+        assert got_ns == got_us == sorted(self.MICROS)
+
+    def test_rejects_unsupported_type(self, spark):
+        import pytest as _pytest
+
+        from uda_spark.sources.tables import event_micros
+
+        df = spark.createDataFrame([("x",)], "ts string")
+        with _pytest.raises(TypeError, match="unsupported event-time type"):
+            event_micros(df)

@@ -195,7 +195,10 @@ def lsh_knn(
 
     One exchange on (table, bucket); candidates dedup before scoring so
     each pair is scored once.  At 100 TB the candidate set per query is
-    ~L * corpus/2^k — the tunable fraction of a full scan.
+    ~L * corpus/2^k — the tunable fraction of a full scan.  Top-k is
+    partial-then-final like :func:`knn_bruteforce`: candidates for a hot
+    query can still be corpus-sized in the worst case, so stage 1 bounds
+    any single task's merge width at k per (query, partition).
     """
     # Probe the dimensionality ONCE (tiny driver job) and share it with
     # both srp_buckets calls — each would otherwise run its own probe.
@@ -224,11 +227,19 @@ def lsh_knn(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
             F.round(F.expr(score), 6).alias("score"),
+            F.spark_partition_id().alias("_part"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    order = (F.col("score").desc(), F.col("neighbor_id"))
+    pw = Window.partitionBy("query_id", "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= top_k)
+        .drop("_part", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
