@@ -376,3 +376,38 @@ class TestDedupNullText:
         )
         pairs = minhash_near_dup_pairs(docs, "text", "doc_id").collect()
         assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+class TestIncrementalDedup:
+    def test_verdicts_cross_side_only(self, spark):
+        from uda_spark.operators.dedup import incremental_dedup
+
+        base = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                # exact copy of base doc
+                (10, "alpha beta gamma delta epsilon zeta eta theta"),
+                # near copy (appended boilerplate)
+                (11, "alpha beta gamma delta epsilon zeta eta theta extra extra"),
+                # fresh
+                (12, "completely different words nothing shared here at all"),
+                # duplicates WITHIN the new batch only: both must be 'keep'
+                (13, "own batch twin one two three four five six"),
+                (14, "own batch twin one two three four five six"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["verdict"]
+            for r in incremental_dedup(new, base, "text", "doc_id").collect()
+        }
+        assert got == {
+            10: "exact_dup",
+            11: "near_dup",
+            12: "keep",
+            13: "keep",
+            14: "keep",
+        }

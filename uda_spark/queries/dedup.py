@@ -408,3 +408,110 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=JACCARD_T,
     )
     return pagerank_fp(pairs, "doc_a", "doc_b", iterations=5)
+
+
+_RPB = ROWS_PER_BAND
+
+_INCR_ORACLE = f"""
+WITH new_docs AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' extra extra extra' AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT nid AS doc_id, md5(CAST(oid AS VARCHAR)) AS text
+  FROM (SELECT doc_id AS oid, doc_id + 3000000 AS nid FROM documents WHERE doc_id % 7 = 0)
+),
+exact_hits AS (
+  SELECT DISTINCT n.doc_id FROM new_docs n
+  WHERE md5(n.text) IN (SELECT md5(text) FROM documents)
+),
+ntk AS (SELECT doc_id, {portable.tokens('text', 'duck')} AS toks FROM new_docs),
+nsh AS (SELECT doc_id, {portable.shingles('toks', 3, 'duck')} AS shingles FROM ntk),
+nsig AS (SELECT doc_id, {portable.minhash_sig('shingles', N_HASHES, 'duck')} AS sig,
+                list_distinct(shingles) AS sset FROM nsh),
+btk AS (SELECT doc_id, {portable.tokens('text', 'duck')} AS toks FROM documents),
+bsh AS (SELECT doc_id, {portable.shingles('toks', 3, 'duck')} AS shingles FROM btk),
+bsig AS (SELECT doc_id, {portable.minhash_sig('shingles', N_HASHES, 'duck')} AS sig,
+                list_distinct(shingles) AS sset FROM bsh),
+nband AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * {_RPB} + 1, b * {_RPB} + {_RPB}), '|')) AS bh
+  FROM nsig, range(0, {BANDS}) r(b)
+),
+bband AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * {_RPB} + 1, b * {_RPB} + {_RPB}), '|')) AS bh
+  FROM bsig, range(0, {BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+  FROM nband n JOIN bband b ON n.b = b.b AND n.bh = b.bh
+),
+near_hits AS (
+  SELECT DISTINCT cand.new_id AS doc_id
+  FROM cand
+  JOIN nsig sn ON sn.doc_id = cand.new_id
+  JOIN bsig sb ON sb.doc_id = cand.base_id
+  WHERE CAST(len(list_filter(sn.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
+        / (len(sn.sset) + len(sb.sset)
+           - len(list_filter(sn.sset, x -> list_contains(sb.sset, x))))
+        >= {JACCARD_T}
+)
+SELECT n.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN h.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'keep' END AS verdict
+FROM new_docs n
+LEFT JOIN exact_hits e ON e.doc_id = n.doc_id
+LEFT JOIN near_hits h ON h.doc_id = n.doc_id
+"""
+
+
+@register(
+    "dedup_incremental_crawl",
+    oracle=_INCR_ORACLE,
+    tags=("dedup", "north-star", "join"),
+)
+def dedup_incremental_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a simulated new crawl batch (exact copies, near
+    copies with appended boilerplate, genuinely fresh docs) deduped
+    against the existing documents corpus — every new doc gets a verdict
+    ('exact_dup' | 'near_dup' | 'keep').
+
+    The new batch is deterministic: doc_id%10 -> exact copy (+1M),
+    doc_id%5 -> near copy with ' extra extra extra' appended (+2M),
+    doc_id%7 -> fresh single-token md5 text (+3M).  The oracle recomputes
+    the identical digest join and banded-LSH candidates (same md5 hash
+    family), so even the approximate tier is value-hash checked.
+    Scale: see operators/dedup.py:incremental_dedup — digests and band
+    triples shuffle, never bodies; the base signature relation is the
+    production signature store.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_docs = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra extra extra")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.md5(F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    return D.incremental_dedup(
+        new_docs,
+        docs,
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        k=3,
+        jaccard_threshold=JACCARD_T,
+    )
