@@ -131,3 +131,14 @@ def test_hll_two_level_matches_exact_within_bound(spark):
     for r in rows:
         assert r["within_bound"], r
         assert r["exact_users"] == exact[r["event_type"]], r
+
+
+def test_quantized_knn_recall(spark):
+    # int8 codes keep ~7 bits of per-dim precision; on the synthetic
+    # near-uniform embeddings the ranking stays close to the exact one
+    exact = _topk_sets(all_specs()["sim_knn_bruteforce"].fn(spark, SF_SMOKE))
+    quant = _topk_sets(all_specs()["sim_quantized_knn"].fn(spark, SF_SMOKE))
+    recalls = [
+        len(exact[q] & quant.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

@@ -200,6 +200,25 @@ def int_dot(a: str, b: str, engine: str) -> str:
     return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
 
 
+def quant_vec(v: str, maxabs: str, qmax: int, engine: str) -> str:
+    """Symmetric scalar quantization of a fixed-point BIGINT vector to
+    [-qmax, qmax]: q_i = round(x_i * qmax / maxabs), spelled as exact
+    integer arithmetic (round half away from zero) so both engines
+    produce bit-identical codes.  maxabs = 0 (zero vector) maps to all
+    zeros instead of dividing by zero."""
+    if engine == "spark":
+        return (
+            f"transform({v}, x -> CAST(CASE WHEN {maxabs} = 0 THEN 0 "
+            f"WHEN x >= 0 THEN (x * {qmax} + {maxabs} div 2) div {maxabs} "
+            f"ELSE -(((-x) * {qmax} + {maxabs} div 2) div {maxabs}) END AS INT))"
+        )
+    return (
+        f"list_transform({v}, x -> CAST(CASE WHEN {maxabs} = 0 THEN 0 "
+        f"WHEN x >= 0 THEN (x * {qmax} + {maxabs} // 2) // {maxabs} "
+        f"ELSE -(((-x) * {qmax} + {maxabs} // 2) // {maxabs}) END AS INT))"
+    )
+
+
 def cosine_from_ints(dot: str, norm_a: str, norm_b: str) -> str:
     """Deterministic double cosine from exact integer dot/norms (same text
     works in both engines)."""

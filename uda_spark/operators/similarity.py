@@ -83,6 +83,86 @@ def knn_bruteforce(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, bits: int = 8
+) -> DataFrame:
+    """Symmetric scalar quantization: float32 embeddings → (id, qvec
+    array<int> in [-qmax, qmax], scale_fp) with qmax = 2^(bits-1) - 1.
+
+    The 100 TB memory lever for ANN: int8 codes are 4× smaller than
+    float32, so 4× more of the corpus fits per executor (and per
+    broadcast).  Cosine is scale-invariant per vector, so scoring on the
+    codes needs no dequantization — ``scale_fp`` (the per-vector max-abs
+    in the ×1e6 fixed-point domain) is kept only for value
+    reconstruction.  Map-only, pure codegen'd integer arithmetic derived
+    from the exact fixed-point domain, hence bit-identical in the DuckDB
+    oracle.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    iv = portable.int_vec(vec_col, "spark")
+    prepped = df.select(F.col(id_col), F.expr(iv).alias("_iv")).withColumn(
+        "_ma", F.expr("array_max(transform(_iv, x -> abs(x)))")
+    )
+    return prepped.select(
+        F.col(id_col),
+        F.expr(portable.quant_vec("_iv", "_ma", qmax, "spark")).alias("qvec"),
+        F.col("_ma").alias("scale_fp"),
+    )
+
+
+def quantized_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k over quantized codes: the memory-bounded
+    tier between brute force (exact, float-width) and LSH (sublinear
+    candidates).  Same plan shape as :func:`knn_bruteforce` — broadcast
+    quantized queries, scan the (4× smaller) quantized corpus once,
+    partial-then-final top-k — with scores computed on int8 codes.
+    Deterministic: quantization and scoring are exact integer arithmetic,
+    so the ranking (including its quantization error) is value-hash
+    checkable."""
+    qc = (
+        quantize_embeddings(corpus, id_col, vec_col, bits)
+        .select(F.col(id_col).alias("c_id"), F.col("qvec").alias("c_vec"))
+        .withColumn("c_norm", F.expr(portable.int_dot("c_vec", "c_vec", "spark")))
+    )
+    qq = (
+        quantize_embeddings(queries, id_col, vec_col, bits)
+        .select(F.col(id_col).alias("q_id"), F.col("qvec").alias("q_vec"))
+        .withColumn("q_norm", F.expr(portable.int_dot("q_vec", "q_vec", "spark")))
+    )
+    dot = portable.int_dot("q_vec", "c_vec", "spark")
+    score = portable.cosine_from_ints(dot, "q_norm", "c_norm")
+    scored = (
+        qc.crossJoin(F.broadcast(qq))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(F.expr(score), 6).alias("score"),
+            F.spark_partition_id().alias("_part"),
+        )
+    )
+    order = (F.col("score").desc(), F.col("neighbor_id"))
+    pw = Window.partitionBy("query_id", "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= top_k)
+        .drop("_part", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def srp_sign(t: int, p: int, d: int) -> int:
     """Hyperplane (table t, plane p)'s ±1 component for dimension d —
     deterministic md5 bit, shared by the Spark operator and the SQL

@@ -166,3 +166,46 @@ def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+QUANT_BITS = 8
+_QMAX = (1 << (QUANT_BITS - 1)) - 1
+
+
+@register(
+    "sim_quantized_knn",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+ma AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM iv),
+qv AS (SELECT vec_id, {portable.quant_vec('v', 'm', _QMAX, 'duck')} AS q FROM ma),
+n AS (SELECT vec_id, q, {portable.int_dot('q', 'q', 'duck')} AS nsq FROM qv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.q', 'c.q', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "north-star", "approx"),
+)
+def sim_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over int8-quantized embeddings — the memory-bounded
+    ANN tier (4× smaller codes, 4× more corpus per executor).
+
+    Quantization is exact integer arithmetic from the fixed-point
+    domain, so the oracle recomputes the identical codes and ranking:
+    the quantization error itself is value-hash checked.  Recall vs the
+    float-width exact ranking is asserted in tests/test_approx_ops.py.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    out = SIM.quantized_knn(
+        emb, queries, "vec_id", "embedding", top_k=TOP_K, bits=QUANT_BITS
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank")
+    )
