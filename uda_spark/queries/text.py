@@ -311,3 +311,66 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f",
         )
     return tops[0].unionByName(tops[1])
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+
+# character-class spellings ([.] [+]) keep the patterns literal without
+# backslashes, which would be consumed differently by the SQL string
+# parser (oracle side) vs the direct Java regex API (Spark side)
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PHONE_RE = "[+]1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+FROM corpus
+""",
+    tags=("text", "north-star"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails and phone numbers, count hits per
+    category, and fingerprint the redacted text — the standard
+    pre-training privacy pass.
+
+    PII is injected deterministically (synthetic docs carry none), so
+    both engines see identical inputs; the patterns use the RE2 ∩ Java
+    regex subset (character classes, bounded repeats — no backrefs), so
+    regexp semantics agree engine-to-engine.  Map-only: at 100 TB this
+    is a zero-shuffle pass whose throughput scales with executors; the
+    md5 fingerprint keeps result rows fixed-width (bodies stay in the
+    scan stage, never in the result exchange).
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    email, phone = _EMAIL_RE, _PHONE_RE
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).cast("int").alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{phone}', 0)")).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
