@@ -411,3 +411,25 @@ class TestIncrementalDedup:
             13: "keep",
             14: "keep",
         }
+
+
+class TestBucketCap:
+    def test_mega_bucket_dropped_normal_pairs_kept(self, spark):
+        from uda_spark.operators.dedup import minhash_near_dup_pairs
+
+        # 40 boilerplate-identical docs (one mega bucket) + one genuine
+        # near-dup pair of distinct text
+        boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(40)]
+        pair = [
+            (100, "alpha beta gamma delta epsilon zeta eta"),
+            (101, "alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+        docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+        uncapped = minhash_near_dup_pairs(docs, "text", "doc_id").collect()
+        assert len(uncapped) == 40 * 39 // 2 + 1  # mega-bucket pairs + the real one
+
+        capped = minhash_near_dup_pairs(
+            docs, "text", "doc_id", max_bucket_size=10
+        ).collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in capped] == [(100, 101)]

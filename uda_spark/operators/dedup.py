@@ -120,6 +120,30 @@ def _banded(grouped: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
+def cap_buckets(
+    banded: DataFrame, max_bucket_size: int, keys: tuple[str, ...] = ("band", "bh")
+) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket_size`` members —
+    the standard skew guard for banded joins.
+
+    A degenerate bucket (thousands of boilerplate-identical docs sharing
+    a band hash) makes the band self-join quadratic IN ONE KEY; AQE can
+    split the shuffle partition but not the semantic blowup.  Over-full
+    buckets carry no discriminative signal (everything matches
+    everything), so production LSH systems drop them and let the exact
+    tier (or another band) catch true duplicates.  Cost: one
+    bucket-count aggregation + a semi join on the same keys — the same
+    partitioning, so AQE reuses the exchange.
+    """
+    small = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(small, on=list(keys), how="left_semi")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -128,6 +152,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature become
     candidate pairs; candidates are verified with exact shingle-set Jaccard.
@@ -135,6 +160,9 @@ def minhash_near_dup_pairs(
     Shuffle profile: one exchange of (band, band_hash, id) triples, a
     self-join on the (tiny) matching buckets, then a re-join to fetch the
     two shingle arrays for verification.  Document bodies never shuffle.
+    ``max_bucket_size`` (None = unlimited, the oracle-matched default)
+    enables the :func:`cap_buckets` skew guard for corpora with massive
+    boilerplate-duplicate groups.
     """
     # Tracked persist: the signature relation feeds the band explode AND
     # both sides of the candidate-verification join — without it the
@@ -142,6 +170,8 @@ def minhash_near_dup_pairs(
     # Long-lived callers release via uda_spark.cache.release_persisted().
     sh = cache.tracked_persist(_minhash_grouped(df, text_col, id_col, n_hashes, k))
     banded = _banded(sh, n_hashes, bands)
+    if max_bucket_size is not None:
+        banded = cap_buckets(banded, max_bucket_size)
 
     cand = (
         banded.alias("a")
@@ -175,6 +205,7 @@ def incremental_dedup(
     bands: int = 4,
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch of documents against an EXISTING base corpus —
     the training-data refresh operation ("drop what the last crawl
@@ -206,11 +237,15 @@ def incremental_dedup(
 
     ng = cache.tracked_persist(_minhash_grouped(new_df, text_col, id_col, n_hashes, k))
     bg = cache.tracked_persist(_minhash_grouped(base_df, text_col, id_col, n_hashes, k))
+    nb = _banded(ng, n_hashes, bands)
+    bb = _banded(bg, n_hashes, bands)
+    if max_bucket_size is not None:
+        # cap each side: a bucket's join width is |new-side| × |base-side|
+        nb = cap_buckets(nb, max_bucket_size)
+        bb = cap_buckets(bb, max_bucket_size)
     cand = (
-        _banded(ng, n_hashes, bands)
-        .withColumnRenamed("doc", "new_id")
-        .join(_banded(bg, n_hashes, bands).withColumnRenamed("doc", "base_id"),
-              on=["band", "bh"])
+        nb.withColumnRenamed("doc", "new_id")
+        .join(bb.withColumnRenamed("doc", "base_id"), on=["band", "bh"])
         .select("new_id", "base_id")
         .distinct()
     )
