@@ -423,46 +423,6 @@ def pivot_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_daily_from_hourly",
-    oracle=f"""
-SELECT ((epoch_us(ts) // 3600000000) * 3600 // 86400) * 86400 AS day_epoch,
-       event_type,
-       COUNT(*)::BIGINT AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM events
-GROUP BY 1, 2
-""",
-    tags=("events", "rollup", "aggregation"),
-)
-def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup: the DAILY aggregate is computed FROM the
-    hourly partials, not from raw events — the continuous-aggregate
-    pattern (hypertable-style): at 100 TB the hourly layer is
-    materialized once and every coarser granularity re-aggregates
-    O(buckets) rows instead of re-scanning the fact.
-
-    Exactness caveat: the hourly layer emits total_value as DOUBLE, so
-    the decimal recast here is exact only while each hourly sum's cents
-    fit a double's 53-bit mantissa (~$90 trillion/bucket — ample here; a
-    production continuous aggregate stores the DECIMAL partial itself).
-    Within that range the oracle can aggregate straight from raw events
-    and still hash-match.
-    """
-    from uda_spark.queries.events import events_hourly_rollup
-
-    hourly = events_hourly_rollup(spark, sf_dir)
-    return (
-        hourly.groupBy(
-            F.expr("(bucket_epoch div 86400) * 86400").alias("day_epoch"), "event_type"
-        )
-        .agg(
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-        )
-    )
-
-
-@register(
     "merge_orders_refresh",
     oracle="""
 WITH src AS (
