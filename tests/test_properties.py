@@ -204,3 +204,41 @@ def test_connected_components_raises_on_iteration_exhaustion(spark):
         connected_components(df, max_iterations=2)
     ok = connected_components(df, max_iterations=10).collect()
     assert {r["component"] for r in ok} == {1}
+
+
+# ---------------------------------------------------------------------------
+# quantization invariants (pure SQL expressions, DuckDB-evaluated at full
+# hypothesis defaults — the Spark expression is textually parallel and
+# value-hash checked end-to-end by the sim_quantized_knn oracle)
+
+int_vecs = st.lists(
+    st.integers(min_value=-1_000_000, max_value=1_000_000), min_size=1, max_size=16
+)
+
+
+@given(v=int_vecs)
+def test_quant_vec_properties(v):
+    import duckdb
+
+    from uda_spark.functions import portable
+
+    con = duckdb.connect()
+    expr = portable.quant_vec("v", "m", 127, "duck")
+    (q,) = con.execute(
+        f"SELECT {expr} FROM (SELECT ? AS v, "
+        "list_max(list_transform(? , x -> abs(x))) AS m)",
+        [v, v],
+    ).fetchone()
+    m = max(abs(x) for x in v)
+    assert len(q) == len(v)
+    if m == 0:
+        assert all(c == 0 for c in q)
+        return
+    for x, c in zip(v, q):
+        # range, sign preservation, and half-away-from-zero rounding
+        assert -127 <= c <= 127
+        assert c * x >= 0
+        exact = abs(x) * 127 / m
+        assert abs(abs(c) - exact) <= 0.5 + 1e-9
+    # the max-magnitude component always saturates
+    assert 127 in [abs(c) for x, c in zip(v, q) if abs(x) == m]
