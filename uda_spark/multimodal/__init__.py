@@ -2,6 +2,7 @@ from uda_spark.multimodal.blob import (
     BLOB_META_SCHEMA,
     attach_blob_column,
     decode_images,
+    resize_images,
     extract_features,
     sample_frames,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "BLOB_META_SCHEMA",
     "attach_blob_column",
     "decode_images",
+    "resize_images",
     "extract_features",
     "sample_frames",
 ]

@@ -155,6 +155,76 @@ def decode_images(
     return src.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels_fp", LongType()),
+    ]
+)
+
+
+def _fake_resize_hex(orig_hex: str, tw: int, th: int) -> str:
+    """Deterministic stand-in for a resampling kernel: derive the target
+    pixel buffer from the source buffer + target dims, in the hex-string
+    domain so a SQL oracle can recompute it
+    (``substr(repeat(md5(ohex || '|WxH'), ...), 1, 2*W*H)``)."""
+    seed = hashlib.md5(f"{orig_hex}|{tw}x{th}".encode()).hexdigest()
+    need = 2 * max(tw * th, 1)
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "id",
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Decode + resize blobs to (target_w, target_h) and fingerprint the
+    resampled pixel buffer — the thumbnail/normalization step of an image
+    training pipeline.
+
+    Arrow-batched mapInPandas, map-only (no shuffle): at 100 TB
+    throughput scales linearly with executors and blobs never act as
+    shuffle keys.  The default path is the deterministic stub regardless
+    of installed libraries (environment never changes results);
+    ``use_real_codec=True`` is the explicit seam where PIL's
+    ``Image.resize`` plugs in, and raises until wired.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_codec:  # pragma: no cover - explicit opt-in seam
+                if not _have_pil():
+                    raise ImportError("use_real_codec=True requires pillow")
+                raise NotImplementedError("real PIL resize path not wired yet")
+            widths = pdf["meta"].map(lambda m: m["width"]).astype("int32")
+            heights = pdf["meta"].map(lambda m: m["height"]).astype("int32")
+            fps = [
+                _hash60_py(
+                    _fake_resize_hex(_fake_decode_hex(blob, w, h), target_w, target_h)
+                )
+                for blob, w, h in zip(pdf["data"], widths, heights)
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "src_width": widths,
+                    "src_height": heights,
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                    "pixels_fp": fps,
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("_id"), "data", "meta")
+    return src.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("id", LongType()),

@@ -669,3 +669,53 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev2 = ST.events_file_stream(spark, sf_dir)
     result = ST.purchase_after_signup_stream(ev1, ev2, window_s=3600)
     return ST.run_stream_to_memory(result, _sink_name("ssj_sink"), mode="append")
+
+
+RESIZE_W, RESIZE_H = 64, 64
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=f"""
+WITH b AS (SELECT doc_id, {_MM_BHEX} AS bhex FROM documents),
+m AS (SELECT doc_id, bhex,
+        1 + {portable.hash60('bhex', 'duck')} % 1919 AS w,
+        1 + {portable.hash60("'h|' || bhex", 'duck')} % 1079 AS h
+      FROM b),
+o AS (SELECT doc_id, w, h,
+        substr(repeat(md5(bhex), (2 * w * h) // 32 + 1), 1, 2 * w * h) AS ohex
+      FROM m),
+r AS (SELECT doc_id, w, h,
+        {portable.hash60(
+            f"substr(repeat(md5(ohex || '|{RESIZE_W}x{RESIZE_H}'), "
+            f"(2 * {RESIZE_W} * {RESIZE_H}) // 32 + 1), 1, 2 * {RESIZE_W} * {RESIZE_H})",
+            'duck')} AS fp
+      FROM o)
+SELECT doc_id, w::INT AS src_width, h::INT AS src_height,
+       CAST({RESIZE_W} AS INT) AS width, CAST({RESIZE_H} AS INT) AS height,
+       fp AS pixels_fp
+FROM r
+""",
+    tags=("multimodal", "north-star"),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob resize pipeline: documents → synthesized blobs → Arrow-batched
+    mapInPandas decode+resize to {RESIZE_W}×{RESIZE_H} → per-image
+    resampled-buffer fingerprint.  Map-only, blobs never shuffle.
+
+    The resample stub derives the target buffer deterministically from
+    the source buffer + target dims (multimodal/blob.py:_fake_resize_hex),
+    so the oracle recomputes the identical fingerprints in SQL — the
+    mapInPandas plumbing is value-hash checked per document.
+    """
+    docs = t(spark, sf_dir, "documents")
+    blobs = MM.attach_blob_column(docs, "text", "doc_id")
+    resized = MM.resize_images(blobs, RESIZE_W, RESIZE_H, id_col="doc_id")
+    return resized.select(
+        F.col("id").alias("doc_id"),
+        "src_width",
+        "src_height",
+        "width",
+        "height",
+        "pixels_fp",
+    )
