@@ -433,3 +433,36 @@ class TestBucketCap:
             docs, "text", "doc_id", max_bucket_size=10
         ).collect()
         assert [(p["doc_a"], p["doc_b"]) for p in capped] == [(100, 101)]
+
+
+class TestZorderLayout:
+    def test_zorder_by_sorts_and_preserves_rows(self, spark):
+        from uda_spark.operators.layout import zorder_by, zvalue_col
+
+        ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+        src = ev.withColumn("hour_bucket", (F.col("event_id") % 512).cast("long"))
+        out = zorder_by(src, "user_id", "hour_bucket", num_partitions=4)
+        assert sorted(r["event_id"] for r in out.collect()) == sorted(
+            r["event_id"] for r in src.collect()
+        )
+
+        # physically clustered: z-values are non-decreasing inside every
+        # partition after the range partition + in-partition sort
+        z = out.withColumn("_z", zvalue_col(out, "user_id", "hour_bucket"))
+
+        def check(it):
+            prev = None
+            for row in it:
+                if prev is not None and row._z < prev:
+                    yield Row(violation=1)
+                prev = row._z
+
+        assert z.rdd.mapPartitions(check).count() == 0
+
+    def test_zvalue_interleaves_bits(self, spark):
+        from uda_spark.operators.layout import zvalue_col
+
+        df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+        # a=5 -> bits at odd positions (1,0,1), b=3 -> even (0,1,1):
+        # z = 1<<5 | 0<<4 | 0<<3 | 1<<2 | 1<<1 | 1<<0 = 0b100111 = 39
+        assert df.select(zvalue_col(df, "a", "b").alias("z")).first()["z"] == 39

@@ -200,6 +200,22 @@ def int_dot(a: str, b: str, engine: str) -> str:
     return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
 
 
+def zvalue(a: str, b: str, bits: int, engine: str) -> str:
+    """Morton (Z-order) value: interleave the low ``bits`` bits of two
+    non-negative BIGINT expressions — a's bit i lands at 2i+1, b's at 2i.
+    Unrolled pure-integer expression, identical results in both engines
+    (Spark spells shifts as functions, DuckDB as operators)."""
+    terms = []
+    for i in range(bits):
+        if engine == "spark":
+            terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def quant_vec(v: str, maxabs: str, qmax: int, engine: str) -> str:
     """Symmetric scalar quantization of a fixed-point BIGINT vector to
     [-qmax, qmax]: q_i = round(x_i * qmax / maxabs), spelled as exact

@@ -1083,3 +1083,41 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc"),
         )
     )
+
+
+ZORDER_BITS = 20
+
+
+@register(
+    "layout_zorder_events",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS hour_bucket FROM events
+)
+SELECT event_id,
+       CAST({portable.zvalue('user_id', 'hour_bucket', 20, 'duck')} AS BIGINT) AS zval
+FROM base
+""",
+    tags=("layout", "sort"),
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering values for events on (user_id, hour):
+    the multi-dimensional layout key that lets min/max row-group stats
+    prune scans on EITHER dimension after a zorder_by rewrite
+    (operators/layout.py) — the OPTIMIZE ZORDER primitive.
+
+    The value computation is checked per event against the oracle; the
+    physical layout behavior (range partition + in-partition sort) is
+    pinned by operator tests.
+    """
+    from uda_spark.operators.layout import zvalue_col
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    base = ev.withColumn("ts_us", event_micros(ev)).select(
+        "event_id", "user_id", F.expr("ts_us div 3600000000").alias("hour_bucket")
+    )
+    return base.select(
+        "event_id",
+        zvalue_col(base, "user_id", "hour_bucket", ZORDER_BITS).cast("long").alias("zval"),
+    )

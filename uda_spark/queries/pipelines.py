@@ -719,3 +719,31 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "pixels_fp",
     )
+
+
+@register(
+    "streaming_enrich_static",
+    oracle=f"""
+SELECT ({_DUCK_US} // 3600000000) * 3600 AS bucket_epoch,
+       CAST(c_nationkey AS BIGINT) AS nation_key,
+       COUNT(*)::BIGINT AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "window"),
+)
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the (static,
+    broadcast) customer dimension, rolled up hourly per nation — executed
+    as a real streaming query and checked against the batch join oracle.
+
+    Completes the streaming join surface alongside the stream-stream
+    purchase/signup join: static side re-broadcast per micro-batch (no
+    join state), windowed agg state watermark-bounded.
+    """
+    from uda_spark.sources.tables import load_table
+
+    ev = ST.events_file_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    result = ST.enrich_static_stream(ev, dim)
+    return ST.run_stream_to_memory(result, _sink_name("enrich_sink"))

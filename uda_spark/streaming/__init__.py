@@ -5,6 +5,7 @@ from uda_spark.streaming.windows import (
     sliding_counts_stream,
     sessionize_stream,
     run_stream_to_memory,
+    enrich_static_stream,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "sliding_counts_stream",
     "sessionize_stream",
     "run_stream_to_memory",
+    "enrich_static_stream",
 ]

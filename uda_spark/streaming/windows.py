@@ -171,3 +171,31 @@ def purchase_after_signup_stream(
         "signup_id",
         F.expr("(p_ts_us - s_ts_us) div 1000000").alias("lag_seconds"),
     )
+
+
+def enrich_static_stream(
+    events: DataFrame, dim: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static
+    dimension table, then windowed counts per dimension attribute — the
+    classic "enrich clickstream with user/account metadata" shape.
+
+    The static side needs NO state store: Spark re-resolves and
+    broadcasts it into every micro-batch (so a slowly-changing dim picks
+    up updates batch-to-batch); only the downstream windowed aggregation
+    holds (watermark-bounded) state.  At 100 TB of stream the dimension
+    is still dimension-sized — the stream never shuffles for the join.
+    """
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    return (
+        joined.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), F.col("c_nationkey"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_epoch"),
+            F.col("c_nationkey").cast("long").alias("nation_key"),
+            "n_events",
+        )
+    )
