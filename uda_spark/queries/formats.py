@@ -204,3 +204,19 @@ def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fmt_path("orc", sf_dir)
     FMT.write_orc(src, path)
     return FMT.read_orc(spark, path, src.schema)
+
+
+@register(
+    "xml_roundtrip_region",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("formats", "io"),
+)
+def xml_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → XML (rowTag framing, Spark 4 native — the former
+    spark-xml) → explicit-schema scan → rows.  Completes the text-format
+    matrix (CSV/JSON/text/XML) alongside the binary one
+    (parquet/ORC/SequenceFile/VInt)."""
+    src = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = _fmt_path("xml", sf_dir)
+    FMT.write_xml(src, path)
+    return FMT.read_xml(spark, path, src.schema)

@@ -158,3 +158,19 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """Native XML sink (built into Spark 4 — the former spark-xml)."""
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType, row_tag: str = "row"
+) -> DataFrame:
+    """Explicit-schema XML scan; inference would be an extra full pass."""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag).schema(schema).load(path)
+    )
