@@ -88,13 +88,18 @@ def main() -> None:
             timings[name] = None
             print(f"# {name}: FAILED ({type(exc).__name__}: {exc})", file=sys.stderr)
 
-    total = round(sum(v for v in timings.values() if v is not None), 3)
+    failed = sorted(n for n, v in timings.items() if v is None)
+    # A failed query must never make the round LOOK faster: the headline
+    # total is only comparable across rounds when it sums the same query
+    # set, so any failure nulls the total (per-query numbers remain).
+    total = None if failed else round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
+                "all_ok": not failed,
                 "unit": "sec",
                 # Each per-query number is already the MIN over this many
                 # full-pipeline executions inside this single process (the
@@ -102,7 +107,7 @@ def main() -> None:
                 # steady-state estimate even when the harness runs us once).
                 "iters_per_query": ITERS,
                 "queries": timings,
-                "failed_queries": sorted(n for n, v in timings.items() if v is None),
+                "failed_queries": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -434,6 +434,37 @@ class TestBucketCap:
         ).collect()
         assert [(p["doc_a"], p["doc_b"]) for p in capped] == [(100, 101)]
 
+    def test_boilerplate_corpus_capped_exact_tier_catches_dups(self, spark):
+        """The knob that keeps banded LSH alive on real crawl data: a
+        1000-strong boilerplate bucket is quadratic (499500 candidate
+        pairs) uncapped; capping prunes it to zero near-dup candidates
+        while the exact tier still identifies every one of those docs as
+        a duplicate of a single representative."""
+        from uda_spark.operators.dedup import exact_dedup, minhash_near_dup_pairs
+
+        n = 1000
+        boiler = [(i, "click here to accept cookies and continue reading") for i in range(n)]
+        pair = [
+            (5000, "alpha beta gamma delta epsilon zeta eta"),
+            (5001, "alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+        docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+        uncapped_n = minhash_near_dup_pairs(docs, "text", "doc_id").count()
+        assert uncapped_n == n * (n - 1) // 2 + 1
+
+        capped = minhash_near_dup_pairs(
+            docs, "text", "doc_id", max_bucket_size=100
+        ).collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in capped] == [(5000, 5001)]
+
+        # exact tier: all 1000 boilerplate docs collapse to one keeper
+        exact = {
+            r["keep_id"]: r["n_copies"]
+            for r in exact_dedup(docs, "text", "doc_id").collect()
+        }
+        assert exact[0] == n  # min-id representative holds all copies
+
 
 class TestZorderLayout:
     def test_zorder_by_sorts_and_preserves_rows(self, spark):
@@ -466,3 +497,33 @@ class TestZorderLayout:
         # a=5 -> bits at odd positions (1,0,1), b=3 -> even (0,1,1):
         # z = 1<<5 | 0<<4 | 0<<3 | 1<<2 | 1<<1 | 1<<0 = 0b100111 = 39
         assert df.select(zvalue_col(df, "a", "b").alias("z")).first()["z"] == 39
+
+    def test_zorder_by_rejects_out_of_range_keys(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        from uda_spark.operators.layout import zorder_by
+
+        df = spark.createDataFrame([(1, 5), (1 << 20, 7)], "a long, b long")
+        with pytest.raises((Py4JJavaError, PySparkException), match="zorder_by"):
+            zorder_by(df, "a", "b", num_partitions=2).collect()
+        with pytest.raises((Py4JJavaError, PySparkException), match="zorder_by"):
+            zorder_by(
+                spark.createDataFrame([(-1, 0)], "a long, b long"), "a", "b"
+            ).collect()
+
+    def test_zorder_by_clamp_saturates(self, spark):
+        from uda_spark.operators.layout import zorder_by, zvalue_col
+
+        hi = (1 << 20) - 1
+        df = spark.createDataFrame(
+            [(1 << 21, 3), (-5, 3), (hi, 3)], "a long, b long"
+        )
+        out = zorder_by(df, "a", "b", num_partitions=1, on_overflow="clamp")
+        rows = sorted(r["a"] for r in out.collect())
+        assert rows == [-5, hi, 1 << 21]  # original values untouched
+        # clamped keys alias onto the boundary buckets, not arbitrary ones:
+        z = df.select(
+            zvalue_col(df, "a", "b").alias("raw"),
+        )
+        assert z.count() == 3

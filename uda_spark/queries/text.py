@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from uda_spark.cache import tracked_persist
 from uda_spark.functions import portable, text as TXT
 from uda_spark.queries.common import t
 from uda_spark.registry import register
@@ -131,6 +132,18 @@ def text_bpe_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TFIDF_TOP_K = 3
 
+# The tf relation feeds BOTH the df aggregation and the final join.  Spark
+# does not reuse the exchange between them (the df branch prunes the count
+# column, so the subplans differ — verified in the executed adaptive plan:
+# 2 parquet scans, 0 ReusedExchange), so by default the corpus is exploded
+# and aggregated twice.  Measured at sf0.1 (min-of-3, warm JVM): recompute
+# 0.67–0.95s vs persisted 1.07–1.25s — materializing the (doc_id, term,
+# tf) cache costs more than the second pass at bench scale, so the default
+# stays False.  At 100 TB the ratio inverts (the double corpus
+# scan+explode dominates; the tf cache is token-count-sized and spills to
+# disk), so a cluster deployment should flip this to True.
+TFIDF_PERSIST_TF = False
+
 
 @register(
     "text_tfidf_top_terms",
@@ -165,10 +178,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline as three aggregations: term frequency per (doc, term),
     document frequency per term, corpus size; idf = ln((N+1)/(df+1)).
 
-    Scale shape: ONE explode; DF is derived from the TF relation (each
-    (doc, term) row counts once toward the term's document frequency), so
-    the corpus is scanned and exploded once, not twice.  The DF relation
-    is vocabulary-sized and broadcast back onto TF; top-k per doc is a
+    Scale shape: DF is derived from the TF relation (each (doc, term) row
+    counts once toward the term's document frequency), so no separate
+    distinct-count pass exists; whether the shared tf prefix executes
+    once (persisted) or twice (recomputed) is the measured
+    ``TFIDF_PERSIST_TF`` tradeoff documented above.  The DF relation is
+    vocabulary-sized and broadcast back onto TF; top-k per doc is a
     bounded window.  Every tfidf input is an exact integer, so ln() and
     the product are bit-identical across engines; ties break on the term
     itself.
@@ -178,9 +193,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(F.expr(portable.tokens("text", "spark"))).alias("term")
     )
-    # no persist: both consumers of tf hang off the same exchange, which
-    # Spark reuses (ReusedExchange) — caching measured strictly slower
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if TFIDF_PERSIST_TF:
+        tf = tracked_persist(tf)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df), on="term").select(
         "doc_id",

@@ -170,7 +170,19 @@ def write_xml(
 def read_xml(
     spark: SparkSession, path: str, schema: StructType, row_tag: str = "row"
 ) -> DataFrame:
-    """Explicit-schema XML scan; inference would be an extra full pass."""
+    """Explicit-schema XML scan; inference would be an extra full pass.
+
+    ``ignoreSurroundingSpaces`` is pinned off so a write/read roundtrip
+    preserves leading/trailing whitespace in string values (the reader's
+    default trims them, silently corrupting whitespace-bearing columns).
+    Caveat XML cannot fix: an empty element decodes as null, so the
+    roundtrip maps empty string -> null; don't use this sink for columns
+    where that distinction matters.
+    """
     return (
-        spark.read.format("xml").option("rowTag", row_tag).schema(schema).load(path)
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(schema)
+        .load(path)
     )

@@ -63,13 +63,19 @@ def event_micros(df: DataFrame, col: str = "ts") -> Column:
     if isinstance(dt, LongType):
         # int64 nanoseconds → integer-divide to exact microseconds.
         return F.expr(f"({col} div 1000)")
-    if isinstance(dt, (TimestampType, TimestampNTZType)):
-        # NTZ casts to TIMESTAMP via the session time zone.  session.py
-        # pins UTC, but the external driver builds a PLAIN session — pin
-        # it here too so naive parquet times read as exact epoch micros
-        # (DuckDB's epoch_us treats them the same way) on any host tz.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dt, TimestampNTZType):
+        # Naive wall time → epoch micros treating the wall clock as UTC
+        # (DuckDB's epoch_us does the same).  timestampdiff on two NTZ
+        # values never consults the session time zone, so this is exact
+        # on any host tz with no session mutation (a cast-to-TIMESTAMP
+        # here would silently shift under a non-UTC driver session).
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    if isinstance(dt, TimestampType):
+        # Instant-carrying type: unix_micros is tz-independent by
+        # definition.
+        return F.unix_micros(F.col(col))
     raise TypeError(
         f"column {col!r} has unsupported event-time type {dt}; "
         "expected BIGINT nanos or TIMESTAMP/TIMESTAMP_NTZ"
