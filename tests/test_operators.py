@@ -527,3 +527,54 @@ class TestZorderLayout:
             zvalue_col(df, "a", "b").alias("raw"),
         )
         assert z.count() == 3
+
+
+class TestStarConnectedComponents:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 200-node path graph has diameter 199 — one-hop label
+        propagation needs ~199 rounds, the star algorithm a handful."""
+        from uda_spark.operators.dedup import connected_components_star
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+        )
+        got = connected_components_star(chain, max_iterations=12).collect()
+        assert len(got) == 201
+        assert all(r["component"] == 0 for r in got)
+
+    def test_matches_label_propagation_on_random_graph(self, spark):
+        import random
+
+        from uda_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(300), rng.randrange(300)) for _ in range(180)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        star = {
+            (r["node"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        prop = {
+            (r["node"], r["component"])
+            for r in connected_components(df, max_iterations=60).collect()
+        }
+        assert star == prop
+
+    def test_two_components_and_self_pairs_ignored(self, spark):
+        from uda_spark.operators.dedup import connected_components_star
+
+        df = spark.createDataFrame(
+            [(5, 6), (6, 7), (20, 21), (21, 20), (9, 9)],
+            "doc_a long, doc_b long",
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20}

@@ -405,3 +405,108 @@ def connected_components(
             "max_iterations; propagation is one hop per round"
         )
     return labels.select("node", "component")
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star alternation over a directed edge list
+    (hi, lo) with hi > lo; returns a new (hi, lo) edge list with the same
+    connected components."""
+    # large-star: each node u connects its strictly-larger neighbors to
+    # min(neighborhood ∪ {u}) — long chains halve toward the minimum
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    large = (
+        sym.join(mins, on="u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+    # small-star: each node connects its smaller neighbors (and itself)
+    # to the minimum of that set — flattens local trees into stars
+    mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+    leaves = (
+        large.join(mins2, on="hi")
+        .select(F.col("lo").alias("node"), "m")
+        .where(F.col("node") != F.col("m"))
+    )
+    centers = mins2.select(F.col("hi").alias("node"), "m")
+    return (
+        leaves.union(centers)
+        .select(F.col("node").alias("hi"), F.col("m").alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star edge
+    rewriting — the O(log n)-round formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) that
+    :func:`connected_components` names as its upgrade path for graphs
+    with long chains, where one-hop min-label propagation needs
+    O(diameter) rounds.
+
+    Each round rewires edges toward component minima: large-star points
+    every larger neighbor at the neighborhood minimum (halving chain
+    distances), small-star flattens the resulting trees into stars.  The
+    fixed point is a star forest — every node points directly at its
+    component's minimum id — so the label relation falls straight out of
+    the edge list with no separate propagation phase.
+
+    Scale shape per round: two groupBy-min aggregations and two joins,
+    all keyed on node ids (never content); the edge list SHRINKS
+    monotonically toward one edge per non-root node, so later rounds are
+    cheaper than earlier ones.  localCheckpoint per round truncates
+    lineage (constant plan size).  Convergence is detected by an edge-set
+    signature (count + bit_xor of xxhash64(hi, lo), overflow-free under
+    ANSI mode) — one aggregation action, no extra join; a colliding
+    signature for *different* consecutive edge sets (probability ~2^-64
+    per round on deterministic data) is the only failure mode, and
+    RAISES on round exhaustion rather than returning split clusters.
+
+    Output: (node, component) — component = min node id in the cluster,
+    identical to :func:`connected_components`.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        edges = _star_round(edges).localCheckpoint(eager=True)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — pathological for O(log n) convergence; raise "
+            "max_iterations"
+        )
+    return (
+        edges.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+        .union(edges.select(F.col("lo").alias("node"), F.col("lo").alias("component")))
+        .distinct()
+    )

@@ -355,6 +355,49 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_canonical_star",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node, LEAST(node, MIN(r))::BIGINT AS component
+FROM reach GROUP BY node
+""",
+    tags=("dedup", "north-star", "iterative", "graph"),
+)
+def dedup_cluster_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labeling via large-star/small-star edge
+    rewriting (Kiveris et al. SoCC'14) — the O(log n)-round alternative
+    to one-hop min-label propagation (`dedup_cluster_canonical`), for
+    graphs where LSH emits long chains and O(diameter) rounds would
+    dominate.  Identical output contract (node -> min id of its
+    component), same transitive-closure oracle, so the two formulations
+    value-hash-check each other through the driver.
+    """
+    pairs = D.minhash_near_dup_pairs(
+        _corpus_near(spark, sf_dir),
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        k=3,
+        jaccard_threshold=JACCARD_T,
+    )
+    return D.connected_components_star(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     fp, damp = 1_000_000_000, 85
     ctes = [
