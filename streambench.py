@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Streaming micro-bench: end-to-end latency/throughput for the
+Structured Streaming surface, as a tracked number alongside bench.py.
+
+Each pipeline reads the events table as a file stream (availableNow
+trigger — process everything currently available, then stop), writes to
+the noop sink (full pipeline executes, nothing collects on the driver),
+and records per-batch durations and input rows from the streaming
+progress events.  Prints ONE JSON line:
+
+  {"metric": "streaming_availablenow", "queries": {name:
+      {"batches": n, "rows": n, "total_sec": s, "rows_per_sec": r}}, ...}
+
+Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python streambench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from uda_spark.session import get_spark
+from uda_spark.streaming.stateful import running_totals_stream
+from uda_spark.streaming.windows import (
+    events_file_stream,
+    hourly_counts_stream,
+    sessionize_stream,
+    sliding_counts_stream,
+)
+
+PIPELINES = {
+    # name -> (builder(events) -> DataFrame, outputMode)
+    "hourly_counts": (hourly_counts_stream, "update"),
+    "sliding_counts": (sliding_counts_stream, "update"),
+    # session-window aggregation only supports append output
+    "sessionize": (sessionize_stream, "append"),
+    "running_totals": (running_totals_stream, "update"),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    results: dict[str, dict] = {}
+    for name, (builder, mode) in PIPELINES.items():
+        ckpt = tempfile.mkdtemp(prefix=f"streambench_{name}_")
+        try:
+            events = events_file_stream(spark, sf_dir)
+            t0 = time.perf_counter()
+            query = (
+                builder(events)
+                .writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+            wall = time.perf_counter() - t0
+            progress = [json.loads(p.json) for p in query.recentProgress]
+            batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+            rows = sum(p["numInputRows"] for p in batches)
+            # triggerExecution covers the whole micro-batch: source scan,
+            # state-store update, sink commit
+            exec_ms = sum(
+                p.get("durationMs", {}).get("triggerExecution", 0) for p in batches
+            )
+            results[name] = {
+                "batches": len(batches),
+                "rows": rows,
+                "total_sec": round(wall, 3),
+                "exec_sec": round(exec_ms / 1000.0, 3),
+                "rows_per_sec": round(rows / (exec_ms / 1000.0), 1) if exec_ms else None,
+            }
+            print(f"# {name}: {results[name]}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"# {name}: FAILED {results[name]['error']}", file=sys.stderr)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_availablenow",
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
