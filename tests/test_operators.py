@@ -578,3 +578,33 @@ class TestStarConnectedComponents:
             for r in connected_components_star(df).collect()
         }
         assert got == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20}
+
+
+@pytest.mark.slow
+def test_terasort_spill_stress():
+    """O9/O10 evidence under memory pressure (SCALING.md): 50M 100-byte
+    records (~5 GB) against ~1.6 GB of execution memory plus a 1M-row
+    force-spill threshold — ExternalSorter must spill and merge, and the
+    full terasort contract (global order + count + key checksum) must
+    still hold.  Runs in a subprocess because the memory confs must be
+    set before the JVM starts (the shared test session can't be
+    reconfigured)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "stress_terasort.py",
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--rows", "50000000", "--cpus", "24"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["sorted"] and result["checksum_match"]
