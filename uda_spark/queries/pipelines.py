@@ -747,3 +747,49 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     result = ST.enrich_static_stream(ev, dim)
     return ST.run_stream_to_memory(result, _sink_name("enrich_sink"))
+
+
+STRAT_PER_SOURCE = 12  # balanced per-stratum budget
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {portable.hash60("'strat|' || CAST(doc_id AS VARCHAR)", 'duck')}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {STRAT_PER_SOURCE}
+""",
+    tags=("pipeline", "north-star", "sampling"),
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified sample: a deterministic, reproducible
+    fixed-size draw per source — the training-mix balancing step that
+    stops one crawl domain from dominating the corpus (complementing the
+    corpus-wide hash%10 sample in the flagship pipeline).
+
+    The "random" order inside each stratum is a salted hash of doc_id —
+    no RNG, so the draw is identical on both engines and across reruns
+    (resumable pipelines re-derive the same sample).  Scale shape: one
+    exchange on source + in-partition window, and Catalyst inserts
+    WindowGroupLimit on BOTH sides of the exchange (plan verified in
+    PLANS.md): each input partition keeps only its local top-budget rows
+    per source before shuffling, so a billion-row stratum ships
+    O(partitions × budget) rows, never the stratum — no task ever sorts
+    a mega-stratum.
+    """
+    docs = t(spark, sf_dir, "documents")
+    h = portable.hash60("concat('strat|', CAST(doc_id AS STRING))", "spark")
+    w = Window.partitionBy("source").orderBy(F.expr(h).asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= STRAT_PER_SOURCE)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )

@@ -389,3 +389,133 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(f"regexp_extract_all(text, '{phone}', 0)")).cast("int").alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+_BIGRAMS_SPARK = portable.shingles(portable.tokens("text", "spark"), 2, "spark")
+_BIGRAMS_DUCK = portable.shingles(portable.tokens("text", "duck"), 2, "duck")
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+WITH bg AS (
+  SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS bg FROM documents
+),
+cnt AS (
+  SELECT doc_id, bg, COUNT(*)::BIGINT AS c FROM bg GROUP BY doc_id, bg
+),
+agg AS (
+  SELECT doc_id, MAX(c)::BIGINT AS top_cnt, SUM(c)::BIGINT AS n_bigrams,
+         COUNT(*)::BIGINT AS n_distinct
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, top_cnt, n_bigrams,
+       ROUND(top_cnt / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac,
+       ROUND(1 - n_distinct / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
+FROM agg
+""",
+    tags=("text", "north-star", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher/RefinedWeb-style
+    quality filters that catch boilerplate and degenerate generations:
+    ``top_bigram_frac`` (share of the document's bigrams taken by its
+    single most frequent bigram) and ``dup_bigram_frac`` (share of
+    bigram occurrences that are repeats).
+
+    Scale shape: explode bigrams → (doc, bigram) count → per-doc
+    aggregate — two exchanges, both keyed by doc_id-prefixed keys, no
+    content in the second shuffle (counts only).  A crawl pipeline runs
+    this beside token/quality stats and filters on the fractions;
+    thresholds (e.g. top_bigram_frac > 0.18 per Gopher) stay user-side.
+    Every input to the fractions is an exact integer, so the single
+    IEEE division + round(6) is bit-identical across engines.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_cnt"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        "top_cnt",
+        "n_bigrams",
+        F.round(F.col("top_cnt") / F.col("n_bigrams").cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(
+            F.lit(1) - F.col("n_distinct") / F.col("n_bigrams").cast("double"), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+DECON_K = 5  # word n-gram size for the contamination check
+DECON_EVAL_MOD = 19  # doc_id % 19 == 0 stands in for the benchmark set
+
+_DECON_GRAMS_SPARK = portable.shingles(portable.tokens("text", "spark"), DECON_K, "spark")
+_DECON_GRAMS_DUCK = portable.shingles(portable.tokens("text", "duck"), DECON_K, "duck")
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, {portable.hash60('g', 'duck')} AS gh FROM (
+    SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS g FROM documents
+  )
+),
+eval_grams AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT DISTINCT doc_id, gh FROM grams WHERE doc_id % {DECON_EVAL_MOD} <> 0
+),
+hits AS (
+  SELECT c.doc_id, COUNT(*)::BIGINT AS n_hits
+  FROM corpus c JOIN eval_grams e USING (gh) GROUP BY c.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       (COALESCE(h.n_hits, 0) > 0)::INT AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+    tags=("text", "north-star", "dedup"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-word n-gram with an evaluation set (here a deterministic stand-in:
+    every 19th doc) — the pre-training hygiene step that keeps eval data
+    out of the training corpus.
+
+    Scale shape: the eval side is tiny relative to the corpus, so its
+    distinct n-gram hashes BROADCAST; the corpus side is one explode +
+    distinct + broadcast hash join + per-doc count — the corpus never
+    shuffles its text, only 60-bit gram hashes keyed by doc.  At 100 TB
+    with a real benchmark suite (a few MB of n-grams) the broadcast side
+    is still tiny; collision risk of hash60 is ~2^-60 per pair, and a
+    hit means "inspect", not "silently drop".
+    """
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(_DECON_GRAMS_SPARK)).alias("g")
+    ).select("doc_id", F.expr(portable.hash60("g", "spark")).alias("gh"))
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_grams = grams.where(is_eval).select("gh").distinct()
+    corpus = grams.where(~is_eval).distinct()
+    hits = (
+        corpus.join(F.broadcast(eval_grams), on="gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    base = docs.where(~is_eval).select("doc_id")
+    return base.join(hits, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
