@@ -42,6 +42,64 @@ PIPELINES = {
 }
 
 
+def batch_latency_probe(spark, sf_dir: str, n_chunks: int = 8) -> dict:
+    """Per-micro-batch latency distribution: re-chunk the events table
+    into ``n_chunks`` files and stream them one file per trigger, so the
+    run produces ``n_chunks`` real micro-batches instead of one — the
+    latency profile a continuous deployment would see, measured from the
+    streaming progress events (min/median/max triggerExecution)."""
+    import pyspark.sql.functions as F
+
+    from uda_spark.sources.tables import load_table
+    from uda_spark.streaming.windows import hourly_counts_stream
+
+    src_dir = tempfile.mkdtemp(prefix="streambench_chunks_")
+    ckpt = tempfile.mkdtemp(prefix="streambench_lat_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(n_chunks).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        from uda_spark.sources.tables import event_micros
+
+        stream = stream.withColumn("ts_us", event_micros(stream)).withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
+        )
+        t0 = time.perf_counter()
+        query = (
+            hourly_counts_stream(stream)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        wall = time.perf_counter() - t0
+        progress = [json.loads(p.json) for p in query.recentProgress]
+        batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+        lat = sorted(
+            p.get("durationMs", {}).get("triggerExecution", 0) / 1000.0
+            for p in batches
+        )
+        rows = sum(p["numInputRows"] for p in batches)
+        return {
+            "batches": len(batches),
+            "rows": rows,
+            "total_sec": round(wall, 3),
+            "batch_sec_min": round(lat[0], 3) if lat else None,
+            "batch_sec_med": round(lat[len(lat) // 2], 3) if lat else None,
+            "batch_sec_max": round(lat[-1], 3) if lat else None,
+        }
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark()
@@ -82,6 +140,16 @@ def main() -> None:
             print(f"# {name}: FAILED {results[name]['error']}", file=sys.stderr)
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        results["hourly_counts_8batch_latency"] = batch_latency_probe(spark, sf_dir)
+        print(
+            f"# hourly_counts_8batch_latency: {results['hourly_counts_8batch_latency']}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        results["hourly_counts_8batch_latency"] = {
+            "error": f"{type(exc).__name__}: {exc}"
+        }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -608,3 +608,54 @@ def test_terasort_spill_stress():
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["sorted"] and result["checksum_match"]
+
+
+@pytest.mark.slow
+def test_lsh_dedup_scale_stress(spark):
+    """Banded MinHash LSH at 200k documents (~40x bench corpus scale):
+    every planted near-dup pair must be recovered, the candidate set must
+    stay near-linear (the LSH point), and the run must finish on the
+    shared local session — scale evidence for the dedup family beyond
+    sf0.1 (SCALING.md dedup section)."""
+    import time
+
+    from uda_spark.cache import release_persisted
+    from uda_spark.operators.dedup import minhash_near_dup_pairs
+
+    n_unique, n_pairs = 200_000, 500
+    # deterministic synthetic corpus: ~30 words from a 50-word vocab per
+    # doc, seeded by doc id; docs [0, n_pairs) get a near-identical twin
+    # at id+1_000_000 (one appended word => Jaccard ~0.93)
+    base = spark.range(n_unique).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 30), "
+            "j -> concat('w', pmod(hash(id * 31 + j), 50))), ' ')"
+        ).alias("text"),
+    )
+    twins = spark.range(n_pairs).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat(array_join(transform(sequence(1, 30), "
+            "j -> concat('w', pmod(hash(id * 31 + j), 50))), ' '), ' extratoken')"
+        ).alias("text"),
+    )
+    docs = base.union(twins)
+
+    t0 = time.perf_counter()
+    pairs = minhash_near_dup_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.6, max_bucket_size=2_000
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    wall = time.perf_counter() - t0
+    release_persisted()
+
+    planted = {(float(i), float(i + 1_000_000)) for i in range(n_pairs)}
+    got_norm = {(float(min(a, b)), float(max(a, b))) for a, b in got}
+    missing = planted - got_norm
+    assert not missing, f"LSH missed {len(missing)} planted pairs, e.g. {sorted(missing)[:3]}"
+    # candidate blowup guard: random 30-of-50-word docs do collide in
+    # bands occasionally, but the verified output must stay near the
+    # planted count, not quadratic
+    assert len(got_norm) < n_pairs * 20, f"pair explosion: {len(got_norm)}"
+    assert wall < 420, f"LSH at 200k docs took {wall:.0f}s"
