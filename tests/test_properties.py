@@ -242,3 +242,54 @@ def test_quant_vec_properties(v):
         assert abs(abs(c) - exact) <= 0.5 + 1e-9
     # the max-magnitude component always saturates
     assert 127 in [abs(c) for x, c in zip(v, q) if abs(x) == m]
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _union_find_components(edges):
+    """Reference implementation: classic union-find over the edge list,
+    labels = min node id per component (the operators' output contract)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {(n, comp_min[find(n)]) for n in nodes}
+
+
+@SPARK_SETTINGS
+@given(edges=edge_lists)
+def test_star_components_match_union_find(spark, edges):
+    from uda_spark.operators.dedup import connected_components_star
+
+    expected = _union_find_components(edges)
+    if not expected:  # all self-loops: the operator returns no rows
+        return
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == expected
