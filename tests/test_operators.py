@@ -214,6 +214,54 @@ class TestPlanQuality:
         # partial agg map-side, one exchange of partial states
         assert count_exchanges(df) == 1
 
+    def test_runtime_bloom_filter_on_shuffle_join(self, spark):
+        """Runtime row-level filtering for selective fact-to-fact joins —
+        the 100 TB shuffle-join pruning knob.  At bench scale the
+        filtered side broadcasts, so Spark correctly skips the bloom
+        filter (a broadcast join needs no probe-side pruning); when the
+        join must shuffle (the cluster-scale fact-fact case, modeled by
+        disabling broadcast), the optimizer injects bloom_filter_agg on
+        the creation side and a might_contain probe filter — rows that
+        cannot match are dropped before the exchange."""
+        from uda_spark.sources.tables import load_table
+
+        def join_plan():
+            li = load_table(spark, SF_SMOKE, "lineitem")
+            o = load_table(spark, SF_SMOKE, "orders").where("o_totalprice > 400000")
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            return j._jdf.queryExecution().optimizedPlan().toString()
+
+        assert "bloom" not in join_plan().lower()  # broadcast path: no filter
+
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # local test files are far below the 10GB/10MB cluster
+            # defaults, so open the thresholds to demonstrate the plan
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB"
+            )
+            plan = join_plan()
+            assert "bloom_filter_agg" in plan and "might_contain" in plan
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
 
 class TestMergeUpsert:
     def test_merge_semantics(self, spark):
