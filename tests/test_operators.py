@@ -707,3 +707,44 @@ def test_lsh_dedup_scale_stress(spark):
     # planted count, not quadratic
     assert len(got_norm) < n_pairs * 20, f"pair explosion: {len(got_norm)}"
     assert wall < 420, f"LSH at 200k docs took {wall:.0f}s"
+
+
+class TestCompactFiles:
+    def test_many_small_files_become_few(self, spark, tmp_path):
+        from uda_spark.operators.layout import compact_files
+
+        src = str(tmp_path / "small")
+        dst = str(tmp_path / "compacted")
+        ev = load_table(spark, SF_SMOKE, "events")
+        # simulate micro-batch ingest: 64 tiny files
+        ev.repartition(64).write.parquet(src)
+
+        stats = compact_files(spark, src, dst, target_mb=128)
+        assert stats["src_files"] >= 64
+        # the whole table is far below one target file
+        assert stats["dst_files"] - stats["src_files"] < 0
+        assert stats["dst_files"] <= 3  # 1 data file + _SUCCESS marker
+
+        before = sorted(r["event_id"] for r in spark.read.parquet(src).collect())
+        after = sorted(r["event_id"] for r in spark.read.parquet(dst).collect())
+        assert before == after
+
+    def test_sort_within_preserves_rows_and_orders_files(self, spark, tmp_path):
+        from uda_spark.operators.layout import compact_files
+
+        src = str(tmp_path / "small2")
+        dst = str(tmp_path / "compacted2")
+        ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+        ev.repartition(16).write.parquet(src)
+        compact_files(spark, src, dst, target_mb=128, sort_within_by=("user_id",))
+        out = spark.read.parquet(dst)
+        assert out.count() == ev.count()
+
+        def check(it):
+            prev = None
+            for row in it:
+                if prev is not None and row.user_id < prev:
+                    yield Row(violation=1)
+                prev = row.user_id
+
+        assert out.select("user_id").rdd.mapPartitions(check).count() == 0

@@ -78,3 +78,57 @@ def zorder_by(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+    sort_within_by: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction: rewrite a directory of many small parquet
+    files into ~``target_mb``-sized ones — the maintenance pass that
+    keeps scan task counts sane after streaming/incremental ingest (a
+    100 TB table ingested in 1 MB micro-batch files is 100M files; scans
+    die on listing and task overhead long before IO).
+
+    File count is derived from the actual byte size via the Hadoop
+    FileSystem API (driver-side metadata call, works on any scheme —
+    local, HDFS, object store), not from row counts, so compaction
+    behaves the same for wide and narrow schemas.  ``sort_within_by``
+    optionally re-sorts rows inside each output file so min/max
+    row-group stats stay selective after the rewrite (pair with
+    :func:`zorder_by` for multi-dimensional layouts).
+
+    Returns {"src_files", "dst_files", "total_bytes"} for observability.
+    Writes to a NEW path: compaction must never rewrite in place (a
+    failed job would destroy the table); swapping the directory pointer
+    is the caller's (atomic) move.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(hconf)
+    summary = fs.getContentSummary(jpath)
+    total_bytes = summary.getLength()
+    src_files = summary.getFileCount()
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(src_path)
+    out = df.repartition(int(n_out))
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst_path)
+
+    dst_files = (
+        jvm.org.apache.hadoop.fs.Path(dst_path)
+        .getFileSystem(hconf)
+        .getContentSummary(jvm.org.apache.hadoop.fs.Path(dst_path))
+        .getFileCount()
+    )
+    return {
+        "src_files": int(src_files),
+        "dst_files": int(dst_files),
+        "total_bytes": int(total_bytes),
+    }
