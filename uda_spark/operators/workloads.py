@@ -91,3 +91,34 @@ def dfsio(spark: SparkSession, path: str, n_rows: int = 1000, payload_kb: int = 
         "read_sec": read_s,
         "bytes": n_rows * payload_kb * 1024,
     }
+
+
+def table_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent whole-table checksum — teravalidate's
+    count+checksum half (SURVEY §2.3) generalized to any relation: the
+    tool that validates a 100 TB migration/backfill without moving data
+    (run on both sides, compare three numbers).
+
+    Each row hashes to a 60-bit integer (portable md5 fold over the
+    '|'-joined column strings, NUL-sentinel for null); the table digest
+    is (count, bit_xor, sum mod 2^60) of the row hashes.  All three
+    aggregates are commutative, so the result is independent of
+    partitioning, ordering, and merge tree shape; the map side reduces
+    to three scalars per partition — shuffle traffic is O(partitions).
+
+    Caller chooses ``cols`` to pin cross-engine string formatting
+    (integers/strings/dates are portable; raw floats are not — format
+    them explicitly first).
+    """
+    cols = cols or df.columns
+    joined = "concat_ws('|', " + ", ".join(
+        f"coalesce(CAST({c} AS STRING), '\\u0000')" for c in cols
+    ) + ")"
+    h = portable.hash60(joined, "spark")
+    return df.select(F.expr(h).alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_digest"),
+        F.expr(f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {1 << 60} AS BIGINT)").alias(
+            "sum_digest"
+        ),
+    )

@@ -188,3 +188,36 @@ def pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr(_PI_INSIDE).cast("long").alias("inside"))
         .agg((F.sum("inside") * 4.0 / PI_SAMPLES).alias("pi_est"))
     )
+
+
+DIGEST_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+_DIGEST_JOIN_DUCK = "concat_ws('|', " + ", ".join(
+    f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in DIGEST_COLS
+) + ")"
+
+
+@register(
+    "table_digest_orders",
+    oracle=f"""
+WITH h AS (
+  SELECT {portable.hash60(_DIGEST_JOIN_DUCK, 'duck')} AS h FROM orders
+)
+SELECT COUNT(*)::BIGINT AS n_rows,
+       bit_xor(h)::BIGINT AS xor_digest,
+       CAST(SUM(h) % {1 << 60} AS BIGINT) AS sum_digest
+FROM h
+""",
+    tags=("workload", "validation"),
+)
+def table_digest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum over the orders relation
+    (integer/string columns — the portable-cast subset): the
+    migration/backfill validation primitive.  Commutative aggregates of
+    a 60-bit row hash make the digest independent of partitioning and
+    merge order; map-side reduction leaves O(partitions) shuffle bytes.
+    Same digest definition runs on both engines, so the driver
+    value-hash IS a cross-engine data-equality check.
+    """
+    from uda_spark.operators.workloads import table_digest
+
+    return table_digest(t(spark, sf_dir, "orders"), list(DIGEST_COLS))
