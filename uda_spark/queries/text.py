@@ -519,3 +519,66 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, unnest({portable.tokens('text', 'duck')}) AS term FROM documents
+),
+vocab AS (
+  SELECT term, COUNT(*)::BIGINT AS c FROM tk GROUP BY term
+),
+tot AS (SELECT SUM(c)::BIGINT AS s FROM vocab),
+lp AS (
+  SELECT term,
+         CAST(floor(ln(c / CAST((SELECT s FROM tot) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS micronats
+  FROM vocab
+)
+SELECT tk.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(lp.micronats)::BIGINT AS sum_micronats
+FROM tk JOIN lp USING (term)
+GROUP BY tk.doc_id
+""",
+    tags=("text", "north-star", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model log-probability per document — the
+    CCNet-style LM quality filter: documents whose tokens are improbable
+    under the corpus unigram distribution (gibberish, wrong-language,
+    encoding damage) score low and get filtered or down-weighted.
+
+    Scale shape: one corpus explode feeds both the vocabulary count and
+    the scoring join; the vocabulary relation is tiny and BROADCAST back
+    onto the token stream; per-doc totals are one aggregation keyed by
+    doc_id.  Each token's log-prob is quantized ONCE per vocab entry to
+    integer micro-nats (floor(x*1e6 + 1/2) on identical doubles — the
+    repo's deterministic rounding convention), so the per-doc sums are
+    exact integer arithmetic: order-independent and value-hash checkable
+    despite the ln().  Consumers divide sum by count themselves
+    (truncating vs floor integer division differs between engines on
+    negatives, so the ratio is deliberately not materialized).
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(portable.tokens("text", "spark"))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    n_total = vocab.agg(F.sum("c")).collect()[0][0]
+    lp = vocab.select(
+        "term",
+        F.expr(
+            f"CAST(floor(ln(c / CAST({n_total} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("micronats"),
+    )
+    return (
+        toks.join(F.broadcast(lp), on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("micronats").cast("long").alias("sum_micronats"),
+        )
+    )
