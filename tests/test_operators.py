@@ -793,3 +793,52 @@ class TestZorderPruning:
         assert lin_hour == total  # linear layout cannot prune the 2nd dim
         assert z_hour < 0.8 * total  # zorder prunes it
         assert z_user < 0.5 * total  # and still prunes the 1st dim
+
+
+class TestZorderNormalized:
+    def test_normalization_balances_pruning(self, spark, tmp_path):
+        """Raw Morton weighting follows bit width, not cardinality, so a
+        wider key dominates pruning; rescaling both keys to the full bit
+        range makes row-group pruning more symmetric across dimensions
+        (measured: imbalance roughly halves — PLANS.md)."""
+        from uda_spark.operators.layout import zorder_by, zorder_by_normalized
+
+        ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+            "event_id", "user_id"
+        )
+        ev = ev.withColumn("hour_bucket", (F.col("event_id") % 1024).cast("long"))
+        total = ev.count()
+
+        d_raw = str(tmp_path / "raw")
+        d_norm = str(tmp_path / "norm")
+        zorder_by(ev, "user_id", "hour_bucket", num_partitions=16).write.parquet(d_raw)
+        zorder_by_normalized(
+            ev, "user_id", "hour_bucket", num_partitions=16
+        ).write.parquet(d_norm)
+
+        def rows_read(path, pred):
+            df = spark.read.parquet(path).where(pred)
+            df.collect()
+            leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+            return leaves.apply(0).metrics().apply("numOutputRows").value()
+
+        some_user = ev.select("user_id").first()["user_id"]
+        raw_h = rows_read(d_raw, "hour_bucket = 7")
+        raw_u = rows_read(d_raw, f"user_id = {some_user}")
+        norm_h = rows_read(d_norm, "hour_bucket = 7")
+        norm_u = rows_read(d_norm, f"user_id = {some_user}")
+
+        # both layouts prune both dimensions...
+        for v in (raw_h, raw_u, norm_h, norm_u):
+            assert v < 0.8 * total
+        # ...and normalization reduces the cross-dimension imbalance
+        assert abs(norm_h - norm_u) < abs(raw_h - raw_u)
+
+    def test_constant_column_degenerates_gracefully(self, spark):
+        from uda_spark.operators.layout import zorder_by_normalized
+
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(100)], "a long, b long"
+        )
+        out = zorder_by_normalized(df, "a", "b", num_partitions=2)
+        assert out.count() == 100
