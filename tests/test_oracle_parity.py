@@ -72,3 +72,16 @@ def test_query_matches_oracle(name, spark, duck_smoke):
         (a, b) for a, b in zip(s_set, d_set) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_driver_window_covers_round5_targets():
+    """The external driver samples the first 50 exported queries; the
+    round-5 rotation exists to give `layout_zorder_events` and
+    `xml_roundtrip_region` their first external rows.  Pin their window
+    positions so a refactor can't silently push them back out before the
+    driver runs."""
+    from uda_spark.registry import get_queries
+
+    names = list(get_queries())
+    assert names.index("layout_zorder_events") < 50
+    assert names.index("xml_roundtrip_region") < 50
