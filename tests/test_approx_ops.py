@@ -142,3 +142,29 @@ def test_quantized_knn_recall(spark):
         len(exact[q] & quant.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_knn_recall(spark):
+    # PQ ranks by approximate L2; compare against the exact L2 ranking
+    # computed inline (the registered brute-force query ranks by cosine,
+    # a different metric).  These embeddings are near-uniform — the
+    # worst case for PQ (m=8, k=16, 1 Lloyd iter) — so the floor is
+    # conservative, same rationale as the IVF floor above.
+    from collections import defaultdict
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    exact = {}
+    for q in range(10):
+        d2 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[q], v)), i)
+            for i, v in vecs.items()
+            if i != q
+        )
+        exact[q] = {i for _, i in d2[:5]}
+    pq = defaultdict(set)
+    for r in all_specs()["sim_pq_knn"].fn(spark, SF_SMOKE).collect():
+        pq[r["query_id"]].add(r["neighbor_id"])
+    recalls = [len(exact[q] & pq[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.15, recalls

@@ -388,3 +388,192 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 32x-compression ANN tier
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub: int) -> DataFrame:
+    """(id, m, sv) rows: fixed-point integer subvectors, one per subspace."""
+    iv = portable.int_vec(vec_col, "spark")
+    return df.select(F.col(id_col).alias("_id"), F.expr(iv).alias("_v")).select(
+        "_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {m - 1}), s -> slice(_v, s * {sub} + 1, {sub}))")
+        ).alias("m", "sv"),
+    )
+
+
+_PQ_DIST2 = (
+    "aggregate(zip_with(sv, cent, (x, c) -> (x - c) * (x - c)), "
+    "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+)
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment per (vector, subspace): broadcast the
+    (m × k) codebook, score map-side, keep the argmin (ties -> lower cid)."""
+    w = Window.partitionBy("_id", "m").orderBy("dist2", "cid")
+    return (
+        subs.join(F.broadcast(codebook), "m")
+        .withColumn("dist2", F.expr(_PQ_DIST2))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "dist2")
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int = 8, k: int = 16, dim: int = 64
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: (m, cid, cent array<double>, pos).
+
+    Deterministic single Lloyd iteration per subspace — init = the
+    subvectors of the first ``k`` vectors (exact fixed-point integers),
+    assign every subvector to its nearest init centroid (exact integer
+    distances, ties to the lower cid), recompute means.  ``pos`` is the
+    centroid's dense rank within its subspace (codebooks may lose empty
+    clusters), so codes index positionally into a cid-ordered distance
+    table.
+
+    Scale: training is one corpus pass — a broadcast of m·k tiny
+    centroids, map-side assignment, and one (m, cid, d) aggregation.
+    The analog of the reference's fixed-at-INIT comparator/codec setup
+    (src/Merger/reducer.cc:56-133): the codebook is job-level metadata,
+    not data-path state.
+    """
+    sub = dim // m
+    subs = _pq_subvectors(corpus, id_col, vec_col, m, sub)
+    c0 = subs.where(F.col("_id") < k).select(
+        "m",
+        F.col("_id").alias("cid"),
+        F.expr("transform(sv, x -> CAST(x AS DOUBLE))").alias("cent"),
+    )
+    a1 = _pq_assign(subs, c0).select("_id", "m", "sv", "cid")
+    c1 = (
+        a1.select("m", "cid", F.posexplode("sv").alias("d", "x"))
+        .groupBy("m", "cid", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .groupBy("m", "cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("mu")))
+            ).alias("cm")
+        )
+        .select("m", "cid", F.expr("transform(cm, e -> e.mu)").alias("cent"))
+    )
+    return c1.withColumn(
+        "pos", F.row_number().over(Window.partitionBy("m").orderBy("cid")) - 1
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int> of length m).
+
+    Each float32 vector becomes m small integers — 8 codes vs 64 floats
+    is a 32× compression, the lever that fits a 100 TB corpus's index in
+    executor memory.  Map-only: broadcast codebook, argmin per subspace,
+    then a per-id collect into subspace order.
+    """
+    sub = dim // m
+    subs = _pq_subvectors(corpus, id_col, vec_col, m, sub)
+    codes = _pq_assign(subs, codebook).select("_id", "m", "pos")
+    return (
+        codes.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "pos"))).alias("cp"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.expr("transform(cp, e -> e.pos)").alias("codes"),
+        )
+    )
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate L2 top-k via product quantization with asymmetric
+    distance computation (ADC): (query_id, neighbor_id, adc_dist, rank).
+
+    The corpus is represented only by its PQ codes (32× smaller); each
+    query precomputes an (m × k) table of exact subspace distances to
+    every centroid, and a candidate's approximate distance is m table
+    lookups summed in subspace order — no float vector math per
+    candidate.  Jégou et al.'s IVFADC scoring half, composable with the
+    IVF coarse quantizer (queries/advanced.py sim_ivf_knn) for the full
+    IVF-PQ index.
+
+    Plan shape mirrors :func:`knn_bruteforce`: the coded corpus never
+    shuffles — LUTs broadcast, scoring is map-side, and top-k is
+    partial-then-final (the reference's LPQ/RPQ hierarchical-merge
+    shape, src/Merger/MergeManager.cc:240-288).
+
+    Deterministic end to end (exact integer subvectors, fixed
+    dimension/subspace summation order, ties to lower id), so the DuckDB
+    oracle value-hash-checks the approximation itself; recall vs brute
+    force is asserted separately in tests/test_approx_ops.py.
+    """
+    sub = dim // m
+    codebook = pq_train_codebooks(corpus, id_col, vec_col, m, k, dim)
+    coded = pq_encode(corpus, codebook, id_col, vec_col, m, dim).select(
+        F.col(id_col).alias("c_id"), "codes"
+    )
+    qsubs = _pq_subvectors(queries, id_col, vec_col, m, sub)
+    lut = (
+        qsubs.join(F.broadcast(codebook), "m")
+        .withColumn("d2", F.expr(_PQ_DIST2))
+        .groupBy("_id", "m")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "d2"))).alias("cd"))
+        .select("_id", "m", F.expr("transform(cd, e -> e.d2)").alias("dl"))
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "dl"))).alias("md"))
+        .select(
+            F.col("_id").alias("q_id"), F.expr("transform(md, e -> e.dl)").alias("lut")
+        )
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + lut[i][codes[i]])"
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(lut))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.expr(adc).alias("approx"),
+            F.spark_partition_id().alias("_part"),
+        )
+    )
+    order = (F.col("approx").asc(), F.col("neighbor_id").asc())
+    pw = Window.partitionBy("query_id", "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= top_k)
+        .drop("_part", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.sqrt("approx") / portable.FIXED_POINT, 6).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -209,3 +209,97 @@ def sim_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace
+PQ_SUB = EMB_DIM // PQ_M
+
+_PQ_D2 = (
+    f"list_sum(list_transform(range(1, {PQ_SUB + 1}), "
+    f"i -> (s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i])))"
+)
+
+
+@register(
+    "sim_pq_knn",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, m, list_slice(v, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS sv
+  FROM iv, range(0, {PQ_M}) r(m)
+),
+c0 AS (
+  SELECT m, vec_id AS cid, list_transform(sv, x -> CAST(x AS DOUBLE)) AS cent
+  FROM subs WHERE vec_id < {PQ_K}
+),
+a1 AS (
+  SELECT vec_id, m, sv, cid FROM (
+    SELECT s.vec_id, s.m, s.sv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {_PQ_D2}, c.cid) AS rn
+    FROM subs s JOIN c0 c ON s.m = c.m
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT m, cid, cent,
+         ROW_NUMBER() OVER (PARTITION BY m ORDER BY cid) - 1 AS pos
+  FROM (
+    SELECT m, cid, list(CAST(s AS DOUBLE) / n ORDER BY d) AS cent FROM (
+      SELECT m, cid, d, SUM(sv[d + 1]) AS s, COUNT(*)::BIGINT AS n
+      FROM a1, range(0, {PQ_SUB}) r(d) GROUP BY m, cid, d
+    ) GROUP BY m, cid
+  )
+),
+codes AS (
+  SELECT vec_id, m, pos FROM (
+    SELECT s.vec_id, s.m, c.pos,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {_PQ_D2}, c.cid) AS rn
+    FROM subs s JOIN c1 c ON s.m = c.m
+  ) WHERE rn = 1
+),
+codes_l AS (SELECT vec_id, list(pos ORDER BY m) AS codes FROM codes GROUP BY vec_id),
+lut0 AS (
+  SELECT s.vec_id AS q_id, s.m, c.cid, {_PQ_D2} AS d2
+  FROM subs s JOIN c1 c ON s.m = c.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+lut_m AS (SELECT q_id, m, list(d2 ORDER BY cid) AS dl FROM lut0 GROUP BY q_id, m),
+lut AS (SELECT q_id, list(dl ORDER BY m) AS lt FROM lut_m GROUP BY q_id),
+scored AS (
+  SELECT l.q_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(0, {PQ_M}),
+           m -> l.lt[m + 1][c.codes[m + 1] + 1])) AS approx
+  FROM codes_l c CROSS JOIN lut l
+  WHERE l.q_id <> c.vec_id
+)
+SELECT query_id, neighbor_id,
+       round(sqrt(approx) / {portable.FIXED_POINT}, 6) AS adc_dist,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "north-star", "approx"),
+)
+def sim_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — the 32× compression ANN tier
+    (8 one-byte codes stand in for 64 floats per corpus vector).
+
+    Codebooks are a deterministic single Lloyd iteration per subspace;
+    queries score candidates via a broadcast (m × k) lookup table, so
+    the coded corpus is scanned map-side and never shuffles.  Both the
+    training and the ADC approximation are exact enough to value-hash:
+    the oracle unrolls codebook training, encoding, and table lookups in
+    SQL.  Recall vs brute force is asserted in tests/test_approx_ops.py.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    out = SIM.pq_knn(
+        emb, queries, "vec_id", "embedding",
+        top_k=TOP_K, m=PQ_M, k=PQ_K, dim=EMB_DIM,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
+    )
