@@ -511,3 +511,183 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").alias("distinct_k"),
         F.sum(F.col("k") % 97).alias("sum_k_mod"),
     )
+
+
+_SCD2_W = "PARTITION BY user_id ORDER BY ts_us, event_id"
+
+
+@register(
+    "events_scd2_user_type",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_id, {_DUCK_US} AS ts_us, event_type FROM events),
+ch AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts_us, event_type,
+           LAG(event_type) OVER ({_SCD2_W}) AS prev
+    FROM e
+  ) WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
+       LEAD(ts_us) OVER ({_SCD2_W}) AS valid_to_us,
+       CAST(ROW_NUMBER() OVER ({_SCD2_W}) AS INT) AS version,
+       (LEAD(ts_us) OVER ({_SCD2_W}) IS NULL) AS is_current
+FROM ch
+""",
+    tags=("events", "scd", "window"),
+)
+def events_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's event
+    stream into attribute versions with [valid_from, valid_to) validity
+    intervals and an is_current flag — the warehouse dimension-history
+    operator, derived from a change stream with two window passes.
+
+    Scale: both passes share one (user_id)-partitioned sort — Catalyst
+    plans a single exchange; per-user state is the window frame, never
+    driver-side.  Run-length collapse happens before the second pass, so
+    the interval assembly sees only change rows (~|versions|, not
+    |events|).
+    """
+    ev = _with_us(t(spark, sf_dir, "events")).select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ch = ev.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return (
+        ch.withColumn("valid_to_us", F.lead("ts_us").over(w))
+        .withColumn("version", F.row_number().over(w).cast("int"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("attr"),
+            F.col("ts_us").alias("valid_from_us"),
+            "valid_to_us",
+            "version",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )
+
+
+@register(
+    "events_ewma_value",
+    oracle=f"""
+WITH e AS (SELECT user_id, {_DUCK_US} AS ts_us, event_id, value FROM events),
+s AS (SELECT user_id, list(value ORDER BY ts_us, event_id) AS vs FROM e GROUP BY user_id)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+       round(list_reduce(vs, (acc, x) -> (x + 3 * acc) / 4), 6) AS ewma_value
+FROM s
+""",
+    tags=("events", "timeseries", "fold"),
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha = 1/4) of
+    event values — an inherently sequential recurrence (s' = alpha*x +
+    (1-alpha)*s) computed WITHOUT Python: collect each key's series into
+    a time-ordered array and left-fold it with a codegen'd lambda
+    (Spark ``aggregate`` == DuckDB ``list_reduce``, both fold left in
+    array order).  alpha = 1/4 keeps every intermediate an exact binary
+    operation, so the fold is bit-identical across engines.
+
+    This is the per-key ordered-recursion pattern for anything a window
+    function can't express (compound interest, state machines): one
+    shuffle on the key, per-key state bounded by that key's row count —
+    the same bound sessionization already carries.
+    """
+    ev = _with_us(t(spark, sf_dir, "events")).select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    fold = (
+        "round(aggregate(slice(vs, 2, size(vs) - 1), "
+        "CAST(element_at(vs, 1) AS DOUBLE), "
+        "(acc, x) -> (x + 3 * acc) / 4), 6)"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts_us, event_id, value))), "
+                "e -> e.value)"
+            ).alias("vs")
+        )
+        .select(
+            "user_id",
+            F.size("vs").cast("long").alias("n_events"),
+            F.expr(fold).alias("ewma_value"),
+        )
+    )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "events_funnel_steps",
+    oracle=f"""
+WITH e AS (SELECT user_id, {_DUCK_US} AS ts_us, event_type FROM events),
+s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+       AND e.ts_us > s1.t WHERE e.event_type = 'view' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+       AND e.ts_us > s2.t WHERE e.event_type = 'click' GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s3 ON e.user_id = s3.user_id
+       AND e.ts_us > s3.t WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+counts AS (
+  SELECT CAST(1 AS INT) AS step, 'signup' AS step_name, COUNT(*)::BIGINT AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', COUNT(*)::BIGINT FROM s2
+  UNION ALL SELECT 3, 'click', COUNT(*)::BIGINT FROM s3
+  UNION ALL SELECT 4, 'purchase', COUNT(*)::BIGINT FROM s4
+)
+SELECT step, step_name, n_users,
+       round(CAST(n_users AS DOUBLE) /
+             MAX(CASE WHEN step = 1 THEN n_users END) OVER (), 6) AS conversion
+FROM counts
+""",
+    tags=("events", "funnel", "join"),
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users completing signup -> view -> click
+    -> purchase IN ORDER, each step strictly after the previous step's
+    first completion — the product-analytics sequence-match operator.
+
+    Each step is one (user_id)-keyed aggregation joined to the previous
+    step's per-user frontier: the step relations shrink monotonically and
+    all joins co-partition on user_id (one exchange each, reusable by
+    AQE).  No per-user event list is ever materialized — state per step
+    is a single frontier timestamp.
+    """
+    ev = _with_us(t(spark, sf_dir, "events")).select("user_id", "ts_us", "event_type")
+    prev = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t"))
+    )
+    step_dfs = [prev]
+    for s in FUNNEL_STEPS[1:]:
+        nxt = (
+            ev.where(F.col("event_type") == s)
+            .alias("e")
+            .join(
+                prev.alias("p"),
+                (F.col("e.user_id") == F.col("p.user_id"))
+                & (F.col("e.ts_us") > F.col("p.t")),
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts_us").alias("t"))
+        )
+        step_dfs.append(nxt)
+        prev = nxt
+    counts = None
+    for i, (name, d) in enumerate(zip(FUNNEL_STEPS, step_dfs), 1):
+        c = d.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    whole = Window.partitionBy()
+    return counts.withColumn(
+        "conversion",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(whole),
+            6,
+        ),
+    )

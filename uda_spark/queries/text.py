@@ -582,3 +582,60 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micronats").cast("long").alias("sum_micronats"),
         )
     )
+
+
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_DU_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks, CAST(s AS BIGINT) AS start
+  FROM base, LATERAL unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) u(s)
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+         start,
+         list_slice(toks, start, start + {CHUNK_TOKENS} - 1) AS ct
+  FROM starts
+)
+SELECT doc_id, chunk_id,
+       CAST(len(ct) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ct, ' ')) AS chunk_md5
+FROM chunks
+""",
+    tags=("text", "north-star", "chunking"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the tokenize-and-split step of
+    a training-data pipeline: fixed-size token windows (64 tokens,
+    stride 48, 16-token overlap) with a per-chunk md5 fingerprint for
+    downstream chunk-level dedup.
+
+    Map-only: `sequence` generates the window starts and `slice` cuts
+    the windows inside one codegen'd projection — no shuffle, no Python,
+    output size ~ n_tokens/stride per doc.  At 100 TB this is the
+    pattern for exploding documents into training examples without ever
+    moving the corpus: chunk rows flow straight into the next map stage
+    (packing, tokenization) before any exchange.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    starts = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr(f"sequence(1, size(toks), {CHUNK_STRIDE})")).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) div {CHUNK_STRIDE} AS INT)").alias("chunk_id"),
+        F.expr(f"slice(toks, start, {CHUNK_TOKENS})").alias("ct"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.size("ct").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("ct", " ")).alias("chunk_md5"),
+    )
