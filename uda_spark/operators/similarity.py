@@ -411,17 +411,37 @@ _PQ_DIST2 = (
 )
 
 
-def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment per (vector, subspace): broadcast the
-    (m × k) codebook, score map-side, keep the argmin (ties -> lower cid)."""
-    w = Window.partitionBy("_id", "m").orderBy("dist2", "cid")
+def _pq_codebook_row(codebook: DataFrame) -> DataFrame:
+    """Collapse a (m, cid, cent, pos) codebook relation into ONE row
+    ``cbs: array<array<array<double>>>`` (outer index = subspace, middle
+    index = centroid pos) — a broadcastable literal-sized structure so
+    assignment/encoding can run as a pure projection over the corpus,
+    with no join and no shuffle."""
     return (
-        subs.join(F.broadcast(codebook), "m")
-        .withColumn("dist2", F.expr(_PQ_DIST2))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "dist2")
+        codebook.groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cent"))).alias("pc"))
+        .select("m", F.expr("transform(pc, e -> e.cent)").alias("cents"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("m", "cents"))).alias("mc"))
+        .select(F.expr("transform(mc, e -> e.cents)").alias("cbs"))
     )
+
+
+def _pq_dists_expr(m: int, sub: int) -> str:
+    """Per-subspace distance arrays ``_ds[m][pos]`` for a row with ``_v``
+    (fixed-point vector) against the broadcast ``cbs`` codebook —
+    codegen'd HOF arithmetic, identical summation order to the oracle."""
+    return (
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"transform(element_at(cbs, mm + 1), c -> "
+        f"aggregate(zip_with(slice(_v, mm * {sub} + 1, {sub}), c, "
+        f"(x, cc) -> (x - cc) * (x - cc)), CAST(0 AS DOUBLE), (acc, e) -> acc + e)))"
+    )
+
+
+# argmin by position: first occurrence of the min == lowest pos == lowest
+# cid (pos is the cid-order dense rank), matching the oracle's tie rule
+_PQ_ARGMIN = "transform(_ds, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"
 
 
 def pq_train_codebooks(
@@ -438,19 +458,40 @@ def pq_train_codebooks(
     table.
 
     Scale: training is one corpus pass — a broadcast of m·k tiny
-    centroids, map-side assignment, and one (m, cid, d) aggregation.
-    The analog of the reference's fixed-at-INIT comparator/codec setup
+    centroids, assignment as a pure projection (no join, no shuffle of
+    the corpus), and one partial-aggregated (m, cid, d) rollup whose
+    group count is m·k·sub, independent of corpus size.  The analog of
+    the reference's fixed-at-INIT comparator/codec setup
     (src/Merger/reducer.cc:56-133): the codebook is job-level metadata,
     not data-path state.
     """
     sub = dim // m
-    subs = _pq_subvectors(corpus, id_col, vec_col, m, sub)
-    c0 = subs.where(F.col("_id") < k).select(
+    iv = portable.int_vec(vec_col, "spark")
+    civ = corpus.select(F.col(id_col).alias("_id"), F.expr(iv).alias("_v"))
+    c0 = _pq_subvectors(corpus.where(F.col(id_col) < k), id_col, vec_col, m, sub).select(
         "m",
         F.col("_id").alias("cid"),
         F.expr("transform(sv, x -> CAST(x AS DOUBLE))").alias("cent"),
+        # init centroids are the first k vectors' subvectors, so cid is
+        # already the dense 0..k-1 position
+        F.col("_id").cast("int").alias("pos"),
     )
-    a1 = _pq_assign(subs, c0).select("_id", "m", "sv", "cid")
+    a1 = (
+        civ.crossJoin(F.broadcast(_pq_codebook_row(c0)))
+        .withColumn("_ds", F.expr(_pq_dists_expr(m, sub)))
+        .withColumn("_codes", F.expr(_PQ_ARGMIN))
+        .select(
+            "_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), mm -> struct("
+                    f"element_at(_codes, mm + 1) AS cid, "
+                    f"slice(_v, mm * {sub} + 1, {sub}) AS sv))"
+                )
+            ).alias("m", "cs"),
+        )
+        .select("_id", "m", F.col("cs.cid").alias("cid"), F.col("cs.sv").alias("sv"))
+    )
     c1 = (
         a1.select("m", "cid", F.posexplode("sv").alias("d", "x"))
         .groupBy("m", "cid", "d")
@@ -480,19 +521,17 @@ def pq_encode(
 
     Each float32 vector becomes m small integers — 8 codes vs 64 floats
     is a 32× compression, the lever that fits a 100 TB corpus's index in
-    executor memory.  Map-only: broadcast codebook, argmin per subspace,
-    then a per-id collect into subspace order.
+    executor memory.  Genuinely map-only: one broadcast codebook row,
+    argmin per subspace inside a single codegen'd projection — the
+    corpus is never joined, exploded, or shuffled.
     """
     sub = dim // m
-    subs = _pq_subvectors(corpus, id_col, vec_col, m, sub)
-    codes = _pq_assign(subs, codebook).select("_id", "m", "pos")
+    iv = portable.int_vec(vec_col, "spark")
+    civ = corpus.select(F.col(id_col).alias("_id"), F.expr(iv).alias("_v"))
     return (
-        codes.groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "pos"))).alias("cp"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.expr("transform(cp, e -> e.pos)").alias("codes"),
-        )
+        civ.crossJoin(F.broadcast(_pq_codebook_row(codebook)))
+        .withColumn("_ds", F.expr(_pq_dists_expr(m, sub)))
+        .select(F.col("_id").alias(id_col), F.expr(_PQ_ARGMIN).alias("codes"))
     )
 
 

@@ -649,45 +649,51 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> purchase IN ORDER, each step strictly after the previous step's
     first completion — the product-analytics sequence-match operator.
 
-    Each step is one (user_id)-keyed aggregation joined to the previous
-    step's per-user frontier: the step relations shrink monotonically and
-    all joins co-partition on user_id (one exchange each, reusable by
-    AQE).  No per-user event list is ever materialized — state per step
-    is a single frontier timestamp.
+    ONE fact scan, ONE exchange: per-user step timestamps are folded
+    from a (user_id)-grouped collect of only the funnel-typed events —
+    each frontier is "min step-i timestamp strictly after frontier
+    i-1", computed as chained array expressions in a single projection.
+    Per-user state is bounded by that user's funnel-event count (the
+    sessionization bound); the final counts are a 1-row aggregate
+    unpivoted to step rows.  This replaces the naive per-step
+    join-against-frontier plan, which re-scans the fact once per step.
     """
     ev = _with_us(t(spark, sf_dir, "events")).select("user_id", "ts_us", "event_type")
-    prev = (
-        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+    per_user = (
+        ev.where(F.col("event_type").isin(*FUNNEL_STEPS))
         .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t"))
+        .agg(F.collect_list(F.struct("ts_us", "event_type")).alias("evs"))
     )
-    step_dfs = [prev]
-    for s in FUNNEL_STEPS[1:]:
-        nxt = (
-            ev.where(F.col("event_type") == s)
-            .alias("e")
-            .join(
-                prev.alias("p"),
-                (F.col("e.user_id") == F.col("p.user_id"))
-                & (F.col("e.ts_us") > F.col("p.t")),
-            )
-            .groupBy(F.col("e.user_id").alias("user_id"))
-            .agg(F.min("e.ts_us").alias("t"))
+    step_ts = "array_min(transform(filter(evs, e -> e.event_type = '{s}'), e -> e.ts_us))"
+    after = (
+        "array_min(filter(transform(filter(evs, e -> e.event_type = '{s}'), "
+        "e -> e.ts_us), x -> x > {prev}))"
+    )
+    cols = per_user.withColumn("t1", F.expr(step_ts.format(s=FUNNEL_STEPS[0])))
+    for i, s in enumerate(FUNNEL_STEPS[1:], 2):
+        cols = cols.withColumn(f"t{i}", F.expr(after.format(s=s, prev=f"t{i - 1}")))
+    one = cols.agg(
+        *[
+            F.count(f"t{i}").alias(f"n{i}")
+            for i in range(1, len(FUNNEL_STEPS) + 1)
+        ]
+    )
+    stack = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(FUNNEL_STEPS, 1)
+    )
+    counts = one.select(
+        F.expr(
+            f"stack({len(FUNNEL_STEPS)}, {stack}) AS (step, step_name, n_users)"
         )
-        step_dfs.append(nxt)
-        prev = nxt
-    counts = None
-    for i, (name, d) in enumerate(zip(FUNNEL_STEPS, step_dfs), 1):
-        c = d.agg(F.count("*").alias("n_users")).select(
-            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
-        )
-        counts = c if counts is None else counts.unionByName(c)
+    )
     whole = Window.partitionBy()
-    return counts.withColumn(
-        "conversion",
+    return counts.select(
+        F.col("step").cast("int").alias("step"),
+        "step_name",
+        "n_users",
         F.round(
             F.col("n_users").cast("double")
             / F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(whole),
             6,
-        ),
+        ).alias("conversion"),
     )
