@@ -168,3 +168,28 @@ def test_pq_knn_recall(spark):
         pq[r["query_id"]].add(r["neighbor_id"])
     recalls = [len(exact[q] & pq[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_ivfpq_knn_recall(spark):
+    # Composed approximations multiply: IVF probe recall (~nprobe/k on
+    # these near-uniform embeddings) x PQ ranking recall, so expected
+    # recall vs exact L2 is ~0.1-0.2 here (measured 0.14/0.20 at
+    # sf0.001/sf0.01).  The floor only guards against catastrophic
+    # breakage — exactness is pinned by the value-hash oracle.
+    from collections import defaultdict
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    exact = {}
+    for q in range(10):
+        d2 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[q], v)), i)
+            for i, v in vecs.items()
+            if i != q
+        )
+        exact[q] = {i for _, i in d2[:5]}
+    got = defaultdict(set)
+    for r in all_specs()["sim_ivfpq_knn"].fn(spark, SF_SMOKE).collect():
+        got[r["query_id"]].add(r["neighbor_id"])
+    recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.05, recalls

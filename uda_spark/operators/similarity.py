@@ -516,6 +516,7 @@ def pq_encode(
     vec_col: str,
     m: int = 8,
     dim: int = 64,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Encode vectors to PQ codes: (id, codes array<int> of length m).
 
@@ -527,11 +528,43 @@ def pq_encode(
     """
     sub = dim // m
     iv = portable.int_vec(vec_col, "spark")
-    civ = corpus.select(F.col(id_col).alias("_id"), F.expr(iv).alias("_v"))
+    civ = corpus.select(
+        F.col(id_col).alias("_id"), F.expr(iv).alias("_v"), *extra_cols
+    )
     return (
         civ.crossJoin(F.broadcast(_pq_codebook_row(codebook)))
         .withColumn("_ds", F.expr(_pq_dists_expr(m, sub)))
-        .select(F.col("_id").alias(id_col), F.expr(_PQ_ARGMIN).alias("codes"))
+        .select(
+            F.col("_id").alias(id_col), F.expr(_PQ_ARGMIN).alias("codes"), *extra_cols
+        )
+    )
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-query ADC lookup tables: (q_id, lut array<array<double>>) —
+    lut[m][pos] = exact subspace distance from the query's m-th
+    subvector to centroid pos.  |queries| × m × k doubles: broadcast
+    material, computed once per query batch."""
+    sub = dim // m
+    qsubs = _pq_subvectors(queries, id_col, vec_col, m, sub)
+    return (
+        qsubs.join(F.broadcast(codebook), "m")
+        .withColumn("d2", F.expr(_PQ_DIST2))
+        .groupBy("_id", "m")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "d2"))).alias("cd"))
+        .select("_id", "m", F.expr("transform(cd, e -> e.d2)").alias("dl"))
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "dl"))).alias("md"))
+        .select(
+            F.col("_id").alias("q_id"), F.expr("transform(md, e -> e.dl)").alias("lut")
+        )
     )
 
 
@@ -566,24 +599,11 @@ def pq_knn(
     oracle value-hash-checks the approximation itself; recall vs brute
     force is asserted separately in tests/test_approx_ops.py.
     """
-    sub = dim // m
     codebook = pq_train_codebooks(corpus, id_col, vec_col, m, k, dim)
     coded = pq_encode(corpus, codebook, id_col, vec_col, m, dim).select(
         F.col(id_col).alias("c_id"), "codes"
     )
-    qsubs = _pq_subvectors(queries, id_col, vec_col, m, sub)
-    lut = (
-        qsubs.join(F.broadcast(codebook), "m")
-        .withColumn("d2", F.expr(_PQ_DIST2))
-        .groupBy("_id", "m")
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "d2"))).alias("cd"))
-        .select("_id", "m", F.expr("transform(cd, e -> e.d2)").alias("dl"))
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "dl"))).alias("md"))
-        .select(
-            F.col("_id").alias("q_id"), F.expr("transform(md, e -> e.dl)").alias("lut")
-        )
-    )
+    lut = pq_query_luts(queries, codebook, id_col, vec_col, m, dim)
     adc = (
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
         f"(acc, i) -> acc + lut[i][codes[i]])"

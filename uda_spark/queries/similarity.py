@@ -7,7 +7,7 @@ final cosine double is a deterministic function of exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uda_spark.functions import portable
@@ -221,12 +221,16 @@ _PQ_D2 = (
 )
 
 
-@register(
-    "sim_pq_knn",
-    oracle=f"""
-WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+# Shared oracle CTE chain for the PQ family: codebook training (one
+# Lloyd iteration), positional encoding, and per-query ADC lookup
+# tables.  ``label_col`` threads an extra corpus column (IVF partition
+# key) through subs/codes so composed indexes can filter candidates.
+def _pq_oracle_ctes(label_col: str = "") -> str:
+    lbl = f", {label_col}" if label_col else ""
+    slbl = f", s.{label_col}" if label_col else ""
+    return f"""iv AS (SELECT vec_id{lbl}, {_IV} AS v FROM embeddings),
 subs AS (
-  SELECT vec_id, m, list_slice(v, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS sv
+  SELECT vec_id{lbl}, m, list_slice(v, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS sv
   FROM iv, range(0, {PQ_M}) r(m)
 ),
 c0 AS (
@@ -252,34 +256,47 @@ c1 AS (
   )
 ),
 codes AS (
-  SELECT vec_id, m, pos FROM (
-    SELECT s.vec_id, s.m, c.pos,
+  SELECT vec_id{lbl}, m, pos FROM (
+    SELECT s.vec_id{slbl}, s.m, c.pos,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
              ORDER BY {_PQ_D2}, c.cid) AS rn
     FROM subs s JOIN c1 c ON s.m = c.m
   ) WHERE rn = 1
 ),
-codes_l AS (SELECT vec_id, list(pos ORDER BY m) AS codes FROM codes GROUP BY vec_id),
+codes_l AS (SELECT vec_id{lbl}, list(pos ORDER BY m) AS codes
+            FROM codes GROUP BY vec_id{lbl}),
 lut0 AS (
   SELECT s.vec_id AS q_id, s.m, c.cid, {_PQ_D2} AS d2
   FROM subs s JOIN c1 c ON s.m = c.m
   WHERE s.vec_id < {N_QUERIES}
 ),
 lut_m AS (SELECT q_id, m, list(d2 ORDER BY cid) AS dl FROM lut0 GROUP BY q_id, m),
-lut AS (SELECT q_id, list(dl ORDER BY m) AS lt FROM lut_m GROUP BY q_id),
-scored AS (
-  SELECT l.q_id AS query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(range(0, {PQ_M}),
-           m -> l.lt[m + 1][c.codes[m + 1] + 1])) AS approx
-  FROM codes_l c CROSS JOIN lut l
-  WHERE l.q_id <> c.vec_id
+lut AS (SELECT q_id, list(dl ORDER BY m) AS lt FROM lut_m GROUP BY q_id)"""
+
+
+_PQ_ADC = (
+    f"list_sum(list_transform(range(0, {PQ_M}), "
+    f"m -> l.lt[m + 1][c.codes[m + 1] + 1]))"
 )
-SELECT query_id, neighbor_id,
+
+_PQ_FINAL = f"""SELECT query_id, neighbor_id,
        round(sqrt(approx) / {portable.FIXED_POINT}, 6) AS adc_dist,
        CAST(rnk AS INT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rnk
       FROM scored)
-WHERE rnk <= {TOP_K}
+WHERE rnk <= {TOP_K}"""
+
+
+@register(
+    "sim_pq_knn",
+    oracle=f"""
+WITH {_pq_oracle_ctes()},
+scored AS (
+  SELECT l.q_id AS query_id, c.vec_id AS neighbor_id, {_PQ_ADC} AS approx
+  FROM codes_l c CROSS JOIN lut l
+  WHERE l.q_id <> c.vec_id
+)
+{_PQ_FINAL}
 """,
     tags=("similarity", "north-star", "approx"),
 )
@@ -302,4 +319,134 @@ def sim_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
+    )
+
+
+IVFPQ_NPROBE = 3
+
+_IVFPQ_CDIST = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i])))"
+)
+
+
+@register(
+    "sim_ivfpq_knn",
+    oracle=f"""
+WITH {_pq_oracle_ctes(label_col="label")},
+dims AS (
+  SELECT label, d, SUM(v[d + 1]) AS s, COUNT(*)::BIGINT AS n
+  FROM iv, range(0, {EMB_DIM}) r(d) GROUP BY label, d
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY d) AS centroid
+  FROM dims GROUP BY label
+),
+q AS (SELECT vec_id, v FROM iv WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT vec_id AS q_id, label AS probe_label FROM (
+    SELECT q.vec_id, c.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_IVFPQ_CDIST}, c.label) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVFPQ_NPROBE}
+),
+scored AS (
+  SELECT p.q_id AS query_id, c.vec_id AS neighbor_id, {_PQ_ADC} AS approx
+  FROM codes_l c
+  JOIN probes p ON c.label = p.probe_label AND c.vec_id <> p.q_id
+  JOIN lut l ON l.q_id = p.q_id
+)
+{_PQ_FINAL}
+""",
+    tags=("similarity", "north-star", "approx"),
+)
+def sim_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (the IVFADC shape, Jégou et al.): the IVF
+    coarse quantizer prunes the corpus to nprobe=3 partitions, and PQ
+    asymmetric-distance scoring ranks only the probed candidates — the
+    standard billion-scale ANN architecture, assembled from this repo's
+    two index halves (sim_ivf_knn's probe stage + sim_pq_knn's ADC
+    stage).
+
+    Scale profile: coarse centroids are one tiny rollup; PQ codes are a
+    map-only projection carrying the partition label; search touches
+    ~nprobe/k of the coded corpus (8 bytes/vector) via a broadcast of
+    probes + lookup tables; top-k stays partial-then-final.  Exact
+    fixed-point arithmetic throughout, so the oracle replays the whole
+    composed index and value-hashes the result.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    cent = (
+        iv.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("mu")))
+            ).alias("cm")
+        )
+        .select("label", F.expr("transform(cm, e -> e.mu)").alias("centroid"))
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    qv = iv.where(F.col("vec_id") < N_QUERIES).select("vec_id", "v")
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist2",
+            F.expr(
+                "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)), "
+                "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist2", "label")),
+        )
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("label").alias("probe_label"))
+    )
+    codebook = SIM.pq_train_codebooks(emb, "vec_id", "embedding", PQ_M, PQ_K, EMB_DIM)
+    coded = SIM.pq_encode(
+        emb, codebook, "vec_id", "embedding", PQ_M, EMB_DIM, extra_cols=("label",)
+    ).select(F.col("vec_id").alias("c_id"), "codes", "label")
+    luts = SIM.pq_query_luts(queries, codebook, "vec_id", "embedding", PQ_M, EMB_DIM)
+    probe_luts = probes.join(luts, on="q_id")
+    adc = (
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + lut[i][codes[i]])"
+    )
+    scored = (
+        coded.join(
+            F.broadcast(probe_luts), F.col("label") == F.col("probe_label")
+        )
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.expr(adc).alias("approx"),
+            F.spark_partition_id().alias("_part"),
+        )
+    )
+    order = (F.col("approx").asc(), F.col("neighbor_id").asc())
+    pw = Window.partitionBy("query_id", "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= TOP_K)
+        .drop("_part", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.sqrt("approx") / portable.FIXED_POINT, 6).alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
