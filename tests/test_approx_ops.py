@@ -193,3 +193,15 @@ def test_ivfpq_knn_recall(spark):
         got[r["query_id"]].add(r["neighbor_id"])
     recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.05, recalls
+
+
+def test_cms_one_sided_error(spark):
+    # CMS never undercounts (every occurrence increments every row's
+    # bucket), and with w=256 >> 20 heavy hitters the top tokens should
+    # estimate close to exact: overcount bounded by corpus_tokens / w
+    # in expectation per colliding bucket.
+    rows = all_specs()["text_cms_heavy_hitters"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cms_n"] >= r["exact_n"], r

@@ -71,3 +71,77 @@ def pagerank_fp(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank_fp")
+
+
+def triangle_stats(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over the
+    undirected pair graph (one row: n_nodes, n_edges, n_wedges,
+    n_triangles, clustering_coeff).
+
+    Compact-forward algorithm: orient every edge from the (degree, id)-
+    smaller endpoint to the larger, enumerate wedges by joining oriented
+    edges on their source, and close each wedge against the undirected
+    edge set.  The orientation caps out-degree at O(sqrt(E)), so the
+    wedge relation — the only super-linear intermediate — is bounded by
+    sum(out_deg^2) = O(E^1.5) regardless of skew: a high-degree hub
+    (the failure mode of naive wedge counting on a near-dup graph full
+    of boilerplate clusters) becomes a sink, not a wedge source.  All
+    joins are equi-joins on node ids; counts are exact integers.
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    o = (
+        edges.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+    )
+    wedge = (
+        o.alias("x")
+        .join(o.alias("y"), F.expr("x.u = y.u AND x.v < y.v"))
+        .select(F.col("x.v").alias("wa"), F.col("y.v").alias("wb"))
+    )
+    tri = wedge.join(
+        edges, (F.col("wa") == F.col("a")) & (F.col("wb") == F.col("b"))
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    out = n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("n_triangles") * 3).cast("double") / F.col("n_wedges"), 6
+            )
+        )
+        .alias("clustering_coeff"),
+    )

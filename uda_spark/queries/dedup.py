@@ -558,3 +558,59 @@ def dedup_incremental_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         jaccard_threshold=JACCARD_T,
     )
+
+
+@register(
+    "graph_triangle_stats",
+    oracle=f"""
+WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+deg AS (
+  SELECT n, COUNT(*)::BIGINT AS d
+  FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS v
+  FROM edges e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+),
+wedge AS (
+  SELECT x.v AS wa, y.v AS wb FROM o x JOIN o y ON x.u = y.u AND x.v < y.v
+),
+tri AS (SELECT COUNT(*)::BIGINT AS n FROM wedge w JOIN edges e ON e.a = w.wa AND e.b = w.wb)
+SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT COUNT(*) FROM edges)::BIGINT AS n_edges,
+       (SELECT SUM(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+       tri.n AS n_triangles,
+       CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(CAST(tri.n * 3 AS DOUBLE) /
+                       (SELECT SUM(d * (d - 1) // 2) FROM deg), 6) END AS clustering_coeff
+FROM tri
+""",
+    tags=("dedup", "graph", "north-star"),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over the
+    near-dup pair graph (compact-forward: degree-oriented wedges closed
+    against the edge set) — the structure probe that distinguishes
+    boilerplate-template clusters (clique-like, high coefficient) from
+    chained near-dups (path-like, low coefficient) before choosing a
+    dedup policy.
+
+    Scale: orientation caps out-degree at O(sqrt(E)), bounding the
+    wedge relation at O(E^1.5) even when LSH emits a boilerplate hub;
+    everything else is equi-joins and exact integer counts.
+    """
+    from uda_spark.operators.graph import triangle_stats
+
+    pairs = D.minhash_near_dup_pairs(
+        _corpus_near(spark, sf_dir),
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        k=3,
+        jaccard_threshold=JACCARD_T,
+    )
+    return triangle_stats(pairs)

@@ -639,3 +639,81 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ct").cast("long").alias("n_tokens"),
         F.md5(F.array_join("ct", " ")).alias("chunk_md5"),
     )
+
+
+CMS_D = 4  # sketch rows (independent hash functions)
+CMS_W = 256  # buckets per row
+CMS_TOP = 20
+
+_CMS_BUCKET_DUCK = (
+    "(" + portable.hash60("'cms' || CAST({d} AS VARCHAR) || '|' || {tok}", "duck") + ")"
+    f" % {CMS_W}"
+)
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+WITH toks AS (SELECT unnest({_DU_TOKS}) AS tok FROM documents),
+exact AS (SELECT tok, COUNT(*)::BIGINT AS exact_n FROM toks GROUP BY tok),
+occ AS (SELECT tok, d FROM toks, range(0, {CMS_D}) r(d)),
+sketch AS (
+  SELECT d, {_CMS_BUCKET_DUCK.format(d='d', tok='tok')} AS bucket, COUNT(*)::BIGINT AS c
+  FROM occ GROUP BY 1, 2
+),
+top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT {CMS_TOP}),
+est0 AS (
+  SELECT t.tok, t.exact_n, r.d,
+         {_CMS_BUCKET_DUCK.format(d='r.d', tok='t.tok')} AS bucket
+  FROM top t, range(0, {CMS_D}) r(d)
+),
+est AS (
+  SELECT e.tok, e.exact_n, MIN(s.c)::BIGINT AS cms_n
+  FROM est0 e JOIN sketch s ON s.d = e.d AND s.bucket = e.bucket
+  GROUP BY e.tok, e.exact_n
+)
+SELECT tok, exact_n, cms_n, (cms_n - exact_n)::BIGINT AS overcount FROM est
+""",
+    tags=("text", "sketch", "north-star"),
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: a d=4 × w=256 counter grid
+    (salted portable hashes) estimates any token's frequency in O(d)
+    lookups with one-sided error — the mergeable-summary primitive for
+    heavy-hitter tracking when the key domain is too large to count
+    exactly.
+
+    Mergeability IS the distributed story: the sketch is a groupBy on
+    (row, bucket), so partial aggregation builds per-partition sketches
+    map-side and the exchange carries at most d×w = 1,024 counters per
+    partition regardless of corpus size.  Output compares the CMS
+    estimate against the exact count for the top-20 tokens (overcount
+    >= 0 is the CMS guarantee, value-hash checked — determinism comes
+    from the salted md5 hash family, not engine RNG).
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_SP_TOKS)).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    bucket = (
+        "("
+        + portable.hash60("concat('cms', CAST(d AS STRING), '|', tok)", "spark")
+        + f") % {CMS_W}"
+    )
+    sketch = (
+        toks.select("tok", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d"))
+        .select("d", F.expr(bucket).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    top = exact.orderBy(F.desc("exact_n"), "tok").limit(CMS_TOP)
+    est0 = top.select(
+        "tok", "exact_n", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d")
+    ).select("tok", "exact_n", "d", F.expr(bucket).alias("bucket"))
+    est = (
+        est0.join(F.broadcast(sketch), on=["d", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        "tok", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("overcount")
+    )
