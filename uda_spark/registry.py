@@ -53,6 +53,9 @@ _QUERY_MODULES = (
     "uda_spark.queries.events",
     "uda_spark.queries.pipelines",
     "uda_spark.queries.udfs",
+    # appended after the round-5 rotation freeze — new modules only ever
+    # append here, which cannot move the pinned first-50 sample window
+    "uda_spark.queries.quality",
 )
 
 
