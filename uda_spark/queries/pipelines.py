@@ -793,3 +793,87 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= STRAT_PER_SOURCE)
         .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
     )
+
+
+CMS_D = 4
+CMS_W = 256
+CMS_TOP = 20
+
+_CMS_UB_DUCK = (
+    "(" + portable.hash60(
+        "'cms' || CAST({d} AS VARCHAR) || '|' || CAST({uid} AS VARCHAR)", "duck"
+    ) + f") % {CMS_W}"
+)
+
+
+@register(
+    "streaming_cms_user_sketch",
+    oracle=f"""
+WITH occ AS (SELECT user_id, d FROM events, range(0, {CMS_D}) r(d)),
+sketch AS (
+  SELECT d, {_CMS_UB_DUCK.format(d='d', uid='user_id')} AS bucket, COUNT(*)::BIGINT AS c
+  FROM occ GROUP BY 1, 2
+),
+exact AS (SELECT user_id, COUNT(*)::BIGINT AS exact_n FROM events GROUP BY user_id),
+top AS (SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT {CMS_TOP}),
+est0 AS (
+  SELECT t.user_id, t.exact_n, r.d,
+         {_CMS_UB_DUCK.format(d='r.d', uid='t.user_id')} AS bucket
+  FROM top t, range(0, {CMS_D}) r(d)
+),
+est AS (
+  SELECT e.user_id, e.exact_n, MIN(s.c)::BIGINT AS cms_n
+  FROM est0 e JOIN sketch s ON s.d = e.d AND s.bucket = e.bucket
+  GROUP BY e.user_id, e.exact_n
+)
+SELECT user_id, exact_n, cms_n, (cms_n - exact_n)::BIGINT AS overcount FROM est
+""",
+    tags=("streaming", "sketch", "north-star"),
+)
+def streaming_cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY THE STREAM: each micro-batch
+    increments the (row, bucket) counter grid, so streaming state is
+    bounded at d×w = 1,024 counters FOREVER — heavy-hitter tracking
+    over an unbounded key domain with O(1) memory, where exact
+    per-key streaming counts (streaming_running_totals) grow state with
+    the key universe.
+
+    The sketch aggregation runs as a real Structured Streaming query
+    (complete mode, availableNow); estimation then reads the streamed
+    sketch and compares the top-20 users' estimates against exact batch
+    counts — value-hash checked via the batch oracle, one-sided error
+    included.
+    """
+    ev = ST.events_file_stream(spark, sf_dir)
+    bucket = (
+        "("
+        + portable.hash60(
+            "concat('cms', CAST(d AS STRING), '|', CAST(user_id AS STRING))", "spark"
+        )
+        + f") % {CMS_W}"
+    )
+    sk_stream = (
+        ev.select("user_id", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d"))
+        .select("d", F.expr(bucket).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    sketch = ST.run_stream_to_memory(sk_stream, _sink_name("cms_sketch_sink"))
+    exact = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("exact_n")
+    )
+    top = exact.orderBy(F.desc("exact_n"), "user_id").limit(CMS_TOP)
+    est0 = top.select(
+        "user_id", "exact_n", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d")
+    ).select("user_id", "exact_n", "d", F.expr(bucket).alias("bucket"))
+    est = (
+        est0.join(F.broadcast(sketch), on=["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )

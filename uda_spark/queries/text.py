@@ -717,3 +717,69 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "tok", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("overcount")
     )
+
+
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "text_fuzzy_part_pairs",
+    oracle=f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+keys AS (
+  SELECT name, k FROM names, LATERAL unnest([
+    string_split(name, ' ')[1],
+    string_split(name, ' ')[-1],
+    substr(name, 1, 3)
+  ]) u(k)
+),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.name < b.name
+  WHERE abs(len(a.name) - len(b.name)) <= {FUZZY_MAX_DIST}
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+""",
+    tags=("text", "join", "fuzzy"),
+)
+def text_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join: distinct part names within edit distance
+    {FUZZY_MAX_DIST}, found by multi-key blocking (first token, last
+    token, 3-char prefix) + length banding, with exact Levenshtein
+    verification on candidates only — the entity-resolution join.
+
+    Same architecture as banded LSH dedup: blocking keys shuffle
+    instead of the quadratic name space, candidate pairs form inside
+    blocks, and the expensive distance runs on candidates only.
+    Blocking is the recall/cost trade (a pair sharing NO key is
+    missed); the oracle replays the identical blocks, so the
+    approximation itself is value-hash checked.
+    """
+    names = t(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    keys = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "array(split(name, ' ')[0], element_at(split(name, ' '), -1), "
+                "substring(name, 1, 3))"
+            )
+        ).alias("k"),
+    )
+    a = keys.select(F.col("name").alias("name_a"), "k")
+    b = keys.select(F.col("name").alias("name_b"), "k")
+    cand = (
+        a.join(b, on="k")
+        .where(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+            )
+        )
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+    ).where(F.col("edit_dist") <= FUZZY_MAX_DIST)
