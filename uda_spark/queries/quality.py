@@ -196,3 +196,161 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+BASKET_TOP = 30
+
+
+@register(
+    "basket_copurchase_pairs",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+norders AS (SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n FROM li),
+item AS (SELECT l_partkey, COUNT(*)::BIGINT AS n FROM li GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*)::BIGINT AS n_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT part_a, part_b, n_ab FROM pair
+  ORDER BY n_ab DESC, part_a, part_b LIMIT {BASKET_TOP}
+)
+SELECT r.part_a, r.part_b, r.n_ab, ia.n AS n_a, ib.n AS n_b,
+       round(CAST(r.n_ab AS DOUBLE) * (SELECT n FROM norders) / (ia.n * ib.n), 6) AS lift
+FROM ranked r JOIN item ia ON ia.l_partkey = r.part_a
+              JOIN item ib ON ib.l_partkey = r.part_b
+""",
+    tags=("quality", "analytics", "join"),
+)
+def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in the
+    same order, ranked by pair count, with lift = P(a,b)/(P(a)P(b)) —
+    the co-purchase/recommendation primitive.
+
+    Scale shape: the pair explosion is a self-join on the basket key,
+    so its size is sum(basket_size²)/2 — bounded by the max basket, not
+    the corpus (TPC-H baskets are ≤ 7 items; a retail feed is dozens).
+    Item counts broadcast back onto the top pairs; n_orders is a scalar.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(F.count_distinct("l_orderkey").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, on="k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ranked = pair.orderBy(F.desc("n_ab"), "part_a", "part_b").limit(BASKET_TOP)
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        ranked.join(F.broadcast(ia), on="part_a")
+        .join(F.broadcast(ib), on="part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_DIFF_V2 = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 97 <> 0
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 103 = 0
+"""
+
+_DIFF_ROWHASH = (
+    "md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' || "
+    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' || o_orderpriority)"
+)
+
+
+@register(
+    "table_diff_orders",
+    oracle=f"""
+WITH v1 AS (SELECT *, {_DIFF_ROWHASH} AS rh FROM orders),
+v2 AS (SELECT *, {_DIFF_ROWHASH} AS rh FROM ({_DIFF_V2})),
+j AS (
+  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+         v1.rh AS rh1, v2.rh AS rh2
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+),
+tagged AS (
+  SELECT k, CASE WHEN rh1 IS NULL THEN 'added'
+                 WHEN rh2 IS NULL THEN 'deleted'
+                 WHEN rh1 <> rh2 THEN 'changed'
+                 ELSE 'unchanged' END AS change_type
+  FROM j
+)
+SELECT change_type, COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(k % 1000003) AS BIGINT) AS key_checksum
+FROM tagged GROUP BY change_type
+""",
+    tags=("quality", "cdc", "join"),
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC without a log): classify every key across two
+    table versions as added / deleted / changed / unchanged by
+    full-outer-joining on the key and comparing per-row digests — the
+    validation step after any migration, backfill, or MERGE, and the
+    change feed when the source system has no CDC stream.
+
+    Scale: the join co-partitions both versions on the key; the
+    exchange carries (key, 32-byte digest), never full rows — the same
+    digests-not-bodies discipline as exact dedup and table_digest.  The
+    simulated v2 applies deterministic deletes (every 97th key), updates
+    (every 101st) and inserts (every 103rd shifted) to the same orders
+    table both engines read.
+    """
+    orders = t(spark, sf_dir, "orders")
+    rowhash = (
+        "md5(concat(CAST(o_custkey AS STRING), '|', o_orderstatus, '|', "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), '|', "
+        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss'), '|', o_orderpriority))"
+    )
+    v2 = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    h1 = orders.select("o_orderkey", F.expr(rowhash).alias("rh1"))
+    h2 = v2.select("o_orderkey", F.expr(rowhash).alias("rh2"))
+    j = h1.join(h2, on="o_orderkey", how="full_outer")
+    tagged = j.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("rh1").isNull(), "added")
+        .when(F.col("rh2").isNull(), "deleted")
+        .when(F.col("rh1") != F.col("rh2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return tagged.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("k") % 1000003).cast("long").alias("key_checksum"),
+    )
