@@ -877,3 +877,83 @@ def streaming_cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+SCENE_FRAMES = 8  # 32-byte blob -> 8 frames of 4 bytes (8 hex chars)
+SCENE_HAMMING_T = 30  # >= half the 60 fingerprint bits flipped
+
+
+@register(
+    "multimodal_scene_changes",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, md5(CAST(text AS VARCHAR)) || md5('x' || CAST(text AS VARCHAR)) AS bhex
+  FROM documents WHERE doc_id < 100
+),
+frames AS (
+  SELECT doc_id, f AS frame_no,
+         {portable.hash60("substr(bhex, f * 8 + 1, 8)", 'duck')} AS fp
+  FROM b, range(0, {SCENE_FRAMES}) r(f)
+),
+seq AS (
+  SELECT doc_id, frame_no, fp,
+         LAG(fp) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev_fp
+  FROM frames
+)
+SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(bit_count(xor(fp, prev_fp)) AS INT) AS hamming,
+       (bit_count(xor(fp, prev_fp)) >= {SCENE_HAMMING_T}) AS is_scene_change
+FROM seq WHERE prev_fp IS NOT NULL
+""",
+    tags=("multimodal", "north-star", "window"),
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection on sampled video frames: consecutive frame
+    fingerprints compared by Hamming distance, a change flagged when at
+    least half the bits flip — the shot-boundary primitive that decides
+    which frames of a video corpus are worth decoding/captioning.
+
+    Pipeline shape: blob → mapInPandas frame fan-out (map-only, the
+    ffmpeg seam) → per-frame fingerprint → one tiny window per video
+    (state = previous frame fingerprint).  The stub codec's hex algebra
+    lets the oracle recompute identical fingerprints, so the Python
+    fan-out AND the JVM-side sequential comparison are value-hash
+    checked together.
+    """
+    from uda_spark.multimodal.blob import _hash60_py
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    blobs = MM.attach_blob_column(docs, "text", "doc_id")
+    frames = MM.sample_frames(blobs, n_frames=SCENE_FRAMES, id_col="doc_id")
+
+    def fp(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "frame_no": pdf["frame_no"],
+                    "fp": [_hash60_py(bytes(fr).hex()) for fr in pdf["frame"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("fp", LongType()),
+        ]
+    )
+    fps = frames.mapInPandas(fp, schema=schema)
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    seq = fps.withColumn("prev_fp", F.lag("fp").over(w)).where(
+        F.col("prev_fp").isNotNull()
+    )
+    hamming = F.expr("bit_count(fp ^ prev_fp)")
+    return seq.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        hamming.cast("int").alias("hamming"),
+        (hamming >= SCENE_HAMMING_T).alias("is_scene_change"),
+    )

@@ -783,3 +783,62 @@ def text_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn(
         "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
     ).where(F.col("edit_dist") <= FUZZY_MAX_DIST)
+
+
+INVIDX_MIN_DF = 10
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+WITH tf AS (
+  SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({_DU_TOKS}) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+idx AS (
+  SELECT term, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS total_tf,
+         md5(array_to_string(
+           list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY doc_id),
+           ',')) AS postings_md5
+  FROM tf GROUP BY term
+)
+SELECT term, df, total_tf, postings_md5 FROM idx WHERE df >= {INVIDX_MIN_DF}
+""",
+    tags=("text", "north-star", "index"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> ordered posting list (doc_id, tf) —
+    the search-engine/retrieval primitive.  Postings are assembled as
+    doc-ordered arrays per term and fingerprinted, so the oracle checks
+    the EXACT posting order, not just the counts.
+
+    Scale shape: one (term, doc) partial-aggregated exchange builds tf;
+    one (term) exchange assembles postings.  Per-term memory is that
+    term's df — the known hot spot is stopword terms, which is why real
+    indexes shard giant postings; here df >= {INVIDX_MIN_DF} keeps the
+    demo honest while the skew answer (hash-sharding a hot term's
+    postings) is the same salting pattern as operators/partitioning.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_SP_TOKS)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    idx = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(doc_id, tf))), "
+                    "e -> concat(CAST(e.doc_id AS STRING), ':', CAST(e.tf AS STRING)))"
+                ),
+                ",",
+            )
+        ).alias("postings_md5"),
+    )
+    return idx.where(F.col("df") >= INVIDX_MIN_DF).select(
+        "term", "df", "total_tf", "postings_md5"
+    )
