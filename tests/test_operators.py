@@ -842,3 +842,84 @@ class TestZorderNormalized:
         )
         out = zorder_by_normalized(df, "a", "b", num_partitions=2)
         assert out.count() == 100
+
+
+class TestRound5Invariants:
+    """Structural invariants of the round-5 analytics operators, beyond
+    the value-hash parity the oracles already pin."""
+
+    def test_scd2_intervals_partition_each_users_timeline(self, spark):
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = all_specs()["events_scd2_user_type"].fn(spark, SF_SMOKE).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        assert by_user
+        for user, vs in by_user.items():
+            vs.sort(key=lambda r: r["version"])
+            assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+            currents = [r for r in vs if r["is_current"]]
+            assert len(currents) == 1 and currents[0] is vs[-1]
+            for a, b in zip(vs, vs[1:]):
+                # contiguous, non-overlapping, attribute actually changed
+                assert a["valid_to_us"] == b["valid_from_us"], (user, a, b)
+                assert a["attr"] != b["attr"], (user, a, b)
+            assert vs[-1]["valid_to_us"] is None
+
+    def test_funnel_counts_monotone_nonincreasing(self, spark):
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = sorted(
+            all_specs()["events_funnel_steps"].fn(spark, SF_SMOKE).collect(),
+            key=lambda r: r["step"],
+        )
+        assert [r["step"] for r in rows] == [1, 2, 3, 4]
+        counts = [r["n_users"] for r in rows]
+        assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+        assert rows[0]["conversion"] == 1.0
+
+    def test_chunk_windows_cover_and_overlap(self, spark):
+        from uda_spark.queries.text import CHUNK_STRIDE, CHUNK_TOKENS
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+        from tests.conftest import SF_SMOKE
+
+        import pyspark.sql.functions as F
+
+        chunks = all_specs()["text_chunk_windows"].fn(spark, SF_SMOKE).collect()
+        n_toks = {
+            r["doc_id"]: r["n"]
+            for r in load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("n"))
+            .collect()
+        }
+        by_doc = {}
+        for c in chunks:
+            by_doc.setdefault(c["doc_id"], []).append(c)
+        assert set(by_doc) == set(n_toks)
+        for doc, cs in by_doc.items():
+            cs.sort(key=lambda r: r["chunk_id"])
+            n = n_toks[doc]
+            # expected chunk count: one start every STRIDE tokens
+            assert len(cs) == (n - 1) // CHUNK_STRIDE + 1, (doc, n, len(cs))
+            # all but the last are full-size or bounded by remaining tokens
+            for i, c in enumerate(cs):
+                start = i * CHUNK_STRIDE + 1
+                assert c["n_tokens"] == min(CHUNK_TOKENS, n - start + 1)
+
+    def test_table_diff_counts_reconcile(self, spark):
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+        from tests.conftest import SF_SMOKE
+
+        rows = {
+            r["change_type"]: r["n_rows"]
+            for r in all_specs()["table_diff_orders"].fn(spark, SF_SMOKE).collect()
+        }
+        n_orders = load_table(spark, SF_SMOKE, "orders").count()
+        # v1 keys = deleted + changed + unchanged; all four classes present
+        assert set(rows) == {"added", "deleted", "changed", "unchanged"}
+        assert rows["deleted"] + rows["changed"] + rows["unchanged"] == n_orders
