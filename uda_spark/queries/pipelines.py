@@ -957,3 +957,59 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming.cast("int").alias("hamming"),
         (hamming >= SCENE_HAMMING_T).alias("is_scene_change"),
     )
+
+
+SPLIT_PCT = (80, 10, 10)  # train / val / test
+
+
+@register(
+    "pipeline_train_val_test_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, {portable.hash60("'split|' || CAST(doc_id AS VARCHAR)", 'duck')} % 100 AS hmod,
+         n_chars
+  FROM documents
+),
+tagged AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN hmod < {SPLIT_PCT[0]} THEN 'train'
+              WHEN hmod < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT split, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       CAST(SUM(doc_id % 1000003) AS BIGINT) AS member_checksum
+FROM tagged GROUP BY split
+""",
+    tags=("pipeline", "north-star", "sampling"),
+)
+def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by salted content-id
+    hash — the assignment every training pipeline needs to be STABLE
+    across reruns, engines, and partitionings (a random split silently
+    leaks val docs into train on the next ingest; a hash split never
+    moves a document between splits as the corpus grows).
+
+    Map-only tag + tiny aggregate; the member checksum pins the exact
+    assignment, not just the split sizes.
+    """
+    docs = t(spark, sf_dir, "documents")
+    hmod = (
+        "("
+        + portable.hash60("concat('split|', CAST(doc_id AS STRING))", "spark")
+        + ") % 100"
+    )
+    tagged = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.expr(hmod) < SPLIT_PCT[0], "train")
+        .when(F.expr(hmod) < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("doc_id") % 1000003).cast("long").alias("member_checksum"),
+    )
