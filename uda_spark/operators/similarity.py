@@ -504,8 +504,16 @@ def pq_train_codebooks(
         )
         .select("m", "cid", F.expr("transform(cm, e -> e.mu)").alias("cent"))
     )
-    return c1.withColumn(
-        "pos", F.row_number().over(Window.partitionBy("m").orderBy("cid")) - 1
+    # The codebook is m×k rows but its lineage is a full corpus training
+    # pass; every consumer (encoding, query LUTs, composed IVF-PQ) would
+    # otherwise re-run that pass.  Tracked persist caches the tiny
+    # relation so training happens exactly once per index build.
+    from uda_spark import cache
+
+    return cache.tracked_persist(
+        c1.withColumn(
+            "pos", F.row_number().over(Window.partitionBy("m").orderBy("cid")) - 1
+        )
     )
 
 
