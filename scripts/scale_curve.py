@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Scale-curve probe: time a representative query slice at sf0.001 /
+sf0.01 / sf0.1 (100× input growth) and record the per-decade wall-time
+ratios.  A plan that would die at 100 TB shows super-linear growth
+already at these sizes (quadratic candidate generation, single-task
+funnels); the operators here are designed to grow ~linearly in input
+bytes with a constant overhead floor at tiny scale.
+
+Writes one JSON line to stdout and SCALECURVE.json at the repo root.
+Run:  python scripts/scale_curve.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uda_spark.cache import release_persisted  # noqa: E402
+from uda_spark.registry import all_specs  # noqa: E402
+from uda_spark.session import get_spark  # noqa: E402
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+QUERIES = [
+    "q1_pricing_summary",       # scan + partial agg
+    "terasort_rank",            # global sort
+    "dedup_minhash_near_pairs", # banded LSH
+    "sim_knn_bruteforce",       # broadcast scan + top-k merge
+    "text_tfidf_top_terms",     # explode + multi-stage agg
+    "events_sessionize",        # keyed window
+]
+ITERS = 3
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark(
+        "uda_spark_scale_curve", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    out: dict = {"metric": "scale_curve", "unit": "sec", "iters": ITERS, "queries": {}}
+    for name in QUERIES:
+        times = {}
+        for sf in SFS:
+            best = None
+            for _ in range(ITERS):
+                t0 = time.monotonic()
+                specs[name].fn(spark, sf).collect()
+                dt = time.monotonic() - t0
+                release_persisted()
+                best = dt if best is None else min(best, dt)
+            times[os.path.basename(sf)] = round(best, 3)
+        sfs = list(times)
+        ratios = [
+            round(times[b] / times[a], 2) for a, b in zip(sfs, sfs[1:])
+        ]
+        out["queries"][name] = {"sec": times, "ratio_per_10x": ratios}
+        print(f"# {name}: {times} ratios {ratios}", file=sys.stderr)
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALECURVE.json"), "w") as fh:
+        fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
