@@ -678,22 +678,17 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, len(FUNNEL_STEPS) + 1)
         ]
     )
+    # conversion is computed on the single aggregate row BEFORE the
+    # unpivot — no global window needed
     stack = ", ".join(
-        f"{i}, '{s}', n{i}" for i, s in enumerate(FUNNEL_STEPS, 1)
+        f"{i}, '{s}', n{i}, round(CAST(n{i} AS DOUBLE) / n1, 6)"
+        for i, s in enumerate(FUNNEL_STEPS, 1)
     )
-    counts = one.select(
+    return one.select(
         F.expr(
-            f"stack({len(FUNNEL_STEPS)}, {stack}) AS (step, step_name, n_users)"
+            f"stack({len(FUNNEL_STEPS)}, {stack}) "
+            "AS (step, step_name, n_users, conversion)"
         )
-    )
-    whole = Window.partitionBy()
-    return counts.select(
-        F.col("step").cast("int").alias("step"),
-        "step_name",
-        "n_users",
-        F.round(
-            F.col("n_users").cast("double")
-            / F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(whole),
-            6,
-        ).alias("conversion"),
+    ).select(
+        F.col("step").cast("int").alias("step"), "step_name", "n_users", "conversion"
     )
