@@ -3,8 +3,11 @@ projection) vs the first-cut join + row_number window formulation
 (throwaway measurement backing the PLANS.md sim_pq_knn note)."""
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -38,10 +41,26 @@ def encode_window(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
+def synth(spark, n: int) -> DataFrame:
+    """n deterministic 64-dim vectors (md5-derived) — scale the A/B past
+    the tiny test corpus."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "CAST(conv(substring(md5(concat(CAST(id AS STRING), ':', CAST(d AS STRING))), 1, 6), 16, 10) AS FLOAT)"
+            " / 16777216.0)"
+        ).alias("embedding"),
+    )
+
+
 def main() -> None:
     spark = get_spark("ab_pq", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, SF, "embeddings")
+    if SF.startswith("synth:"):
+        emb = synth(spark, int(SF.split(":")[1])).localCheckpoint()
+    else:
+        emb = load_table(spark, SF, "embeddings")
     codebook = SIM.pq_train_codebooks(emb, "vec_id", "embedding", M, K, DIM)
     codebook.count()  # materialize the persisted codebook once, outside timing
 
