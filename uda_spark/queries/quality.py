@@ -354,3 +354,192 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("k") % 1000003).cast("long").alias("key_checksum"),
     )
+
+
+RFM_BINS = 5
+
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+WITH ref AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT maxd FROM ref))::BIGINT AS recency_days,
+         COUNT(*)::BIGINT AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY recency_days DESC, o_custkey) AS INT) AS r_score,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
+FROM cust
+""",
+    tags=("quality", "analytics", "window"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus max date), frequency, exact-decimal monetary, each scored
+    into {RFM_BINS} ntile bins (higher = better; ties broken by
+    custkey so the binning is deterministic).
+
+    One (custkey) aggregation; the ntile windows are global but run
+    over the customer relation (|customers| rows, already tiny relative
+    to the fact) — at 100 TB you'd range-partition the score windows
+    the same way global sort does.
+    """
+    orders = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    ref = orders.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "o_orderdate").alias("dd"),
+            "o_totalprice",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.min("dd").cast("long").alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    return cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy(F.desc("recency_days"), "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+    )
+
+
+@register(
+    "lineitem_abc_analysis",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rev_d) AS DOUBLE) AS t FROM rev),
+c AS (
+  SELECT l_partkey, rev_d,
+         SUM(rev_d) OVER (ORDER BY rev_d DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM rev
+)
+SELECT l_partkey, CAST(rev_d AS DOUBLE) AS revenue,
+       CASE WHEN CAST(cum AS DOUBLE) / (SELECT t FROM tot) <= 0.70 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / (SELECT t FROM tot) <= 0.90 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+""",
+    tags=("quality", "analytics", "window"),
+)
+def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: cumulative
+    revenue share over the descending ranking splits parts into A
+    (top 70% of revenue), B (next 20%), C (tail) — the inventory
+    analytics workhorse.
+
+    Exactness discipline: revenue, the running total, and the grand
+    total all stay EXACT DECIMAL through aggregation and the window
+    (no float addition order anywhere); only the final share ratio
+    converts to double, once, deterministically — a float cumsum or a
+    float grand total flips boundary rows between classes across
+    engines/partitionings.
+    """
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    from uda_spark.queries.common import revenue_expr
+
+    rev = li.groupBy("l_partkey").agg(F.sum(revenue_expr()).alias("rev_d"))
+    tot = rev.agg(F.sum("rev_d").cast("double").alias("t"))
+    w = Window.orderBy(F.desc("rev_d"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = rev.withColumn("cum", F.sum("rev_d").over(w)).crossJoin(F.broadcast(tot))
+    share = F.col("cum").cast("double") / F.col("t")
+    return c.select(
+        "l_partkey",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.when(share <= 0.70, "A").when(share <= 0.90, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+outdeg AS (SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, p.n,
+       round(CAST(p.n AS DOUBLE) / o.tot, 6) AS p
+FROM pairs p JOIN outdeg o ON p.prev_type = o.prev_type
+""",
+    tags=("quality", "events", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) from lag pairs — the behavioral
+    model behind session prediction and anomalous-flow detection.
+
+    One (user_id) window pass emits transition pairs; the matrix is a
+    |types|² aggregate with row-normalized probabilities from exact
+    counts.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (
+        ev.withColumn("ts_us", event_micros(ev))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts_us",
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    outdeg = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(outdeg), on="prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )
