@@ -692,3 +692,58 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("step").cast("int").alias("step"), "step_name", "n_users", "conversion"
     )
+
+
+@register(
+    "events_concurrency_curve",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, {_DUCK_US} AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_id,
+         min(ts_us) // 1000000 AS s, max(ts_us) // 1000000 AS e
+  FROM sess GROUP BY user_id, session_id
+),
+hours AS (
+  SELECT CAST(h AS BIGINT) * 3600 AS bucket_epoch
+  FROM iv, LATERAL unnest(range(s // 3600, e // 3600 + 1)) u(h)
+)
+SELECT bucket_epoch, COUNT(*)::BIGINT AS n_active_sessions
+FROM hours GROUP BY bucket_epoch
+""",
+    tags=("events", "session", "interval"),
+)
+def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency curve: how many sessions are active in each hour —
+    the interval-overlap aggregation (capacity planning, peak load).
+
+    Built ON TOP of the sessionize output: each session interval
+    explodes to its covered hour buckets (bounded by session duration,
+    not corpus size) and a tiny (bucket) aggregate counts overlaps —
+    the scalable alternative to an interval self-join, whose output
+    would be quadratic in concurrent sessions.
+    """
+    sess = events_sessionize(spark, sf_dir)
+    hours = sess.select(
+        F.explode(
+            F.expr("sequence(session_start div 3600, session_end div 3600)")
+        ).alias("h")
+    )
+    return hours.groupBy((F.col("h") * 3600).alias("bucket_epoch")).agg(
+        F.count("*").alias("n_active_sessions")
+    )

@@ -842,3 +842,40 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.where(F.col("df") >= INVIDX_MIN_DF).select(
         "term", "df", "total_tf", "postings_md5"
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, lang, {_DU_TOKS} AS toks FROM documents),
+pred AS (SELECT lang AS actual, {TXT.lang_predict('toks', 'duck')} AS predicted FROM tk),
+cm AS (SELECT actual, predicted, COUNT(*)::BIGINT AS n FROM pred GROUP BY 1, 2),
+tot AS (SELECT actual, SUM(n) AS t FROM cm GROUP BY actual)
+SELECT c.actual, c.predicted, c.n,
+       round(CAST(c.n AS DOUBLE) / o.t, 6) AS row_frac
+FROM cm c JOIN tot o ON c.actual = o.actual
+""",
+    tags=("text", "north-star", "evaluation"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the language-ID
+    heuristic: actual label × predicted label with row-normalized
+    fractions — the model-eval aggregation every labeling pipeline
+    needs (per-class precision/recall fall straight out of this
+    relation).
+
+    Map-side prediction, |langs|² aggregate, broadcast row totals.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        F.expr(TXT.lang_predict("toks", "spark")).alias("predicted"),
+    )
+    cm = pred.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    tot = cm.groupBy("actual").agg(F.sum("n").alias("t"))
+    return cm.join(F.broadcast(tot), on="actual").select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("row_frac"),
+    )
