@@ -923,3 +923,54 @@ class TestRound5Invariants:
         # v1 keys = deleted + changed + unchanged; all four classes present
         assert set(rows) == {"added", "deleted", "changed", "unchanged"}
         assert rows["deleted"] + rows["changed"] + rows["unchanged"] == n_orders
+
+
+class TestRound5PlanQuality:
+    """Exchange-count pins for the round-5 operators — the plan shapes
+    PLANS.md documents must survive refactors."""
+
+    def test_scd2_single_exchange_single_scan(self, spark):
+        from uda_spark.plans.explain import count_exchanges, count_scans
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["events_scd2_user_type"].fn(spark, SF_SMOKE)
+        df.collect()
+        # both window passes share one (user_id) partitioning
+        assert count_exchanges(df) == 1
+        assert count_scans(df) == 1
+
+    def test_chunk_windows_map_only(self, spark):
+        from uda_spark.plans.explain import count_exchanges
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["text_chunk_windows"].fn(spark, SF_SMOKE)
+        df.collect()
+        assert count_exchanges(df) == 0
+
+    def test_funnel_single_scan(self, spark):
+        from uda_spark.plans.explain import count_scans
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["events_funnel_steps"].fn(spark, SF_SMOKE)
+        df.collect()
+        # the fact is scanned once, not once per funnel step
+        assert count_scans(df) == 1
+
+    def test_pq_encode_no_corpus_exchange(self, spark):
+        from uda_spark.plans.explain import plan_str
+        from uda_spark.operators import similarity as SIM
+        from uda_spark.sources.tables import load_table
+        from uda_spark.cache import release_persisted
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        codebook = SIM.pq_train_codebooks(emb, "vec_id", "embedding")
+        coded = SIM.pq_encode(emb, codebook, "vec_id", "embedding")
+        coded.collect()
+        plan = plan_str(coded)
+        # encoding itself is a projection over the scan: the only
+        # exchanges in the plan belong to the (tiny) codebook lineage,
+        # which ends in a broadcast — the corpus side must go scan ->
+        # project -> broadcast join with no shuffle exchange above it
+        corpus_side = plan.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in corpus_side
+        release_persisted()
