@@ -543,3 +543,74 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+WITH ship AS (
+  SELECT l_orderkey, MAX(epoch_us(l_shipdate) // 86400000000) AS end_day
+  FROM lineitem GROUP BY l_orderkey
+),
+spans AS (
+  SELECT o.o_orderkey,
+         epoch_us(o.o_orderdate) // 86400000000 AS start_day,
+         s.end_day
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+),
+deltas AS (
+  SELECT start_day AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT end_day + 1 AS day, -1 AS delta FROM spans
+),
+daily AS (SELECT day, SUM(delta)::BIGINT AS d FROM deltas GROUP BY day),
+curve AS (
+  SELECT day, SUM(d) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_open
+  FROM daily
+)
+SELECT day * 86400 AS day_epoch, CAST(n_open AS BIGINT) AS n_open
+FROM curve WHERE n_open > 0
+""",
+    tags=("quality", "analytics", "interval"),
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time via the EVENT-DELTA pattern: each
+    order contributes +1 on its order day and -1 the day after its last
+    shipment, and a cumulative sum over the daily deltas yields "orders
+    open on day t" — O(2 rows per order) instead of exploding each
+    order's full open interval (which is unbounded for long-lived
+    orders) or an interval self-join (quadratic in overlap).
+
+    The cumulative window runs over the |days| relation after the daily
+    delta aggregation — tiny regardless of order volume.  All integer
+    arithmetic.
+    """
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    # NTZ timestamps: derive the epoch-day via DATE arithmetic (tz-free;
+    # a cast to TIMESTAMP would re-interpret in the session timezone)
+    ship = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "MAX(CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT))"
+        ).alias("end_day")
+    )
+    spans = orders.join(
+        ship, orders["o_orderkey"] == ship["l_orderkey"]
+    ).select(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("start_day"),
+        "end_day",
+    )
+    deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("delta")).unionAll(
+        spans.select((F.col("end_day") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = daily.withColumn("n_open", F.sum("d").over(w))
+    return curve.where(F.col("n_open") > 0).select(
+        (F.col("day") * 86400).alias("day_epoch"), F.col("n_open").cast("long")
+    )
