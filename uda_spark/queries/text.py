@@ -879,3 +879,59 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("row_frac"),
     )
+
+
+@register(
+    "text_chunk_dedup",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_DU_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks, CAST(s AS BIGINT) AS start
+  FROM base, LATERAL unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) u(s)
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS} - 1), ' ')) AS chunk_md5
+  FROM starts
+)
+SELECT chunk_md5,
+       COUNT(*)::BIGINT AS n_occurrences,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       MIN(doc_id) AS keep_doc
+FROM chunks
+GROUP BY chunk_md5
+HAVING COUNT(DISTINCT doc_id) > 1
+""",
+    tags=("text", "north-star", "dedup"),
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (chunk-level) dedup: the same sliding windows as
+    text_chunk_windows, deduplicated ACROSS documents by fingerprint —
+    finds boilerplate passages that repeat in multiple documents even
+    when the documents as wholes are unique (the CCNet/RefinedWeb
+    paragraph-dedup step that document-level MinHash cannot express).
+
+    Composes chunking (map-only explode) with exact dedup (32-byte
+    digests shuffle, never chunk text); output is the repeated-chunk
+    relation a cleaning pass would anti-join against.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, size(toks), {CHUNK_STRIDE})")).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.expr(f"slice(toks, start, {CHUNK_TOKENS})"), " ")
+        ).alias("chunk_md5"),
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
