@@ -747,3 +747,84 @@ def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hours.groupBy((F.col("h") * 3600).alias("bucket_epoch")).agg(
         F.count("*").alias("n_active_sessions")
     )
+
+
+@register(
+    "events_user_entropy",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY user_id, event_type
+),
+g AS (
+  SELECT user_id, SUM(n)::BIGINT AS t, COUNT(*)::BIGINT AS k,
+         list(n ORDER BY event_type) AS ns
+  FROM c GROUP BY user_id
+)
+SELECT user_id, t AS n_events, k AS n_types,
+       round(-list_sum(list_transform(ns,
+         n -> (CAST(n AS DOUBLE) / t) * log2(CAST(n AS DOUBLE) / t))), 6)
+         AS type_entropy_bits
+FROM g
+""",
+    tags=("events", "scoring", "aggregation"),
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Shannon entropy — the behavioral-diversity
+    score (bots cluster at the extremes: single-type spam near 0 bits,
+    uniform randomness near log2(|types|)).
+
+    Exactness: counts stay integer; the entropy terms are doubles, so
+    they are summed via an ORDERED fold over the type-sorted count
+    array (the EWMA pattern) — a bare SUM's merge order varies with
+    partitioning, and float addition order must never depend on the
+    physical plan.
+    """
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    g = c.groupBy("user_id").agg(
+        F.sum("n").alias("t"),
+        F.count("*").alias("k"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_type, n))), e -> e.n)"
+        ).alias("ns"),
+    )
+    ent = (
+        "round(-aggregate(ns, CAST(0 AS DOUBLE), (acc, n) -> "
+        "acc + (CAST(n AS DOUBLE) / t) * log2(CAST(n AS DOUBLE) / t)), 6)"
+    )
+    return g.select(
+        "user_id",
+        F.col("t").alias("n_events"),
+        F.col("k").alias("n_types"),
+        F.expr(ent).alias("type_entropy_bits"),
+    )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle=f"""
+SELECT CAST((({_DUCK_US} // 86400000000) + 4) % 7 AS INT) AS dow,
+       CAST(({_DUCK_US} // 3600000000) % 24 AS INT) AS hour_of_day,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(user_id % 97) AS BIGINT) AS user_checksum
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "calendar", "aggregation"),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (the ops-dashboard
+    heatmap).  Calendar buckets derive from pure integer epoch
+    arithmetic (1970-01-01 was a Thursday, hence the +4) — no timezone
+    or calendar library in the data path, identical in both engines.
+    One partial-aggregated exchange onto a 7×24 grid.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    return ev.groupBy(
+        F.expr("CAST(((ts_us div 86400000000) + 4) % 7 AS INT)").alias("dow"),
+        F.expr("CAST((ts_us div 3600000000) % 24 AS INT)").alias("hour_of_day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("user_id") % 97).cast("long").alias("user_checksum"),
+    )
