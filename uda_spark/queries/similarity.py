@@ -86,10 +86,11 @@ dims AS (
   GROUP BY label, d
 ),
 means AS (
-  SELECT label, n, CAST(s AS DOUBLE) / n / {portable.FIXED_POINT} AS m FROM dims
+  SELECT label, d, n, CAST(s AS DOUBLE) / n / {portable.FIXED_POINT} AS m FROM dims
 )
 SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
-       round(sqrt(SUM(m * m)), 6) AS centroid_l2
+       round(sqrt(list_sum(list_transform(list(m ORDER BY d), x -> x * x))), 6)
+         AS centroid_l2
 FROM means GROUP BY label
 """,
     tags=("similarity", "north-star", "aggregation"),
@@ -99,7 +100,9 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroids are what an IVF index partitions the corpus by).
 
     Numerators stay exact integers through the aggregation; the division
-    and norm are deterministic double ops on exact inputs.
+    is a deterministic double op on exact inputs, and the norm's square
+    sum runs as an ORDERED fold over the dimension-sorted means (a bare
+    float SUM's merge order varies with partitioning).
     """
     emb = t(spark, sf_dir, "embeddings")
     iv = emb.select("label", F.expr(portable.int_vec("embedding", "spark")).alias("v"))
@@ -111,10 +114,16 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = dims.withColumn(
         "m", F.col("s").cast("double") / F.col("n") / portable.FIXED_POINT
     )
-    return means.groupBy("label").agg(
+    g = means.groupBy("label").agg(
         F.max("n").cast("long").alias("n_vectors"),
-        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_l2"),
+        F.expr("transform(array_sort(collect_list(struct(d, m))), e -> e.m)").alias(
+            "ms"
+        ),
     )
+    norm = (
+        "round(sqrt(aggregate(ms, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)), 6)"
+    )
+    return g.select("label", "n_vectors", F.expr(norm).alias("centroid_l2"))
 
 
 LSH_PLANES = 4
