@@ -172,8 +172,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from uda_spark.sources.tables import event_micros
 
+    from uda_spark.cache import tracked_persist
+
     ev = t(spark, sf_dir, "events")
-    act = (
+    # the distinct-reduced activity relation feeds the cohort build AND
+    # the retention join — persist it so the fact is scanned once
+    act = tracked_persist(
         ev.withColumn("ts_us", event_micros(ev))
         .select("user_id", F.expr(f"ts_us div {_WEEK_US}").alias("week"))
         .distinct()
@@ -233,7 +237,14 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (TPC-H baskets are ≤ 7 items; a retail feed is dozens).
     Item counts broadcast back onto the top pairs; n_orders is a scalar.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    from uda_spark.cache import tracked_persist
+
+    # the distinct basket relation feeds three consumers (order count,
+    # item frequencies, and both sides of the pair self-join) — persist
+    # it so the fact is scanned and distinct-reduced once
+    li = tracked_persist(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
     n_orders = li.agg(F.count_distinct("l_orderkey").alias("n"))
     item = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
@@ -392,22 +403,26 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
-    ref = orders.agg(F.max("o_orderdate").alias("maxd"))
-    cust = (
-        orders.crossJoin(F.broadcast(ref))
-        .select(
-            "o_custkey",
-            F.datediff("maxd", "o_orderdate").alias("dd"),
-            "o_totalprice",
-        )
-        .groupBy("o_custkey")
-        .agg(
-            F.min("dd").cast("long").alias("recency_days"),
+    # ONE fact scan: per-customer aggregates first, then the reference
+    # date is the max of the per-customer maxima (a tiny broadcast) —
+    # computing the global max from the fact would cost a second scan
+    from uda_spark.cache import tracked_persist
+
+    per = tracked_persist(
+        orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("monetary"),
         )
+    )
+    ref = per.agg(F.max("last_order").alias("maxd"))
+    cust = per.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("maxd", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
     )
     return cust.select(
         "o_custkey",
@@ -605,9 +620,17 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start_day"),
         "end_day",
     )
-    deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("delta")).unionAll(
-        spans.select((F.col("end_day") + 1).alias("day"), F.lit(-1).alias("delta"))
-    )
+    # explode each span to its two delta events in ONE pass — a union of
+    # two selects over spans would re-derive the join (and re-scan both
+    # facts) per branch
+    deltas = spans.select(
+        F.explode(
+            F.expr(
+                "array(struct(start_day AS day, 1 AS delta), "
+                "struct(end_day + 1 AS day, -1 AS delta))"
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
     daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve = daily.withColumn("n_open", F.sum("d").over(w))
