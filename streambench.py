@@ -26,6 +26,7 @@ import time
 from uda_spark.session import get_spark
 from uda_spark.streaming.stateful import running_totals_stream
 from uda_spark.streaming.windows import (
+    cms_sketch_stream,
     events_file_stream,
     hourly_counts_stream,
     sessionize_stream,
@@ -39,6 +40,8 @@ PIPELINES = {
     # session-window aggregation only supports append output
     "sessionize": (sessionize_stream, "append"),
     "running_totals": (running_totals_stream, "update"),
+    # bounded-state sketch: d x w counters forever, any key cardinality
+    "cms_sketch": (cms_sketch_stream, "update"),
 }
 
 

@@ -852,12 +852,7 @@ def streaming_cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + f") % {CMS_W}"
     )
-    sk_stream = (
-        ev.select("user_id", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d"))
-        .select("d", F.expr(bucket).alias("bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    sk_stream = ST.cms_sketch_stream(ev, d=CMS_D, w=CMS_W)
     sketch = ST.run_stream_to_memory(sk_stream, _sink_name("cms_sketch_sink"))
     exact = t(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count("*").alias("exact_n")

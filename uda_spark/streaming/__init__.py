@@ -6,6 +6,7 @@ from uda_spark.streaming.windows import (
     sessionize_stream,
     run_stream_to_memory,
     enrich_static_stream,
+    cms_sketch_stream,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "sessionize_stream",
     "run_stream_to_memory",
     "enrich_static_stream",
+    "cms_sketch_stream",
 ]

@@ -199,3 +199,27 @@ def enrich_static_stream(
             "n_events",
         )
     )
+
+
+def cms_sketch_stream(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
+    """Count-min sketch maintained as streaming state: every event
+    increments ``d`` counters keyed by salted portable hashes of its
+    user_id, so state is bounded at d×w counters regardless of how many
+    distinct users the unbounded stream ever sees — the O(1)-memory
+    heavy-hitter tracker (contrast: exact per-key streaming counts grow
+    state with the key universe)."""
+    from uda_spark.functions import portable
+
+    bucket = (
+        "("
+        + portable.hash60(
+            "concat('cms', CAST(d AS STRING), '|', CAST(user_id AS STRING))", "spark"
+        )
+        + f") % {w}"
+    )
+    return (
+        events.select("user_id", F.explode(F.expr(f"sequence(0, {d - 1})")).alias("d"))
+        .select("d", F.expr(bucket).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
