@@ -1,0 +1,66 @@
+"""Driver-conditions sweep: every registered query re-verified under a
+PLAIN SparkSession — default shuffle partitions (200), default confs, no
+uda_spark.session tuning — because that is how the external driver runs
+them.  Conf-dependent behavior (session timezone, ANSI flags, nanos
+handling) and partitioning-dependent arithmetic (float merge order) only
+surface under the driver's configuration, not under the tuned test
+session the regular parity sweep uses.
+
+Slow-marked: this is a second full sweep of the suite.  Run explicitly:
+    python -m pytest tests/test_driver_conditions.py -q -m slow
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import SparkSession
+
+from tests.conftest import SF_SMOKE, make_duck
+from tests.test_oracle_parity import ORACLE_NAMES, SPECS, _rows_to_set
+from uda_spark.cache import release_persisted
+
+
+@pytest.fixture(scope="module")
+def plain_spark():
+    s = (
+        SparkSession.builder.master("local[8]")
+        .appName("uda_driver_conditions")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return make_duck(SF_SMOKE)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle_plain_session(name, plain_spark, duck):
+    spec = SPECS[name]
+    sdf = spec.fn(plain_spark, SF_SMOKE)
+    s_cols = [c.lower() for c in sdf.columns]
+    try:
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        release_persisted()
+
+    rel = duck.sql(spec.oracle)
+    d_cols = [c.lower() for c in rel.columns]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={s_cols} duck={d_cols}"
+    )
+    s_set = _rows_to_set(s_cols, s_rows)
+    d_set = _rows_to_set(d_cols, d_rows)
+    assert len(s_set) == len(d_set), (
+        f"{name}: row count spark={len(s_set)} duck={len(d_set)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_set, d_set) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
