@@ -514,3 +514,47 @@ def connected_components_star(
         .union(edges.select(F.col("lo").alias("node"), F.col("lo").alias("component")))
         .distinct()
     )
+
+
+def minhash_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    containment_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection: pairs where the SMALLER
+    shingle set is mostly contained in the larger (containment =
+    |A∩B| / min(|A|, |B|)) — catches quotes, excerpts, and
+    superset/subset documents that symmetric Jaccard misses (a short
+    doc fully quoted inside a long one has low Jaccard but containment
+    1.0).  Same banded-LSH candidate generation and shuffle profile as
+    :func:`minhash_near_dup_pairs`; only the verification metric
+    differs.
+    """
+    sh = cache.tracked_persist(_minhash_grouped(df, text_col, id_col, n_hashes, k))
+    banded = _banded(sh, n_hashes, bands)
+    if max_bucket_size is not None:
+        banded = cap_buckets(banded, max_bucket_size)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.select("doc", "sset")
+    return (
+        cand.join(sets.withColumnsRenamed({"doc": "doc_a", "sset": "set_a"}), on="doc_a")
+        .join(sets.withColumnsRenamed({"doc": "doc_b", "sset": "set_b"}), on="doc_b")
+        .withColumn("n_inter", F.expr("size(array_intersect(set_a, set_b))"))
+        .withColumn(
+            "containment",
+            F.expr("CAST(n_inter AS DOUBLE) / least(size(set_a), size(set_b))"),
+        )
+        .where(F.col("containment") >= containment_threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )

@@ -261,25 +261,18 @@ def srp_buckets(
     ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
-def lsh_knn(
+def _lsh_scored_candidates(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
-    top_k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int,
+    n_tables: int,
 ) -> DataFrame:
-    """Approximate top-k via multi-table SRP LSH: score only candidates
-    sharing a bucket with the query in at least one table.
-
-    One exchange on (table, bucket); candidates dedup before scoring so
-    each pair is scored once.  At 100 TB the candidate set per query is
-    ~L * corpus/2^k — the tunable fraction of a full scan.  Top-k is
-    partial-then-final like :func:`knn_bruteforce`: candidates for a hot
-    query can still be corpus-sized in the worst case, so stage 1 bounds
-    any single task's merge width at k per (query, partition).
-    """
+    """Shared SRP-LSH candidate generation + exact scoring: (query_id,
+    neighbor_id, score, _part) for every candidate sharing a bucket with
+    the query in at least one table — consumed by :func:`lsh_knn`
+    (top-k) and :func:`radius_search` (threshold)."""
     # Probe the dimensionality ONCE (tiny driver job) and share it with
     # both srp_buckets calls — each would otherwise run its own probe.
     dim_row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -300,7 +293,7 @@ def lsh_knn(
     q = _prep(queries, id_col, vec_col, "q")
     dot = portable.int_dot("q_vec", "c_vec", "spark")
     score = portable.cosine_from_ints(dot, "q_norm", "c_norm")
-    scored = (
+    return (
         cand.join(c, on="c_id")
         .join(F.broadcast(q), on="q_id")
         .select(
@@ -309,6 +302,57 @@ def lsh_knn(
             F.round(F.expr(score), 6).alias("score"),
             F.spark_partition_id().alias("_part"),
         )
+    )
+
+
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Range query: ALL candidates with cosine >= threshold per query —
+    the radius dual of :func:`lsh_knn`'s top-k (recall bounded by the
+    LSH bucket recall, like every multi-table SRP op here).
+
+    Same one-exchange candidate generation, but the reduction is a
+    map-side filter instead of a top-k merge: output size is
+    data-dependent (all matches), which is exactly when a top-k
+    contract would silently truncate.
+    """
+    scored = _lsh_scored_candidates(
+        corpus, queries, id_col, vec_col, n_planes, n_tables
+    )
+    return (
+        scored.where(F.col("score") >= threshold)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k via multi-table SRP LSH: score only candidates
+    sharing a bucket with the query in at least one table.
+
+    One exchange on (table, bucket); candidates dedup before scoring so
+    each pair is scored once.  At 100 TB the candidate set per query is
+    ~L * corpus/2^k — the tunable fraction of a full scan.  Top-k is
+    partial-then-final like :func:`knn_bruteforce`: candidates for a hot
+    query can still be corpus-sized in the worst case, so stage 1 bounds
+    any single task's merge width at k per (query, partition).
+    """
+    scored = _lsh_scored_candidates(
+        corpus, queries, id_col, vec_col, n_planes, n_tables
     )
     order = (F.col("score").desc(), F.col("neighbor_id"))
     pw = Window.partitionBy("query_id", "_part").orderBy(*order)

@@ -614,3 +614,60 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=JACCARD_T,
     )
     return triangle_stats(pairs)
+
+
+CONTAINMENT_T = 0.5
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH corpus AS ({_DUCK_CORPUS_NEAR}),
+tk AS (SELECT doc_id, {portable.tokens('text', 'duck')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {portable.shingles('toks', 3, 'duck')} AS shingles FROM tk),
+sig AS (SELECT doc_id,
+               {portable.minhash_sig('shingles', N_HASHES, 'duck')} AS sig,
+               list_distinct(shingles) AS sset
+        FROM sh),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * {ROWS_PER_BAND} + 1, b * {ROWS_PER_BAND} + {ROWS_PER_BAND}), '|')) AS bh
+  FROM sig, range(0, {BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS n_inter,
+         len(sa.sset) AS na, len(sb.sset) AS nb
+  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / least(na, nb), 6) AS containment
+FROM scored
+WHERE CAST(n_inter AS DOUBLE) / least(na, nb) >= {CONTAINMENT_T}
+""",
+    tags=("dedup", "north-star", "join"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT (|A∩B| /
+    min(|A|, |B|)) — catches quotes, excerpts, and superset documents
+    that symmetric Jaccard under-scores (a short doc fully embedded in
+    a long one has low Jaccard but containment 1.0; the corpus's
+    "text + suffix" near-copies score ~1.0 here vs ~0.9 Jaccard).
+
+    Same banded-LSH candidate generation and shuffle profile as
+    dedup_minhash_near_pairs; only the verification metric differs —
+    the pattern for metric-pluggable near-dup detection.
+    """
+    return D.minhash_containment_pairs(
+        _corpus_near(spark, sf_dir),
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        k=3,
+        containment_threshold=CONTAINMENT_T,
+    )

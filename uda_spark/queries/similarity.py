@@ -459,3 +459,42 @@ def sim_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+RADIUS_T = 0.3
+
+
+@register(
+    "sim_radius_search",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+buckets AS ({_SRP_BUCKETS_SQL}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.c_id
+) WHERE score >= {RADIUS_T}
+""",
+    tags=("similarity", "north-star", "approx"),
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) query: every corpus vector with cosine >= 0.3 of
+    each query — the ANN family's threshold dual of top-k, for
+    workloads where "all sufficiently similar" is the contract (near-dup
+    expansion, recall-first retrieval) and a top-k would silently
+    truncate.  Same SRP bucket candidates as sim_lsh_knn, reduced by a
+    map-side filter instead of a top-k merge.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return SIM.radius_search(
+        emb, queries, "vec_id", "embedding",
+        threshold=RADIUS_T, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+    )
