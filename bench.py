@@ -45,6 +45,21 @@ HEADLINE = [
     "text_tfidf_top_terms",
 ]
 
+# Extended tier (round 5+): marquee operators added after the headline
+# set froze.  Timed separately (min-of-2) and reported under
+# "extended_queries" — NEVER summed into the headline total, which stays
+# comparable across rounds only because its query set never changes.
+EXTENDED = [
+    "sim_pq_knn",
+    "sim_ivfpq_knn",
+    "events_scd2_user_type",
+    "events_funnel_steps",
+    "text_chunk_windows",
+    "text_cms_heavy_hitters",
+    "graph_triangle_stats",
+    "lineitem_abc_analysis",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +103,24 @@ def main() -> None:
             timings[name] = None
             print(f"# {name}: FAILED ({type(exc).__name__}: {exc})", file=sys.stderr)
 
+    ext_timings: dict[str, float | None] = {}
+    for name in EXTENDED:
+        spec = specs[name]
+        best = None
+        try:
+            for _ in range(2):
+                release_persisted()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            ext_timings[name] = round(best, 3)
+            print(f"# ext {name}: {ext_timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            ext_timings[name] = None
+            print(f"# ext {name}: FAILED ({type(exc).__name__}: {exc})", file=sys.stderr)
+
     failed = sorted(n for n, v in timings.items() if v is None)
     # A failed query must never make the round LOOK faster: the headline
     # total is only comparable across rounds when it sums the same query
@@ -107,6 +140,7 @@ def main() -> None:
                 # steady-state estimate even when the harness runs us once).
                 "iters_per_query": ITERS,
                 "queries": timings,
+                "extended_queries": ext_timings,
                 "failed_queries": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -90,7 +90,15 @@ def triangle_stats(
     of boilerplate clusters) becomes a sink, not a wedge source.  All
     joins are equi-joins on node ids; counts are exact integers.
     """
-    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    from uda_spark import cache
+
+    # the edge relation (tiny — one row per near-dup pair) feeds SIX
+    # consumers (degrees, orientation, wedge closure, three counts);
+    # without a persist each one re-runs the full upstream candidate
+    # pipeline that produced the pairs
+    edges = cache.tracked_persist(
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    )
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
