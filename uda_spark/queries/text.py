@@ -935,3 +935,82 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+PMI_TOP = 20
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle=f"""
+WITH toks AS (SELECT {_DU_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT t AS term, COUNT(*)::BIGINT AS n
+  FROM toks, LATERAL unnest(toks) u(t) GROUP BY t
+),
+nn AS (SELECT SUM(n)::BIGINT AS total FROM uni),
+bi AS (
+  SELECT g AS gram, COUNT(*)::BIGINT AS n_ab
+  FROM (SELECT {portable.shingles('toks', 2, 'duck')} AS grams FROM toks),
+       LATERAL unnest(grams) u(g)
+  WHERE len(string_split(g, ' ')) = 2
+  GROUP BY g
+),
+top AS (
+  SELECT gram, n_ab FROM bi ORDER BY n_ab DESC, gram LIMIT {PMI_TOP}
+)
+SELECT t.gram, t.n_ab, a.n AS n_a, b.n AS n_b,
+       round(log2(CAST(t.n_ab AS DOUBLE) * (SELECT total FROM nn) / (a.n * b.n)), 6)
+         AS pmi_bits
+FROM top t
+JOIN uni a ON a.term = string_split(t.gram, ' ')[1]
+JOIN uni b ON b.term = string_split(t.gram, ' ')[2]
+""",
+    tags=("text", "north-star", "collocation"),
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of the most
+    frequent adjacent token pairs — the phrase-detection primitive
+    (high-PMI bigrams become single tokens in a phrase-aware
+    vocabulary).
+
+    All counts are exact integers from two explode+agg passes (unigrams,
+    bigrams); PMI is one deterministic log per surviving row.  The
+    single-token whole-doc "shingles" short docs emit are filtered out
+    identically in both engines.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    uni = (
+        docs.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    nn = uni.agg(F.sum("n").alias("total"))
+    bi = (
+        docs.select(
+            F.explode(F.expr(portable.shingles("toks", 2, "spark"))).alias("gram")
+        )
+        .where(F.size(F.split("gram", " ")) == 2)
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    top = bi.orderBy(F.desc("n_ab"), "gram").limit(PMI_TOP)
+    a = uni.select(F.col("term").alias("ta"), F.col("n").alias("n_a"))
+    b = uni.select(F.col("term").alias("tb"), F.col("n").alias("n_b"))
+    joined = (
+        top.withColumn("ta", F.expr("split(gram, ' ')[0]"))
+        .withColumn("tb", F.expr("split(gram, ' ')[1]"))
+        .join(F.broadcast(a), on="ta")
+        .join(F.broadcast(b), on="tb")
+        .crossJoin(F.broadcast(nn))
+    )
+    return joined.select(
+        "gram",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(
+            F.log2(F.col("n_ab").cast("double") * F.col("total") / (F.col("n_a") * F.col("n_b"))),
+            6,
+        ).alias("pmi_bits"),
+    )
