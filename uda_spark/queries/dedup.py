@@ -671,3 +671,77 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         containment_threshold=CONTAINMENT_T,
     )
+
+
+@register(
+    "graph_cluster_density",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+labels AS (
+  SELECT node, LEAST(node, MIN(r))::BIGINT AS component
+  FROM reach GROUP BY node
+),
+sizes AS (SELECT component, COUNT(*)::BIGINT AS n_nodes FROM labels GROUP BY component),
+ecount AS (
+  SELECT l.component, COUNT(*)::BIGINT AS n_edges
+  FROM pairs p JOIN labels l ON p.doc_a = l.node
+  GROUP BY l.component
+)
+SELECT s.component, s.n_nodes, e.n_edges,
+       round(CAST(2 * e.n_edges AS DOUBLE) / (s.n_nodes * (s.n_nodes - 1)), 6)
+         AS density
+FROM sizes s JOIN ecount e ON s.component = e.component
+""",
+    tags=("dedup", "graph", "north-star"),
+)
+def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster edge density (2E / n(n-1)) over the near-dup
+    components — the per-cluster refinement of the global clustering
+    coefficient: density ~1 means a boilerplate clique (collapse to one
+    representative), low density means a chain of transitive near-dups
+    (collapsing loses distinct documents — review before deduping).
+
+    Composes connected components with a per-component edge count; the
+    density join runs over |components| rows.
+    """
+    pairs = D.minhash_near_dup_pairs(
+        _corpus_near(spark, sf_dir),
+        "text",
+        "doc_id",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        k=3,
+        jaccard_threshold=JACCARD_T,
+    )
+    from uda_spark.cache import tracked_persist
+
+    pairs = tracked_persist(pairs.select("doc_a", "doc_b"))
+    labels = D.connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("n_nodes"))
+    ecount = (
+        pairs.join(
+            labels.withColumnRenamed("node", "doc_a"), on="doc_a"
+        )
+        .groupBy("component")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return sizes.join(ecount, on="component").select(
+        "component",
+        "n_nodes",
+        "n_edges",
+        F.round(
+            (2 * F.col("n_edges")).cast("double")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+            6,
+        ).alias("density"),
+    )

@@ -828,3 +828,49 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("user_id") % 97).cast("long").alias("user_checksum"),
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         {_DUCK_US} - LAG({_DUCK_US}) OVER (PARTITION BY user_id ORDER BY {_DUCK_US}, event_id)
+           AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+       CAST(floor(quantile_cont(gap_us, 0.5) + CAST(1 AS DOUBLE) / 2) AS BIGINT) AS median_gap_us,
+       CAST(floor(quantile_cont(gap_us, 0.9) + CAST(1 AS DOUBLE) / 2) AS BIGINT) AS p90_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM seq WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("events", "timeseries", "aggregation"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap distribution (median/p90/max) — the
+    traffic-shape metric behind rate limiting, bot detection, and
+    session-gap tuning (the 30-minute sessionization gap should sit far
+    above typical p90 gaps; this query is how you check).
+
+    One (user_id) window pass emits integer microsecond gaps; exact
+    interpolated percentiles on integers round deterministically via
+    the floor(x + 1/2) trick (same discipline as
+    percentile_order_values).
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w)).where(
+        F.col("gap_us").isNotNull()
+    )
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr(
+            "CAST(floor(percentile(gap_us, CAST(1 AS DOUBLE)/2) + CAST(1 AS DOUBLE)/2) AS BIGINT)"
+        ).alias("median_gap_us"),
+        F.expr(
+            "CAST(floor(percentile(gap_us, CAST(9 AS DOUBLE)/10) + CAST(1 AS DOUBLE)/2) AS BIGINT)"
+        ).alias("p90_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -422,3 +422,33 @@ def setops_all_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("q1_extra").alias("tag"), "l_suppkey"
     )
     return S.union_all(common, extra)
+
+
+@register(
+    "window_percent_rank_balances",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       round(CUME_DIST() OVER w, 6) AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+""",
+    tags=("relational", "window"),
+)
+def window_percent_rank_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions: percent_rank and cume_dist of
+    each supplier's balance within its nation — the normalized-rank
+    surface (ties share values by definition, so the output is
+    deterministic without a tiebreak column).  One exchange on the
+    window key.
+    """
+    from pyspark.sql import Window as W
+
+    sup = t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
