@@ -1006,3 +1006,43 @@ def test_star_cc_chain_beats_diameter(spark):
     # and propagation genuinely cannot do this within its round budget
     with pytest.raises(RuntimeError):
         connected_components(edges, max_iterations=5).collect()
+
+
+class TestAnalyticsInvariants:
+    """Bound checks for the round-5 analytics scores (values are pinned
+    exactly by the oracles; these document the mathematical contracts)."""
+
+    def test_entropy_within_bounds(self, spark):
+        import math
+
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        for r in all_specs()["events_user_entropy"].fn(spark, SF_SMOKE).collect():
+            assert 0.0 <= r["type_entropy_bits"] <= math.log2(r["n_types"]) + 1e-9, r
+
+    def test_cluster_density_in_unit_interval(self, spark):
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = all_specs()["graph_cluster_density"].fn(spark, SF_SMOKE).collect()
+        release_persisted()
+        assert rows
+        for r in rows:
+            assert r["n_nodes"] >= 2 and 0.0 < r["density"] <= 1.0, r
+            # density 1 means a clique: edge count must equal n(n-1)/2
+            if r["density"] == 1.0:
+                assert r["n_edges"] == r["n_nodes"] * (r["n_nodes"] - 1) // 2, r
+
+    def test_percent_rank_endpoints(self, spark):
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = all_specs()["window_percent_rank_balances"].fn(spark, SF_SMOKE).collect()
+        by_nation = {}
+        for r in rows:
+            by_nation.setdefault(r["s_nationkey"], []).append(r)
+        for nation, rs in by_nation.items():
+            assert min(r["pct_rank"] for r in rs) == 0.0, nation
+            assert max(r["cume"] for r in rs) == 1.0, nation
