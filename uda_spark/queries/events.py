@@ -874,3 +874,42 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@register(
+    "events_props_map_stats",
+    oracle="""
+WITH entries AS (
+  SELECT k AS prop_key, json_extract_string(props, '$.' || k) AS val
+  FROM events, LATERAL unnest(json_keys(props)) u(k)
+)
+SELECT prop_key,
+       COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT val)::BIGINT AS n_distinct_values,
+       CAST(SUM(CAST(val AS BIGINT)) AS BIGINT) AS sum_int_values
+FROM entries GROUP BY prop_key
+""",
+    tags=("events", "map", "semi-structured"),
+)
+def events_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props parsed as a MAP column and exploded to
+    (key, value) entries — the MapType surface (schema-free property
+    bags where the key set is unknown at write time, unlike the typed
+    variant_get path of events_props_variant).  Per-key statistics are
+    the profiling step that decides which hot keys deserve shredding
+    into real columns.
+
+    Map parse + explode are one map-side pass; the aggregate is
+    |distinct keys| groups.
+    """
+    ev = t(spark, sf_dir, "events")
+    entries = ev.select(
+        F.explode(F.expr("from_json(props, 'map<string,string>')")).alias(
+            "prop_key", "val"
+        )
+    )
+    return entries.groupBy("prop_key").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("val").alias("n_distinct_values"),
+        F.sum(F.col("val").cast("bigint")).alias("sum_int_values"),
+    )
