@@ -637,3 +637,79 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.where(F.col("n_open") > 0).select(
         (F.col("day") * 86400).alias("day_epoch"), F.col("n_open").cast("long")
     )
+
+
+@register(
+    "lineitem_ship_lag_histogram",
+    oracle="""
+WITH lag AS (
+  SELECT l.l_orderkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(floor(log2(days + 1)) AS INT) AS lag_bucket,
+       CAST(power(2, floor(log2(days + 1))) AS BIGINT) - 1 AS bucket_min_days,
+       COUNT(*)::BIGINT AS n_lineitems
+FROM lag WHERE days >= 0
+GROUP BY 1, 2
+""",
+    tags=("quality", "histogram", "join"),
+)
+def lineitem_ship_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of order-to-ship lag — the power-of-two
+    histogram primitive for long-tailed durations (linear buckets waste
+    resolution at the head and truncate the tail; log buckets give
+    constant relative error, the ddsketch idea in one expression).
+
+    One fact join co-partitioned on the order key, integer day
+    arithmetic from timezone-free DATE casts, |buckets| output rows.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"
+        ).alias("days")
+    )
+    bucket = F.expr("CAST(floor(log2(days + 1)) AS INT)")
+    return (
+        lag.where(F.col("days") >= 0)
+        .groupBy(
+            bucket.alias("lag_bucket"),
+            F.expr(
+                "CAST(power(2, floor(log2(days + 1))) AS BIGINT) - 1"
+            ).alias("bucket_min_days"),
+        )
+        .agg(F.count("*").alias("n_lineitems"))
+    )
+
+
+@register(
+    "orders_argmax_latest",
+    oracle="""
+SELECT o_custkey,
+       MAX({'d': o_orderdate, 'k': o_orderkey}).k AS latest_orderkey,
+       strftime(MAX({'d': o_orderdate, 'k': o_orderkey}).d, '%Y-%m-%d')
+         AS latest_orderdate,
+       COUNT(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+    tags=("quality", "aggregation", "argmax"),
+)
+def orders_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max via struct ordering: each customer's LATEST order in one
+    aggregation pass — max(struct(orderdate, orderkey)) picks the row
+    with the greatest date and breaks date ties by the greater key, so
+    the result is deterministic where a bare max_by would be
+    tie-ambiguous.  The one-pass alternative to the row_number window
+    for "latest per key" (no sort, plain partial-aggregated max).
+    """
+    orders = t(spark, sf_dir, "orders")
+    mx = F.max(F.struct("o_orderdate", "o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        mx.getField("o_orderkey").alias("latest_orderkey"),
+        F.date_format(mx.getField("o_orderdate"), "yyyy-MM-dd").alias(
+            "latest_orderdate"
+        ),
+        F.count("*").alias("n_orders"),
+    )
