@@ -913,3 +913,55 @@ def events_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("val").alias("n_distinct_values"),
         F.sum(F.col("val").cast("bigint")).alias("sum_int_values"),
     )
+
+
+TRIGRAM_TOP = 15
+
+
+@register(
+    "events_top_trigrams",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY {_DUCK_US}, event_id) AS types
+  FROM events GROUP BY user_id
+),
+grams AS (
+  SELECT array_to_string(list_slice(types, i, i + 2), '>') AS trigram
+  FROM seq, LATERAL unnest(range(1, len(types) - 1)) u(i)
+)
+SELECT trigram, COUNT(*)::BIGINT AS n
+FROM grams GROUP BY trigram
+ORDER BY n DESC, trigram LIMIT {TRIGRAM_TOP}
+""",
+    tags=("events", "sequence", "aggregation"),
+)
+def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step behavior sequences — the n-gram idea applied
+    to event streams (the third-order refinement of the Markov
+    transition matrix): per-user type sequences are collected in time
+    order, sliced into overlapping trigrams map-side, and counted.
+
+    Per-user state is that user's event count (the sessionize bound);
+    the trigram aggregate partial-reduces to |types|^3 groups at most.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), "
+            "e -> e.event_type)"
+        ).alias("types")
+    )
+    grams = seq.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(types) - 2, 0)), "
+                "i -> array_join(slice(types, i, 3), '>'))"
+            )
+        ).alias("trigram")
+    )
+    return (
+        grams.groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(TRIGRAM_TOP)
+    )
