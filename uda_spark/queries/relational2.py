@@ -452,3 +452,49 @@ def window_percent_rank_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_share_of_total_balances",
+    oracle="""
+WITH b AS (
+  SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+  FROM supplier WHERE s_acctbal > 0
+)
+SELECT s_suppkey, s_nationkey,
+       CAST(bal AS DOUBLE) AS acctbal,
+       round(CAST(bal AS DOUBLE) /
+             CAST(SUM(bal) OVER (PARTITION BY s_nationkey) AS DOUBLE), 6)
+         AS nation_share
+FROM b
+""",
+    tags=("relational", "window"),
+)
+def window_share_of_total_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's share of its nation's total
+    balance — the unordered partition-aggregate window (SUM OVER
+    PARTITION BY with no ORDER BY), the one window shape the suite
+    didn't yet exercise.  The partition total accumulates in exact
+    DECIMAL (an unordered double window sum would be
+    partitioning-dependent); only the final share divides as double.
+    """
+    from pyspark.sql import Window as W
+
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 0)
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.col("s_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    w = W.partitionBy("s_nationkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("bal").cast("double").alias("acctbal"),
+        F.round(
+            F.col("bal").cast("double") / F.sum("bal").over(w).cast("double"), 6
+        ).alias("nation_share"),
+    )
