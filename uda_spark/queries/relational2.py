@@ -498,3 +498,37 @@ def window_share_of_total_balances(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("bal").cast("double") / F.sum("bal").over(w).cast("double"), 6
         ).alias("nation_share"),
     )
+
+
+@register(
+    "join_null_safe_types",
+    oracle="""
+WITH a AS (
+  SELECT NULLIF(event_type, 'error') AS k, COUNT(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(event_type, 'error') AS k, COUNT(DISTINCT user_id)::BIGINT AS n_users
+  FROM events GROUP BY 1
+)
+SELECT a.k AS type_key, a.n_events, b.n_users
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    tags=("relational", "join", "null-semantics"),
+)
+def join_null_safe_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    group — here 'error' events collapsed to NULL via NULLIF — matches
+    across sides instead of silently dropping, the semantics every
+    dimension join over nullable keys needs (a plain `=` join would
+    lose the NULL bucket without any error).
+
+    Both sides are tiny aggregates; the join carries |types| rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    k = F.expr("nullif(event_type, 'error')")
+    a = ev.groupBy(k.alias("k")).agg(F.count("*").alias("n_events"))
+    b = ev.groupBy(k.alias("k")).agg(F.count_distinct("user_id").alias("n_users"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("type_key"), "n_events", "n_users"
+    )
