@@ -965,3 +965,83 @@ def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(TRIGRAM_TOP)
     )
+
+
+@register(
+    "events_purchase_session_lookup",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, {_DUCK_US} AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts_us) AS s_us, max(ts_us) AS e_us, COUNT(*)::BIGINT AS session_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT p.event_id, p.user_id, iv.session_id, iv.session_events,
+       (p.ts_us - iv.s_us) // 1000000 AS seconds_into_session
+FROM base p JOIN iv ON p.user_id = iv.user_id
+  AND p.ts_us BETWEEN iv.s_us AND iv.e_us
+WHERE p.event_type = 'purchase'
+""",
+    tags=("events", "join", "interval"),
+)
+def events_purchase_session_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: each purchase matched to its CONTAINING
+    session (a data-derived interval dimension) — the enrichment join
+    behind "which session produced this conversion".
+
+    Mechanics: the session intervals per user are disjoint, so the
+    containment join is an equi-join on user_id with a range residual —
+    co-partitioned, no interval explosion, at most one match per
+    purchase.  At scale the session relation is the already-shrunk
+    sessionize output, not the fact.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    # exact-microsecond session intervals (the registered sessionize
+    # query rounds its start/end to seconds for display; containment
+    # needs the exact bounds)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.select("user_id", "event_id", "ts_us").withColumn(
+        "session_id",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("s_us"),
+        F.max("ts_us").alias("e_us"),
+        F.count("*").alias("session_events"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return (
+        p.join(iv, on="user_id")
+        .where(F.col("ts_us").between(F.col("s_us"), F.col("e_us")))
+        .select(
+            "event_id",
+            "user_id",
+            "session_id",
+            "session_events",
+            F.expr("(ts_us - s_us) div 1000000").alias("seconds_into_session"),
+        )
+    )
