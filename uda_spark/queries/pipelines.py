@@ -1008,3 +1008,139 @@ def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.col("doc_id") % 1000003).cast("long").alias("member_checksum"),
     )
+
+
+BALANCE_PPM_MOD = 1_000_000
+
+
+@register(
+    "pipeline_domain_balance",
+    oracle=f"""
+WITH cnt AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+m AS (SELECT MIN(n_docs)::BIGINT AS min_docs FROM cnt),
+rate AS (
+  SELECT source, n_docs,
+         CAST((SELECT min_docs FROM m) * {BALANCE_PPM_MOD} // n_docs AS BIGINT) AS rate_ppm
+  FROM cnt
+),
+tagged AS (
+  SELECT d.source, r.n_docs, r.rate_ppm,
+         CASE WHEN {portable.hash60("'bal|' || CAST(doc_id AS VARCHAR)", 'duck')}
+                   % {BALANCE_PPM_MOD} < r.rate_ppm
+              THEN 1 ELSE 0 END AS keep,
+         d.doc_id
+  FROM documents d JOIN rate r USING (source)
+)
+SELECT source, n_docs, rate_ppm,
+       SUM(keep)::BIGINT AS n_sampled,
+       CAST(SUM(CASE WHEN keep = 1 THEN doc_id % 1000003 ELSE 0 END) AS BIGINT)
+         AS member_checksum
+FROM tagged GROUP BY source, n_docs, rate_ppm
+""",
+    tags=("pipeline", "north-star", "sampling"),
+)
+def pipeline_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based domain balancing: downsample every source to (about)
+    the size of the smallest one by per-source acceptance RATES — the
+    mixture-weighting step of a training-data pipeline expressed the way
+    it must be at 100 TB: no per-stratum window, no global sort, just a
+    per-row salted-hash threshold test against a tiny broadcast rate
+    table (contrast `pipeline_stratified_sample`, which draws an exact
+    fixed budget via a window and pays an exchange for it).
+
+    Acceptance is ``hash60('bal|' || doc_id) % 1e6 < rate_ppm`` with
+    ``rate_ppm = min_count * 1e6 div n_source`` — pure integer
+    arithmetic, so the sample is deterministic, engine-identical, and
+    STABLE under corpus growth within a source (a document flips only
+    when its source's rate changes).  The member checksum pins the exact
+    membership, not just the sizes.
+
+    Scale shape: one count aggregate (tiny), broadcast of the per-source
+    rates back onto the corpus, map-side filter + tiny final aggregate —
+    the corpus is scanned once and never shuffled.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    min_docs = cnt.agg(F.min("n_docs")).collect()[0][0]
+    rate = cnt.select(
+        "source",
+        "n_docs",
+        F.expr(f"CAST({min_docs} * {BALANCE_PPM_MOD} div n_docs AS BIGINT)").alias(
+            "rate_ppm"
+        ),
+    )
+    h = portable.hash60("concat('bal|', CAST(doc_id AS STRING))", "spark")
+    tagged = docs.join(F.broadcast(rate), on="source").select(
+        "source",
+        "n_docs",
+        "rate_ppm",
+        F.when(F.expr(h) % BALANCE_PPM_MOD < F.col("rate_ppm"), 1)
+        .otherwise(0)
+        .alias("keep"),
+        "doc_id",
+    )
+    return tagged.groupBy("source", "n_docs", "rate_ppm").agg(
+        F.sum("keep").cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("keep") == 1, F.col("doc_id") % 1000003).otherwise(0))
+        .cast("long")
+        .alias("member_checksum"),
+    )
+
+
+EPOCH_SEED = 7
+EPOCH_SHARDS = 8
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('epoch{EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CAST({portable.hash60("'shard" + str(EPOCH_SEED) + "|' || CAST(doc_id AS VARCHAR)", 'duck')}
+              % {EPOCH_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS pos
+FROM keyed
+""",
+    tags=("pipeline", "north-star", "sampling"),
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document a shard and a
+    position within that shard from a seeded hash — the global
+    training-order shuffle that must be reproducible (resume a crashed
+    epoch at the same order) and seed-parameterized (epoch N+1 is a
+    different permutation: bump ``EPOCH_SEED``).
+
+    Scale shape: ONE exchange keyed on shard, then an in-partition sort
+    by the md5 shuffle key — each shard's order is derived locally, so
+    the global permutation costs exactly one shuffle of (doc_id, key)
+    pairs, never a global sort.  Shard count is the downstream reader
+    parallelism (data-loader workers); within-shard order is the md5 of
+    a seeded salt, bytewise-identical across engines, with doc_id as the
+    collision tiebreak.
+    """
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(f"epoch{EPOCH_SEED}|"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+        (
+            F.expr(
+                portable.hash60(
+                    f"concat('shard{EPOCH_SEED}|', CAST(doc_id AS STRING))", "spark"
+                )
+            )
+            % EPOCH_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )

@@ -7,7 +7,7 @@ its DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uda_spark.queries.common import t
@@ -712,4 +712,106 @@ def orders_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latest_orderdate"
         ),
         F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "events_value_winsorize",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+cuts AS (
+  SELECT event_type,
+         MAX(CASE WHEN rk = 1 + (n - 1) // 100 THEN value END) AS p01,
+         MAX(CASE WHEN rk = 1 + (99 * (n - 1)) // 100 THEN value END) AS p99
+  FROM ranked GROUP BY event_type
+),
+clipped AS (
+  SELECT r.event_type, c.p01, c.p99,
+         CASE WHEN r.value < c.p01 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN r.value > c.p99 THEN 1 ELSE 0 END AS hi,
+         CAST(floor(
+           (CASE WHEN r.value < c.p01 THEN c.p01
+                 WHEN r.value > c.p99 THEN c.p99
+                 ELSE r.value END) * 1000000 + 0.5) AS BIGINT) AS micros
+  FROM ranked r JOIN cuts c USING (event_type)
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n,
+       CAST(floor(p01 * 1000000 + 0.5) AS BIGINT) AS p01_micros,
+       CAST(floor(p99 * 1000000 + 0.5) AS BIGINT) AS p99_micros,
+       SUM(lo)::BIGINT AS n_clipped_low,
+       SUM(hi)::BIGINT AS n_clipped_high,
+       SUM(micros)::BIGINT AS sum_clipped_micros
+FROM clipped GROUP BY event_type, p01, p99
+""",
+    tags=("quality", "analytics"),
+)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping) of event values at exact
+    per-type 1st/99th order statistics — the robust-statistics cleanup
+    step before any mean/variance-based feature lands in a training
+    set, with the clip thresholds themselves part of the output (they
+    ARE the learned transform that must ship with the data).
+
+    The percentile is the exact nearest-lower order statistic
+    ``rank = 1 + floor(p*(n-1))`` — picked values are actual stored
+    doubles (never interpolated), so both engines select the identical
+    bit pattern; clipped sums are quantized to integer micro-units
+    before summing (exact, order-independent).
+
+    Scale shape: one exchange + in-partition sort per event_type for
+    the ranking pass; the per-type cut table is tiny and broadcast back
+    onto the ranked relation.  At 100 TB, a sort-per-type is the price
+    of EXACT order statistics; the approx path for when 1-ulp cut
+    precision doesn't matter is `approx_percentile_prices`-style
+    sketching — this query is the exact tier of that pair.
+    """
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rk") == 1 + F.expr("(n - 1) div 100"), F.col("value"))
+        ).alias("p01"),
+        F.max(
+            F.when(F.col("rk") == 1 + F.expr("(99 * (n - 1)) div 100"), F.col("value"))
+        ).alias("p99"),
+    )
+    clip = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    clipped = ranked.join(F.broadcast(cuts), on="event_type").select(
+        "event_type",
+        "p01",
+        "p99",
+        F.when(F.col("value") < F.col("p01"), 1).otherwise(0).alias("lo"),
+        F.when(F.col("value") > F.col("p99"), 1).otherwise(0).alias("hi"),
+        F.floor(clip * 1000000 + 0.5).cast("long").alias("micros"),
+    )
+    return clipped.groupBy("event_type", "p01", "p99").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lo").cast("long").alias("n_clipped_low"),
+        F.sum("hi").cast("long").alias("n_clipped_high"),
+        F.sum("micros").cast("long").alias("sum_clipped_micros"),
+    ).select(
+        "event_type",
+        "n",
+        F.floor(F.col("p01") * 1000000 + 0.5).cast("long").alias("p01_micros"),
+        F.floor(F.col("p99") * 1000000 + 0.5).cast("long").alias("p99_micros"),
+        "n_clipped_low",
+        "n_clipped_high",
+        "sum_clipped_micros",
     )

@@ -941,6 +941,136 @@ PMI_TOP = 20
 
 
 @register(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_DU_TOKS} AS toks FROM documents),
+db AS (
+  SELECT doc_id, g AS gram
+  FROM base, LATERAL unnest({portable.shingles('toks', 2, 'duck')}) u(g)
+  WHERE len(string_split(g, ' ')) = 2
+),
+bi AS (SELECT gram, COUNT(*)::BIGINT AS n_ab FROM db GROUP BY gram),
+ctx AS (
+  SELECT string_split(gram, ' ')[1] AS w1, SUM(n_ab)::BIGINT AS n_ctx
+  FROM bi GROUP BY w1
+),
+lp AS (
+  SELECT gram,
+         CAST(floor(ln(CAST(n_ab AS DOUBLE) / CAST(n_ctx AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS micronats
+  FROM bi JOIN ctx ON string_split(bi.gram, ' ')[1] = ctx.w1
+)
+SELECT db.doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       SUM(lp.micronats)::BIGINT AS sum_micronats
+FROM db JOIN lp USING (gram)
+GROUP BY db.doc_id
+""",
+    tags=("text", "north-star", "quality"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model log-probability per document — the next rung
+    above :func:`text_unigram_logprob` on the CCNet-style quality ladder:
+    score each document by sum(ln p(w_i | w_{i-1})) under the corpus
+    bigram MLE.  Word salad with plausible unigrams but improbable
+    transitions (shuffled text, boilerplate stitching) scores low here
+    while passing the unigram filter.
+
+    No smoothing is needed: every document bigram is, by construction,
+    present in the corpus counts, so p(w2|w1) = C(w1 w2) / C(w1 ·) > 0.
+
+    Scale shape: one corpus explode feeds the bigram counts; the context
+    totals derive from the (already aggregated) bigram relation, not a
+    second corpus pass.  Unlike the unigram vocabulary, the bigram
+    relation is corpus-vocabulary-sized — potentially too large to
+    broadcast at 100 TB — so the scoring join is a plain shuffle join on
+    `gram` and AQE picks the strategy per actual size.  Per-bigram
+    log-probs are quantized ONCE per vocab entry to integer micro-nats
+    (floor(x*1e6 + 1/2) on identical doubles), so per-doc sums are exact
+    integer arithmetic: order-independent and value-hash checkable.
+
+    Ref parity: the reference's combiner discipline (one comparator per
+    job, src/Merger/CompareFunc.cc:95-113) maps to one quantization per
+    derived value shared by engine and oracle.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    db = docs.select(
+        "doc_id",
+        F.explode(F.expr(portable.shingles("toks", 2, "spark"))).alias("gram"),
+    ).where(F.size(F.split("gram", " ")) == 2)
+    bi = db.groupBy("gram").agg(F.count("*").alias("n_ab"))
+    ctx = (
+        bi.withColumn("w1", F.expr("split(gram, ' ')[0]"))
+        .groupBy("w1")
+        .agg(F.sum("n_ab").alias("n_ctx"))
+    )
+    lp = (
+        bi.withColumn("w1", F.expr("split(gram, ' ')[0]"))
+        .join(ctx, on="w1")
+        .select(
+            "gram",
+            F.expr(
+                "CAST(floor(ln(CAST(n_ab AS DOUBLE) / CAST(n_ctx AS DOUBLE))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("micronats"),
+        )
+    )
+    return (
+        db.join(lp, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("micronats").cast("long").alias("sum_micronats"),
+        )
+    )
+
+
+HASHING_BUCKETS = 64
+
+
+@register(
+    "text_hashing_features",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, unnest({portable.tokens('text', 'duck')}) AS term FROM documents
+)
+SELECT doc_id,
+       CAST({portable.hash60('term', 'duck')} % {HASHING_BUCKETS} AS INT) AS bucket,
+       COUNT(*)::BIGINT AS tf
+FROM tk
+GROUP BY doc_id, bucket
+""",
+    tags=("text", "north-star", "features"),
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): project each document's
+    term-frequency vector into a fixed ``HASHING_BUCKETS``-wide space by
+    hashing terms — the standard way to featurize unbounded vocabularies
+    for linear classifiers / quality models without a vocabulary build or
+    a dictionary broadcast.
+
+    Scale shape: map-side explode + bucket assignment, then ONE exchange
+    keyed (doc_id, bucket) — no vocabulary relation exists at all, which
+    is the trick's entire point at 100 TB (no second pass, no broadcast,
+    no OOV handling).  Bucket ids come from the engine-portable
+    ``hash60 % buckets`` so both engines bin identically.
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.expr(_SP_TOKS)).alias("term")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            (F.expr(portable.hash60("term", "spark")) % HASHING_BUCKETS)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+@register(
     "text_pmi_bigrams",
     oracle=f"""
 WITH toks AS (SELECT {_DU_TOKS} AS toks FROM documents),
