@@ -558,3 +558,69 @@ def minhash_containment_pairs(
         .where(F.col("containment") >= containment_threshold)
         .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
     )
+
+
+def minhash_calibration_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Per-candidate MinHash calibration: signature-estimated Jaccard
+    next to the exact shingle-set Jaccard for every LSH candidate pair
+    (NO threshold filter — sub-threshold candidates are the interesting
+    ones when tuning bands/rows against a corpus).
+
+    The estimate is the classic matching-components fraction
+    ``n_match / n_hashes``; comparing it against the exact value over
+    the live candidate set is how a deployment picks N_HASHES/BANDS
+    before committing a 100 TB dedup run to them.
+
+    Same shuffle profile as :func:`minhash_near_dup_pairs` (band
+    triples; signature relation persisted once, reused by the explode
+    and both verification sides); the signature arrays that ride along
+    the verification join are n_hashes × 8-char strings per doc —
+    constant width, never document bodies.
+    """
+    sh = cache.tracked_persist(_minhash_grouped(df, text_col, id_col, n_hashes, k))
+    banded = _banded(sh, n_hashes, bands)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sig = F.array(*[F.col(f"h{h}") for h in range(n_hashes)])
+    sides = sh.select("doc", sig.alias("sig"), "sset")
+    n_match = (
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        "0, (acc, e) -> acc + e)"
+    )
+    return (
+        cand.join(
+            sides.withColumnsRenamed({"doc": "doc_a", "sig": "sig_a", "sset": "set_a"}),
+            on="doc_a",
+        )
+        .join(
+            sides.withColumnsRenamed({"doc": "doc_b", "sig": "sig_b", "sset": "set_b"}),
+            on="doc_b",
+        )
+        .withColumn("n_match", F.expr(n_match))
+        .withColumn("n_inter", F.expr("size(array_intersect(set_a, set_b))"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_match").cast("int").alias("n_match"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.size("set_a").cast("long").alias("na"),
+            F.size("set_b").cast("long").alias("nb"),
+            F.round(F.col("n_match").cast("double") / n_hashes, 6).alias("jaccard_est"),
+            F.round(
+                F.expr("CAST(n_inter AS DOUBLE) / (size(set_a) + size(set_b) - n_inter)"),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )

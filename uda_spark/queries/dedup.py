@@ -745,3 +745,57 @@ def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("density"),
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+WITH corpus AS ({_DUCK_CORPUS_NEAR}),
+tk AS (SELECT doc_id, {portable.tokens('text', 'duck')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {portable.shingles('toks', 3, 'duck')} AS shingles FROM tk),
+sig AS (SELECT doc_id,
+               {portable.minhash_sig('shingles', N_HASHES, 'duck')} AS sig,
+               list_distinct(shingles) AS sset
+        FROM sh),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * {ROWS_PER_BAND} + 1, b * {ROWS_PER_BAND} + {ROWS_PER_BAND}), '|')) AS bh
+  FROM sig, range(0, {BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(1, {N_HASHES} + 1), i -> sa.sig[i] = sb.sig[i])) AS INT)
+         AS n_match,
+       CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS BIGINT) AS n_inter,
+       CAST(len(sa.sset) AS BIGINT) AS na,
+       CAST(len(sb.sset) AS BIGINT) AS nb,
+       round(CAST(len(list_filter(range(1, {N_HASHES} + 1), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+             / {N_HASHES}, 6) AS jaccard_est,
+       round(CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
+             / (len(sa.sset) + len(sb.sset)
+                - len(list_filter(sa.sset, x -> list_contains(sb.sset, x)))), 6)
+         AS jaccard_exact
+FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+""",
+    tags=("dedup", "north-star", "evaluation"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the live LSH candidate set:
+    signature-estimated Jaccard (matching components / N_HASHES) next to
+    the exact shingle-set value for EVERY candidate pair, unthresholded
+    — the tuning readout that picks n_hashes/bands for a corpus before
+    committing a full-scale dedup run to them (an estimator biased high
+    on your shingle distribution floods the verify tier; biased low, it
+    silently drops near-dups).
+
+    Everything is integer arithmetic on both engines until the two final
+    deterministic divisions; same shuffle profile as the near-pairs
+    query (operators/dedup.py:minhash_calibration_pairs).
+    """
+    return D.minhash_calibration_pairs(
+        _corpus_near(spark, sf_dir), "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, k=3,
+    )

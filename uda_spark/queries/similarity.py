@@ -498,3 +498,86 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding",
         threshold=RADIUS_T, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
     )
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+bf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored)
+  WHERE rnk <= {TOP_K}
+),
+buckets AS ({_SRP_BUCKETS_SQL}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+lsh_scored AS (
+  SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.c_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM lsh_scored)
+  WHERE rnk <= {TOP_K}
+)
+SELECT bf.query_id,
+       COUNT(lsh.neighbor_id)::BIGINT AS n_hits,
+       CAST({TOP_K} AS INT) AS k,
+       CAST(COUNT(lsh.neighbor_id) * 100 // {TOP_K} AS INT) AS recall_pct
+FROM bf LEFT JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+GROUP BY bf.query_id
+""",
+    tags=("similarity", "north-star", "evaluation"),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SRP-LSH index against exact brute-force ground
+    truth, per query — the index-quality evaluation every ANN deployment
+    runs before trusting the approximate path (and re-runs as the corpus
+    drifts: recall decays silently when new data stops matching the
+    hyperplane geometry).
+
+    Both tiers are the ALREADY-REGISTERED operators (`sim_knn_bruteforce`
+    ground truth, `sim_lsh_knn` candidate), so this measures the exact
+    production configuration, not a toy copy; the overlap count is pure
+    integer arithmetic on two deterministic top-k sets (identical
+    tie-breaks on both engines), so even the evaluation itself is
+    value-hash checkable.
+
+    Scale shape: ground truth is the gated brute-force tier — at 100 TB
+    you run the eval on a SAMPLED query set (this query's pattern with a
+    hash-sampled N_QUERIES), never corpus×corpus; the overlap join is
+    top-k-sized (queries × k rows), i.e. negligible next to either kNN.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    bf = SIM.knn_bruteforce(emb, queries, "vec_id", "embedding", top_k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = SIM.lsh_knn(
+        emb, queries, "vec_id", "embedding",
+        top_k=TOP_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        bf.join(lsh, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.lit(TOP_K).cast("int").alias("k"),
+            F.expr(f"CAST(count(hit) * 100 div {TOP_K} AS INT)").alias("recall_pct"),
+        )
+    )
