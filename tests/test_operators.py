@@ -1046,3 +1046,79 @@ class TestAnalyticsInvariants:
         for nation, rs in by_nation.items():
             assert min(r["pct_rank"] for r in rs) == 0.0, nation
             assert max(r["cume"] for r in rs) == 1.0, nation
+
+
+class TestRound5EvalInvariants:
+    """Contracts of the evaluation/sampling operators added late in
+    round 5 (exact values are pinned by their oracles; these document
+    the math and guard refactors on synthetic corners the test data
+    may not hit)."""
+
+    def test_ann_recall_bounds_and_k(self, spark):
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = all_specs()["sim_ann_recall_eval"].fn(spark, SF_SMOKE).collect()
+        assert rows, "every query vector must produce a recall row"
+        for r in rows:
+            assert 0 <= r["n_hits"] <= r["k"], r
+            assert r["recall_pct"] == r["n_hits"] * 100 // r["k"], r
+
+    def test_minhash_calibration_bounds(self, spark):
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = all_specs()["dedup_minhash_calibration"].fn(spark, SF_SMOKE).collect()
+        release_persisted()
+        assert rows
+        for r in rows:
+            assert 0 <= r["n_match"] <= 16, r
+            assert 0 <= r["n_inter"] <= min(r["na"], r["nb"]), r
+            assert 0.0 <= r["jaccard_est"] <= 1.0, r
+            assert 0.0 <= r["jaccard_exact"] <= 1.0, r
+        # LSH candidates share at least one full band, so the estimator
+        # can never be 0 on a candidate pair (>= rows-per-band matches).
+        assert all(r["n_match"] >= 4 for r in rows)
+
+    def test_epoch_shuffle_is_permutation(self, spark):
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = all_specs()["pipeline_epoch_shuffle"].fn(spark, SF_SMOKE).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        # positions are exactly 1..n within every shard, doc_ids unique
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        assert len({r["doc_id"] for r in rows}) == len(rows)
+
+    def test_domain_balance_rates(self, spark):
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = all_specs()["pipeline_domain_balance"].fn(spark, SF_SMOKE).collect()
+        min_docs = min(r["n_docs"] for r in rows)
+        for r in rows:
+            assert r["rate_ppm"] == min_docs * 1_000_000 // r["n_docs"], r
+            assert 0 <= r["n_sampled"] <= r["n_docs"], r
+        # the smallest source keeps everything (rate exactly 1e6)
+        smallest = next(r for r in rows if r["n_docs"] == min_docs)
+        assert smallest["rate_ppm"] == 1_000_000
+        assert smallest["n_sampled"] == smallest["n_docs"]
+
+    def test_winsorize_clip_counts(self, spark):
+        from uda_spark.registry import all_specs
+        from tests.conftest import SF_SMOKE
+
+        rows = all_specs()["events_value_winsorize"].fn(spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            assert r["p01_micros"] <= r["p99_micros"], r
+            # nearest-lower order statistics put at most ~1% beyond
+            # each cut (plus ties); generous structural bound
+            assert r["n_clipped_low"] <= r["n"] * 2 // 100 + 1, r
+            assert r["n_clipped_high"] <= r["n"] * 2 // 100 + 1, r
+            # clipped sum must lie within [n*p01, n*p99]
+            assert r["n"] * r["p01_micros"] <= r["sum_clipped_micros"] <= r["n"] * r["p99_micros"], r
