@@ -799,3 +799,78 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corpus_near(spark, sf_dir), "text", "doc_id",
         n_hashes=N_HASHES, bands=BANDS, k=3,
     )
+
+
+@register(
+    "dedup_cluster_survivor",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r))::BIGINT AS component
+  FROM reach GROUP BY node
+),
+corpus AS ({_DUCK_CORPUS_NEAR}),
+scored AS (
+  SELECT c.component,
+         length(corpus.text)::BIGINT * 10000000 + (9999999 - c.node) AS packed
+  FROM comp c JOIN corpus ON corpus.doc_id = c.node
+)
+SELECT component,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(MAX(packed) // 10000000 AS BIGINT) AS survivor_len,
+       CAST(9999999 - MAX(packed) % 10000000 AS BIGINT) AS survivor_id
+FROM scored GROUP BY component
+""",
+    tags=("dedup", "north-star", "iterative"),
+)
+def dedup_cluster_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-aware survivor selection per duplicate cluster: instead of
+    "keep min doc id" (`dedup_cluster_canonical`), keep the LONGEST
+    member (ties -> smaller id) — the curation rule that prefers the
+    superset copy when near-duplicates differ by truncation or appended
+    boilerplate, which is exactly how near-dup families look in crawl
+    data.
+
+    The argmax is one integer-packed MAX per component — no window, no
+    second shuffle: ``max(n_chars * 10^7 + (10^7-1 - node))`` orders by
+    length then by SMALLER id inside a single aggregate (contract:
+    node < 10^7 — same explicit bit-budget discipline as zorder's key
+    guard).  DuckDB's oracle unpacks the identical integer, so the
+    selection itself is value-hash checked.
+
+    Scale shape: the CC labeling dominates (see
+    `dedup_cluster_canonical`); survivor selection adds one join of the
+    label relation against doc lengths and one aggregate.
+    """
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(
+        corpus, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
+    )
+    labels = D.connected_components(pairs)
+    scored = labels.join(
+        corpus.select(
+            F.col("doc_id").alias("node"),
+            (F.length("text").cast("long") * 10_000_000
+             + (9_999_999 - F.col("doc_id"))).alias("packed"),
+        ),
+        on="node",
+    )
+    return scored.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("max(packed) div 10000000").cast("long").alias("survivor_len"),
+        (9_999_999 - F.max("packed") % 10_000_000).cast("long").alias("survivor_id"),
+    ).select(
+        F.col("component").cast("long").alias("component"),
+        "n_docs", "survivor_len", "survivor_id",
+    )
