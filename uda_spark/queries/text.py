@@ -1144,3 +1144,63 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pmi_bits"),
     )
+
+
+@register(
+    "text_novelty_score",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_DU_TOKS} AS toks FROM documents),
+ds AS (
+  SELECT DISTINCT doc_id, g AS s
+  FROM base, LATERAL unnest({portable.shingles('toks', 3, 'duck')}) u(g)
+),
+df AS (SELECT s, COUNT(*)::BIGINT AS df FROM ds GROUP BY s)
+SELECT ds.doc_id,
+       COUNT(*)::BIGINT AS n_shingles,
+       SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS novelty_ppm
+FROM ds JOIN df USING (s)
+GROUP BY ds.doc_id
+""",
+    tags=("text", "north-star", "quality"),
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    3-token shingles that occur in NO other document — the
+    boilerplate/originality signal (templated pages score near zero,
+    original prose near one) that complements near-dup detection:
+    dedup removes copies, novelty DOWN-WEIGHTS the heavily-shared
+    residue dedup keeps.
+
+    Distinct-per-doc shingles make shingle document-frequency a plain
+    COUNT(*) (each doc contributes a shingle once), so the whole score
+    is two aggregations and a join on the shingle key — exact integer
+    arithmetic end to end, ppm via integer division.
+
+    Scale shape: explode + per-doc distinct (map-side via
+    array_distinct before the explode), one exchange for the df
+    aggregate, one shuffle join keyed on shingle (vocabulary-scale at
+    100 TB — not broadcast), one exchange for the per-doc rollup.  No
+    document bodies shuffle — only (doc_id, shingle-hash-sized) rows.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    ds = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(portable.shingles("toks", 3, "spark")))
+        ).alias("s"),
+    )
+    df = ds.groupBy("s").agg(F.count("*").alias("df"))
+    novel = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        ds.join(df, on="s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 div count(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
