@@ -246,3 +246,50 @@ class TestEventMicros:
         df = spark.createDataFrame([("x",)], "ts string")
         with _pytest.raises(TypeError, match="unsupported event-time type"):
             event_micros(df)
+
+
+class TestPythonDataSource:
+    """The uda_kv Spark 4 Python DataSource (sources/pyds.py): connector
+    contract — partition planning, overwrite, commit atomicity."""
+
+    def _df(self, spark, n=200, parts=3):
+        from pyspark.sql import functions as F
+
+        return spark.range(0, n).repartition(parts).select(
+            F.col("id").cast("string").cast("binary").alias("key"),
+            F.md5(F.col("id").cast("string")).cast("binary").alias("value"),
+        )
+
+    def test_roundtrip_and_partition_per_file(self, spark, tmp_path):
+        from uda_spark.sources import pyds
+
+        pyds.register(spark)
+        path = str(tmp_path / "kv")
+        src = self._df(spark, n=200, parts=3)
+        src.write.format("uda_kv").mode("overwrite").save(path)
+        back = spark.read.format("uda_kv").load(path)
+        # one planner partition per segment file (MOF layout)
+        assert back.rdd.getNumPartitions() == 3
+        a = sorted((bytes(r.key), bytes(r.value)) for r in back.collect())
+        b = sorted((bytes(r.key), bytes(r.value)) for r in src.collect())
+        assert a == b
+
+    def test_overwrite_replaces_segments(self, spark, tmp_path):
+        import os
+
+        from uda_spark.sources import pyds
+
+        pyds.register(spark)
+        path = str(tmp_path / "kv")
+        self._df(spark, n=100, parts=4).write.format("uda_kv").mode(
+            "overwrite"
+        ).save(path)
+        assert len([f for f in os.listdir(path) if f.startswith("part-")]) == 4
+        self._df(spark, n=50, parts=2).write.format("uda_kv").mode(
+            "overwrite"
+        ).save(path)
+        files = [f for f in os.listdir(path) if f.startswith("part-")]
+        assert len(files) == 2
+        assert spark.read.format("uda_kv").load(path).count() == 50
+        # no leftover tmp segments after commit
+        assert not [f for f in os.listdir(path) if f.startswith("_tmp-")]

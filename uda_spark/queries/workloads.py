@@ -221,3 +221,44 @@ def table_digest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uda_spark.operators.workloads import table_digest
 
     return table_digest(t(spark, sf_dir, "orders"), list(DIGEST_COLS))
+
+
+@register(
+    "kv_pyds_roundtrip",
+    oracle=f"""
+SELECT COUNT(*)::BIGINT AS n_rows,
+       bit_xor({portable.hash60("o_orderkey::VARCHAR || '|' || o_orderstatus", 'duck')}) AS checksum
+FROM orders
+""",
+    tags=("formats", "io", "kv", "datasource"),
+)
+def kv_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VInt-framed KV round trip through the *native Spark 4 Python
+    DataSource* surface (``format("uda_kv")``, sources/pyds.py) rather
+    than the imperative binaryFiles reader: write orders KV pairs as
+    per-task MOF-style segments under a commit protocol, read them back
+    with per-file partition planning, and checksum.
+
+    Same wire format and same oracle as `kv_vint_stream_roundtrip` —
+    what this adds is the connector contract itself: planner-visible
+    partitions, all-or-nothing commit, and `.format(...)` ergonomics a
+    migrating user expects from a first-class source.
+    """
+    from uda_spark.sources import pyds
+
+    pyds.register(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"uda_pyds_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").cast("binary").alias("key"),
+        F.col("o_orderstatus").cast("binary").alias("value"),
+    )
+    o.write.format("uda_kv").mode("overwrite").save(path)
+    back = spark.read.format("uda_kv").load(path)
+    chk = portable.hash60(
+        "concat(cast(key AS STRING), '|', cast(value AS STRING))", "spark"
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"), F.expr(f"bit_xor({chk})").alias("checksum")
+    )

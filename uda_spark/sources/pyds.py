@@ -1,0 +1,144 @@
+"""`uda_kv`: a Spark 4 Python DataSource for the VInt-framed KV format.
+
+The raw codec lives in :mod:`uda_spark.sources.hadoop_kv` (byte-exact
+Hadoop ``WritableUtils`` VInt framing — the reference's MOF segment
+layout, src/Merger/StreamRW.cc:334-404).  This module wraps it in the
+native Spark 4 connector surface (`pyspark.sql.datasource`), so the
+format participates in Spark's planner like any built-in source:
+
+    spark.dataSource.register(UdaKVDataSource)
+    df.write.format("uda_kv").mode("overwrite").save(path)
+    spark.read.format("uda_kv").load(path)
+
+Why both entry points exist: ``hadoop_kv.read_kv_stream`` is the
+imperative reader (binaryFiles + generator); this DataSource is the
+*declarative* one — the catalog-friendly path a user who types
+``.format(...)`` expects, with real partition planning (one
+InputPartition per segment file, mirroring the one-MOF-per-map layout)
+and a commit protocol on the write side (per-task segment files are
+finalized only when every task succeeds — the all-or-nothing contract
+Hadoop's OutputCommitter gives the reference's MOF writers).
+
+Scale shape: reads are embarrassingly parallel over files; each task
+streams one segment through the VInt generator without materializing
+the record list.  The Python-side decode is the honest cost of a
+Python DataSource (rows cross via Arrow); for bulk interchange the
+SequenceFile container (JVM-side) remains the fast path — this source
+is for the framing itself.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+from uda_spark.sources.hadoop_kv import decode_kv_stream, encode_kv_records
+
+_SCHEMA = StructType(
+    [StructField("key", BinaryType()), StructField("value", BinaryType())]
+)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    n_records: int
+
+
+class _KVReader(DataSourceReader):
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("uda_kv requires a path (use .load(path))")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One partition per segment file — the MOF layout: each map
+        # task's output is one independently readable unit.
+        return [
+            _FilePartition(os.path.join(self._dir, f))
+            for f in sorted(os.listdir(self._dir))
+            if f.startswith("part-")
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[Tuple]:
+        with open(partition.path, "rb") as fh:
+            data = fh.read()
+        for key, value in decode_kv_stream(data):
+            yield (key, value)
+
+
+class _KVWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("uda_kv requires a path (use .save(path))")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _Committed:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._dir, exist_ok=True)
+        tmp = os.path.join(self._dir, f"_tmp-part-{pid:05d}")
+        n = 0
+        pairs = []
+        for row in iterator:
+            pairs.append((bytes(row[0]), bytes(row[1])))
+            n += 1
+        with open(tmp, "wb") as fh:
+            fh.write(encode_kv_records(pairs))
+        return _Committed(tmp, os.path.join(self._dir, f"part-{pid:05d}"), n)
+
+    def commit(self, messages: List[Optional[_Committed]]) -> None:
+        # All tasks succeeded: atomically promote every segment.
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self._dir, f))
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages: List[Optional[_Committed]]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class UdaKVDataSource(DataSource):
+    """``format("uda_kv")`` — VInt-framed KV segments as a first-class
+    Spark source/sink with per-file partitions and commit semantics."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "uda_kv"
+
+    def schema(self) -> StructType:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _KVReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _KVWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotently register the ``uda_kv`` format on this session."""
+    spark.dataSource.register(UdaKVDataSource)
