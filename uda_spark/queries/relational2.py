@@ -532,3 +532,148 @@ def join_null_safe_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("type_key"), "n_events", "n_users"
     )
+
+
+BLOOM_BITS = 126   # m: filter width in bits (2 words x 63 usable bits —
+                   # bit 63 stays clear: DuckDB checks 1::BIGINT << 63)
+BLOOM_K = 2        # hash functions per key
+
+
+def _bloom_pos_duck(key: str, h: int) -> str:
+    from uda_spark.functions import portable
+
+    expr = "'" + str(h) + "|' || CAST(" + key + " AS VARCHAR)"
+    return f"({portable.hash60(expr, 'duck')} % {BLOOM_BITS})"
+
+
+def _bloom_pos_spark(key: str, h: int) -> str:
+    from uda_spark.functions import portable
+
+    expr = "concat('" + str(h) + "|', CAST(" + key + " AS STRING))"
+    return f"({portable.hash60(expr, 'spark')} % {BLOOM_BITS})"
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+WITH dim AS (SELECT s_suppkey AS key FROM supplier WHERE s_acctbal < 0),
+dim_pos AS (
+  SELECT key, {_bloom_pos_duck('key', 0)} AS pos FROM dim
+  UNION ALL
+  SELECT key, {_bloom_pos_duck('key', 1)} AS pos FROM dim
+),
+bloom AS (
+  SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)) AS bits
+  FROM dim_pos GROUP BY pos // 63
+),
+probe AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+probe_pos AS (
+  SELECT key, {_bloom_pos_duck('key', 0)} AS pos FROM probe
+  UNION ALL
+  SELECT key, {_bloom_pos_duck('key', 1)} AS pos FROM probe
+),
+checks AS (
+  SELECT p.key,
+         CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::BIGINT << (p.pos % 63))) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probe_pos p LEFT JOIN bloom b ON b.word = p.pos // 63
+),
+verdict AS (
+  SELECT key, CASE WHEN SUM(hit) = {BLOOM_K} THEN 1 ELSE 0 END AS bloom_pass
+  FROM checks GROUP BY key
+),
+truth AS (
+  SELECT v.key, v.bloom_pass,
+         CASE WHEN dim.key IS NOT NULL THEN 1 ELSE 0 END AS in_dim
+  FROM verdict v LEFT JOIN dim ON dim.key = v.key
+)
+SELECT COUNT(*)::BIGINT AS n_probe,
+       SUM(in_dim)::BIGINT AS n_exact,
+       SUM(bloom_pass)::BIGINT AS n_bloom_pass,
+       SUM(CASE WHEN bloom_pass = 1 AND in_dim = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_pos,
+       SUM(CASE WHEN bloom_pass = 0 AND in_dim = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_neg
+FROM truth
+""",
+    tags=("join", "scale", "sketch"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, measured: build a 126-bit
+    filter over a dimension key set, probe the fact side's keys through
+    it, and report exact-match / bloom-pass / false-positive counts
+    (false negatives must be 0 — a Bloom filter never lies negative).
+
+    Why it matters at 100 TB: when the dimension is too big to
+    broadcast raw but its BITMAP fits anywhere (here: 2 longs), the
+    bloom prunes the fact scan BEFORE the shuffle — the same
+    fact-bytes-never-move discipline as the reference's map-side
+    combine (SURVEY §1.5), and the manual twin of Spark's runtime
+    row-level filtering.  The filter build is one aggregate over the
+    dim keys; the probe is a broadcast join against a WORDS-sized
+    relation + pure integer bit tests.
+
+    The deliberately small width (126 bits) makes false positives
+    actually OCCUR at test scale, so the FP accounting — the part a
+    deployment must monitor — is what the oracle pins, not just the
+    happy path.
+    """
+    from uda_spark.functions import portable  # noqa: F401  (used via helpers)
+
+    dim = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("key")
+    )
+    dim_pos = dim.select(
+        "key", F.expr(_bloom_pos_spark("key", 0)).alias("pos")
+    ).unionAll(dim.select("key", F.expr(_bloom_pos_spark("key", 1)).alias("pos")))
+    bloom = (
+        dim_pos.select(
+            F.expr("pos div 63").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("bv"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bv)").alias("bits"))
+    )
+    probe = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("key")
+    ).distinct()
+    probe_pos = probe.select(
+        "key", F.expr(_bloom_pos_spark("key", 0)).alias("pos")
+    ).unionAll(probe.select("key", F.expr(_bloom_pos_spark("key", 1)).alias("pos")))
+    checks = probe_pos.join(
+        F.broadcast(bloom), on=F.expr("word = pos div 63"), how="left"
+    ).select(
+        "key",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.expr("bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+                != 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    verdict = checks.groupBy("key").agg(
+        F.when(F.sum("hit") == BLOOM_K, 1).otherwise(0).alias("bloom_pass")
+    )
+    truth = verdict.join(
+        dim.withColumn("in_dim", F.lit(1)), on="key", how="left"
+    ).select("bloom_pass", F.coalesce("in_dim", F.lit(0)).alias("in_dim"))
+    return truth.agg(
+        F.count("*").cast("long").alias("n_probe"),
+        F.sum("in_dim").cast("long").alias("n_exact"),
+        F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+        F.sum(
+            F.when((F.col("bloom_pass") == 1) & (F.col("in_dim") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("bloom_pass") == 0) & (F.col("in_dim") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_neg"),
+    )
