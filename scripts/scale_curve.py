@@ -31,6 +31,8 @@ QUERIES = [
     "sim_knn_bruteforce",       # broadcast scan + top-k merge
     "text_tfidf_top_terms",     # explode + multi-stage agg
     "events_sessionize",        # keyed window
+    "text_bigram_logprob",      # double explode + shuffle join on gram
+    "pipeline_epoch_shuffle",   # one exchange + in-partition sort
 ]
 ITERS = 3
 
