@@ -1144,3 +1144,65 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+WSAMPLE_K = 32
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle=f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST(floor(
+           ln(({portable.hash60("'wsamp|' || CAST(doc_id AS VARCHAR)", 'duck')} + 1)
+              / 1152921504606846976.0)
+           / n_chars * 1000000000 + 0.5) AS BIGINT) AS priority_nano
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, priority_nano, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY priority_nano DESC, doc_id) AS rk
+      FROM pri)
+WHERE rk <= {WSAMPLE_K}
+""",
+    tags=("pipeline", "north-star", "sampling"),
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    priority sampling): each document draws priority ln(u)/w from a
+    salted-hash uniform u and weight w = n_chars; the global top-k by
+    priority IS a weight-proportional sample — the draw a token-budget-
+    aware mixer needs (long documents are more of the training budget,
+    so they must be proportionally likelier per draw).
+
+    Determinism discipline: u derives from the 60-bit doc hash
+    ((h+1)/2^60 — never 0), the priority is quantized to integer
+    nano-units via the repo's floor(x*1e9 + 1/2) convention (same
+    rounding-then-order pattern as tfidf), and ties break on doc_id —
+    reruns, engines, and partitionings all draw the identical sample.
+
+    Scale shape: map-side priority + TakeOrderedAndProject top-k (the
+    same partial-then-final merge as `topk_orders`) — no global sort,
+    no per-stratum window; the full relation never shuffles, only each
+    partition's local top-k candidates.
+    """
+    h = portable.hash60("concat('wsamp|', CAST(doc_id AS STRING))", "spark")
+    pri = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(
+                f"CAST(floor(ln((({h}) + 1) / 1152921504606846976.0)"
+                " / n_chars * 1000000000 + 0.5) AS BIGINT)"
+            ).alias("priority_nano"),
+        )
+    )
+    # TakeOrderedAndProject top-k first (partial per-partition top-k +
+    # merge — the full relation never hits one task); the rank window
+    # then runs over only the K surviving rows.
+    top = pri.orderBy(F.desc("priority_nano"), F.col("doc_id")).limit(WSAMPLE_K)
+    w = Window.orderBy(F.desc("priority_nano"), F.col("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
