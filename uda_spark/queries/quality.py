@@ -815,3 +815,74 @@ def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clipped_high",
         "sum_clipped_micros",
     )
+
+
+@register(
+    "events_key_skew_profile",
+    oracle="""
+WITH c AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n,
+         ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+         COUNT(*) OVER () AS k,
+         SUM(n) OVER () AS total
+  FROM c
+)
+SELECT MAX(k)::BIGINT AS n_keys,
+       MAX(total)::BIGINT AS n_rows,
+       CAST(MAX(CASE WHEN i = k THEN n ELSE 0 END) * 1000000 // MAX(total) AS BIGINT)
+         AS top1_share_ppm,
+       CAST(SUM(CASE WHEN i > k - 10 THEN n ELSE 0 END) * 1000000 // MAX(total) AS BIGINT)
+         AS top10_share_ppm,
+       CAST((2 * SUM(i * n) - (MAX(k) + 1) * MAX(total)) * 1000000
+            // (MAX(k) * MAX(total)) AS BIGINT) AS gini_ppm
+FROM ranked
+""",
+    tags=("quality", "scale", "skew"),
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for the events fact keyed by user_id:
+    number of keys, top-1/top-10 key share, and the Gini coefficient of
+    the per-key row distribution — the diagnosis that decides BEFORE a
+    100 TB run whether a keyed aggregate needs salting, AQE skew-join
+    handling, or nothing (reference parity: UDA's anti-hotspot fetch
+    scheduling, src/Merger/FetchManager.cc — here the hotspot is
+    measured rather than dodged reactively).
+
+    Gini from the standard sorted-rank identity
+    ``(2*sum(i*n_i) - (k+1)*total) / (k*total)`` — every term an exact
+    integer (ppm-quantized once at the end), ties ordered by user_id so
+    the rank assignment is engine-identical.
+
+    Scale shape: the fact collapses to the per-key count relation in
+    one exchange (millions of keys from billions of rows); the ranking
+    pass runs over THAT relation, not the fact.  The global sort of the
+    key-count relation is the honest cost of an exact Gini — the
+    sketch tier (approx histogram of counts) absorbs it when keys
+    outgrow a sort.
+    """
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy("n", "user_id")
+    ranked = c.select(
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("k"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("k").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST(max(CASE WHEN i = k THEN n ELSE 0 END) * 1000000 div max(total) AS BIGINT)"
+        ).alias("top1_share_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN i > k - 10 THEN n ELSE 0 END) * 1000000 div max(total) AS BIGINT)"
+        ).alias("top10_share_ppm"),
+        F.expr(
+            "CAST((2 * sum(i * n) - (max(k) + 1) * max(total)) * 1000000"
+            " div (max(k) * max(total)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
