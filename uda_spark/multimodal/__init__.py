@@ -1,5 +1,6 @@
 from uda_spark.multimodal.blob import (
     BLOB_META_SCHEMA,
+    ahash_images,
     attach_blob_column,
     decode_images,
     resize_images,
@@ -9,6 +10,7 @@ from uda_spark.multimodal.blob import (
 
 __all__ = [
     "BLOB_META_SCHEMA",
+    "ahash_images",
     "attach_blob_column",
     "decode_images",
     "resize_images",

@@ -313,6 +313,46 @@ def extract_features(df: DataFrame, id_col: str = "id", dim: int = 8) -> DataFra
     return src.mapInPandas(feats, schema=FEATURES_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("ahash", IntegerType())]
+)
+
+
+def ahash_images(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """16-bit average-hash (aHash) per blob — the classic perceptual
+    image fingerprint: bit i set iff pixel-region i is at least the
+    image mean.  Near-duplicate images (recompressions, small edits)
+    land within hamming 1-2 of each other; unrelated images are ~8
+    apart, so a banded self-join on the hash halves finds candidates
+    without any pairwise pass.
+
+    Regions come from the stub decode domain (the 16 bytes of
+    md5(hex(blob)) — one byte per region), so the hash is
+    deterministic and a SQL oracle recomputes it exactly; a real
+    codec plugs into the same seam by averaging true pixel regions.
+    The comparison ``16*b_i >= sum(b)`` keeps everything in exact
+    integers (no mean division).
+    """
+
+    def ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for blob in pdf["data"]:
+                hb = hashlib.md5(blob.hex().encode()).digest()[:16]
+                total = sum(hb)
+                v = 0
+                for i, b in enumerate(hb):
+                    if 16 * b >= total:
+                        v |= 1 << i
+                hashes.append(v)
+            yield pd.DataFrame(
+                {"id": pdf["_id"], "ahash": pd.Series(hashes, dtype="int32")}
+            )
+
+    src = df.select(F.col(id_col).alias("_id"), "data")
+    return src.mapInPandas(ah, schema=AHASH_SCHEMA)
+
+
 FRAMES_SCHEMA = StructType(
     [
         StructField("id", LongType()),

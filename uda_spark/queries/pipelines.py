@@ -1206,3 +1206,73 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pri.orderBy(F.desc("priority_nano"), F.col("doc_id")).limit(WSAMPLE_K)
     w = Window.orderBy(F.desc("priority_nano"), F.col("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+_MM_AHASH_BITS = " + ".join(
+    f"(CASE WHEN 16 * ({_mm_byte('fh', i)}) >= bsum THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+_MM_BSUM = " + ".join(f"({_mm_byte('fh', i)})" for i in range(16))
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+WITH b AS (SELECT doc_id, {_MM_BHEX} AS bhex FROM documents),
+f AS (SELECT doc_id, md5(bhex) AS fh FROM b),
+sums AS (SELECT doc_id, fh, {_MM_BSUM} AS bsum FROM f),
+ah AS (SELECT doc_id, CAST({_MM_AHASH_BITS} AS INT) AS ahash FROM sums),
+halves AS (SELECT doc_id, ahash, ahash % 256 AS lo, ahash // 256 AS hi FROM ah),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ahash AS ha, b.ahash AS hb
+  FROM halves a JOIN halves b
+    ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+""",
+    tags=("multimodal", "dedup", "north-star"),
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: 16-bit average-hash per
+    blob (Arrow-batched mapInPandas over the codec seam —
+    multimodal/blob.py:ahash_images), then hamming <= 1 pairs found by
+    the pigeonhole band trick (hamming <= 1 means at least one 8-bit
+    half matches exactly) — the image twin of SimHash text dedup,
+    completing the dedup story across modalities.
+
+    Scale shape: the hash is map-only over blobs (bodies never
+    shuffle — 2 ints per image leave the scan); candidates come from
+    two half-key equi-joins, never an all-pairs pass; verification is
+    one integer xor/bit_count per candidate.  A real codec changes
+    only the region averaging inside the seam, not the plan.
+    """
+    docs = t(spark, sf_dir, "documents")
+    blobs = MM.attach_blob_column(docs, "text", "doc_id")
+    ah = MM.ahash_images(blobs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"),
+        "ahash",
+        (F.col("ahash") % 256).alias("lo"),
+        F.expr("ahash div 256").alias("hi"),
+    )
+    a, b = ah.alias("a"), ah.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=F.expr(
+                "(a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id"
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
+    ).where(F.col("hamming") <= 1)
