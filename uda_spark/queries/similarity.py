@@ -581,3 +581,122 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(count(hit) * 100 div {TOP_K} AS INT)").alias("recall_pct"),
         )
     )
+
+
+MRL_PREFIX_DIM = 16   # coarse tier scores only the first 16 of 64 dims
+MRL_CANDIDATES = 20   # coarse top-C kept per query for exact rerank
+
+_PFX_DU = f"list_slice(v, 1, {MRL_PREFIX_DIM})"
+_PFX_SP = f"slice(v, 1, {MRL_PREFIX_DIM})"
+
+
+@register(
+    "sim_matryoshka_knn",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {_PFX_DU} AS p,
+             {portable.int_dot('v', 'v', 'duck')} AS nsq,
+             {portable.int_dot(_PFX_DU, _PFX_DU, 'duck')} AS psq
+      FROM iv),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.p', 'c.p', 'duck'), 'q.psq', 'c.psq')}, 6)
+           AS pscore
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pscore DESC, neighbor_id) AS crk
+        FROM coarse)
+  WHERE crk <= {MRL_CANDIDATES}
+),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM cand JOIN n q ON q.vec_id = cand.query_id JOIN n c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM exact)
+WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "north-star", "approx"),
+)
+def sim_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension (matryoshka-style) two-tier kNN: rank ALL corpus
+    vectors by cosine over only the first {MRL_PREFIX_DIM} of 64
+    dimensions (4x cheaper per pair, and at 100 TB, 4x less index I/O —
+    the reason MRL-trained embeddings front-load their information),
+    keep the top {MRL_CANDIDATES} candidates per query, then rerank
+    exactly with full-dimension cosine.
+
+    Unlike SRP-LSH (bucket recall is probabilistic), the coarse tier
+    here scores EVERY vector — approximation comes only from candidate
+    truncation, so recall degrades gracefully with the candidate budget
+    and the whole cascade stays value-hash checkable (exact integer
+    dots at both tiers, rounding-then-order discipline).
+
+    Scale shape: one corpus pass for the coarse scores (queries
+    broadcast), partial-then-final top-C merge, then an exact rescore
+    of queries x C rows — the same gated-brute-force shape as
+    `sim_knn_bruteforce` but over a candidate set instead of the
+    corpus.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select("vec_id", F.expr(portable.int_vec("embedding", "spark")).alias("v"))
+    n = iv.select(
+        "vec_id",
+        "v",
+        F.expr(_PFX_SP).alias("p"),
+        F.expr(portable.int_dot("v", "v", "spark")).alias("nsq"),
+        F.expr(portable.int_dot(_PFX_SP, _PFX_SP, "spark")).alias("psq"),
+    )
+    q = n.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("p").alias("qp"),
+        F.col("nsq").alias("qnsq"),
+        F.col("psq").alias("qpsq"),
+    )
+    coarse = (
+        n.join(F.broadcast(q), on=F.expr("query_id <> vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(
+                    portable.cosine_from_ints(
+                        portable.int_dot("qp", "p", "spark"), "qpsq", "psq"
+                    )
+                ),
+                6,
+            ).alias("pscore"),
+            "qv",
+            "qnsq",
+            F.col("v").alias("cv"),
+            F.col("nsq").alias("cnsq"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("pscore"), F.col("neighbor_id"))
+    cand = coarse.withColumn("crk", F.row_number().over(wc)).where(
+        F.col("crk") <= MRL_CANDIDATES
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.expr(
+                portable.cosine_from_ints(
+                    portable.int_dot("qv", "cv", "spark"), "qnsq", "cnsq"
+                )
+            ),
+            6,
+        ).alias("score"),
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
