@@ -293,3 +293,61 @@ class TestPythonDataSource:
         assert spark.read.format("uda_kv").load(path).count() == 50
         # no leftover tmp segments after commit
         assert not [f for f in os.listdir(path) if f.startswith("_tmp-")]
+
+
+class TestPythonDataSourceStreaming:
+    """uda_kv streaming reader: micro-batch offsets over an append-only
+    segment directory, checkpointed resume, exactly-once."""
+
+    def _write_segment(self, path, name, pairs):
+        import os
+
+        from uda_spark.sources.hadoop_kv import encode_kv_records
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(encode_kv_records(pairs))
+
+    def _drain(self, spark, src, sink, ckpt):
+        from uda_spark.sources import pyds
+
+        pyds.register(spark)
+        q = (
+            spark.readStream.format("uda_kv")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_stream_resumes_from_offsets(self, spark, tmp_path):
+        src, sink, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "sink"),
+            str(tmp_path / "ckpt"),
+        )
+        self._write_segment(
+            src, "part-a", [(f"k{i}".encode(), f"v{i}".encode()) for i in range(50)]
+        )
+        self._write_segment(
+            src, "part-b", [(f"k{i}".encode(), f"v{i}".encode()) for i in range(50, 80)]
+        )
+        self._drain(spark, src, sink, ckpt)
+        assert spark.read.parquet(sink).count() == 80
+
+        # idle restart: offsets say everything is consumed
+        self._drain(spark, src, sink, ckpt)
+        assert spark.read.parquet(sink).count() == 80
+
+        # a new segment arrives; only it is read
+        self._write_segment(
+            src, "part-c", [(f"k{i}".encode(), f"v{i}".encode()) for i in range(80, 100)]
+        )
+        self._drain(spark, src, sink, ckpt)
+        out = spark.read.parquet(sink)
+        assert out.count() == 100
+        keys = sorted(bytes(r.key).decode() for r in out.collect())
+        assert keys == sorted(f"k{i}" for i in range(100))
