@@ -58,6 +58,12 @@ EXTENDED = [
     "text_cms_heavy_hitters",
     "graph_triangle_stats",
     "lineitem_abc_analysis",
+    # late round-5 additions
+    "text_bigram_logprob",
+    "sim_matryoshka_knn",
+    "multimodal_phash_near_dup",
+    "join_bloom_prefilter",
+    "pipeline_weighted_sample",
 ]
 
 
