@@ -700,3 +700,141 @@ def sim_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+RRF_K = 60          # standard RRF dampening constant
+RRF_TIER_N = 50     # per-tier candidate depth
+RRF_TOP = 10
+RRF_TERMS = ("data", "model")   # the lexical "query"
+RRF_QVEC_ID = 0                 # the vector "query"
+
+_RRF_TERMS_DU = "('data', 'model')"
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+WITH tscore AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS hits
+  FROM (SELECT doc_id, unnest({portable.tokens('text', 'duck')}) AS tok FROM documents)
+  WHERE tok IN {_RRF_TERMS_DU}
+  GROUP BY doc_id
+),
+trank AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id) AS BIGINT) AS tr
+  FROM tscore QUALIFY tr <= {RRF_TIER_N}
+),
+iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+vscore AS (
+  SELECT c.vec_id AS doc_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS cos
+  FROM n q JOIN n c ON q.vec_id = {RRF_QVEC_ID} AND c.vec_id <> {RRF_QVEC_ID}
+),
+vrank AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vr
+  FROM vscore QUALIFY vr <= {RRF_TIER_N}
+),
+fused AS (
+  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.tr, v.vr,
+         COALESCE(1000000 // ({RRF_K} + t.tr), 0)
+         + COALESCE(1000000 // ({RRF_K} + v.vr), 0) AS rrf_ppm
+  FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(tr AS BIGINT) AS text_rank, CAST(vr AS BIGINT) AS vec_rank,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rnk FROM fused)
+WHERE rnk <= {RRF_TOP}
+""",
+    tags=("similarity", "text", "north-star", "retrieval"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical tier
+    (term-hit ranking over the documents) and a vector tier (cosine to
+    a query embedding) each nominate their top candidates, fused by the
+    standard RRF formula 1/(k + rank) — the shape of every production
+    RAG / hybrid-search stack, where neither BM25-style matching nor
+    dense retrieval alone is robust.
+
+    Fusion math stays exact: ranks are integers, each tier contributes
+    ``1e6 div (60 + rank)`` (integer floor division, identical in both
+    engines), absent-from-tier contributes zero via the outer join —
+    so the fused ordering is engine-identical with doc_id tiebreaks.
+
+    Scale shape: each tier is an independent top-N (window over scored
+    candidates; the vector tier is the gated brute-force pattern —
+    swap in `sim_lsh_knn`/`sim_matryoshka_knn` at corpus scale); the
+    fusion join touches only 2N candidate rows.  Text and embedding
+    relations join on the shared document id, never by content.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(portable.tokens("text", "spark"))).alias("tok")
+    )
+    tscore = (
+        toks.where(F.col("tok").isin(*RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    # top-N via TakeOrderedAndProject first; the rank window then sees
+    # only the N survivors (their ranks equal the full-relation ranks)
+    wt = Window.orderBy(F.desc("hits"), F.col("doc_id"))
+    ttop = tscore.orderBy(F.desc("hits"), F.col("doc_id")).limit(RRF_TIER_N)
+    trank = ttop.withColumn("tr", F.row_number().over(wt).cast("long")).select(
+        "doc_id", "tr"
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select("vec_id", F.expr(portable.int_vec("embedding", "spark")).alias("v"))
+    n = iv.select(
+        "vec_id", "v", F.expr(portable.int_dot("v", "v", "spark")).alias("nsq")
+    )
+    q = n.where(F.col("vec_id") == RRF_QVEC_ID).select(
+        F.col("v").alias("qv"), F.col("nsq").alias("qnsq")
+    )
+    vscore = (
+        n.where(F.col("vec_id") != RRF_QVEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(
+                    portable.cosine_from_ints(
+                        portable.int_dot("qv", "v", "spark"), "qnsq", "nsq"
+                    )
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wv = Window.orderBy(F.desc("cos"), F.col("doc_id"))
+    vtop = vscore.orderBy(F.desc("cos"), F.col("doc_id")).limit(RRF_TIER_N)
+    vrank = vtop.withColumn("vr", F.row_number().over(wv).cast("long")).select(
+        "doc_id", "vr"
+    )
+
+    fused = (
+        trank.join(vrank, on="doc_id", how="full_outer")
+        .select(
+            "doc_id",
+            "tr",
+            "vr",
+            (
+                F.coalesce(F.expr(f"1000000 div ({RRF_K} + tr)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 div ({RRF_K} + vr)"), F.lit(0))
+            ).alias("rrf_ppm"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_ppm"), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("rank") <= RRF_TOP)
+        .select(
+            "doc_id",
+            F.col("tr").alias("text_rank"),
+            F.col("vr").alias("vec_rank"),
+            F.col("rrf_ppm").cast("long").alias("rrf_ppm"),
+            "rank",
+        )
+    )
