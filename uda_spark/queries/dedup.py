@@ -874,3 +874,93 @@ def dedup_cluster_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("component"),
         "n_docs", "survivor_len", "survivor_id",
     )
+
+
+LEAK_SPLIT_PCT = (80, 10)  # train / val; rest = test
+
+
+@register(
+    "pipeline_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r))::BIGINT AS component
+  FROM reach GROUP BY node
+),
+corpus AS ({_DUCK_CORPUS_NEAR}),
+labeled AS (
+  SELECT corpus.doc_id, COALESCE(comp.component, corpus.doc_id) AS component
+  FROM corpus LEFT JOIN comp ON comp.node = corpus.doc_id
+),
+tagged AS (
+  SELECT doc_id, component,
+         {portable.hash60("'lsplit|' || CAST(component AS VARCHAR)", 'duck')} % 100 AS hmod
+  FROM labeled
+),
+split_tag AS (
+  SELECT doc_id, component,
+         CASE WHEN hmod < {LEAK_SPLIT_PCT[0]} THEN 'train'
+              WHEN hmod < {LEAK_SPLIT_PCT[0] + LEAK_SPLIT_PCT[1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM tagged
+)
+SELECT split, COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT component)::BIGINT AS n_clusters,
+       CAST(SUM(doc_id % 1000003) AS BIGINT) AS member_checksum
+FROM split_tag GROUP BY split
+""",
+    tags=("pipeline", "dedup", "north-star", "sampling"),
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    not the document id, so a family of near-duplicates can never
+    straddle splits — the contamination mode a plain per-doc hash split
+    (`pipeline_train_val_test_split`) cannot prevent: a val document's
+    near-copy sitting in train silently inflates eval.
+
+    Singletons (no near-dup) keep their own id as the cluster label via
+    the left join, so the split remains stable as the corpus grows and
+    reduces to the per-doc split when no duplicates exist.
+
+    Scale shape: the CC labeling is the dominant cost and is shared
+    infrastructure (`dedup_cluster_canonical`); the split itself is one
+    map-side hash of the label plus a 3-row aggregate.  The member
+    checksum pins the exact assignment.
+    """
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(
+        corpus, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
+    )
+    labels = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = corpus.select("doc_id").join(labels, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    hmod = (
+        "("
+        + portable.hash60("concat('lsplit|', CAST(component AS STRING))", "spark")
+        + ") % 100"
+    )
+    tagged = labeled.select(
+        "doc_id",
+        "component",
+        F.when(F.expr(hmod) < LEAK_SPLIT_PCT[0], "train")
+        .when(F.expr(hmod) < LEAK_SPLIT_PCT[0] + LEAK_SPLIT_PCT[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("component").cast("long").alias("n_clusters"),
+        F.sum(F.col("doc_id") % 1000003).cast("long").alias("member_checksum"),
+    )
