@@ -12,6 +12,7 @@ correctness of the write/read path is oracle territory.
 
 from __future__ import annotations
 
+import itertools
 import os
 import tempfile
 
@@ -262,3 +263,50 @@ def kv_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count("*").alias("n_rows"), F.expr(f"bit_xor({chk})").alias("checksum")
     )
+
+
+_KV_SINK_IDS = itertools.count()
+
+
+@register(
+    "kv_pyds_stream_ingest",
+    oracle=f"""
+SELECT COUNT(*)::BIGINT AS n_rows,
+       bit_xor({portable.hash60("o_orderkey::VARCHAR || '|' || o_orderstatus", 'duck')}) AS checksum
+FROM orders
+""",
+    tags=("formats", "io", "kv", "datasource", "streaming"),
+)
+def kv_pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest through the uda_kv Python DataSource: the same
+    VInt segment directory as `kv_pyds_roundtrip`, consumed via
+    ``readStream.format("uda_kv")`` (sources/pyds.py simpleStreamReader
+    — micro-batch offsets over segment names) with an availableNow
+    drain into a memory sink, then checksummed.
+
+    One availableNow pass over static segments must equal the batch
+    read, so the BATCH oracle checks the STREAMING result — the same
+    strongest-available equivalence statement the windowed streaming
+    queries use, here proving the custom connector's offset accounting
+    loses and duplicates nothing.
+    """
+    from uda_spark.sources import pyds
+    from uda_spark.streaming.windows import run_stream_to_memory
+
+    pyds.register(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"uda_pyds_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").cast("binary").alias("key"),
+        F.col("o_orderstatus").cast("binary").alias("value"),
+    )
+    o.write.format("uda_kv").mode("overwrite").save(path)
+    stream = spark.readStream.format("uda_kv").load(path)
+    chk = portable.hash60(
+        "concat(cast(key AS STRING), '|', cast(value AS STRING))", "spark"
+    )
+    agg = stream.agg(
+        F.count("*").alias("n_rows"), F.expr(f"bit_xor({chk})").alias("checksum")
+    )
+    return run_stream_to_memory(agg, f"kv_stream_sink_{next(_KV_SINK_IDS)}")
