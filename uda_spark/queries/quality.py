@@ -886,3 +886,103 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (max(k) * max(total)) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS constraint_name,
+         (SELECT COUNT(*) FROM orders)::BIGINT AS n_checked,
+         (SELECT COUNT(*) FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+         ))::BIGINT AS n_violations
+  UNION ALL
+  SELECT 'orders_custkey_fk',
+         (SELECT COUNT(*) FROM orders)::BIGINT,
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk',
+         (SELECT COUNT(*) FROM lineitem)::BIGINT,
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+  UNION ALL
+  SELECT 'lineitem_qty_positive',
+         (SELECT COUNT(*) FROM lineitem)::BIGINT,
+         (SELECT COUNT(*) FROM lineitem WHERE NOT (l_quantity > 0))::BIGINT
+  UNION ALL
+  SELECT 'orders_totalprice_nonneg',
+         (SELECT COUNT(*) FROM orders)::BIGINT,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_totalprice IS NULL OR o_totalprice < 0)::BIGINT
+)
+""",
+    tags=("quality", "constraints"),
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report — the dbt-test /
+    Deequ-style contract check every warehouse load gates on: primary-
+    key uniqueness, two foreign-key integrity checks (anti-join
+    formulation — the violations ARE the dangling keys), and two value
+    ranges, each reported as (constraint, rows checked, violations).
+
+    Scale shape: each FK check is one left-anti join that Catalyst
+    plans broadcast-or-shuffle by dim size; uniqueness is one keyed
+    aggregate; range checks are map-side counts.  One row per
+    constraint comes back — the report is O(constraints), so at 100 TB
+    the gate costs a handful of scans and nothing returns to the
+    driver but verdicts.
+    """
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    lineitem = t(spark, sf_dir, "lineitem")
+
+    def one(name: str, n_checked, n_violations):
+        return (name, int(n_checked), int(n_violations))
+
+    n_orders = orders.count()
+    n_line = lineitem.count()
+    rows = [
+        one(
+            "orders_pk_unique",
+            n_orders,
+            orders.groupBy("o_orderkey")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .count(),
+        ),
+        one(
+            "orders_custkey_fk",
+            n_orders,
+            orders.join(
+                customer.select(F.col("c_custkey").alias("o_custkey")),
+                on="o_custkey",
+                how="left_anti",
+            ).count(),
+        ),
+        one(
+            "lineitem_orderkey_fk",
+            n_line,
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                on="l_orderkey",
+                how="left_anti",
+            ).count(),
+        ),
+        one(
+            "lineitem_qty_positive",
+            n_line,
+            lineitem.where(~(F.col("l_quantity") > 0)).count(),
+        ),
+        one(
+            "orders_totalprice_nonneg",
+            n_orders,
+            orders.where(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") < 0)
+            ).count(),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "constraint_name STRING, n_checked LONG, n_violations LONG"
+    )
