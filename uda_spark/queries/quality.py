@@ -986,3 +986,77 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "constraint_name STRING, n_checked LONG, n_violations LONG"
     )
+
+
+@register(
+    "events_lateness_profile",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS high_water_us
+  FROM events
+),
+late AS (
+  SELECT event_type,
+         CASE WHEN high_water_us - ts_us <= 0 THEN -1
+              ELSE CAST(floor(log2(CAST(high_water_us - ts_us AS DOUBLE) / 1000000 + 1))
+                        AS INT) END AS late_bucket
+  FROM seq
+)
+SELECT event_type, late_bucket,
+       COUNT(*)::BIGINT AS n_events
+FROM late GROUP BY event_type, late_bucket
+""",
+    tags=("quality", "events", "streaming"),
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness profile: for each event, how far behind the
+    stream's high-water mark (max event time seen so far, in arrival
+    order) did it arrive — bucketed into log2 seconds.  This histogram
+    IS the watermark decision for every windowed streaming query in
+    this repo: the bucket where the tail mass dies is the smallest
+    watermark that won't drop data (too small → silent loss; too large
+    → unbounded state).
+
+    Arrival order is the event_id sequence per event_type (each type =
+    one source stream); bucket -1 means on-time (at or ahead of the
+    high-water mark).  Exact integer microseconds end-to-end; the only
+    double is the final log2 of an exact integer ratio.
+
+    Scale shape: one exchange + in-partition sort per event_type for
+    the running max (the same keyed-window shape as sessionization),
+    then a tiny (types x buckets) aggregate.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.withColumn("ts_us", event_micros(ev)).select(
+        "event_type",
+        "ts_us",
+        F.max("ts_us").over(w).alias("high_water_us"),
+    )
+    bucket = (
+        F.when(F.col("high_water_us") - F.col("ts_us") <= 0, F.lit(-1))
+        .otherwise(
+            F.floor(
+                F.log2(
+                    (F.col("high_water_us") - F.col("ts_us")).cast("double") / 1000000
+                    + 1
+                )
+            ).cast("int")
+        )
+        .alias("late_bucket")
+    )
+    return (
+        seq.select("event_type", bucket)
+        .groupBy("event_type", "late_bucket")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
