@@ -103,6 +103,58 @@ def batch_latency_probe(spark, sf_dir: str, n_chunks: int = 8) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def kv_source_ingest_probe(spark, sf_dir: str) -> dict:
+    """Throughput of the uda_kv Python DataSource streaming reader: the
+    orders table framed as VInt segments, drained in one availableNow
+    pass through the custom source into the noop sink.  This prices the
+    connector's honest Python-decode cost next to the JVM file-source
+    pipelines above (the interchange fast path stays SequenceFile)."""
+    from pyspark.sql import functions as F
+
+    from uda_spark.sources import pyds
+    from uda_spark.sources.tables import load_table
+
+    pyds.register(spark)
+    src = tempfile.mkdtemp(prefix="streambench_kv_")
+    ckpt = tempfile.mkdtemp(prefix="streambench_kvckpt_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("string").cast("binary").alias("key"),
+            F.col("o_orderstatus").cast("binary").alias("value"),
+        )
+        o.write.format("uda_kv").mode("overwrite").save(src)
+        t0 = time.perf_counter()
+        query = (
+            spark.readStream.format("uda_kv")
+            .load(src)
+            .groupBy()
+            .count()
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        wall = time.perf_counter() - t0
+        progress = [json.loads(p.json) for p in query.recentProgress]
+        batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+        rows = sum(p["numInputRows"] for p in batches)
+        exec_ms = sum(
+            p.get("durationMs", {}).get("triggerExecution", 0) for p in batches
+        )
+        return {
+            "batches": len(batches),
+            "rows": rows,
+            "total_sec": round(wall, 3),
+            "exec_sec": round(exec_ms / 1000.0, 3),
+            "rows_per_sec": round(rows / (exec_ms / 1000.0), 1) if exec_ms else None,
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark()
@@ -153,6 +205,14 @@ def main() -> None:
         results["hourly_counts_8batch_latency"] = {
             "error": f"{type(exc).__name__}: {exc}"
         }
+    try:
+        results["kv_pyds_stream_ingest"] = kv_source_ingest_probe(spark, sf_dir)
+        print(
+            f"# kv_pyds_stream_ingest: {results['kv_pyds_stream_ingest']}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        results["kv_pyds_stream_ingest"] = {"error": f"{type(exc).__name__}: {exc}"}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
