@@ -1122,3 +1122,66 @@ class TestRound5EvalInvariants:
             assert r["n_clipped_high"] <= r["n"] * 2 // 100 + 1, r
             # clipped sum must lie within [n*p01, n*p99]
             assert r["n"] * r["p01_micros"] <= r["sum_clipped_micros"] <= r["n"] * r["p99_micros"], r
+
+
+class TestLeakageAndBloomInvariants:
+    def test_no_near_dup_pair_straddles_splits(self, spark):
+        """For EVERY verified near-dup pair, both documents land in the
+        same split — the exact leakage property the cluster-hash split
+        exists for, checked against the pairs relation independently of
+        the aggregated query output."""
+        from pyspark.sql import functions as F
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.functions import portable
+        from uda_spark.operators import dedup as D
+        from uda_spark.queries.dedup import (
+            BANDS,
+            JACCARD_T,
+            LEAK_SPLIT_PCT,
+            N_HASHES,
+            _corpus_near,
+        )
+
+        corpus = _corpus_near(spark, SF_SMOKE)
+        pairs = D.minhash_near_dup_pairs(
+            corpus, "text", "doc_id",
+            n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
+        )
+        labels = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+        hmod = (
+            "(" + portable.hash60(
+                "concat('lsplit|', CAST(component AS STRING))", "spark"
+            ) + ") % 100"
+        )
+        split = labels.select(
+            "doc_id",
+            F.when(F.expr(hmod) < LEAK_SPLIT_PCT[0], "train")
+            .when(F.expr(hmod) < sum(LEAK_SPLIT_PCT), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        straddle = (
+            pairs.join(
+                split.withColumnsRenamed({"doc_id": "doc_a", "split": "sa"}), "doc_a"
+            )
+            .join(
+                split.withColumnsRenamed({"doc_id": "doc_b", "split": "sb"}), "doc_b"
+            )
+            .where(F.col("sa") != F.col("sb"))
+            .count()
+        )
+        release_persisted()
+        assert straddle == 0
+
+    def test_bloom_filter_never_false_negative(self, spark):
+        """Structural Bloom guarantee on the live query: every exact
+        member passes the filter (n_bloom_pass >= n_exact, FN = 0)."""
+        from tests.conftest import SF_SMOKE
+        from uda_spark.registry import all_specs
+
+        row = all_specs()["join_bloom_prefilter"].fn(spark, SF_SMOKE).collect()[0]
+        assert row["n_false_neg"] == 0
+        assert row["n_bloom_pass"] >= row["n_exact"]
+        assert row["n_bloom_pass"] == row["n_exact"] + row["n_false_pos"]
