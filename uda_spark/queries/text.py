@@ -940,6 +940,15 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PMI_TOP = 20
 
 
+# The (doc_id, gram) explode feeds the bigram counts AND the scoring
+# join, and Spark recomputes the subtree per consumer (3 corpus scans —
+# same no-ReusedExchange behavior as TF-IDF, measured in PLANS.md).  At
+# bench scale recomputing is cheaper than materializing the token-count-
+# sized cache, so the default stays False; a 100 TB deployment flips
+# this and the corpus is exploded once (the cache spills to disk).
+BIGRAM_PERSIST_DB = False
+
+
 @register(
     "text_bigram_logprob",
     oracle=f"""
@@ -998,6 +1007,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(portable.shingles("toks", 2, "spark"))).alias("gram"),
     ).where(F.size(F.split("gram", " ")) == 2)
+    if BIGRAM_PERSIST_DB:
+        db = tracked_persist(db)
     bi = db.groupBy("gram").agg(F.count("*").alias("n_ab"))
     ctx = (
         bi.withColumn("w1", F.expr("split(gram, ' ')[0]"))
