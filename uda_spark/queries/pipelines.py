@@ -1276,3 +1276,67 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
     ).where(F.col("hamming") <= 1)
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST({portable.hash60("'shard" + str(EPOCH_SEED) + "|' || CAST(doc_id AS VARCHAR)", 'duck')}
+              % {EPOCH_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor({portable.hash60("CAST(doc_id AS VARCHAR)", 'duck')}) AS member_fp
+FROM keyed GROUP BY shard
+""",
+    tags=("pipeline", "io", "north-star", "sampling"),
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export with a verified manifest: assign documents
+    to shards (the epoch-shuffle hash), WRITE them as a shard-
+    partitioned parquet dataset (directory per shard — the layout a
+    data-loader fleet mounts, one worker per shard), then read the
+    dataset BACK and emit one manifest row per shard (count, size,
+    membership fingerprint).
+
+    The manifest is computed from the round-tripped files, not the
+    in-memory frame, so what is value-hash checked is the exported
+    artifact itself — count drift, lost rows, or partition
+    misassignment in the sink all surface as a checksum mismatch.
+    Reading back through a `shard = k` filter prunes to single
+    directories (asserted for this layout family in
+    tests/test_operators.py zorder/partition suites).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from uda_spark.sources.formats import write_parquet
+
+    path = _os.path.join(
+        _tf.gettempdir(), f"uda_shards_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.expr(
+                portable.hash60(
+                    f"concat('shard{EPOCH_SEED}|', CAST(doc_id AS STRING))", "spark"
+                )
+            )
+            % EPOCH_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    write_parquet(docs, path, partition_by=("shard",))
+    back = spark.read.parquet(path)
+    fp = portable.hash60("CAST(doc_id AS STRING)", "spark")
+    return back.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(f"bit_xor({fp})").alias("member_fp"),
+    ).select(F.col("shard").cast("int").alias("shard"), "n_docs", "total_chars", "member_fp")
