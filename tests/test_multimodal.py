@@ -134,3 +134,21 @@ class TestRealCodecSeam:
         row = resize_images(df, 8, 8, "doc_id", use_real_codec=True).first()
         assert (row["src_width"], row["src_height"]) == (31, 13)
         assert (row["width"], row["height"]) == (8, 8)
+
+
+def test_ahash_arrow_matches_pandas(spark):
+    """The mapInArrow and mapInPandas aHash paths must be bit-identical
+    — same codec seam, different Python batch transport."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark import multimodal as MM
+    from uda_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    blobs = MM.attach_blob_column(docs, "text", "doc_id")
+    a = sorted((r.id, r.ahash) for r in MM.ahash_images(blobs, "doc_id").collect())
+    b = sorted(
+        (r.id, r.ahash) for r in MM.ahash_images_arrow(blobs, "doc_id").collect()
+    )
+    assert a == b and len(a) > 0

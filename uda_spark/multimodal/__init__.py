@@ -1,6 +1,7 @@
 from uda_spark.multimodal.blob import (
     BLOB_META_SCHEMA,
     ahash_images,
+    ahash_images_arrow,
     attach_blob_column,
     decode_images,
     resize_images,
@@ -11,6 +12,7 @@ from uda_spark.multimodal.blob import (
 __all__ = [
     "BLOB_META_SCHEMA",
     "ahash_images",
+    "ahash_images_arrow",
     "attach_blob_column",
     "decode_images",
     "resize_images",
