@@ -1060,3 +1060,166 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "late_bucket")
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+
+
+KMV_K = 32
+_KMV_MAXH = 1 << 60  # hash60 range
+_KMV_HEAVY = 14      # events of a type to count as a "heavy" user
+
+
+def _kmv_est(hk: str) -> str:
+    """Deterministic-double KMV estimator (k-1)*2^60/h_k, floored —
+    identical text valid in both engines (63*2^60 overflows BIGINT, so
+    the division is double; inputs are exact integers)."""
+    return (
+        f"CAST(floor(({KMV_K} - 1) * (CAST({_KMV_MAXH} AS DOUBLE)"
+        f" / CAST({hk} AS DOUBLE))) AS BIGINT)"
+    )
+
+
+from uda_spark.functions import portable as _PORT  # noqa: E402
+
+_KMV_H_DU = _PORT.hash60("'kmv|' || CAST(user_id AS VARCHAR)", "duck")
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle=f"""
+WITH seg AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= {_KMV_HEAVY} AS in_a,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) >= {_KMV_HEAVY} AS in_b
+  FROM events GROUP BY user_id
+),
+du AS (
+  SELECT 'a' AS tag, user_id FROM seg WHERE in_a
+  UNION ALL
+  SELECT 'b', user_id FROM seg WHERE in_b
+),
+h AS (SELECT tag, user_id, {_KMV_H_DU} AS hv FROM du),
+ranked AS (
+  SELECT tag, hv, ROW_NUMBER() OVER (PARTITION BY tag ORDER BY hv, user_id) AS rk
+  FROM h
+),
+kmv AS (SELECT tag, hv FROM ranked WHERE rk <= {KMV_K}),
+est AS (
+  SELECT tag, {_kmv_est('MAX(hv)')} AS d_est FROM kmv GROUP BY tag
+),
+uni AS (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk
+  FROM (SELECT DISTINCT hv FROM kmv)
+),
+ukmv AS (SELECT hv FROM uni WHERE rk <= {KMV_K}),
+sketch AS (
+  SELECT
+    (SELECT COUNT(*) FROM ukmv
+     WHERE hv IN (SELECT hv FROM kmv WHERE tag = 'a')
+       AND hv IN (SELECT hv FROM kmv WHERE tag = 'b'))::BIGINT AS n_both,
+    (SELECT {_kmv_est('MAX(hv)')} FROM ukmv) AS d_union
+),
+exact AS (
+  SELECT COUNT(*) FILTER (in_a)::BIGINT AS exact_a,
+         COUNT(*) FILTER (in_b)::BIGINT AS exact_b,
+         COUNT(*) FILTER (in_a AND in_b)::BIGINT AS exact_inter
+  FROM seg
+)
+SELECT (SELECT d_est FROM est WHERE tag = 'a') AS est_a, exact_a,
+       (SELECT d_est FROM est WHERE tag = 'b') AS est_b, exact_b,
+       CAST(sketch.n_both * sketch.d_union // {KMV_K} AS BIGINT) AS est_inter,
+       exact_inter,
+       CAST(sketch.n_both * 1000000 // {KMV_K} AS BIGINT) AS jaccard_est_ppm
+FROM exact, sketch
+""",
+    tags=("quality", "sketch", "approx"),
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch with SET-OPERATION estimates: distinct
+    counts of two behavioral segments (heavy purchasers / heavy
+    viewers) AND their overlap, estimated from two 32-value sketches —
+    the question ("how many users are in BOTH segments?") that HLL
+    cannot answer (HLL only unions; KMV/theta-style sketches
+    intersect), answered without joining the raw sets.
+
+    The sketch is the k smallest salted user hashes per segment:
+    d_est = (k-1)*2^60/h_k (deterministic double over exact integers —
+    63*2^60 overflows BIGINT); the intersection estimate is the union
+    sketch's overlap fraction times the union estimate.  Every value,
+    including the estimates, is value-hash checked; exact counts ride
+    along as the error readout.
+
+    Scale shape: one keyed reduce of the fact to per-user segment
+    flags, per-segment top-k by hash (WindowGroupLimit prunes each
+    partition to its local k before the exchange), then everything
+    operates on 2k rows.  Sketches are tiny, mergeable (union = k
+    smallest of the concatenation) and persistable, so an N-segment
+    overlap matrix costs N sketch scans, never N^2 set joins.
+    """
+    from uda_spark.functions import portable
+
+    ev = t(spark, sf_dir, "events")
+    seg = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= _KMV_HEAVY
+        ).alias("in_a"),
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            >= _KMV_HEAVY
+        ).alias("in_b"),
+    )
+    du = seg.where("in_a").select(F.lit("a").alias("tag"), "user_id").unionAll(
+        seg.where("in_b").select(F.lit("b").alias("tag"), "user_id")
+    )
+    h = du.select(
+        "tag",
+        "user_id",
+        F.expr(
+            portable.hash60("concat('kmv|', CAST(user_id AS STRING))", "spark")
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("tag").orderBy("hv", "user_id")
+    kmv = (
+        h.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .select("tag", "hv")
+    )
+    est = kmv.groupBy("tag").agg(F.expr(_kmv_est("max(hv)")).alias("d_est"))
+    a_set = kmv.where(F.col("tag") == "a").select("hv")
+    b_set = kmv.where(F.col("tag") == "b").select("hv")
+    uni = a_set.union(b_set).distinct().orderBy("hv").limit(KMV_K)
+    marked = uni.join(
+        a_set.withColumn("ia", F.lit(1)), on="hv", how="left"
+    ).join(b_set.withColumn("ib", F.lit(1)), on="hv", how="left")
+    sketch = marked.agg(
+        F.sum(
+            F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.expr(_kmv_est("max(hv)")).alias("d_union"),
+    )
+    exact = seg.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("exact_a"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("long").alias("exact_b"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_inter"),
+    )
+    ea = est.where(F.col("tag") == "a").select(F.col("d_est").alias("est_a"))
+    eb = est.where(F.col("tag") == "b").select(F.col("d_est").alias("est_b"))
+    return (
+        ea.crossJoin(exact)
+        .crossJoin(eb)
+        .crossJoin(sketch)
+        .select(
+            "est_a",
+            "exact_a",
+            "est_b",
+            "exact_b",
+            F.expr(f"CAST(n_both * d_union div {KMV_K} AS BIGINT)").alias("est_inter"),
+            "exact_inter",
+            F.expr(f"CAST(n_both * 1000000 div {KMV_K} AS BIGINT)").alias(
+                "jaccard_est_ppm"
+            ),
+        )
+    )
