@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from uda_spark.functions import portable as _PORT
 from uda_spark.queries.common import t
 from uda_spark.registry import register
 
@@ -1076,8 +1077,6 @@ def _kmv_est(hk: str) -> str:
         f" / CAST({hk} AS DOUBLE))) AS BIGINT)"
     )
 
-
-from uda_spark.functions import portable as _PORT  # noqa: E402
 
 _KMV_H_DU = _PORT.hash60("'kmv|' || CAST(user_id AS VARCHAR)", "duck")
 
