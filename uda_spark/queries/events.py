@@ -1045,3 +1045,70 @@ def events_purchase_session_lookup(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("(ts_us - s_us) div 1000000").alias("seconds_into_session"),
         )
     )
+
+
+RAU_WINDOW_DAYS = 7
+_DAY_US = 86400 * 1_000_000
+
+
+@register(
+    "events_rolling_active_users",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id, {_DUCK_US} // {_DAY_US} AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM act),
+contrib AS (
+  SELECT a.user_id, a.day + o AS target_day
+  FROM act a, LATERAL unnest(range(0, {RAU_WINDOW_DAYS})) u(o)
+)
+SELECT d.day::BIGINT AS day,
+       COUNT(DISTINCT c.user_id)::BIGINT AS rolling_users,
+       (SELECT COUNT(DISTINCT user_id) FROM act WHERE act.day = d.day)::BIGINT
+         AS day_users
+FROM days d JOIN contrib c ON c.target_day = d.day
+GROUP BY d.day
+""",
+    tags=("events", "window", "analytics"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {RAU_WINDOW_DAYS}-day active users per day (the WAU
+    product metric) — sliding-window DISTINCT, which no window function
+    computes directly (COUNT(DISTINCT) OVER a frame is unsupported in
+    both engines, and for good reason: naive per-frame distincts
+    re-scan the window per row).
+
+    The scalable formulation: distinct-reduce the fact to (user, day)
+    once, then each activity day CONTRIBUTES itself to the next
+    {RAU_WINDOW_DAYS} target days (a bounded explode — x7 rows of two
+    integers), and one distinct-count per target day finishes it.  The
+    shuffle carries (user, day) pairs only; window growth multiplies
+    the tiny contribution relation, never the fact.  Per-day actives
+    ride along for the WAU/DAU stickiness ratio.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    act = (
+        ev.withColumn("ts_us", event_micros(ev))
+        .select("user_id", F.expr(f"ts_us div {_DAY_US}").alias("day"))
+        .distinct()
+    )
+    days = act.select("day").distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (RAU_WINDOW_DAYS - 1))
+        ).alias("target_day"),
+    )
+    rolled = (
+        days.join(contrib, on=days["day"] == contrib["target_day"])
+        .groupBy(days["day"].alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("rolling_users"))
+    )
+    daily = act.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("day_users")
+    )
+    return rolled.join(daily, on="day").select(
+        F.col("day").cast("long").alias("day"), "rolling_users", "day_users"
+    )
