@@ -23,6 +23,13 @@ from uda_spark.cache import release_persisted
 
 @pytest.fixture(scope="module")
 def plain_spark():
+    # Only stop the context at teardown if THIS module created it: in a
+    # combined `-m slow` run the conftest session fixture owns the one
+    # JVM-wide SparkContext, and stopping it here killed every
+    # fixture-using test that ran after this module (the sweep's
+    # "plain confs" property itself requires the documented standalone
+    # invocation either way — getOrCreate reuses a live session).
+    existing = SparkSession.getActiveSession()
     s = (
         SparkSession.builder.master("local[8]")
         .appName("uda_driver_conditions")
@@ -31,7 +38,8 @@ def plain_spark():
         .getOrCreate()
     )
     yield s
-    s.stop()
+    if existing is None:
+        s.stop()
 
 
 @pytest.fixture(scope="module")
