@@ -1112,3 +1112,92 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(daily, on="day").select(
         F.col("day").cast("long").alias("day"), "rolling_users", "day_users"
     )
+
+
+@register(
+    "events_scd2_temporal_join",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_id, {_DUCK_US} AS ts_us, event_type FROM events),
+ch AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts_us, event_type,
+           LAG(event_type) OVER ({_SCD2_W}) AS prev
+    FROM e
+  ) WHERE prev IS NULL OR prev <> event_type
+),
+dim AS (
+  SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
+         LEAD(ts_us) OVER ({_SCD2_W}) AS valid_to_us,
+         CAST(ROW_NUMBER() OVER ({_SCD2_W}) AS INT) AS version
+  FROM ch
+),
+fact AS (
+  SELECT user_id, event_id, {_DUCK_US} AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT f.user_id, f.event_id, f.value, d.attr, d.version
+  FROM fact f JOIN dim d
+    ON f.user_id = d.user_id
+   AND d.valid_from_us <= f.ts_us
+   AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+)
+SELECT attr,
+       COUNT(*)::BIGINT AS n_purchases,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_value_micros,
+       CAST(MAX(version) AS INT) AS max_version_seen
+FROM joined GROUP BY attr
+""",
+    tags=("events", "scd", "join", "temporal"),
+)
+def events_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD2) enrichment join: each purchase event joined to
+    the dimension VERSION whose [valid_from, valid_to) interval covers
+    the purchase time — the canonical warehouse "what was true when the
+    fact happened" join (joining is_current instead silently rewrites
+    history, the classic SCD mistake this operator exists to prevent).
+
+    The validity intervals come from the same change-collapse build as
+    `events_scd2_user_type`; the join is an equi join on user_id with
+    the interval containment as residual conditions, so it co-partitions
+    both sides on the user key and never degenerates to a cross
+    product — per user, intervals are disjoint, so each purchase
+    matches at most one version.
+
+    Scale shape: dimension build = one (user_id) exchange + windows
+    over change rows; the temporal join = one sort-merge join keyed
+    user_id; value sums quantized to integer micros (exact,
+    order-independent).
+    """
+    ev = _with_us(t(spark, sf_dir, "events")).select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ch = ev.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    dim = ch.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("attr"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["d_user"])
+        & (dim["valid_from_us"] <= fact["ts_us"])
+        & (dim["valid_to_us"].isNull() | (fact["ts_us"] < dim["valid_to_us"])),
+    )
+    return joined.groupBy("attr").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_value_micros"),
+        F.max("version").cast("int").alias("max_version_seen"),
+    )
