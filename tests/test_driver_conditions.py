@@ -35,6 +35,11 @@ def plain_spark():
         .appName("uda_driver_conditions")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # driver heap is machine sizing, not a SQL-semantics conf — the
+        # external driver's host is large; without this a slow-only run
+        # starts the whole JVM at the 1g default and later stress tests
+        # must skip
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     yield s
