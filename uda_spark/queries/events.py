@@ -1201,3 +1201,133 @@ def events_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value_micros"),
         F.max("version").cast("int").alias("max_version_seen"),
     )
+
+
+BUSY_HOUR_MIN_EVENTS = 20
+_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "events_session_busy_overlap",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, {_DUCK_US} AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+         ts_us
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_id,
+         MIN(ts_us) // {_HOUR_US} AS h_start,
+         MAX(ts_us) // {_HOUR_US} AS h_end
+  FROM sess GROUP BY user_id, session_id
+),
+busy AS (
+  SELECT {_DUCK_US} // {_HOUR_US} AS hour, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1 HAVING COUNT(*) >= {BUSY_HOUR_MIN_EVENTS}
+),
+covered AS (
+  SELECT user_id, session_id, h_start + o AS hour
+  FROM iv, LATERAL unnest(range(0, h_end - h_start + 1)) u(o)
+),
+hits AS (
+  SELECT c.user_id, c.session_id, COUNT(*)::BIGINT AS n_busy_hours
+  FROM covered c JOIN busy b ON b.hour = c.hour
+  GROUP BY c.user_id, c.session_id
+)
+SELECT iv.user_id,
+       COUNT(*)::BIGINT AS n_sessions,
+       SUM(CASE WHEN h.n_busy_hours IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_sessions_in_busy,
+       COALESCE(SUM(h.n_busy_hours), 0)::BIGINT AS total_busy_hours
+FROM iv LEFT JOIN hits h
+  ON h.user_id = iv.user_id AND h.session_id = iv.session_id
+GROUP BY iv.user_id
+""",
+    tags=("events", "join", "interval"),
+)
+def events_session_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, interval x interval: user sessions (gap-
+    based intervals) joined against system-wide BUSY HOURS (hours with
+    >= {BUSY_HOUR_MIN_EVENTS} events — themselves hour-long intervals),
+    answering "which of each user's sessions ran during load peaks".
+
+    The join technique is the scalable one for range x range: each
+    session EXPLODES into the hour buckets it covers (bounded fan-out —
+    session length / hour + 1 rows of three integers), turning interval
+    overlap into an equi join on the bucket key; no inequality-only
+    join, no cross product, and the busy-hour relation is tiny and
+    broadcastable.  Same bucketing family as `range_join_value_buckets`
+    (numeric ranges) and the SCD2 temporal join (point-in-interval) —
+    this completes the interval-join triple.
+
+    Scale shape: sessionization = one (user_id) exchange; bucket
+    explode is map-side; the overlap join broadcasts busy hours; final
+    rollup keys on user_id (already co-partitioned).
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev0 = t(spark, sf_dir, "events")
+    ev = ev0.withColumn("ts_us", event_micros(ev0)).select(
+        "user_id", "event_id", "ts_us"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_S * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.expr(f"min(ts_us) div {_HOUR_US}").alias("h_start"),
+        F.expr(f"max(ts_us) div {_HOUR_US}").alias("h_end"),
+    )
+    busy = (
+        ev.groupBy(F.expr(f"ts_us div {_HOUR_US}").alias("hour"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= BUSY_HOUR_MIN_EVENTS)
+        .select("hour")
+    )
+    covered = iv.select(
+        "user_id",
+        "session_id",
+        F.explode(F.sequence(F.col("h_start"), F.col("h_end"))).alias("hour"),
+    )
+    hits = (
+        covered.join(F.broadcast(busy), on="hour")
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_busy_hours"))
+    )
+    return (
+        iv.join(hits, on=["user_id", "session_id"], how="left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_busy_hours").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions_in_busy"),
+            F.coalesce(F.sum("n_busy_hours"), F.lit(0))
+            .cast("long")
+            .alias("total_busy_hours"),
+        )
+    )
