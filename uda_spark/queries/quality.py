@@ -1222,3 +1222,121 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+MAD_K = 5  # |x - median| >= K * MAD flags an anomaly
+
+
+@register(
+    "events_hourly_anomalies_mad",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS bucket_epoch,
+         COUNT(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, bucket_epoch, n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n_events, bucket_epoch) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rk = 1 + (n - 1) // 2 THEN n_events END) AS median_events
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.bucket_epoch, h.n_events, m.median_events,
+         abs(h.n_events - m.median_events) AS adev
+  FROM hourly h JOIN med m USING (event_type)
+),
+dev_ranked AS (
+  SELECT event_type, bucket_epoch, n_events, median_events, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, bucket_epoch) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rk = 1 + (n - 1) // 2 THEN adev END) AS mad_events
+  FROM dev_ranked GROUP BY event_type
+)
+SELECT d.event_type, d.bucket_epoch, d.n_events,
+       CAST(d.median_events AS BIGINT) AS median_events,
+       CAST(m.mad_events AS BIGINT) AS mad_events,
+       (d.adev >= 5 * m.mad_events AND m.mad_events > 0) AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev >= 5 * m.mad_events AND m.mad_events > 0
+""",
+    tags=("quality", "events", "robust"),
+)
+def events_hourly_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly flagging: median absolute deviation (MAD)
+    instead of the z-score of `events_hourly_anomalies` — the robust
+    twin for the case that breaks mean/stddev flagging: a handful of
+    extreme hours INFLATE the stddev until they hide themselves (masking)
+    and drag the mean toward them, while median and MAD are unmoved by
+    up to half the data being wild.
+
+    Both median and MAD are exact nearest-lower order statistics over
+    integer counts — pure integer arithmetic end-to-end (no 1.4826
+    normal-consistency scaling; the K*MAD threshold absorbs the
+    constant), so the flag set is engine-exact.
+
+    Scale shape: the fact reduces to the hourly rollup first; both
+    ranking passes run over that (types x hours) relation, not the
+    fact, with the per-type cut tables broadcast back — same shape as
+    `events_value_winsorize`'s exact-order-statistic tier.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("ts_us", event_micros(ev))
+        .groupBy(
+            "event_type",
+            F.expr("(ts_us div 3600000000) * 3600").alias("bucket_epoch"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w1 = Window.partitionBy("event_type").orderBy("n_events", "bucket_epoch")
+    ranked = hourly.select(
+        "event_type",
+        "bucket_epoch",
+        "n_events",
+        F.row_number().over(w1).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rk") == 1 + F.expr("(n - 1) div 2"), F.col("n_events"))
+        ).alias("median_events")
+    )
+    dev = hourly.join(F.broadcast(med), on="event_type").withColumn(
+        "adev", F.abs(F.col("n_events") - F.col("median_events"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "bucket_epoch")
+    dev_ranked = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(w2).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mad = dev_ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rk") == 1 + F.expr("(n - 1) div 2"), F.col("adev"))
+        ).alias("mad_events")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .where((F.col("adev") >= MAD_K * F.col("mad_events")) & (F.col("mad_events") > 0))
+        .select(
+            "event_type",
+            "bucket_epoch",
+            "n_events",
+            F.col("median_events").cast("long").alias("median_events"),
+            F.col("mad_events").cast("long").alias("mad_events"),
+            F.lit(True).alias("is_anomaly"),
+        )
+    )
