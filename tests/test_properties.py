@@ -293,3 +293,44 @@ def test_star_components_match_union_find(spark, edges):
         for r in connected_components_star(df).collect()
     }
     assert got == expected
+
+
+class TestPartitioningIndependence:
+    """Results must be invariant to shuffle width — the property that
+    makes a local run predictive of a 1000-executor run.  The parity
+    sweep covers the tuned width (8) and the driver sweep covers the
+    default (200); this pins a deliberately awkward odd width for the
+    queries whose arithmetic is most partitioning-sensitive (float
+    folds, order statistics, sketch minima, global ranks)."""
+
+    SENSITIVE = [
+        "events_user_entropy",        # ordered float fold
+        "sim_label_centroid_dist",    # dimension-ordered float norm
+        "events_value_winsorize",     # exact order statistics
+        "sketch_kmv_intersection",    # hash minima + estimates
+        "terasort_rank",              # global total order
+        "text_bigram_logprob",        # quantized-log sums
+    ]
+
+    def test_results_stable_under_odd_partitioning(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+
+        specs = all_specs()
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            results = {}
+            for width in ("8", "17"):
+                spark.conf.set("spark.sql.shuffle.partitions", width)
+                for name in self.SENSITIVE:
+                    df = specs[name].fn(spark, SF_SMOKE)
+                    rows = sorted(tuple(str(v) for v in r) for r in df.collect())
+                    release_persisted()
+                    results.setdefault(name, []).append(rows)
+            for name, (a, b) in results.items():
+                assert a == b, f"{name} changed under shuffle width 17"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
