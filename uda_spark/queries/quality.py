@@ -1340,3 +1340,92 @@ def events_hourly_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("is_anomaly"),
         )
     )
+
+
+LTV_MONTHS = 6
+_MONTH_FMT = "%Y-%m"
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) - 1)
+           AS ym
+  FROM orders
+),
+cohort AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+sizes AS (SELECT cohort_ym, COUNT(*)::BIGINT AS cohort_size FROM cohort GROUP BY cohort_ym),
+rev AS (
+  SELECT c.cohort_ym, CAST(o.ym - c.cohort_ym AS INT) AS month_offset,
+         COUNT(*)::BIGINT AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+  WHERE o.ym - c.cohort_ym BETWEEN 0 AND {LTV_MONTHS - 1}
+  GROUP BY 1, 2
+)
+SELECT CAST(r.cohort_ym AS BIGINT) AS cohort_ym, r.month_offset, r.n_orders,
+       r.revenue, s.cohort_size,
+       CAST(CAST(SUM(CAST(r.revenue AS DECIMAL(18,2)))
+                 OVER (PARTITION BY r.cohort_ym ORDER BY r.month_offset) AS DOUBLE)
+            / s.cohort_size AS DOUBLE) AS cum_ltv_per_customer
+FROM rev r JOIN sizes s ON r.cohort_ym = s.cohort_ym
+""",
+    tags=("quality", "cohort", "analytics"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-cohort LTV curve: customers grouped by first-order month,
+    revenue tracked per month offset with the cumulative
+    lifetime-value-per-customer running sum — the monetary twin of
+    `events_cohort_retention` (activity says WHO came back; this says
+    what they were WORTH), the curve that sets acquisition budgets.
+
+    Numeric discipline: revenue sums and the cumulative window run in
+    DECIMAL(18,2) (exact, order-independent) with a single final CAST
+    to DOUBLE per row — the repo's money convention — and the month
+    key is pure integer year*12+month arithmetic, identical in both
+    engines.
+
+    Scale shape: cohorts are a per-customer MIN; the revenue join
+    co-partitions on o_custkey; the grid is |months| x |offsets| rows,
+    so the LTV window runs over a tiny relation.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = cohort.groupBy("cohort_ym").agg(F.count("*").alias("cohort_size"))
+    rev = (
+        o.join(cohort, on="o_custkey")
+        .withColumn("month_offset", (F.col("ym") - F.col("cohort_ym")).cast("int"))
+        .where(F.col("month_offset").between(0, LTV_MONTHS - 1))
+        .groupBy("cohort_ym", "month_offset")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("cohort_ym").orderBy("month_offset")
+    return (
+        rev.join(F.broadcast(sizes), on="cohort_ym")
+        .withColumn(
+            "cum_ltv_per_customer",
+            (
+                F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+                / F.col("cohort_size")
+            ).cast("double"),
+        )
+        .select(
+            F.col("cohort_ym").cast("long").alias("cohort_ym"),
+            "month_offset",
+            "n_orders",
+            "revenue",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            "cum_ltv_per_customer",
+        )
+    )
