@@ -1331,3 +1331,158 @@ def events_session_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_busy_hours"),
         )
     )
+
+
+BOT_MIN_EVENTS = 40          # users below this are unclassifiable
+BOT_REGULARITY_PPM = 400_000  # MAD(gap)/median(gap) below this => automated
+BOT_ENTROPY_MILLIBITS = 1500  # type entropy below this => single-purpose
+
+
+@register(
+    "events_bot_score",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {_DUCK_US} AS ts_us FROM events
+),
+gaps AS (
+  SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS gap_us
+  FROM e
+),
+g AS (SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+granked AS (
+  SELECT user_id, gap_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_us) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM g
+),
+gmed AS (
+  SELECT user_id, MAX(CASE WHEN rk = 1 + (n - 1) // 2 THEN gap_us END) AS med_gap
+  FROM granked GROUP BY user_id
+),
+adev AS (
+  SELECT g.user_id, abs(g.gap_us - m.med_gap) AS ad
+  FROM g JOIN gmed m USING (user_id)
+),
+aranked AS (
+  SELECT user_id, ad,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ad) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM adev
+),
+gmad AS (
+  SELECT user_id, MAX(CASE WHEN rk = 1 + (n - 1) // 2 THEN ad END) AS mad_gap
+  FROM aranked GROUP BY user_id
+),
+tc AS (
+  SELECT user_id, event_type, COUNT(*)::BIGINT AS c FROM e GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, SUM(c)::BIGINT AS n_events FROM tc GROUP BY user_id),
+ent AS (
+  SELECT tc.user_id,
+         CAST(floor(SUM(-(CAST(tc.c AS DOUBLE) / t.n_events)
+                         * log2(CAST(tc.c AS DOUBLE) / t.n_events)) * 1000 + 0.5)
+              AS BIGINT) AS entropy_millibits
+  FROM tc JOIN tot t USING (user_id) GROUP BY tc.user_id, t.n_events
+)
+SELECT t.user_id, t.n_events,
+       CAST(m.med_gap AS BIGINT) AS med_gap_us,
+       CAST(d.mad_gap AS BIGINT) AS mad_gap_us,
+       CAST(d.mad_gap * 1000000 // m.med_gap AS BIGINT) AS regularity_ppm,
+       e.entropy_millibits,
+       (d.mad_gap * 1000000 // m.med_gap < {BOT_REGULARITY_PPM}
+        OR e.entropy_millibits < {BOT_ENTROPY_MILLIBITS}) AS bot_suspect
+FROM tot t
+JOIN gmed m USING (user_id) JOIN gmad d USING (user_id) JOIN ent e USING (user_id)
+WHERE t.n_events >= {BOT_MIN_EVENTS} AND m.med_gap > 0
+""",
+    tags=("events", "quality", "robust"),
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation scoring per user — the abuse-filtering stage a
+    training-data pipeline runs before user-generated content enters a
+    corpus.  Two robust signals: interarrival REGULARITY (MAD of gaps
+    over the median gap — scripted clients fire on timers, humans are
+    bursty; a robust coefficient of variation that outlier gaps can't
+    wash out) and behavioral ENTROPY (single-purpose scrapers do one
+    thing; both thresholds are integer ppm/millibit constants).
+
+    All statistics are exact order statistics or quantized
+    deterministic doubles over exact integers, so the suspect SET —
+    not just the scores — is engine-exact.
+
+    Scale shape: everything keys on user_id and shares that exchange
+    (gaps window, both ranking passes, type counts); no corpus-scale
+    relation survives past the first aggregation.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev0 = t(spark, sf_dir, "events")
+    e = ev0.withColumn("ts_us", event_micros(ev0)).select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = (
+        e.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .where(F.col("gap_us").isNotNull())
+        .select("user_id", "gap_us")
+    )
+    wg = Window.partitionBy("user_id").orderBy("gap_us")
+    granked = g.select(
+        "user_id",
+        "gap_us",
+        F.row_number().over(wg).alias("rk"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    gmed = granked.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("rk") == 1 + F.expr("(n - 1) div 2"), F.col("gap_us"))
+        ).alias("med_gap")
+    )
+    adev = g.join(gmed, on="user_id").select(
+        "user_id", F.abs(F.col("gap_us") - F.col("med_gap")).alias("ad")
+    )
+    wa = Window.partitionBy("user_id").orderBy("ad")
+    aranked = adev.select(
+        "user_id",
+        "ad",
+        F.row_number().over(wa).alias("rk"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    gmad = aranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rk") == 1 + F.expr("(n - 1) div 2"), F.col("ad"))).alias(
+            "mad_gap"
+        )
+    )
+    tc = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("user_id").agg(F.sum("c").alias("n_events"))
+    ent = (
+        tc.join(tot, on="user_id")
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(-(CAST(c AS DOUBLE) / n_events)"
+                " * log2(CAST(c AS DOUBLE) / n_events)) * 1000 + 0.5) AS BIGINT)"
+            ).alias("entropy_millibits")
+        )
+        .select("user_id", "entropy_millibits")
+    )
+    reg = F.expr("CAST(mad_gap * 1000000 div med_gap AS BIGINT)")
+    return (
+        tot.join(gmed, on="user_id")
+        .join(gmad, on="user_id")
+        .join(ent, on="user_id")
+        .where((F.col("n_events") >= BOT_MIN_EVENTS) & (F.col("med_gap") > 0))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("med_gap").cast("long").alias("med_gap_us"),
+            F.col("mad_gap").cast("long").alias("mad_gap_us"),
+            reg.alias("regularity_ppm"),
+            "entropy_millibits",
+            (
+                (reg < BOT_REGULARITY_PPM)
+                | (F.col("entropy_millibits") < BOT_ENTROPY_MILLIBITS)
+            ).alias("bot_suspect"),
+        )
+    )
