@@ -838,3 +838,160 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+OUTLIER_MAD_K = 3
+
+
+@register(
+    "sim_embedding_outliers",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+cent AS (
+  SELECT label, d, SUM(v[d + 1]) AS s, COUNT(*)::BIGINT AS cnt
+  FROM iv, range(0, 64) r(d)
+  GROUP BY label, d
+),
+cstat AS (
+  SELECT label, MAX(cnt) AS cnt, SUM(s * s) AS ssq FROM cent GROUP BY label
+),
+sv AS (
+  SELECT label, list(s ORDER BY d) AS svec FROM cent GROUP BY label
+),
+dots AS (
+  SELECT n.vec_id, n.label, n.nsq,
+         list_sum(list_transform(range(1, 65), i -> n.v[i] * sv.svec[i])) AS vdots
+  FROM n JOIN sv USING (label)
+),
+dist AS (
+  SELECT d.vec_id, d.label,
+         CAST(floor((CAST(d.nsq AS DOUBLE)
+                     - 2 * CAST(d.vdots AS DOUBLE) / c.cnt
+                     + CAST(c.ssq AS DOUBLE) / (c.cnt * c.cnt))
+                    / 1000000.0 + 0.5) AS BIGINT) AS dist2_fp
+  FROM dots d JOIN cstat c USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, dist2_fp,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2_fp, vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM dist
+),
+med AS (
+  SELECT label, MAX(CASE WHEN rk = 1 + (n - 1) // 2 THEN dist2_fp END) AS med_d
+  FROM ranked GROUP BY label
+),
+adev AS (
+  SELECT d.label, d.vec_id, d.dist2_fp, abs(d.dist2_fp - m.med_d) AS ad, m.med_d
+  FROM dist d JOIN med m USING (label)
+),
+aranked AS (
+  SELECT label, ad, ROW_NUMBER() OVER (PARTITION BY label ORDER BY ad, vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM adev
+),
+mad AS (
+  SELECT label, MAX(CASE WHEN rk = 1 + (n - 1) // 2 THEN ad END) AS mad_d
+  FROM aranked GROUP BY label
+)
+SELECT a.label, a.vec_id, a.dist2_fp, CAST(a.med_d AS BIGINT) AS med_dist2_fp,
+       CAST(m.mad_d AS BIGINT) AS mad_dist2_fp
+FROM adev a JOIN mad m USING (label)
+WHERE m.mad_d > 0 AND a.ad >= {OUTLIER_MAD_K} * m.mad_d AND a.dist2_fp > a.med_d
+""",
+    tags=("similarity", "quality", "robust"),
+)
+def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per-label distance-to-centroid
+    with robust MAD flagging — the curation filter that catches
+    mis-embedded items (encoder failures, mislabeled rows, corrupted
+    vectors) BEFORE they poison an ANN index or a training mix; only
+    the far tail (beyond median + K*MAD) is flagged, never the tight
+    side.
+
+    Exactness: centroid numerators stay exact integer sums;
+    ||v - s/n||^2 expands to nsq - 2*(v.s)/n + ssq/n^2 — deterministic
+    doubles over exact integers, quantized once to fixed-point units;
+    median and MAD are then exact order statistics over those
+    integers, so the flagged SET is engine-exact.
+
+    Scale shape: centroids are a (label x dim) aggregate; the per-vector
+    distance pass is one broadcast join of centroid sums back onto the
+    corpus; both ranking passes run per label over (vec, distance)
+    pairs — the same keyed order-statistic shape as winsorize/MAD.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    n = iv.withColumn("nsq", F.expr(portable.int_dot("v", "v", "spark")))
+    cent = (
+        iv.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"))
+    )
+    cstat = (
+        cent.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
+        .join(iv.groupBy("label").agg(F.count("*").alias("cnt")), on="label")
+    )
+    svec = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, s))), e -> e.s)").alias(
+            "sv"
+        )
+    )
+    dots = n.join(F.broadcast(svec), on="label").withColumn(
+        "vdots", F.expr(portable.int_dot("v", "sv", "spark"))
+    )
+    dist = dots.join(F.broadcast(cstat), on="label").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(floor((CAST(nsq AS DOUBLE)"
+            " - 2 * CAST(vdots AS DOUBLE) / cnt"
+            " + CAST(ssq AS DOUBLE) / (cnt * cnt))"
+            " / 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("dist2_fp"),
+    )
+    w1 = Window.partitionBy("label").orderBy("dist2_fp", "vec_id")
+    ranked = dist.select(
+        "label",
+        "dist2_fp",
+        F.row_number().over(w1).alias("rk"),
+        F.count("*").over(Window.partitionBy("label")).alias("n"),
+    )
+    med = ranked.groupBy("label").agg(
+        F.max(
+            F.when(F.col("rk") == 1 + F.expr("(n - 1) div 2"), F.col("dist2_fp"))
+        ).alias("med_d")
+    )
+    adev = dist.join(F.broadcast(med), on="label").withColumn(
+        "ad", F.abs(F.col("dist2_fp") - F.col("med_d"))
+    )
+    w2 = Window.partitionBy("label").orderBy("ad", "vec_id")
+    aranked = adev.select(
+        "label",
+        "ad",
+        F.row_number().over(w2).alias("rk"),
+        F.count("*").over(Window.partitionBy("label")).alias("n"),
+    )
+    mad = aranked.groupBy("label").agg(
+        F.max(F.when(F.col("rk") == 1 + F.expr("(n - 1) div 2"), F.col("ad"))).alias(
+            "mad_d"
+        )
+    )
+    return (
+        adev.join(F.broadcast(mad), on="label")
+        .where(
+            (F.col("mad_d") > 0)
+            & (F.col("ad") >= OUTLIER_MAD_K * F.col("mad_d"))
+            & (F.col("dist2_fp") > F.col("med_d"))
+        )
+        .select(
+            "label",
+            "vec_id",
+            "dist2_fp",
+            F.col("med_d").cast("long").alias("med_dist2_fp"),
+            F.col("mad_d").cast("long").alias("mad_dist2_fp"),
+        )
+    )
