@@ -1429,3 +1429,75 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_ltv_per_customer",
         )
     )
+
+
+@register(
+    "part_supplier_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)::BIGINT AS rev_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(rev_cents)::BIGINT AS total_cents,
+         COUNT(*)::BIGINT AS n_suppliers
+  FROM rev GROUP BY l_partkey
+),
+shares AS (
+  SELECT r.l_partkey, t.n_suppliers,
+         r.rev_cents * 1000000 // t.total_cents AS share_ppm
+  FROM rev r JOIN tot t USING (l_partkey)
+)
+SELECT l_partkey, CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+       CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+       CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+FROM shares GROUP BY l_partkey
+HAVING SUM(share_ppm * share_ppm) // 1000000 >= 800000
+""",
+    tags=("quality", "analytics", "aggregation"),
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration screening: the Herfindahl–Hirschman index
+    of each part's supplier revenue shares, reporting parts whose
+    supply is dangerously concentrated (HHI >= 0.8 — near-single-source)
+    — the supply-chain-risk readout over the fact table.
+
+    Exactness: revenue aggregates in integer cents (exact decimal x
+    100), shares quantized to integer ppm by floor division, HHI =
+    sum(share^2) scaled back — every step integer, so the flagged part
+    set is engine-exact (a float HHI would flap at the threshold).
+
+    Scale shape: two keyed aggregates sharing the l_partkey grouping
+    (Catalyst reuses the partitioning for the second), one co-keyed
+    join, and a HAVING that reduces output to the risky tail only.
+    """
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    tot = rev.groupBy("l_partkey").agg(
+        F.sum("rev_cents").alias("total_cents"),
+        F.count("*").alias("n_suppliers"),
+    )
+    shares = rev.join(tot, on="l_partkey").select(
+        "l_partkey",
+        "n_suppliers",
+        F.expr("rev_cents * 1000000 div total_cents").alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("l_partkey")
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias(
+                "hhi_ppm"
+            ),
+            F.max("share_ppm").cast("long").alias("top_share_ppm"),
+        )
+        .where(F.col("hhi_ppm") >= 800_000)
+    )
