@@ -1448,25 +1448,38 @@ shares AS (
   SELECT r.l_partkey, t.n_suppliers,
          r.rev_cents * 1000000 // t.total_cents AS share_ppm
   FROM rev r JOIN tot t USING (l_partkey)
+),
+hhi AS (
+  SELECT l_partkey, CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+         CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+         CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+  FROM shares GROUP BY l_partkey
+),
+cut AS (
+  SELECT MAX(CASE WHEN rk = 1 + (9 * (n - 1)) // 10 THEN hhi_ppm END) AS p90
+  FROM (SELECT hhi_ppm, ROW_NUMBER() OVER (ORDER BY hhi_ppm, l_partkey) AS rk,
+               COUNT(*) OVER () AS n
+        FROM hhi)
 )
-SELECT l_partkey, CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
-       CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
-       CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
-FROM shares GROUP BY l_partkey
-HAVING SUM(share_ppm * share_ppm) // 1000000 >= 800000
+SELECT h.l_partkey, h.n_suppliers, h.hhi_ppm, h.top_share_ppm,
+       CAST(c.p90 AS BIGINT) AS p90_cut_ppm
+FROM hhi h, cut c WHERE h.hhi_ppm >= c.p90
 """,
     tags=("quality", "analytics", "aggregation"),
 )
 def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-concentration screening: the Herfindahl–Hirschman index
     of each part's supplier revenue shares, reporting parts whose
-    supply is dangerously concentrated (HHI >= 0.8 — near-single-source)
-    — the supply-chain-risk readout over the fact table.
+    supply is MOST concentrated — the top decile by HHI, a
+    self-calibrating cut (an absolute 0.8 threshold is meaningless on
+    an evenly-sourced catalog and floods on a sparse one; the risk
+    readout is always "your most concentrated tail").
 
     Exactness: revenue aggregates in integer cents (exact decimal x
     100), shares quantized to integer ppm by floor division, HHI =
-    sum(share^2) scaled back — every step integer, so the flagged part
-    set is engine-exact (a float HHI would flap at the threshold).
+    sum(share^2) scaled back, and the decile cut is an exact
+    nearest-lower order statistic — every step integer, so the flagged
+    part set is engine-exact (a float HHI would flap at the cut).
 
     Scale shape: two keyed aggregates sharing the l_partkey grouping
     (Catalyst reuses the partitioning for the second), one co-keyed
@@ -1490,14 +1503,31 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_suppliers",
         F.expr("rev_cents * 1000000 div total_cents").alias("share_ppm"),
     )
-    return (
-        shares.groupBy("l_partkey")
-        .agg(
-            F.max("n_suppliers").cast("long").alias("n_suppliers"),
-            F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias(
-                "hhi_ppm"
-            ),
-            F.max("share_ppm").cast("long").alias("top_share_ppm"),
+    hhi = shares.groupBy("l_partkey").agg(
+        F.max("n_suppliers").cast("long").alias("n_suppliers"),
+        F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias(
+            "hhi_ppm"
+        ),
+        F.max("share_ppm").cast("long").alias("top_share_ppm"),
+    )
+    wq = Window.orderBy("hhi_ppm", "l_partkey")
+    cut = (
+        hhi.select(
+            "hhi_ppm",
+            F.row_number().over(wq).alias("rk"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
         )
-        .where(F.col("hhi_ppm") >= 800_000)
+        .groupBy()
+        .agg(
+            F.max(
+                F.when(F.col("rk") == 1 + F.expr("(9 * (n - 1)) div 10"), F.col("hhi_ppm"))
+            ).alias("p90")
+        )
+    )
+    return hhi.crossJoin(F.broadcast(cut)).where(F.col("hhi_ppm") >= F.col("p90")).select(
+        "l_partkey",
+        "n_suppliers",
+        "hhi_ppm",
+        "top_share_ppm",
+        F.col("p90").cast("long").alias("p90_cut_ppm"),
     )
