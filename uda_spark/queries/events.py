@@ -1486,3 +1486,108 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bot_suspect"),
         )
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_id, event_type, {_DUCK_US} AS ts_us FROM events),
+first_signup AS (
+  SELECT user_id, MIN(ts_us) AS s_us FROM e WHERE event_type = 'signup' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT e.user_id, MIN(e.ts_us) AS p_us
+  FROM e JOIN first_signup f USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us >= f.s_us
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT f.user_id, p.p_us - f.s_us AS latency_us
+  FROM first_signup f JOIN first_purchase p USING (user_id)
+),
+ranked AS (
+  SELECT latency_us,
+         ROW_NUMBER() OVER (ORDER BY latency_us, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT (SELECT COUNT(*) FROM first_signup)::BIGINT AS n_signup_users,
+       MAX(n)::BIGINT AS n_converted,
+       CAST(MAX(n) * 1000000 // (SELECT COUNT(*) FROM first_signup) AS BIGINT)
+         AS conversion_ppm,
+       CAST(MAX(CASE WHEN rk = 1 + (n - 1) // 2 THEN latency_us END) // 1000000 AS BIGINT)
+         AS median_latency_s,
+       CAST(MAX(CASE WHEN rk = 1 + (9 * (n - 1)) // 10 THEN latency_us END) // 1000000 AS BIGINT)
+         AS p90_latency_s
+FROM ranked
+""",
+    tags=("events", "funnel", "analytics"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: latency from each user's FIRST
+    signup to their first subsequent purchase, summarized as conversion
+    rate plus exact median and p90 latency — the funnel-velocity metric
+    that complements step counts (`events_funnel_steps` says how many
+    convert; this says how long conversion takes, and the p90 tail is
+    what an activation team actually works).
+
+    Both latency cuts are exact nearest-lower order statistics over
+    integer microseconds (reported in whole seconds by integer
+    division); the conversion rate is integer ppm — one row out, every
+    value engine-exact.
+
+    Scale shape: two per-user MIN aggregates co-partitioned on
+    user_id, a same-key join, then order statistics over the
+    CONVERTED-users relation (users-sized, not events-sized).
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev0 = t(spark, sf_dir, "events")
+    e = ev0.withColumn("ts_us", event_micros(ev0)).select(
+        "user_id", "event_type", "ts_us"
+    )
+    fs = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_us"))
+    )
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .join(fs, on="user_id")
+        .where(F.col("ts_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    lat = fs.join(fp, on="user_id").select(
+        "user_id", (F.col("p_us") - F.col("s_us")).alias("latency_us")
+    )
+    n_signup = fs.agg(F.count("*").alias("n_signup_users"))
+    w = Window.orderBy("latency_us", "user_id")
+    ranked = lat.select(
+        "latency_us",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    summary = ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = 1 + (n - 1) div 2 THEN latency_us END)"
+            " div 1000000 AS BIGINT)"
+        ).alias("median_latency_s"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = 1 + (9 * (n - 1)) div 10 THEN latency_us END)"
+            " div 1000000 AS BIGINT)"
+        ).alias("p90_latency_s"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_signup))
+        .select(
+            F.col("n_signup_users").cast("long").alias("n_signup_users"),
+            "n_converted",
+            F.expr("CAST(n_converted * 1000000 div n_signup_users AS BIGINT)").alias(
+                "conversion_ppm"
+            ),
+            "median_latency_s",
+            "p90_latency_s",
+        )
+    )
