@@ -1531,3 +1531,60 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_share_ppm",
         F.col("p90").cast("long").alias("p90_cut_ppm"),
     )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+WITH m AS (
+  SELECT EXTRACT(month FROM o_orderdate)::INT AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS rev_cents,
+         COUNT(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT SUM(rev_cents)::BIGINT AS total_cents, COUNT(*)::BIGINT AS n_months FROM m
+)
+SELECT m.month, m.n_orders,
+       CAST(m.rev_cents AS BIGINT) AS rev_cents,
+       CAST(m.rev_cents * t.n_months * 1000000 // t.total_cents AS BIGINT)
+         AS seasonal_index_ppm
+FROM m, tot t
+""",
+    tags=("quality", "analytics", "timeseries"),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's revenue
+    relative to the all-months average (1e6 ppm = exactly average) —
+    the classical seasonal decomposition first step, used to
+    deseasonalize trends and to sanity-check synthetic or ingested
+    data for calendar artifacts.
+
+    Index = rev_m * n_months / mean-free total in one integer floor
+    division (revenue exact in cents) — no float ratio, so the index
+    is engine-exact at every scale.
+
+    Scale shape: one month-keyed aggregate of the fact (12 output
+    rows), one broadcast of the 1-row total.
+    """
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").cast("int").alias("month"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    tot = m.agg(
+        F.sum("rev_cents").alias("total_cents"), F.count("*").alias("n_months")
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "n_orders",
+        "rev_cents",
+        F.expr("CAST(rev_cents * n_months * 1000000 div total_cents AS BIGINT)").alias(
+            "seasonal_index_ppm"
+        ),
+    )
