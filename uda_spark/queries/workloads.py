@@ -310,3 +310,62 @@ def kv_pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"), F.expr(f"bit_xor({chk})").alias("checksum")
     )
     return run_stream_to_memory(agg, f"kv_stream_sink_{next(_KV_SINK_IDS)}")
+
+
+@register(
+    "federated_mixed_format_scan",
+    oracle=f"""
+SELECT COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT s_nationkey)::BIGINT AS n_nations,
+       bit_xor({portable.hash60("s_suppkey::VARCHAR || '|' || s_name", 'duck')}) AS checksum
+FROM supplier
+""",
+    tags=("formats", "io", "federation"),
+)
+def federated_mixed_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated heterogeneous-format scan: ONE logical table whose
+    thirds live in parquet, CSV, and JSON (the mid-migration reality of
+    every long-lived data platform), read back through three format
+    readers, unioned by name, and digest-reconciled against the
+    original relation — proving the union is lossless across format
+    boundaries (CSV's string-typed readback is the classic silent
+    corruption; the explicit schema on re-read prevents it, and the
+    checksum would catch it).
+
+    Scale shape: each leg scans independently (predicate pushdown and
+    pruning still per-format where supported); unionByName is a
+    zero-shuffle plan node; only the final digest aggregates.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from uda_spark.sources import formats as FMT
+
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    base = _os.path.join(
+        _tf.gettempdir(), f"uda_fed_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    legs = {
+        "parquet": sup.where(F.col("s_suppkey") % 3 == 0),
+        "csv": sup.where(F.col("s_suppkey") % 3 == 1),
+        "json": sup.where(F.col("s_suppkey") % 3 == 2),
+    }
+    legs["parquet"].write.mode("overwrite").parquet(f"{base}_parquet")
+    FMT.write_csv(legs["csv"], f"{base}_csv")
+    FMT.write_json(legs["json"], f"{base}_json")
+
+    schema = "s_suppkey LONG, s_name STRING, s_nationkey INT"
+    p = spark.read.parquet(f"{base}_parquet")
+    c = spark.read.schema(schema).option("header", "true").csv(f"{base}_csv")
+    j = spark.read.schema(schema).json(f"{base}_json")
+    fed = p.unionByName(c).unionByName(j)
+    chk = portable.hash60(
+        "concat(CAST(s_suppkey AS STRING), '|', s_name)", "spark"
+    )
+    return fed.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("s_nationkey").cast("long").alias("n_nations"),
+        F.expr(f"bit_xor({chk})").alias("checksum"),
+    )
