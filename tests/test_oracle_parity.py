@@ -74,14 +74,16 @@ def test_query_matches_oracle(name, spark, duck_smoke):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-def test_driver_window_covers_round5_targets():
+def test_driver_window_is_rotation_2():
     """The external driver samples the first 50 exported queries; the
-    round-5 rotation exists to give `layout_zorder_events` and
-    `xml_roundtrip_region` their first external rows.  Pin their window
-    positions so a refactor can't silently push them back out before the
-    driver runs."""
-    from uda_spark.registry import get_queries
+    round-6 rotation puts the 50 frozen `_R06_WINDOW` names (never
+    driver-sampled through r05) in those positions.  Pin the ordering so
+    a refactor can't silently reshuffle it before the driver runs, and
+    check nothing was lost: the export is still all registered queries
+    exactly once."""
+    from uda_spark.registry import _R06_WINDOW, get_queries
 
     names = list(get_queries())
-    assert names.index("layout_zorder_events") < 50
-    assert names.index("xml_roundtrip_region") < 50
+    assert len(_R06_WINDOW) == 50
+    assert tuple(names[:50]) == _R06_WINDOW
+    assert len(names) == len(set(names)) == len(SPECS)

@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 
 FP = 1_000_000_000  # fixed-point scale
 
+EDGES_PER_PARTITION = 50_000
+
+
+def graph_stage_width(edge_count: int, default_parallelism: int) -> int:
+    """Shuffle width for graph stages over a candidate-pair edge relation.
+
+    Grows linearly with the edge count (~50k edges/partition) so small
+    graphs aren't scheduled across thousands of near-empty tasks
+    (measured 5.5s -> 2.5s at sf0.1 on local[32]), while the upper bound
+    is CLUSTER-relative — ``max(64, 4 * defaultParallelism)`` — never a
+    constant: at 1e9 edges on a large cluster the wedge join (the only
+    O(E^1.5) intermediate) must run cluster-wide, not 64-wide.
+    """
+    return max(1, min(edge_count // EDGES_PER_PARTITION + 1, max(64, default_parallelism * 4)))
+
 
 def pagerank_fp(
     pairs: DataFrame,
@@ -108,7 +123,9 @@ def triangle_stats(
     # cheap action on the already-persisted relation and also feeds the
     # n_edges output; ~50k edges per partition keeps big graphs wide.
     edge_count = edges.count()
-    n_parts = max(1, min(64, edge_count // 50_000 + 1))
+    n_parts = graph_stage_width(
+        edge_count, pairs.sparkSession.sparkContext.defaultParallelism
+    )
     edges = edges.repartition(n_parts)
     deg = (
         edges.select(F.col("a").alias("n"))

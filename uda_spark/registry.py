@@ -34,12 +34,10 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # advanced/formats/relational/workloads queries with no external row since
 # round 1 — and two queries added late in round 4 (`layout_zorder_events` in
 # `advanced`, `xml_roundtrip_region` in `formats`) with no external row ever.
-# This round the stale modules move to the front so those 50 earn fresh
-# external rows (advanced 21 + formats 8 + relational 20 + 1 workload = 50);
-# the round-4-green modules rotate to the back.  A later round may perform
-# one further pre-declared rotation to bring relational2/relational3/the rest
-# of workloads into the window.  The ordering remains a pure function of this
-# tuple — never of driver results.
+# Round 5 moved the stale modules to the front so those 50 earned fresh
+# external rows (advanced 21 + formats 8 + relational 20 + 1 workload = 50,
+# all green in CORRECTNESS_r05).  The ordering remains a pure function of
+# the tuples in this file — never of driver results.
 _QUERY_MODULES = (
     "uda_spark.queries.advanced",
     "uda_spark.queries.formats",
@@ -56,6 +54,88 @@ _QUERY_MODULES = (
     # appended after the round-5 rotation freeze — new modules only ever
     # append here, which cannot move the pinned first-50 sample window
     "uda_spark.queries.quality",
+    # appended round 6 — covered by the rotation-3 window (see below)
+    "uda_spark.queries.retrieval_pipeline",
+)
+
+# ---------------------------------------------------------------------------
+# Rotation 2 (round 6) — coverage completion, pre-declared by VERDICT r05 #1.
+#
+# After the round-5 rotation, exactly 79 of the 213 registered queries had
+# never earned an external CORRECTNESS row (they sat outside every round's
+# first-50 window).  This frozen tuple is those 79 names in registration
+# order, truncated at 50 — a pure function of the union of
+# CORRECTNESS_r01..r05 KEY SETS (which queries the driver ever sampled),
+# computed once at round-6 start and hard-coded here.  It does NOT depend on
+# pass/fail outcomes (all driver rows to date are green, so there is no
+# result signal to react to); it is a coverage schedule, nothing else.
+#
+# Rotation 3 (round 7, pre-declared): the remaining 29 never-sampled names —
+#   pipeline_stratified_sample, streaming_cms_user_sketch,
+#   multimodal_scene_changes, pipeline_train_val_test_split,
+#   pipeline_domain_balance, pipeline_epoch_shuffle, pipeline_weighted_sample,
+#   multimodal_phash_near_dup, pipeline_shard_manifest, profile_orders,
+#   events_hourly_anomalies, events_cohort_retention, basket_copurchase_pairs,
+#   table_diff_orders, orders_rfm_segments, lineitem_abc_analysis,
+#   events_markov_transitions, orders_open_backlog,
+#   lineitem_ship_lag_histogram, orders_argmax_latest, events_value_winsorize,
+#   events_key_skew_profile, dq_constraint_report, events_lateness_profile,
+#   sketch_kmv_intersection, events_hourly_anomalies_mad, orders_cohort_ltv,
+#   part_supplier_hhi, orders_seasonality_index —
+# plus every query first registered in round 6, in registration order.
+# After rotation 3 all queries have >=1 driver row and the window returns to
+# plain registration order permanently.
+_R06_WINDOW = (
+    "table_digest_orders",
+    "kv_pyds_roundtrip",
+    "kv_pyds_stream_ingest",
+    "federated_mixed_format_scan",
+    "window_percent_rank_balances",
+    "window_share_of_total_balances",
+    "join_null_safe_types",
+    "join_bloom_prefilter",
+    "dedup_cluster_canonical_star",
+    "graph_triangle_stats",
+    "dedup_containment_pairs",
+    "graph_cluster_density",
+    "dedup_minhash_calibration",
+    "dedup_cluster_survivor",
+    "pipeline_leakage_safe_split",
+    "sim_pq_knn",
+    "sim_ivfpq_knn",
+    "sim_radius_search",
+    "sim_ann_recall_eval",
+    "sim_matryoshka_knn",
+    "sim_hybrid_rrf",
+    "sim_embedding_outliers",
+    "text_repetition_stats",
+    "text_decontaminate",
+    "text_unigram_logprob",
+    "text_chunk_windows",
+    "text_cms_heavy_hitters",
+    "text_fuzzy_part_pairs",
+    "text_inverted_index",
+    "text_langid_confusion",
+    "text_chunk_dedup",
+    "text_bigram_logprob",
+    "text_hashing_features",
+    "text_pmi_bigrams",
+    "text_novelty_score",
+    "events_scd2_user_type",
+    "events_ewma_value",
+    "events_funnel_steps",
+    "events_concurrency_curve",
+    "events_user_entropy",
+    "events_dow_hour_heatmap",
+    "events_interarrival_stats",
+    "events_props_map_stats",
+    "events_top_trigrams",
+    "events_purchase_session_lookup",
+    "events_rolling_active_users",
+    "events_scd2_temporal_join",
+    "events_session_busy_overlap",
+    "events_bot_score",
+    "events_time_to_convert",
 )
 
 
@@ -88,10 +168,19 @@ def _load() -> None:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """All registered queries in registration (module) order — fixed,
-    reproducible, and independent of anything outside the package."""
+    """All registered queries: the frozen rotation window first (so the
+    driver's first-50 sample completes external coverage — see the
+    rotation schedule above), then every other query in registration
+    (module) order.  Fixed, reproducible, and independent of anything
+    outside the package."""
     _load()
-    return dict(_REGISTRY)
+    out: dict[str, QuerySpec] = {}
+    for name in _R06_WINDOW:
+        out[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in out:
+            out[name] = spec
+    return out
 
 
 def get_queries() -> dict[str, QueryFn]:
