@@ -620,41 +620,50 @@ def pq_query_luts(
     )
 
 
-def pq_knn(
+def pq_build_index(
     corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PQ index: returns (codebook, coded corpus) — BOTH
+    tracked-persisted, because at scale the index is built once and
+    served many times; benchmarking and serving paths must not re-run
+    codebook training or encoding per query batch.  The coded relation
+    is (c_id, codes array<int>) — 32× smaller than the float corpus.
+    """
+    from uda_spark import cache
+
+    codebook = pq_train_codebooks(corpus, id_col, vec_col, m, k, dim)
+    coded = cache.tracked_persist(
+        pq_encode(corpus, codebook, id_col, vec_col, m, dim).select(
+            F.col(id_col).alias("c_id"), "codes"
+        )
+    )
+    return codebook, coded
+
+
+def pq_search(
+    coded: DataFrame,
+    codebook: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
     top_k: int = 5,
     m: int = 8,
-    k: int = 16,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate L2 top-k via product quantization with asymmetric
-    distance computation (ADC): (query_id, neighbor_id, adc_dist, rank).
+    """ADC search against a built PQ index (see :func:`pq_build_index`).
 
-    The corpus is represented only by its PQ codes (32× smaller); each
-    query precomputes an (m × k) table of exact subspace distances to
-    every centroid, and a candidate's approximate distance is m table
+    Each query precomputes an (m × k) table of exact subspace distances
+    to every centroid, and a candidate's approximate distance is m table
     lookups summed in subspace order — no float vector math per
-    candidate.  Jégou et al.'s IVFADC scoring half, composable with the
-    IVF coarse quantizer (queries/advanced.py sim_ivf_knn) for the full
-    IVF-PQ index.
-
-    Plan shape mirrors :func:`knn_bruteforce`: the coded corpus never
-    shuffles — LUTs broadcast, scoring is map-side, and top-k is
-    partial-then-final (the reference's LPQ/RPQ hierarchical-merge
-    shape, src/Merger/MergeManager.cc:240-288).
-
-    Deterministic end to end (exact integer subvectors, fixed
-    dimension/subspace summation order, ties to lower id), so the DuckDB
-    oracle value-hash-checks the approximation itself; recall vs brute
-    force is asserted separately in tests/test_approx_ops.py.
+    candidate.  The coded corpus never shuffles: LUTs broadcast, scoring
+    is map-side, top-k is partial-then-final (the reference's LPQ/RPQ
+    hierarchical-merge shape, src/Merger/MergeManager.cc:240-288).
     """
-    codebook = pq_train_codebooks(corpus, id_col, vec_col, m, k, dim)
-    coded = pq_encode(corpus, codebook, id_col, vec_col, m, dim).select(
-        F.col(id_col).alias("c_id"), "codes"
-    )
     lut = pq_query_luts(queries, codebook, id_col, vec_col, m, dim)
     adc = (
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
@@ -688,3 +697,28 @@ def pq_knn(
             "rank",
         )
     )
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate L2 top-k via product quantization with asymmetric
+    distance computation: build (:func:`pq_build_index`) + search
+    (:func:`pq_search`) in one call — Jégou et al.'s IVFADC scoring
+    half, composable with the IVF coarse quantizer
+    (queries/advanced.py sim_ivf_knn) for the full IVF-PQ index.
+
+    Deterministic end to end (exact integer subvectors, fixed
+    dimension/subspace summation order, ties to lower id), so the DuckDB
+    oracle value-hash-checks the approximation itself; recall vs brute
+    force is asserted separately in tests/test_approx_ops.py.
+    """
+    codebook, coded = pq_build_index(corpus, id_col, vec_col, m, k, dim)
+    return pq_search(coded, codebook, queries, id_col, vec_col, top_k, m, dim)

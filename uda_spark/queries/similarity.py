@@ -385,11 +385,22 @@ def sim_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point arithmetic throughout, so the oracle replays the whole
     composed index and value-hashes the result.
     """
+    cent, codebook, coded = ivfpq_build(spark, sf_dir)
+    return ivfpq_search(spark, sf_dir, cent, codebook, coded)
+
+
+def ivfpq_build(spark: SparkSession, sf_dir: str):
+    """IVF-PQ index build: (coarse centroids, PQ codebook, coded corpus
+    carrying its IVF label) — each tracked-persisted, because at scale
+    the index is built once and served many times.  bench.py times this
+    phase separately from the search phase (VERDICT r05 #3)."""
+    from uda_spark.cache import tracked_persist
+
     emb = t(spark, sf_dir, "embeddings")
     iv = emb.select(
         "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
     )
-    cent = (
+    cent = tracked_persist(
         iv.select("label", F.posexplode("v").alias("d", "x"))
         .groupBy("label", "d")
         .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
@@ -400,6 +411,29 @@ def sim_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cm")
         )
         .select("label", F.expr("transform(cm, e -> e.mu)").alias("centroid"))
+    )
+    codebook = SIM.pq_train_codebooks(emb, "vec_id", "embedding", PQ_M, PQ_K, EMB_DIM)
+    coded = tracked_persist(
+        SIM.pq_encode(
+            emb, codebook, "vec_id", "embedding", PQ_M, EMB_DIM, extra_cols=("label",)
+        ).select(F.col("vec_id").alias("c_id"), "codes", "label")
+    )
+    return cent, codebook, coded
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    cent: DataFrame,
+    codebook: DataFrame,
+    coded: DataFrame,
+) -> DataFrame:
+    """IVF-PQ search against a built index: coarse-probe nprobe=3
+    partitions, ADC-score only the probed codes, partial-then-final
+    top-k."""
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", F.expr(portable.int_vec("embedding", "spark")).alias("v")
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     qv = iv.where(F.col("vec_id") < N_QUERIES).select("vec_id", "v")
@@ -419,10 +453,6 @@ def sim_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= IVFPQ_NPROBE)
         .select(F.col("vec_id").alias("q_id"), F.col("label").alias("probe_label"))
     )
-    codebook = SIM.pq_train_codebooks(emb, "vec_id", "embedding", PQ_M, PQ_K, EMB_DIM)
-    coded = SIM.pq_encode(
-        emb, codebook, "vec_id", "embedding", PQ_M, EMB_DIM, extra_cols=("label",)
-    ).select(F.col("vec_id").alias("c_id"), "codes", "label")
     luts = SIM.pq_query_luts(queries, codebook, "vec_id", "embedding", PQ_M, EMB_DIM)
     probe_luts = probes.join(luts, on="q_id")
     adc = (
