@@ -334,3 +334,124 @@ class TestPartitioningIndependence:
                 assert a == b, f"{name} changed under shuffle width 17"
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: property tests for the quality module's estimator tier
+# (VERDICT r05 #5) — KMV error bounds + permutation/partitioning
+# invariance, and the order-statistic invariants of winsorize / MAD.
+
+
+class TestKmvEstimator:
+    """The KMV estimator used by sketch_kmv_intersection, exercised on
+    synthetic id sets built with the SAME portable hash + estimator
+    expressions as the live query."""
+
+    @staticmethod
+    def _estimate(spark, ids, n_parts):
+        import pyspark.sql.functions as SF
+        from pyspark.sql import Window as W
+
+        from uda_spark.functions import portable
+        from uda_spark.queries.quality import KMV_K, _kmv_est
+
+        df = spark.createDataFrame([(i,) for i in ids], "user_id string").repartition(
+            n_parts
+        )
+        h = df.select(
+            SF.expr(
+                portable.hash60("concat('kmv|', CAST(user_id AS STRING))", "spark")
+            ).alias("hv"),
+            "user_id",
+        )
+        w = W.orderBy("hv", "user_id")
+        kmv = h.withColumn("rk", SF.row_number().over(w)).where(SF.col("rk") <= KMV_K)
+        row = kmv.agg(
+            SF.count("*").cast("long").alias("cnt"),
+            SF.expr(_kmv_est("max(hv)")).alias("full_est"),
+        ).collect()[0]
+        return int(row["cnt"]) if row["cnt"] < KMV_K else int(row["full_est"])
+
+    @SPARK_SETTINGS
+    @given(
+        n=st.integers(min_value=1, max_value=1200),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def test_small_sets_exact_large_sets_bounded(self, spark, n, seed):
+        import math
+
+        from uda_spark.queries.quality import KMV_K
+
+        ids = [f"u{seed}-{i}" for i in range(n)]
+        est = self._estimate(spark, ids, 4)
+        if n <= KMV_K:
+            # the sketch holds the whole set -> exact by construction
+            assert est == n
+        else:
+            # KMV standard error ~ 1/sqrt(k-2); md5-of-id hashes are
+            # effectively uniform, so 6 sigma is a deterministic-safe bound
+            # for these fixed (n, seed) inputs
+            assert abs(est - n) <= 6 * n / math.sqrt(KMV_K - 2), (n, est)
+
+    def test_estimate_is_partitioning_and_order_invariant(self, spark):
+        rng = random.Random(11)
+        ids = [f"perm-{i}" for i in range(300)]
+        base = self._estimate(spark, ids, 1)
+        for n_parts in (3, 17):
+            rng.shuffle(ids)
+            assert self._estimate(spark, ids, n_parts) == base
+
+
+class TestQualityOrderStatInvariants:
+    """Structural invariants of the exact-order-statistic queries on the
+    live smoke tables: every returned row must satisfy the definition it
+    claims (clip bounds, MAD threshold), independent of data values."""
+
+    def test_winsorize_cut_and_sum_bounds(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+
+        rows = all_specs()["events_value_winsorize"].fn(spark, SF_SMOKE).collect()
+        release_persisted()
+        assert rows
+        for r in rows:
+            n = r["n"]
+            assert r["p01_micros"] <= r["p99_micros"]
+            # rank cut 1 + (n-1) div 100: at most that many strictly below p01
+            assert 0 <= r["n_clipped_low"] <= (n - 1) // 100
+            assert 0 <= r["n_clipped_high"] <= n - 1 - (99 * (n - 1)) // 100
+            assert n * r["p01_micros"] <= r["sum_clipped_micros"] <= n * r["p99_micros"]
+
+    def test_mad_anomalies_satisfy_their_threshold(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.queries.quality import MAD_K
+        from uda_spark.registry import all_specs
+
+        rows = all_specs()["events_hourly_anomalies_mad"].fn(spark, SF_SMOKE).collect()
+        release_persisted()
+        for r in rows:
+            assert r["mad_events"] > 0
+            assert abs(r["n_events"] - r["median_events"]) >= MAD_K * r["mad_events"]
+            assert r["is_anomaly"] is True
+
+    def test_kmv_live_query_error_bounds(self, spark):
+        import math
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.queries.quality import KMV_K
+        from uda_spark.registry import all_specs
+
+        row = all_specs()["sketch_kmv_intersection"].fn(spark, SF_SMOKE).collect()[0]
+        release_persisted()
+        se = 6 / math.sqrt(KMV_K - 2)
+        for est, exact in ((row["est_a"], row["exact_a"]), (row["est_b"], row["exact_b"])):
+            if exact <= KMV_K:
+                assert est == exact
+            else:
+                assert abs(est - exact) <= se * exact, (est, exact)
+        assert 0 <= row["jaccard_est_ppm"] <= 1_000_000
+        # intersection can never exceed the union estimate
+        assert row["est_inter"] <= max(row["est_a"], row["est_b"]) * (1 + se)

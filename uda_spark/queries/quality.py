@@ -1102,7 +1102,10 @@ ranked AS (
 ),
 kmv AS (SELECT tag, hv FROM ranked WHERE rk <= {KMV_K}),
 est AS (
-  SELECT tag, {_kmv_est('MAX(hv)')} AS d_est FROM kmv GROUP BY tag
+  SELECT tag,
+         CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)::BIGINT
+              ELSE {_kmv_est('MAX(hv)')} END AS d_est
+  FROM kmv GROUP BY tag
 ),
 uni AS (
   SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk
@@ -1114,7 +1117,10 @@ sketch AS (
     (SELECT COUNT(*) FROM ukmv
      WHERE hv IN (SELECT hv FROM kmv WHERE tag = 'a')
        AND hv IN (SELECT hv FROM kmv WHERE tag = 'b'))::BIGINT AS n_both,
-    (SELECT {_kmv_est('MAX(hv)')} FROM ukmv) AS d_union
+    (SELECT COUNT(*) FROM ukmv)::BIGINT AS u_cnt,
+    (SELECT CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)::BIGINT
+                 ELSE {_kmv_est('MAX(hv)')} END
+     FROM ukmv) AS d_union
 ),
 exact AS (
   SELECT COUNT(*) FILTER (in_a)::BIGINT AS exact_a,
@@ -1124,9 +1130,11 @@ exact AS (
 )
 SELECT (SELECT d_est FROM est WHERE tag = 'a') AS est_a, exact_a,
        (SELECT d_est FROM est WHERE tag = 'b') AS est_b, exact_b,
-       CAST(sketch.n_both * sketch.d_union // {KMV_K} AS BIGINT) AS est_inter,
+       CAST(sketch.n_both * sketch.d_union
+            // GREATEST(1, LEAST({KMV_K}, sketch.u_cnt)) AS BIGINT) AS est_inter,
        exact_inter,
-       CAST(sketch.n_both * 1000000 // {KMV_K} AS BIGINT) AS jaccard_est_ppm
+       CAST(sketch.n_both * 1000000
+            // GREATEST(1, LEAST({KMV_K}, sketch.u_cnt)) AS BIGINT) AS jaccard_est_ppm
 FROM exact, sketch
 """,
     tags=("quality", "sketch", "approx"),
@@ -1182,7 +1190,21 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= KMV_K)
         .select("tag", "hv")
     )
-    est = kmv.groupBy("tag").agg(F.expr(_kmv_est("max(hv)")).alias("d_est"))
+    # a sketch holding fewer than k values IS the whole set: report the
+    # exact cardinality instead of the (biased-high) k-th-value estimate
+    est = (
+        kmv.groupBy("tag")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.expr(_kmv_est("max(hv)")).alias("full_est"),
+        )
+        .select(
+            "tag",
+            F.when(F.col("cnt") < KMV_K, F.col("cnt"))
+            .otherwise(F.col("full_est"))
+            .alias("d_est"),
+        )
+    )
     a_set = kmv.where(F.col("tag") == "a").select("hv")
     b_set = kmv.where(F.col("tag") == "b").select("hv")
     uni = a_set.union(b_set).distinct().orderBy("hv").limit(KMV_K)
@@ -1195,7 +1217,14 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_both"),
-        F.expr(_kmv_est("max(hv)")).alias("d_union"),
+        F.count("*").cast("long").alias("u_cnt"),
+        F.expr(_kmv_est("max(hv)")).alias("full_union"),
+    ).select(
+        "n_both",
+        "u_cnt",
+        F.when(F.col("u_cnt") < KMV_K, F.col("u_cnt"))
+        .otherwise(F.col("full_union"))
+        .alias("d_union"),
     )
     exact = seg.agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("exact_a"),
@@ -1215,11 +1244,15 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_a",
             "est_b",
             "exact_b",
-            F.expr(f"CAST(n_both * d_union div {KMV_K} AS BIGINT)").alias("est_inter"),
+            F.expr(
+                f"CAST(n_both * d_union div "
+                f"greatest(1L, least(CAST({KMV_K} AS BIGINT), u_cnt)) AS BIGINT)"
+            ).alias("est_inter"),
             "exact_inter",
-            F.expr(f"CAST(n_both * 1000000 div {KMV_K} AS BIGINT)").alias(
-                "jaccard_est_ppm"
-            ),
+            F.expr(
+                f"CAST(n_both * 1000000 div "
+                f"greatest(1L, least(CAST({KMV_K} AS BIGINT), u_cnt)) AS BIGINT)"
+            ).alias("jaccard_est_ppm"),
         )
     )
 
