@@ -942,12 +942,15 @@ PMI_TOP = 20
 
 # The (doc_id, gram) explode feeds the bigram counts AND the scoring
 # join, and Spark recomputes the subtree per consumer (3 corpus scans —
-# same no-ReusedExchange behavior as TF-IDF, measured in PLANS.md).  At
-# bench scale recomputing is cheaper than materializing the token-count-
-# sized cache, so the default stays False; a 100 TB deployment flips
-# this and the corpus is exploded once (the cache spills to disk).
-# Measured at sf0.1 (min-of-3, warm JVM): recompute 1.21s vs persisted
-# 1.27s — a wash locally; the flag is the documented cluster lever.
+# same no-ReusedExchange behavior as TF-IDF, measured in PLANS.md).
+# Crossover pinned by scripts/ab_bigram.py on inflated corpora
+# (round 6, local[32]/128G, min-of-2): persist wins while the exploded
+# relation fits storage memory (x1 5k docs 0.65, x20 100k docs 0.63)
+# and LOSES once it spills (x100 500k docs 1.07, x200 1M docs 1.14) —
+# the lever is "does the exploded relation fit the cluster's aggregate
+# cache", not corpus size per se.  Default False: the registered query
+# must be correct at any scale, and recompute degrades gracefully while
+# an overflowing persist pays spill round-trips on top of the explode.
 BIGRAM_PERSIST_DB = False
 
 
@@ -1004,12 +1007,23 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     job, src/Merger/CompareFunc.cc:95-113) maps to one quantization per
     derived value shared by engine and oracle.
     """
-    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    return bigram_logprob_scores(t(spark, sf_dir, "documents"))
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, persist_db: bool | None = None
+) -> DataFrame:
+    """The bigram-LM scoring pipeline over any (doc_id, text) relation —
+    factored out so the persist-vs-recompute A/B can run it on inflated
+    synthetic corpora (scripts/ab_bigram.py, SCALING.md)."""
+    if persist_db is None:
+        persist_db = BIGRAM_PERSIST_DB
+    docs = docs.withColumn("toks", F.expr(_SP_TOKS))
     db = docs.select(
         "doc_id",
         F.explode(F.expr(portable.shingles("toks", 2, "spark"))).alias("gram"),
     ).where(F.size(F.split("gram", " ")) == 2)
-    if BIGRAM_PERSIST_DB:
+    if persist_db:
         db = tracked_persist(db)
     bi = db.groupBy("gram").agg(F.count("*").alias("n_ab"))
     ctx = (
