@@ -1222,3 +1222,31 @@ class TestGraphStageWidth:
         # local perf behavior is unchanged from the measured r05 tuning
         assert graph_stage_width(10**9, 16) == 64
         assert graph_stage_width(3_200_000, 32) == 65
+
+
+class TestRound6PlanQuality:
+    """Exchange/scan pins for the round-6 queries."""
+
+    def test_temperature_mixture_corpus_never_shuffles(self, spark):
+        from uda_spark.plans.explain import plan_str
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["pipeline_temperature_mixture"].fn(spark, SF_SMOKE)
+        df.collect()
+        # the corpus side is scan -> broadcast-join -> map-side keep flag
+        # -> partial agg; the only hash exchange is the tiny final
+        # per-source rollup (and the rate-table lineage)
+        plan = plan_str(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_curriculum_single_exchange_per_source_sort(self, spark):
+        from uda_spark.plans.explain import count_exchanges, count_scans
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["pipeline_curriculum_phases"].fn(spark, SF_SMOKE)
+        df.collect()
+        # one exchange keyed by source feeds BOTH the ntile window and
+        # the per-(source, phase) rollup; the corpus is scanned once
+        assert count_exchanges(df) == 1
+        assert count_scans(df) == 1

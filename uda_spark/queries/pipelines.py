@@ -1340,3 +1340,173 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.expr(f"bit_xor({fp})").alias("member_fp"),
     ).select(F.col("shard").cast("int").alias("shard"), "n_docs", "total_chars", "member_fp")
+
+
+MIX_ALPHA_NOTE = "temperature = 0.5 (square-root scaling), quantized to fp micro-units"
+
+
+@register(
+    "pipeline_temperature_mixture",
+    oracle=f"""
+WITH cnt AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_docs)::BIGINT AS total FROM cnt),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS weight_fp
+  FROM cnt
+),
+sw AS (SELECT SUM(weight_fp)::BIGINT AS sum_w FROM w),
+rate AS (
+  SELECT source, n_docs, weight_fp,
+         LEAST(
+           {BALANCE_PPM_MOD},
+           ((SELECT total FROM tot) // 2) * weight_fp * {BALANCE_PPM_MOD}
+             // ((SELECT sum_w FROM sw) * n_docs)
+         )::BIGINT AS rate_ppm
+  FROM w
+),
+tagged AS (
+  SELECT d.source, r.n_docs, r.weight_fp, r.rate_ppm,
+         CASE WHEN {portable.hash60("'mix|' || CAST(doc_id AS VARCHAR)", 'duck')}
+                   % {BALANCE_PPM_MOD} < r.rate_ppm
+              THEN 1 ELSE 0 END AS keep,
+         d.doc_id
+  FROM documents d JOIN rate r USING (source)
+)
+SELECT source, n_docs, weight_fp, rate_ppm,
+       SUM(keep)::BIGINT AS n_sampled,
+       CAST(SUM(CASE WHEN keep = 1 THEN doc_id % 1000003 ELSE 0 END) AS BIGINT)
+         AS member_checksum
+FROM tagged GROUP BY source, n_docs, weight_fp, rate_ppm
+""",
+    tags=("pipeline", "north-star", "sampling"),
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture — the standard LLM-pretraining
+    data-mixing rule (sample source s with probability ∝ n_s^T, T=0.5):
+    square-root scaling upweights small domains relative to their raw
+    share without flattening the mixture entirely (T=0 is
+    `pipeline_domain_balance`'s equal-size limit; T=1 is the raw
+    corpus).  The total budget is half the corpus; per-source
+    acceptance rates are capped at 1.
+
+    Exactness: the only float is sqrt(n) on an integer — IEEE-exact in
+    both engines — quantized once to fp micro-units; rates and the
+    membership test are pure integer arithmetic from there
+    (``hash60('mix|'||doc_id) % 1e6 < rate_ppm``), so membership is
+    deterministic, engine-identical, and stable under per-source
+    growth.  The member checksum pins exact membership.
+
+    Scale shape: identical to `pipeline_domain_balance` — one tiny
+    count aggregate, two scalar reductions over the per-source table
+    (driver-side O(#sources)), broadcast of the rate table, map-side
+    filter, tiny final aggregate; the corpus is scanned once and never
+    shuffled.  Overflow budget: T * weight_fp * 1e6 stays under 2^63
+    up to ~1e11 docs per source; past that, drop the ppm scale to ppb.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = cnt.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("weight_fp"),
+    )
+    scalars = w.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum("weight_fp").cast("long").alias("sum_w"),
+    ).collect()[0]
+    budget, sum_w = int(scalars["total"]) // 2, int(scalars["sum_w"])
+    rate = w.select(
+        "source",
+        "n_docs",
+        "weight_fp",
+        F.expr(
+            f"CAST(least(CAST({BALANCE_PPM_MOD} AS BIGINT), "
+            f"{budget}L * weight_fp * {BALANCE_PPM_MOD} div ({sum_w}L * n_docs)) "
+            f"AS BIGINT)"
+        ).alias("rate_ppm"),
+    )
+    h = portable.hash60("concat('mix|', CAST(doc_id AS STRING))", "spark")
+    tagged = docs.join(F.broadcast(rate), on="source").select(
+        "source",
+        "n_docs",
+        "weight_fp",
+        "rate_ppm",
+        F.when(F.expr(h) % BALANCE_PPM_MOD < F.col("rate_ppm"), 1)
+        .otherwise(0)
+        .alias("keep"),
+        "doc_id",
+    )
+    return tagged.groupBy("source", "n_docs", "weight_fp", "rate_ppm").agg(
+        F.sum("keep").cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("keep") == 1, F.col("doc_id") % 1000003).otherwise(0))
+        .cast("long")
+        .alias("member_checksum"),
+    )
+
+
+@register(
+    "pipeline_curriculum_phases",
+    oracle=f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         len({portable.tokens('text', 'duck')})::BIGINT AS n_tokens,
+         CAST(length(text) AS BIGINT) * 1000000
+           // GREATEST(1, len({portable.tokens('text', 'duck')})) AS score_fp
+  FROM documents
+),
+phased AS (
+  SELECT source, doc_id, n_tokens, score_fp,
+         NTILE(4) OVER (PARTITION BY source ORDER BY score_fp, doc_id) AS phase
+  FROM scored
+)
+SELECT source, CAST(phase AS INT) AS phase,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS sum_tokens,
+       MIN(score_fp)::BIGINT AS min_score_fp,
+       MAX(score_fp)::BIGINT AS max_score_fp,
+       CAST(SUM(doc_id % 1000003) AS BIGINT) AS member_checksum
+FROM phased GROUP BY source, phase
+""",
+    tags=("pipeline", "north-star", "curriculum"),
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: assign every document to one of four
+    training phases by a difficulty proxy (mean token length in fp
+    micro-units — longer words ≈ harder text), quartiled WITHIN each
+    source so no domain is starved from any phase — the ordering step
+    of curriculum-learning data prep, with per-phase token budgets as
+    the output (those budgets are what the training scheduler
+    consumes).
+
+    Exactness: the score is pure integer arithmetic; NTILE group sizes
+    and the (score_fp, doc_id) tiebreak are engine-identical, so phase
+    MEMBERSHIP (pinned by the checksum) is exact, not just the counts.
+
+    Scale shape: the ranking pass sorts per SOURCE (one exchange keyed
+    by source, same exact-order-statistic tier as
+    events_value_winsorize) — never a global single-partition sort; a
+    skewed mega-source salts into the same pattern every per-key sort
+    here uses.  The per-phase rollup rides the same partitioning.
+    """
+    toks = portable.tokens("text", "spark")
+    scored = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(length(text) AS BIGINT) * 1000000"
+            f" div GREATEST(1, size({toks}))"
+        ).alias("score_fp"),
+    )
+    wp = Window.partitionBy("source").orderBy("score_fp", "doc_id")
+    phased = scored.withColumn("phase", F.ntile(4).over(wp))
+    return phased.groupBy("source", F.col("phase").cast("int").alias("phase")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("score_fp").cast("long").alias("min_score_fp"),
+        F.max("score_fp").cast("long").alias("max_score_fp"),
+        F.sum(F.col("doc_id") % 1000003).cast("long").alias("member_checksum"),
+    )
