@@ -33,6 +33,10 @@ QUERIES = [
     "events_sessionize",        # keyed window
     "text_bigram_logprob",      # double explode + shuffle join on gram
     "pipeline_epoch_shuffle",   # one exchange + in-partition sort
+    # round-6 additions
+    "pipeline_temperature_mixture",  # map-side mixing vs broadcast rates
+    "pipeline_curriculum_phases",    # per-source exact-order-statistic sort
+    "pipeline_retrieval_e2e",        # composed dedup->CC->PQ->RRF pipeline
 ]
 ITERS = 3
 
