@@ -964,3 +964,78 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("component").cast("long").alias("n_clusters"),
         F.sum(F.col("doc_id") % 1000003).cast("long").alias("member_checksum"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r))::BIGINT AS component
+  FROM reach GROUP BY node
+),
+corpus AS ({_DUCK_CORPUS_NEAR}),
+sizes AS (SELECT component, COUNT(*)::BIGINT AS cluster_size FROM comp GROUP BY component),
+hist AS (
+  SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
+         (cluster_size * COUNT(*))::BIGINT AS n_docs
+  FROM sizes GROUP BY cluster_size
+),
+singles AS (
+  SELECT COUNT(*)::BIGINT AS n FROM corpus
+  WHERE doc_id NOT IN (SELECT node FROM comp)
+)
+SELECT * FROM hist
+UNION ALL
+SELECT 1::BIGINT, n, n FROM singles WHERE n > 0
+""",
+    tags=("dedup", "north-star", "iterative"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup telemetry: the distribution of near-dup family sizes
+    (cluster_size, n_clusters, n_docs), singletons included as size-1
+    clusters — the first report a curation run reads ("what fraction of
+    the corpus is duplicated, and is it many pairs or a few giant
+    boilerplate families?"), and the input to capacity planning for the
+    survivor/CC stages (a fat tail here is what the LSH bucket cap and
+    CC convergence guards exist for).
+
+    Scale shape: the CC labeling dominates (shared with
+    `dedup_cluster_canonical`); the histogram itself is two tiny
+    aggregates over the label relation, and the singleton count is one
+    anti-join aggregate that stays a DataFrame (no driver collect).
+    """
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(
+        corpus, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
+    )
+    labels = D.connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+    )
+    singles = (
+        corpus.join(labels, corpus["doc_id"] == labels["node"], "left_anti")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return hist.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_docs"
+    ).unionByName(singles)

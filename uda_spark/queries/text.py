@@ -1231,3 +1231,105 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+# Multi-category term blocklist (round 6).  Tiny here; the pattern —
+# exploded tokens equi-joined to a BROADCAST term->category relation,
+# never a per-term CASE chain — is the one that scales to the
+# thousands-of-terms lists real quality filters use.
+BLOCKLIST = (
+    ("slow", "severe"),
+    ("big", "mild"),
+    ("small", "mild"),
+)
+BLOCKLIST_MILD_MAX = 3  # > this many mild hits drops the doc
+
+_BL_DU_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in BLOCKLIST)
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=f"""
+WITH bl AS (SELECT * FROM (VALUES {_BL_DU_VALUES}) v(term, category)),
+tk AS (SELECT doc_id, unnest({_DU_TOKS}) AS tok FROM documents),
+hits AS (
+  SELECT tk.doc_id,
+         SUM(CASE WHEN bl.category = 'severe' THEN 1 ELSE 0 END)::BIGINT AS severe_hits,
+         SUM(CASE WHEN bl.category = 'mild' THEN 1 ELSE 0 END)::BIGINT AS mild_hits
+  FROM tk JOIN bl ON tk.tok = bl.term GROUP BY tk.doc_id
+),
+flagged AS (
+  SELECT d.source, d.doc_id,
+         COALESCE(h.severe_hits, 0) AS severe_hits,
+         COALESCE(h.mild_hits, 0) AS mild_hits,
+         CASE WHEN COALESCE(h.severe_hits, 0) > 0
+                OR COALESCE(h.mild_hits, 0) > {BLOCKLIST_MILD_MAX}
+              THEN 1 ELSE 0 END AS dropped
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN severe_hits + mild_hits > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       SUM(dropped)::BIGINT AS n_dropped,
+       SUM(severe_hits)::BIGINT AS severe_hits,
+       SUM(mild_hits)::BIGINT AS mild_hits,
+       CAST(SUM(CASE WHEN dropped = 1 THEN doc_id % 1000003 ELSE 0 END) AS BIGINT)
+         AS dropped_checksum
+FROM flagged GROUP BY source
+""",
+    tags=("text", "north-star", "quality"),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-based quality filtering: per-source report of documents
+    flagged and dropped by a categorized term blocklist (any 'severe'
+    hit drops; more than BLOCKLIST_MILD_MAX 'mild' hits drops) — the
+    keyword-filter stage every pretraining corpus pipeline runs, with
+    the drop set pinned by a checksum so the FILTER decision itself is
+    value-hash checked, not just the counts.
+
+    Scale shape: exploded tokens equi-join the broadcast blocklist (at
+    real list sizes this stays a broadcast hash join — a term list is
+    KBs — and never a per-term CASE chain the optimizer can't prune);
+    per-doc hit totals are one partial-agg exchange keyed doc_id; the
+    left join back to the corpus catches zero-hit docs; the per-source
+    rollup is tiny.  The corpus blob column is never touched
+    (ReadSchema: doc_id, source, text).
+    """
+    bl = spark.createDataFrame(list(BLOCKLIST), "term string, category string")
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(F.expr(_SP_TOKS)).alias("tok"))
+    hits = (
+        tk.join(F.broadcast(bl), tk["tok"] == bl["term"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("category") == "severe", 1).otherwise(0))
+            .cast("long")
+            .alias("severe_hits"),
+            F.sum(F.when(F.col("category") == "mild", 1).otherwise(0))
+            .cast("long")
+            .alias("mild_hits"),
+        )
+    )
+    flagged = docs.select("source", "doc_id").join(hits, on="doc_id", how="left").select(
+        "source",
+        "doc_id",
+        F.coalesce("severe_hits", F.lit(0)).alias("severe_hits"),
+        F.coalesce("mild_hits", F.lit(0)).alias("mild_hits"),
+    ).withColumn(
+        "dropped",
+        F.when(
+            (F.col("severe_hits") > 0) | (F.col("mild_hits") > BLOCKLIST_MILD_MAX), 1
+        ).otherwise(0),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("severe_hits") + F.col("mild_hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("dropped").cast("long").alias("n_dropped"),
+        F.sum("severe_hits").cast("long").alias("severe_hits"),
+        F.sum("mild_hits").cast("long").alias("mild_hits"),
+        F.sum(F.when(F.col("dropped") == 1, F.col("doc_id") % 1000003).otherwise(0))
+        .cast("long")
+        .alias("dropped_checksum"),
+    )
