@@ -1250,3 +1250,22 @@ class TestRound6PlanQuality:
         # the per-(source, phase) rollup; the corpus is scanned once
         assert count_exchanges(df) == 1
         assert count_scans(df) == 1
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_subquery_prunes_fact_partitions(self, spark):
+        """join_dpp_partitioned_orders must plan a dynamicpruning
+        subquery in the hive-partitioned fact scan's PartitionFilters —
+        the runtime scan-elimination DPP exists for.  Asserted on the
+        pre-execution formatted plan (the executed AQE rendering folds
+        the subquery away)."""
+        from uda_spark.plans.explain import plan_str
+        from uda_spark.registry import all_specs
+
+        df = all_specs()["join_dpp_partitioned_orders"].fn(spark, SF_SMOKE)
+        plan = plan_str(df, final_only=False)
+        fact_scan = plan[plan.find("uda_fmt_dpp"):]
+        pf = fact_scan[fact_scan.find("PartitionFilters"):]
+        assert "dynamicpruningexpression" in pf[:400]
+        # and the result is still correct (2 of 5 priorities pass)
+        assert df.count() == 2

@@ -220,3 +220,55 @@ def xml_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fmt_path("xml", sf_dir)
     FMT.write_xml(src, path)
     return FMT.read_xml(spark, path, src.schema)
+
+
+@register(
+    "join_dpp_partitioned_orders",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+GROUP BY o_orderpriority
+""",
+    tags=("formats", "io", "join", "pruning"),
+)
+def join_dpp_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a hive-partitioned fact: orders is
+    written partitioned by o_orderpriority, then joined to a dimension
+    whose filter (priority rank <= 2, a DERIVED attribute Catalyst
+    cannot fold into a static partition predicate) is only knowable at
+    runtime — so the fact scan must carry a ``dynamicpruning``
+    subquery in its PartitionFilters and skip 3 of 5 partition
+    directories without reading a row from them.  This is the
+    star-schema scan-elimination mechanism that matters most at 100 TB
+    (a date-dim filter pruning years of fact partitions); the plan
+    shape is pinned in tests/test_operators.py.
+
+    The oracle reduces the join to its semantic content (the fact rows
+    whose priority passes the dim filter), so the VALUES are checked
+    while the pruning is checked structurally.
+    """
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _fmt_path("dpp", sf_dir)
+    src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .where(F.expr("CAST(substring(priority, 1, 1) AS INT) <= 2"))
+    )
+    from uda_spark.operators import agg as A
+
+    return (
+        fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["priority"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            A.dsum("o_totalprice", "total_value"),
+        )
+    )
