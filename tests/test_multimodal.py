@@ -152,3 +152,38 @@ def test_ahash_arrow_matches_pandas(spark):
         (r.id, r.ahash) for r in MM.ahash_images_arrow(blobs, "doc_id").collect()
     )
     assert a == b and len(a) > 0
+
+
+class TestAudioFrames:
+    def test_frame_shape_and_amp_bounds(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark import multimodal as MM
+        from uda_spark.multimodal.blob import AUDIO_FRAME_LEN, AUDIO_N_SAMPLES
+        from uda_spark.sources.tables import load_table
+
+        import pyspark.sql.functions as F
+
+        docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+        blobs = MM.attach_blob_column(docs, "text", "doc_id", mime="audio/pcm")
+        frames = MM.decode_audio_frames(blobs, id_col="doc_id")
+        per_clip = frames.groupBy("id").agg(
+            F.count("*").alias("n"), F.min("amp").alias("lo"), F.max("amp").alias("hi")
+        )
+        rows = per_clip.collect()
+        assert len(rows) == 50
+        for r in rows:
+            assert r["n"] == AUDIO_N_SAMPLES // AUDIO_FRAME_LEN
+            assert 0 <= r["lo"] <= r["hi"] <= 255 * AUDIO_FRAME_LEN
+
+    def test_real_codec_seam_raises(self, spark):
+        import pytest as _pt
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark import multimodal as MM
+        from uda_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").limit(2)
+        blobs = MM.attach_blob_column(docs, "text", "doc_id", mime="audio/pcm")
+        out = MM.decode_audio_frames(blobs, id_col="doc_id", use_real_codec=True)
+        with _pt.raises(Exception, match="soundfile|PythonException"):
+            out.collect()

@@ -3,6 +3,7 @@ from uda_spark.multimodal.blob import (
     ahash_images,
     ahash_images_arrow,
     attach_blob_column,
+    decode_audio_frames,
     decode_images,
     resize_images,
     extract_features,
@@ -14,6 +15,7 @@ __all__ = [
     "ahash_images",
     "ahash_images_arrow",
     "attach_blob_column",
+    "decode_audio_frames",
     "decode_images",
     "resize_images",
     "extract_features",

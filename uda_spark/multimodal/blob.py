@@ -414,3 +414,71 @@ def sample_frames(df: DataFrame, n_frames: int, id_col: str = "id") -> DataFrame
 
     src = df.select(F.col(id_col).alias("_id"), "data")
     return src.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("frame", IntegerType()),
+        StructField("amp", LongType()),
+    ]
+)
+
+AUDIO_N_SAMPLES = 64   # synthetic PCM samples per clip (one byte each)
+AUDIO_FRAME_LEN = 16   # samples per analysis frame -> 4 frames per clip
+
+
+def _fake_pcm_hex(blob: bytes) -> str:
+    """Deterministic stand-in for an audio codec: expand the blob into a
+    pseudo-PCM byte stream (one unsigned byte per sample), in the
+    hex-string domain so a SQL oracle can recompute it
+    (``substr(repeat(md5(hex(blob)), ...), 1, 2*n_samples)``)."""
+    seed = hashlib.md5(blob.hex().encode()).hexdigest()
+    need = 2 * AUDIO_N_SAMPLES
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def decode_audio_frames(
+    df: DataFrame, id_col: str = "id", use_real_codec: bool = False
+) -> DataFrame:
+    """Decode audio blobs and emit per-frame amplitude rows
+    (id, frame, amp) — amp is the exact integer sum of the frame's
+    sample bytes, the loudness primitive under RMS/silence analysis.
+
+    Arrow-batched mapInPandas, map-only (no shuffle) — the audio third
+    of the modality triple next to :func:`decode_images` (image) and
+    :func:`sample_frames` (video).  The default path is the
+    deterministic stub codec; ``use_real_codec=True`` is the seam where
+    a real decoder (soundfile/librosa, absent in this environment)
+    plugs in, and raises until one is wired.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_codec:  # pragma: no cover - needs soundfile (absent)
+                raise ImportError(
+                    "use_real_codec=True requires soundfile or librosa; "
+                    "neither ships in this environment"
+                )
+            ids, frames, amps = [], [], []
+            for i, blob in zip(pdf["_id"], pdf["data"]):
+                sh = _fake_pcm_hex(blob)
+                samples = [
+                    int(sh[2 * j : 2 * j + 2], 16) for j in range(AUDIO_N_SAMPLES)
+                ]
+                for f in range(AUDIO_N_SAMPLES // AUDIO_FRAME_LEN):
+                    ids.append(i)
+                    frames.append(f)
+                    amps.append(
+                        sum(samples[f * AUDIO_FRAME_LEN : (f + 1) * AUDIO_FRAME_LEN])
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame": pd.Series(frames, dtype="int32"),
+                    "amp": amps,
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("_id"), "data")
+    return src.mapInPandas(decode, schema=AUDIO_FRAMES_SCHEMA)

@@ -1510,3 +1510,57 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score_fp").cast("long").alias("max_score_fp"),
         F.sum(F.col("doc_id") % 1000003).cast("long").alias("member_checksum"),
     )
+
+
+AUDIO_SILENCE_AMP = 2048  # frame amp (16 bytes) below this counts as silent
+
+
+@register(
+    "multimodal_audio_loudness",
+    oracle=f"""
+WITH b AS (SELECT doc_id, {_MM_BHEX} AS bhex FROM documents),
+s AS (SELECT doc_id, substr(repeat(md5(bhex), 5), 1, 128) AS sh FROM b),
+fr AS (
+  SELECT doc_id, f,
+         list_sum(list_transform(range(0, 16), i ->
+           (strpos({_MM_HEXDIG}, substr(sh, 2 * (f * 16 + i) + 1, 1)) - 1) * 16
+           + (strpos({_MM_HEXDIG}, substr(sh, 2 * (f * 16 + i) + 2, 1)) - 1)
+         ))::BIGINT AS amp
+  FROM s, range(0, 4) r(f)
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_frames,
+       SUM(amp)::BIGINT AS total_amp,
+       MAX(amp)::BIGINT AS peak_amp,
+       SUM(CASE WHEN amp < {AUDIO_SILENCE_AMP} THEN 1 ELSE 0 END)::BIGINT AS n_silent
+FROM fr GROUP BY doc_id
+""",
+    tags=("multimodal", "north-star", "audio"),
+)
+def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality analysis: blobs → Arrow-batched mapInPandas PCM
+    decode → per-frame amplitudes → per-clip loudness profile (frame
+    count, total/peak amplitude, silent-frame count) — the
+    voice-activity / silence-trim screening step of an audio training
+    pipeline, completing the modality triple (image decode, video frame
+    sampling, audio framing) on the same blob plumbing.
+
+    The codec is the deterministic md5 stub (no audio libs in this
+    environment; the real-decoder seam raises by name), so the oracle
+    recomputes the identical frame amplitudes in SQL — the mapInPandas
+    path is value-hash checked end to end.
+
+    Scale shape: map-only decode (blobs never shuffle), one exchange for
+    the per-clip rollup keyed by id.
+    """
+    docs = t(spark, sf_dir, "documents")
+    blobs = MM.attach_blob_column(docs, "text", "doc_id", mime="audio/pcm")
+    frames = MM.decode_audio_frames(blobs, id_col="doc_id")
+    return frames.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("amp").cast("long").alias("total_amp"),
+        F.max("amp").cast("long").alias("peak_amp"),
+        F.sum(F.when(F.col("amp") < AUDIO_SILENCE_AMP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_silent"),
+    )
