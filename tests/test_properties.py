@@ -480,3 +480,43 @@ class TestBigramPersistFlagEquivalence:
         b = sorted(map(tuple, bigram_logprob_scores(docs, persist_db=True).collect()))
         release_persisted()
         assert a == b and len(a) > 0
+
+
+@SPARK_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    """triangle_stats (degree-oriented wedge closure, round-6 width
+    refactor) must agree with a brute-force O(n^3) count on arbitrary
+    small graphs — self-loops and duplicate pairs are normalized away by
+    the same rule both sides use."""
+    from itertools import combinations
+
+    from uda_spark.cache import release_persisted
+    from uda_spark.operators.graph import triangle_stats
+
+    # normalize: undirected simple graph, no self-loops
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not eset:
+        return
+    nodes = sorted({n for e in eset for n in e})
+    tri = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if ((x, y) in eset and (x, z) in eset and (y, z) in eset)
+    )
+    deg = {n: sum(1 for e in eset if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    df = spark.createDataFrame(sorted(eset), "doc_a long, doc_b long")
+    row = triangle_stats(df).collect()[0]
+    release_persisted()
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(eset)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
