@@ -64,8 +64,14 @@ EXTENDED = [
     "multimodal_phash_near_dup",
     "join_bloom_prefilter",
     "pipeline_weighted_sample",
-    # round-6 addition: the composed dedup->survivor->PQ->RRF pipeline
+    # round-6 additions
     "pipeline_retrieval_e2e",
+    "pipeline_temperature_mixture",
+    "pipeline_curriculum_phases",
+    "text_blocklist_filter",
+    "dedup_cluster_size_histogram",
+    "join_dpp_partitioned_orders",
+    "multimodal_audio_loudness",
 ]
 
 
