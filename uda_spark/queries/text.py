@@ -1333,3 +1333,86 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_checksum"),
     )
+
+
+@register(
+    "text_source_drift_tvd",
+    oracle=f"""
+WITH tk AS (SELECT source, unnest({_DU_TOKS}) AS tok FROM documents),
+st AS (SELECT source, tok, COUNT(*)::BIGINT AS n_st FROM tk GROUP BY source, tok),
+s AS (SELECT source, SUM(n_st)::BIGINT AS n_s FROM st GROUP BY source),
+tt AS (SELECT tok, SUM(n_st)::BIGINT AS n_t FROM st GROUP BY tok),
+n AS (SELECT SUM(n_t)::BIGINT AS total FROM tt),
+obs AS (
+  SELECT st.source,
+         COUNT(*)::BIGINT AS n_terms,
+         SUM(abs(st.n_st * (SELECT total FROM n) - s.n_s * tt.n_t))::BIGINT
+           AS obs_diff,
+         SUM(tt.n_t)::BIGINT AS obs_mass
+  FROM st JOIN s USING (source) JOIN tt USING (tok)
+  GROUP BY st.source
+)
+SELECT s.source, s.n_s AS n_tokens, o.n_terms,
+       CAST(floor(
+         (o.obs_diff + s.n_s * ((SELECT total FROM n) - o.obs_mass))
+         * 500000.0 / (s.n_s * (SELECT total FROM n)) + 0.5
+       ) AS BIGINT) AS tvd_ppm
+FROM s JOIN obs o USING (source)
+""",
+    tags=("text", "quality", "north-star", "drift"),
+)
+def text_source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen: total-variation distance between each
+    source's token distribution and the whole-corpus distribution —
+    the outlier-domain / crawl-drift detector run before a new source
+    is admitted to the mixture (a source whose unigram profile sits far
+    from the corpus is template spam, another language, or broken
+    extraction).
+
+    TVD = ½ Σ_t |p_s(t) − p(t)| is computed WITHOUT materializing the
+    (sources × vocabulary) cross: the unobserved-term mass is recovered
+    algebraically as ``n_s · (N − Σ_{{t∈obs(s)}} n_t)`` since missing
+    terms contribute exactly their corpus probability.  Everything is
+    exact BIGINT until one final deterministic double division per
+    source (at petabyte token counts the |n_st·N| products need a
+    DECIMAL(38,0) rescale — same bit-budget discipline as zorder's key
+    guard).
+
+    Scale shape: one (source, tok) partial-agg exchange over the
+    exploded corpus; the per-source and per-term rollups derive from
+    that aggregate (vocabulary-sized, broadcast back); no pass touches
+    the corpus twice.
+    """
+    tk = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(_SP_TOKS)).alias("tok")
+    )
+    st = tk.groupBy("source", "tok").agg(F.count("*").alias("n_st"))
+    st = tracked_persist(st)
+    s = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    tt = st.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    total = int(tt.agg(F.sum("n_t")).collect()[0][0])
+    obs = (
+        st.join(F.broadcast(s), on="source")
+        .join(F.broadcast(tt), on="tok")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(F.abs(F.col("n_st") * total - F.col("n_s") * F.col("n_t")))
+            .cast("long")
+            .alias("obs_diff"),
+            F.sum("n_t").cast("long").alias("obs_mass"),
+        )
+    )
+    return s.join(obs, on="source").select(
+        "source",
+        F.col("n_s").cast("long").alias("n_tokens"),
+        "n_terms",
+        F.floor(
+            (F.col("obs_diff") + F.col("n_s") * (total - F.col("obs_mass")))
+            * 500000.0
+            / (F.col("n_s") * total)
+            + 0.5
+        )
+        .cast("long")
+        .alias("tvd_ppm"),
+    )
