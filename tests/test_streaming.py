@@ -3,6 +3,7 @@ the streaming twins (same semantics, different execution mode)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -145,3 +146,75 @@ class TestCheckpointRecovery:
         assert out.groupBy("id").count().where(F.col("count") > 1).count() == 0
         # derived column survived the restart boundary
         assert out.where(F.col("tag") != F.upper("v")).count() == 0
+
+
+def _have_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent; install not permitted)",
+)
+def test_transform_with_state_running_totals(spark):
+    """Spark 4's StatefulProcessor API (transformWithStateInPandas) —
+    the successor to applyInPandasWithState with typed state + timers.
+    Investigated in round 6: the driver-side state-server protocol
+    imports google.protobuf, which this environment does not ship, so
+    the query crashes at streaming-runner init (recorded in PLANS.md).
+    This test IS the wired usage, exercised wherever protobuf exists;
+    the applyInPandasWithState operator (streaming/stateful.py) covers
+    the capability on this environment."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from uda_spark import streaming as ST
+    from tests.conftest import SF_SMOKE
+
+    class Totals(StatefulProcessor):
+        def init(self, handle):
+            self.totals = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self.totals.get() if self.totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value_cents"].sum())
+            self.totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+            )
+
+        def close(self):
+            pass
+
+    ev = ST.events_file_stream(spark, SF_SMOKE)
+    prepped = ev.select(
+        "user_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG)").alias("value_cents"),
+    )
+    out = prepped.groupBy("user_id").transformWithStateInPandas(
+        Totals(),
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink = ST.run_stream_to_memory(out, "tws_totals_sink", mode="update")
+    from uda_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, sink.collect())) == sorted(map(tuple, batch.collect()))
