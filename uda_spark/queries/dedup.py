@@ -1020,7 +1020,9 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id",
         n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
     )
-    labels = D.connected_components(pairs)
+    # star CC: identical min-id labels, fewer rounds (see
+    # pipeline_retrieval_e2e's A/B note)
+    labels = D.connected_components_star(pairs)
     sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(
         F.count("*").cast("long").alias("n_clusters"),

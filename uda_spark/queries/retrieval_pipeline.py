@@ -152,7 +152,10 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id",
         n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
     )
-    labels = D.connected_components(pairs)  # (node, component)
+    # O(log n) star CC: same min-id labels as connected_components
+    # (equality property-tested), ~20% faster here (A/B at sf0.1:
+    # 3.6s vs 4.5s warm) and round-bounded on chainy graphs
+    labels = D.connected_components_star(pairs)  # (node, component)
 
     # --- stage 3: longest-member survivor per cluster, resolved back to
     # the stored doc id; singleton docs survive as themselves ---
