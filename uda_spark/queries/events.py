@@ -1591,3 +1591,107 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_latency_s",
         )
     )
+
+
+@register(
+    "events_attribution_touchpoints",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         {_DUCK_US} AS ts_us
+  FROM events
+),
+attributed AS (
+  SELECT user_id, event_type, cents,
+         COALESCE(first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                              IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  '(direct)') AS first_touch,
+         COALESCE(last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                             IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  '(direct)') AS last_touch
+  FROM seq
+),
+purchases AS (SELECT * FROM attributed WHERE event_type = 'purchase')
+SELECT channel,
+       SUM(n_first)::BIGINT AS n_first,
+       SUM(first_cents)::BIGINT AS first_touch_cents,
+       SUM(n_last)::BIGINT AS n_last,
+       SUM(last_cents)::BIGINT AS last_touch_cents
+FROM (
+  SELECT first_touch AS channel, 1 AS n_first, cents AS first_cents,
+         0 AS n_last, 0 AS last_cents
+  FROM purchases
+  UNION ALL
+  SELECT last_touch, 0, 0, 1, cents FROM purchases
+) GROUP BY channel
+""",
+    tags=("events", "analytics", "north-star"),
+)
+def events_attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: every purchase credits its
+    user's FIRST preceding non-purchase event (first-touch) and LAST
+    preceding one (last-touch); per-channel totals of both models side
+    by side — the revenue-attribution report whose first/last split is
+    the standard sanity check on a channel mix (a channel strong on
+    first-touch but absent on last-touch acquires, one with the reverse
+    closes).  Purchases with no preceding event fall into '(direct)'.
+
+    Exactness: credits are integer cents; the preceding-touch choice is
+    a deterministic IGNORE NULLS window frame ordered by exact
+    microseconds with event_id tiebreak.
+
+    Scale shape: ONE exchange keyed by user feeds both window passes
+    (same partitioning, same ordering frame); the two attribution
+    models then reduce over the purchases-only relation (tiny) via a
+    2x-unioned rollup keyed by channel.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+        "ts_us",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = seq.select(
+        "event_type",
+        "cents",
+        F.coalesce(F.first(touch, ignorenulls=True).over(w), F.lit("(direct)")).alias(
+            "first_touch"
+        ),
+        F.coalesce(F.last(touch, ignorenulls=True).over(w), F.lit("(direct)")).alias(
+            "last_touch"
+        ),
+    )
+    purchases = attributed.where(F.col("event_type") == "purchase")
+    first_side = purchases.select(
+        F.col("first_touch").alias("channel"),
+        F.lit(1).alias("n_first"),
+        F.col("cents").alias("first_cents"),
+        F.lit(0).alias("n_last"),
+        F.lit(0).alias("last_cents"),
+    )
+    last_side = purchases.select(
+        F.col("last_touch").alias("channel"),
+        F.lit(0).alias("n_first"),
+        F.lit(0).alias("first_cents"),
+        F.lit(1).alias("n_last"),
+        F.col("cents").alias("last_cents"),
+    )
+    return first_side.unionByName(last_side).groupBy("channel").agg(
+        F.sum("n_first").cast("long").alias("n_first"),
+        F.sum("first_cents").cast("long").alias("first_touch_cents"),
+        F.sum("n_last").cast("long").alias("n_last"),
+        F.sum("last_cents").cast("long").alias("last_touch_cents"),
+    )
