@@ -1621,3 +1621,82 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index_ppm"
         ),
     )
+
+
+TE_FOLDS = 4
+
+
+@register(
+    "features_target_encoding_oof",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS category,
+         CAST({_PORT.hash60("'te|' || CAST(o_orderkey AS VARCHAR)", 'duck')} % {TE_FOLDS} AS INT) AS fold,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+per_fold AS (
+  SELECT category, fold, COUNT(*)::BIGINT AS n_f, SUM(cents)::BIGINT AS cents_f
+  FROM base GROUP BY category, fold
+),
+per_cat AS (
+  SELECT category, SUM(n_f)::BIGINT AS n_all, SUM(cents_f)::BIGINT AS cents_all
+  FROM per_fold GROUP BY category
+)
+SELECT f.category, f.fold, f.n_f AS n_rows,
+       CAST((c.cents_all - f.cents_f) // (c.n_all - f.n_f) AS BIGINT)
+         AS oof_encoding_cents
+FROM per_fold f JOIN per_cat c USING (category)
+WHERE c.n_all > f.n_f
+""",
+    tags=("quality", "features", "north-star"),
+)
+def features_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe version of the
+    classic categorical→mean-target feature: each (category, fold)
+    cell's encoding is the mean target over every OTHER fold, computed
+    algebraically as (total − fold) / (n_total − n_fold) so no row's
+    own target leaks into its feature.  Folds are deterministic salted
+    hashes of the row key; credits are integer cents with one exact
+    integer division per cell, so the encoded table is engine-identical.
+
+    Scale shape: one partial-agg exchange keyed (category, fold) over
+    the fact; everything after operates on the categories×folds grid
+    (tiny, broadcastable to the training join).  The out-of-fold
+    subtraction needs NO per-fold re-aggregation passes — the same
+    one-pass trick that makes K-fold encoding feasible at 100 TB.
+    """
+    from uda_spark.functions import portable as P
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        (
+            F.expr(P.hash60("concat('te|', CAST(o_orderkey AS STRING))", "spark"))
+            % TE_FOLDS
+        )
+        .cast("int")
+        .alias("fold"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per_fold = base.groupBy("category", "fold").agg(
+        F.count("*").cast("long").alias("n_f"),
+        F.sum("cents").cast("long").alias("cents_f"),
+    )
+    per_cat = per_fold.groupBy("category").agg(
+        F.sum("n_f").cast("long").alias("n_all"),
+        F.sum("cents_f").cast("long").alias("cents_all"),
+    )
+    return (
+        per_fold.join(F.broadcast(per_cat), on="category")
+        .where(F.col("n_all") > F.col("n_f"))
+        .select(
+            "category",
+            "fold",
+            F.col("n_f").alias("n_rows"),
+            F.expr("(cents_all - cents_f) div (n_all - n_f)")
+            .cast("long")
+            .alias("oof_encoding_cents"),
+        )
+    )
