@@ -72,6 +72,9 @@ EXTENDED = [
     "dedup_cluster_size_histogram",
     "join_dpp_partitioned_orders",
     "multimodal_audio_loudness",
+    "text_source_drift_tvd",
+    "events_attribution_touchpoints",
+    "features_target_encoding_oof",
 ]
 
 
