@@ -1302,3 +1302,22 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     j = left.join(right, "k").sample(0.00001)
     j.collect()
     assert re.search(r"skew=true", plan_str(j))
+
+
+class TestPqIndexLifecycle:
+    def test_build_index_returns_persisted_relations(self, spark):
+        """pq_build_index exists so the bench (and any serving path) can
+        amortize training: both halves of the index must come back
+        persisted, not as lazy lineage that re-trains per consumer."""
+        from uda_spark.cache import release_persisted
+        from uda_spark.operators import similarity as SIM
+        from uda_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        codebook, coded = SIM.pq_build_index(emb, "vec_id", "embedding")
+        try:
+            assert codebook.storageLevel.useMemory or codebook.storageLevel.useDisk
+            assert coded.storageLevel.useMemory or coded.storageLevel.useDisk
+            assert coded.columns == ["c_id", "codes"]
+        finally:
+            release_persisted()

@@ -1025,3 +1025,86 @@ def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad_d").cast("long").alias("mad_dist2_fp"),
         )
     )
+
+
+FILTER_LABEL = 2  # the metadata predicate for filtered search
+
+
+@register(
+    "sim_filtered_knn",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM n q JOIN n c
+    ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id AND c.label = {FILTER_LABEL}
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "north-star", "retrieval"),
+)
+def sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the vector-DB "filtered ANN"
+    pattern): top-k cosine neighbors restricted to candidates whose
+    metadata passes a predicate (label = 2) — PRE-filter strategy: the
+    predicate prunes the corpus BEFORE any scoring, so cost scales with
+    the filtered fraction and the result can never come up short of k
+    the way post-filtering a fixed candidate list does.
+
+    Scale shape: the label predicate is pushed into the corpus scan
+    (PushedFilters), queries broadcast against the filtered corpus,
+    top-k stays partial-then-final; with an IVF/PQ index the same
+    pre-filter applies to the coded corpus since codes carry their
+    metadata columns (`pq_encode(extra_cols=...)`).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    n = iv.select(
+        "vec_id", "label", "v",
+        F.expr(portable.int_dot("v", "v", "spark")).alias("nsq"),
+    )
+    queries = n.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qnsq"),
+    )
+    cands = n.where(F.col("label") == FILTER_LABEL).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "nsq"
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    portable.cosine_from_ints(
+                        portable.int_dot("qv", "v", "spark"), "qnsq", "nsq"
+                    )
+                ),
+                6,
+            ).alias("score"),
+            F.spark_partition_id().alias("_part"),
+        )
+    )
+    order = (F.col("score").desc(), F.col("neighbor_id").asc())
+    pw = Window.partitionBy("query_id", "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= TOP_K)
+        .drop("_part", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+    )
