@@ -234,7 +234,12 @@ _PQ_D2 = (
 # Lloyd iteration), positional encoding, and per-query ADC lookup
 # tables.  ``label_col`` threads an extra corpus column (IVF partition
 # key) through subs/codes so composed indexes can filter candidates.
-def _pq_oracle_ctes(label_col: str = "") -> str:
+def _pq_oracle_ctes(label_col: str = "", train_where: str = "") -> str:
+    """PQ pipeline CTEs.  ``train_where`` (e.g. " WHERE s.vec_id < 400")
+    restricts the codebook TRAINING pass (the a1 assignment) to a base
+    corpus while encoding still covers every vector — the incremental-
+    index case.  Default "" trains on everything (byte-identical to the
+    original CTEs)."""
     lbl = f", {label_col}" if label_col else ""
     slbl = f", s.{label_col}" if label_col else ""
     return f"""iv AS (SELECT vec_id{lbl}, {_IV} AS v FROM embeddings),
@@ -251,7 +256,7 @@ a1 AS (
     SELECT s.vec_id, s.m, s.sv, c.cid,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
              ORDER BY {_PQ_D2}, c.cid) AS rn
-    FROM subs s JOIN c0 c ON s.m = c.m
+    FROM subs s JOIN c0 c ON s.m = c.m{train_where}
   ) WHERE rn = 1
 ),
 c1 AS (
@@ -1107,4 +1112,55 @@ def sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         partial.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= TOP_K)
+    )
+
+
+PQ_BASE_MAX = 400  # codebook trains on vec_id < 400; the rest is the increment
+
+
+@register(
+    "sim_pq_incremental_serve",
+    oracle=f"""
+WITH {_pq_oracle_ctes(train_where=f" WHERE s.vec_id < {PQ_BASE_MAX}")},
+scored AS (
+  SELECT l.q_id AS query_id, c.vec_id AS neighbor_id, {_PQ_ADC} AS approx
+  FROM codes_l c CROSS JOIN lut l
+  WHERE l.q_id <> c.vec_id
+)
+{_PQ_FINAL}
+""",
+    tags=("similarity", "north-star", "approx", "retrieval"),
+)
+def sim_pq_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-index maintenance: the codebook is trained ONCE
+    on the base corpus (vec_id < 400); a later shard arrives and is
+    encoded against that FROZEN codebook — a map-only projection, no
+    retraining pass — and search serves the union of base + increment
+    codes.  This is how a production PQ/IVF-PQ index absorbs a new
+    crawl: train rarely, encode per shard, serve the concatenation
+    (codes are position-stable because the codebook never moved).
+
+    The oracle replays the same split: its training CTE is restricted
+    to the base corpus while encoding covers every vector, so the
+    frozen-codebook semantics are value-hash checked — retraining on
+    the union would produce different centroids and hash-mismatch.
+
+    Scale shape: encode of the increment touches ONLY the new shard
+    (scan -> broadcast codebook -> projection); the serve path is the
+    standard zero-corpus-exchange ADC scan over base ∪ increment.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < PQ_BASE_MAX)
+    increment = emb.where(F.col("vec_id") >= PQ_BASE_MAX)
+    codebook = SIM.pq_train_codebooks(base, "vec_id", "embedding", PQ_M, PQ_K, EMB_DIM)
+    coded_base = SIM.pq_encode(base, codebook, "vec_id", "embedding", PQ_M, EMB_DIM)
+    coded_inc = SIM.pq_encode(increment, codebook, "vec_id", "embedding", PQ_M, EMB_DIM)
+    coded = coded_base.unionByName(coded_inc).select(
+        F.col("vec_id").alias("c_id"), "codes"
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return SIM.pq_search(
+        coded, codebook, queries, "vec_id", "embedding", TOP_K, PQ_M, EMB_DIM
+    ).select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
     )
