@@ -75,6 +75,9 @@ EXTENDED = [
     "text_source_drift_tvd",
     "events_attribution_touchpoints",
     "features_target_encoding_oof",
+    "sim_filtered_knn",
+    "sim_pq_incremental_serve",
+    "geo_grid_neighbor_pairs",
 ]
 
 

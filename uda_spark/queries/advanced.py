@@ -1121,3 +1121,123 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         zvalue_col(base, "user_id", "hour_bucket", ZORDER_BITS).cast("long").alias("zval"),
     )
+
+
+# --- spatial grid-blocked neighbor join (round 6) ---------------------------
+# Deterministic synthetic coordinates in integer micro-degrees (the
+# customer table carries no geo columns; hash-derived points exercise the
+# operator on real data volumes).  Cell size == radius, so every true
+# neighbor pair shares a cell or sits in one of the 8 adjacent cells —
+# the spatial analog of LSH banding: candidates come from a bucket
+# equi-join, never an all-pairs distance cross.
+GEO_RADIUS_FP = 2_000_000          # micro-degrees
+_GEO_LAT = "({h1} % 180000000) - 90000000"
+_GEO_LON = "({h2} % 360000000) - 180000000"
+
+
+def _geo_pts(engine: str) -> str:
+    h1 = portable.hash60(
+        "concat('glat|', CAST(c_custkey AS STRING))"
+        if engine == "spark"
+        else "'glat|' || CAST(c_custkey AS VARCHAR)",
+        engine,
+    )
+    h2 = portable.hash60(
+        "concat('glon|', CAST(c_custkey AS STRING))"
+        if engine == "spark"
+        else "'glon|' || CAST(c_custkey AS VARCHAR)",
+        engine,
+    )
+    lat = _GEO_LAT.format(h1=h1)
+    lon = _GEO_LON.format(h2=h2)
+    div = "div" if engine == "spark" else "//"
+    return (
+        f"SELECT c_custkey AS id, {lat} AS lat, {lon} AS lon, "
+        f"(({lat}) + 90000000) {div} {GEO_RADIUS_FP} AS cx, "
+        f"((({lon}) + 180000000) {div} {GEO_RADIUS_FP}) AS cy "
+        f"FROM customer"
+    )
+
+
+@register(
+    "geo_grid_neighbor_pairs",
+    oracle=f"""
+WITH pts AS ({_geo_pts('duck')}),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) AS dist_sq
+  FROM pts a, range(-1, 2) dx(x), range(-1, 2) dy(y)
+  JOIN pts b ON b.cx = a.cx + dx.x AND b.cy = a.cy + dy.y
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(dist_sq AS BIGINT) AS dist_sq
+FROM cand WHERE dist_sq <= {GEO_RADIUS_FP}::BIGINT * {GEO_RADIUS_FP}
+""",
+    tags=("spatial", "join", "north-star"),
+)
+def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join via grid blocking: all point pairs within a
+    fixed radius, found by equi-joining on grid cells (cell == radius,
+    so a point's true neighbors live in its 3x3 cell neighborhood) and
+    verifying exact integer squared distance — the same
+    bucket-candidates-then-verify discipline as the MinHash/SRP joins,
+    applied to space.  No distance cross-join exists at any scale; the
+    candidate count tracks local density, not n².
+
+    Coordinates are deterministic hash-derived integer micro-degrees
+    (flat grid; wraparound at the antimeridian is out of scope for the
+    operator demo).  Everything is integer arithmetic — the pair set
+    and distances are engine-exact.
+
+    Scale shape: one explode(9 offsets) on the left, one shuffle
+    equi-join keyed (cx, cy) — the spatial skew story (a dense city
+    cell) is the same bucket-cap/salting lever the LSH joins carry.
+    """
+    docs = t(spark, sf_dir, "customer")
+    h1 = portable.hash60("concat('glat|', CAST(c_custkey AS STRING))", "spark")
+    h2 = portable.hash60("concat('glon|', CAST(c_custkey AS STRING))", "spark")
+    pts = docs.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(f"({h1} % 180000000) - 90000000").alias("lat"),
+        F.expr(f"({h2} % 360000000) - 180000000").alias("lon"),
+    ).select(
+        "id",
+        "lat",
+        "lon",
+        F.expr(f"(lat + 90000000) div {GEO_RADIUS_FP}").alias("cx"),
+        F.expr(f"(lon + 180000000) div {GEO_RADIUS_FP}").alias("cy"),
+    )
+    offsets = spark.range(-1, 2).selectExpr("id AS dx").crossJoin(
+        spark.range(-1, 2).selectExpr("id AS dy")
+    )
+    left = pts.crossJoin(F.broadcast(offsets)).select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cx") + F.col("dx")).alias("jcx"),
+        (F.col("cy") + F.col("dy")).alias("jcy"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    r2 = GEO_RADIUS_FP * GEO_RADIUS_FP
+    return (
+        left.join(right, on=["jcx", "jcy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+                + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+            )
+            .cast("long")
+            .alias("dist_sq"),
+        )
+        .where(F.col("dist_sq") <= r2)
+    )

@@ -10,8 +10,8 @@ the `pipeline_training_data` analog for the retrieval stack.
 Stage shapes at 100 TB (each inherited from its proven component):
   1. MinHash banded candidate gen — bucketed, never all-pairs
      (operators/dedup.py:45).
-  2. Connected components — two exchanges per round, lineage truncated
-     (operators/dedup.py:329).
+  2. Connected components — O(log n) large-star/small-star rounds,
+     lineage truncated (operators/dedup.py:448).
   3. Survivor selection — one integer-packed MAX per component
      (queries/dedup.py dedup_cluster_survivor).
   4. PQ codebook train + encode — one corpus pass, then a map-only
