@@ -82,9 +82,16 @@ _QUERY_MODULES = (
 #   events_key_skew_profile, dq_constraint_report, events_lateness_profile,
 #   sketch_kmv_intersection, events_hourly_anomalies_mad, orders_cohort_ltv,
 #   part_supplier_hhi, orders_seasonality_index —
-# plus every query first registered in round 6, in registration order.
-# After rotation 3 all queries have >=1 driver row and the window returns to
-# plain registration order permanently.
+# plus the 13 queries first registered in round 6, in registration order:
+#   geo_grid_neighbor_pairs, join_dpp_partitioned_orders,
+#   dedup_cluster_size_histogram, sim_filtered_knn,
+#   sim_pq_incremental_serve, text_blocklist_filter, text_source_drift_tvd,
+#   events_attribution_touchpoints, pipeline_temperature_mixture,
+#   pipeline_curriculum_phases, multimodal_audio_loudness,
+#   features_target_encoding_oof, pipeline_retrieval_e2e
+# (29 + 13 = 42 of the 50 slots; the remainder top up from the head of
+# plain registration order).  After rotation 3 all queries have >=1 driver
+# row and the window returns to plain registration order permanently.
 _R06_WINDOW = (
     "table_digest_orders",
     "kv_pyds_roundtrip",
