@@ -1321,3 +1321,25 @@ class TestPqIndexLifecycle:
             assert coded.columns == ["c_id", "codes"]
         finally:
             release_persisted()
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """The third AQE mechanism pin (next to skew-split and DPP): a small
+    aggregate planned at full shuffle width must execute with runtime-
+    coalesced partitions (AQEShuffleRead coalesced) — the knob that
+    keeps small stages from scheduling hundreds of near-empty tasks at
+    cluster widths."""
+    from uda_spark.plans.explain import plan_str
+    from uda_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as SF
+
+    df = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(SF.count("*").alias("n"))
+    )
+    df.collect()
+    # detail sections (where AQEShuffleRead prints "coalesced") follow
+    # the initial-plan tree in formatted mode, so keep the full text
+    assert "coalesced" in plan_str(df, final_only=False)
