@@ -78,6 +78,7 @@ EXTENDED = [
     "sim_filtered_knn",
     "sim_pq_incremental_serve",
     "geo_grid_neighbor_pairs",
+    "pipeline_corpus_refresh_e2e",
 ]
 
 

@@ -245,3 +245,102 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 capstone #2: the UPDATE path.  pipeline_retrieval_e2e builds the
+# index from scratch; this one refreshes it — dedup a new crawl against the
+# base corpus, admit only the genuinely-new docs, encode them against the
+# FROZEN codebook, and serve the union.
+
+from uda_spark.queries.dedup import _INCR_ORACLE
+from uda_spark.queries.similarity import _PQ_FINAL, N_QUERIES, TOP_K
+
+
+@register(
+    "pipeline_corpus_refresh_e2e",
+    oracle=f"""
+WITH verdicts AS ({_INCR_ORACLE}),
+admitted AS (
+  SELECT doc_id AS new_id, doc_id % 1000000 AS base_id
+  FROM verdicts WHERE verdict = 'keep'
+),
+{_pq_oracle_ctes()},
+new_codes AS (
+  SELECT a.new_id AS vec_id, c.codes
+  FROM codes_l c JOIN admitted a ON c.vec_id = a.base_id
+),
+serve AS (
+  SELECT vec_id, codes FROM codes_l
+  UNION ALL
+  SELECT vec_id, codes FROM new_codes
+),
+scored AS (
+  SELECT l.q_id AS query_id, c.vec_id AS neighbor_id, {_PQ_ADC} AS approx
+  FROM serve c CROSS JOIN lut l
+  WHERE l.q_id <> c.vec_id
+)
+{_PQ_FINAL}
+""",
+    tags=("pipeline", "dedup", "similarity", "north-star", "retrieval"),
+)
+def pipeline_corpus_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh, end to end: a new crawl batch (exact copies, near
+    copies, fresh docs) is deduped against the base corpus
+    (`incremental_dedup` — digests and band triples shuffle, never
+    bodies), only 'keep' verdicts are admitted, the admitted docs'
+    vectors are PQ-encoded against the base-trained codebook (map-only,
+    no retraining — `sim_pq_incremental_serve`'s contract), and search
+    serves base ∪ admitted.  Together with `pipeline_retrieval_e2e`
+    (the build path) this closes the index lifecycle: build once,
+    refresh per crawl.
+
+    Embeddings for admitted docs come from the upstream embedding job
+    keyed by source doc id (modeled as the base vector of the doc the
+    new id derives from); admitted docs whose source has no vector are
+    not indexed — the real behavior when embedding lags the crawl.
+
+    Scale shape: the dedup tier touches the new batch + the base
+    SIGNATURE store (never base bodies); the encode tier touches only
+    admitted rows against a broadcast codebook; the serve tier is the
+    zero-corpus-exchange ADC scan.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_docs = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra extra extra")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.md5(F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    verdicts = D.incremental_dedup(
+        new_docs, docs, "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
+    )
+    admitted = verdicts.where(F.col("verdict") == "keep").select(
+        F.col("doc_id").alias("new_id"),
+        (F.col("doc_id") % 1_000_000).alias("base_id"),
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    codebook, coded = SIM.pq_build_index(
+        emb, "vec_id", "embedding", PQ_M, PQ_K, EMB_DIM
+    )
+    new_codes = coded.join(
+        F.broadcast(admitted), coded["c_id"] == admitted["base_id"]
+    ).select(F.col("new_id").alias("c_id"), "codes")
+    serve = coded.unionByName(new_codes)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return SIM.pq_search(
+        serve, codebook, queries, "vec_id", "embedding", TOP_K, PQ_M, EMB_DIM
+    ).select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
+    )
