@@ -536,3 +536,27 @@ def test_tvd_drift_bounds_and_self_consistency(spark):
     for r in rows:
         assert 0 <= r["tvd_ppm"] <= 1_000_000
         assert 1 <= r["n_terms"] <= r["n_tokens"]
+
+
+def test_attribution_models_conserve_purchases(spark):
+    """Both attribution models are complete partitions of the same
+    purchase set: summed over channels, first- and last-touch counts
+    must each equal the number of purchases, and both cents columns
+    must equal total purchase value — credit is conserved, never
+    double-counted or dropped."""
+    from tests.conftest import SF_SMOKE
+    from uda_spark.cache import release_persisted
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    rows = all_specs()["events_attribution_touchpoints"].fn(spark, SF_SMOKE).collect()
+    release_persisted()
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("event_type") == "purchase")
+    n_purchases = ev.count()
+    total_cents = ev.agg(
+        F.sum(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    ).collect()[0][0]
+    assert sum(r["n_first"] for r in rows) == n_purchases
+    assert sum(r["n_last"] for r in rows) == n_purchases
+    assert sum(r["first_touch_cents"] for r in rows) == total_cents
+    assert sum(r["last_touch_cents"] for r in rows) == total_cents
