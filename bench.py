@@ -79,6 +79,7 @@ EXTENDED = [
     "sim_pq_incremental_serve",
     "geo_grid_neighbor_pairs",
     "pipeline_corpus_refresh_e2e",
+    "ml_linear_fit_price_qty",
 ]
 
 

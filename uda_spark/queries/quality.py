@@ -1700,3 +1700,87 @@ def features_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oof_encoding_cents"),
         )
     )
+
+
+# Shared closed-form OLS fragment (identical text in both dialects):
+# exact integer/decimal moments in, deterministic double steps out.
+_FIT_EXPRS = {
+    "cov": "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy",
+    "vx": "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx",
+    "vy": "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy",
+}
+_FIT_OUT = (
+    "CAST(n AS BIGINT) AS n_rows",
+    "round(CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE), 6) AS slope_cents_per_unit",
+    "CAST(floor((CAST(sy AS DOUBLE) - (CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE))"
+    " * CAST(sx AS DOUBLE)) / n + 0.5) AS BIGINT) AS intercept_cents",
+    "round(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)"
+    " / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) AS r2",
+)
+
+
+@register(
+    "ml_linear_fit_price_qty",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM base
+),
+d AS (
+  SELECT n, sx, sy,
+         {_FIT_EXPRS['cov']} AS cov,
+         {_FIT_EXPRS['vx']} AS vx,
+         {_FIT_EXPRS['vy']} AS vy
+  FROM m
+)
+SELECT {', '.join(_FIT_OUT)} FROM d
+""",
+    tags=("quality", "features", "ml", "north-star"),
+)
+def ml_linear_fit_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS fit (price ~ quantity) as ONE aggregation pass:
+    the five sufficient moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    integer/decimal sums — order-independent, partial-aggregated
+    map-side — and slope / intercept / R² fall out of a single-row
+    projection.  The pattern that makes simple model fits free at
+    100 TB: no iteration, no driver-side math beyond the final row, and
+    the same moments relation serves any number of derived statistics.
+    Moments products run in DECIMAL(38,0) (Σy² alone exceeds BIGINT at
+    bench scale); the final divisions are deterministic doubles on
+    exact inputs, identical text in both engines.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    m = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias(
+            "syy"
+        ),
+    )
+    d = m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(_FIT_EXPRS["cov"]).alias("cov"),
+        F.expr(_FIT_EXPRS["vx"]).alias("vx"),
+        F.expr(_FIT_EXPRS["vy"]).alias("vy"),
+    )
+    return d.selectExpr(*_FIT_OUT)
