@@ -80,6 +80,8 @@ EXTENDED = [
     "geo_grid_neighbor_pairs",
     "pipeline_corpus_refresh_e2e",
     "ml_linear_fit_price_qty",
+    "ml_correlation_matrix",
+    "events_ab_welch_test",
 ]
 
 

@@ -1784,3 +1784,173 @@ def ml_linear_fit_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_FIT_EXPRS["vy"]).alias("vy"),
     )
     return d.selectExpr(*_FIT_OUT)
+
+
+# Pairwise Pearson correlation from one moments pass.  Measures are
+# quantized to exact integers (cents / basis points) first, so every sum
+# is order-independent; correlations come out of deterministic double
+# steps on the exact moments.
+_CORR_MEASURES = (
+    ("quantity", "CAST(l_quantity AS BIGINT)"),
+    ("price_cents", "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+    ("discount_bp", "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)"),
+    ("tax_bp", "CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)"),
+)
+
+
+def _corr_oracle() -> str:
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in _CORR_MEASURES)
+    sums = ["COUNT(*)::BIGINT AS n"]
+    for name, _ in _CORR_MEASURES:
+        sums.append(f"CAST(SUM({name}) AS DECIMAL(38,0)) AS s_{name}")
+        sums.append(
+            f"CAST(SUM(CAST({name} AS DECIMAL(19,0)) * {name}) AS DECIMAL(38,0))"
+            f" AS ss_{name}"
+        )
+    pair_rows = []
+    names = [n for n, _ in _CORR_MEASURES]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(19,0)) * {b}) AS DECIMAL(38,0))"
+                f" AS sp_{a}_{b}"
+            )
+            pair_rows.append(
+                f"SELECT '{a}' AS var_a, '{b}' AS var_b, "
+                f"round((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+                f" AS corr FROM m"
+            )
+    return (
+        f"WITH base AS (SELECT {cols} FROM lineitem), "
+        f"m AS (SELECT {', '.join(sums)} FROM base) "
+        + " UNION ALL ".join(pair_rows)
+    )
+
+
+@register(
+    "ml_correlation_matrix",
+    oracle=_corr_oracle(),
+    tags=("quality", "features", "ml", "north-star"),
+)
+def ml_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across four lineitem measures from
+    ONE aggregation pass: every (co)moment is an exact integer/decimal
+    sum (partial-aggregated map-side), and all six correlations derive
+    from the single one-row moments relation — the feature-screening
+    matrix a model pipeline computes before training, priced at one
+    corpus scan regardless of how many pairs are read off it.
+    """
+    exprs = dict(_CORR_MEASURES)
+    base = t(spark, sf_dir, "lineitem").select(
+        *[F.expr(e).alias(n) for n, e in _CORR_MEASURES]
+    )
+    names = list(exprs)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for n_ in names:
+        aggs.append(F.sum(n_).cast("decimal(38,0)").alias(f"s_{n_}"))
+        aggs.append(
+            F.sum(F.expr(f"CAST({n_} AS DECIMAL(19,0)) * {n_}"))
+            .cast("decimal(38,0)")
+            .alias(f"ss_{n_}")
+        )
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum(F.expr(f"CAST({a} AS DECIMAL(19,0)) * {b}"))
+                .cast("decimal(38,0)")
+                .alias(f"sp_{a}_{b}")
+            )
+            pairs.append((a, b))
+    m = base.agg(*aggs)
+    out = None
+    for a, b in pairs:
+        corr = (
+            f"round((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+        )
+        row = m.selectExpr(f"'{a}' AS var_a", f"'{b}' AS var_b", f"{corr} AS corr")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "events_ab_welch_test",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(user_id % 2 AS INT) AS cohort,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT cohort, COUNT(*)::BIGINT AS n,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0)) AS ss
+  FROM base GROUP BY cohort
+),
+w AS (
+  SELECT
+    (SELECT n FROM m WHERE cohort = 0) AS n_a,
+    (SELECT n FROM m WHERE cohort = 1) AS n_b,
+    (SELECT CAST(s AS DOUBLE) FROM m WHERE cohort = 0) AS s_a,
+    (SELECT CAST(s AS DOUBLE) FROM m WHERE cohort = 1) AS s_b,
+    (SELECT CAST(ss AS DOUBLE) FROM m WHERE cohort = 0) AS ss_a,
+    (SELECT CAST(ss AS DOUBLE) FROM m WHERE cohort = 1) AS ss_b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(s_a / n_a - s_b / n_b, 6) AS mean_diff_cents,
+       round((s_a / n_a - s_b / n_b)
+             / sqrt((ss_a / n_a - (s_a / n_a) * (s_a / n_a)) / (n_a - 1)
+                    + (ss_b / n_b - (s_b / n_b) * (s_b / n_b)) / (n_b - 1)), 6)
+         AS welch_t
+FROM w
+""",
+    tags=("quality", "events", "ml", "north-star"),
+)
+def events_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B comparison (Welch's t statistic) of event value
+    between two deterministic user cohorts, from one grouped moments
+    pass: per-cohort n / Σx / Σx² are exact integer-cents sums, and the
+    mean difference + unequal-variance t statistic are deterministic
+    double steps on those exact moments — the experiment-readout query
+    every product analytics stack runs, with no sampling and no
+    per-row float accumulation anywhere.
+    """
+    base = t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    m = base.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(19,0)) * cents"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    a = m.where(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("s").cast("double").alias("s_a"),
+        F.col("ss").cast("double").alias("ss_a"),
+    )
+    b = m.where(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("s").cast("double").alias("s_b"),
+        F.col("ss").cast("double").alias("ss_b"),
+    )
+    return a.crossJoin(b).selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "round(s_a / n_a - s_b / n_b, 6) AS mean_diff_cents",
+        "round((s_a / n_a - s_b / n_b)"
+        " / sqrt((ss_a / n_a - (s_a / n_a) * (s_a / n_a)) / (n_a - 1)"
+        " + (ss_b / n_b - (s_b / n_b) * (s_b / n_b)) / (n_b - 1)), 6) AS welch_t",
+    )
