@@ -82,6 +82,7 @@ EXTENDED = [
     "ml_linear_fit_price_qty",
     "ml_correlation_matrix",
     "events_ab_welch_test",
+    "dedup_prefix_filter_pairs",
 ]
 
 

@@ -560,3 +560,65 @@ def test_attribution_models_conserve_purchases(spark):
     assert sum(r["n_last"] for r in rows) == n_purchases
     assert sum(r["first_touch_cents"] for r in rows) == total_cents
     assert sum(r["last_touch_cents"] for r in rows) == total_cents
+
+
+@SPARK_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_prefix_filter_join_is_complete(spark, docs):
+    """Prefix filtering must find EVERY pair with Jaccard >= 3/5 (zero
+    false negatives is the algorithm's theorem; an off-by-one in the
+    prefix length silently breaks it).  Brute-force all-pairs Jaccard
+    over random small token sets is the ground truth."""
+    from itertools import combinations
+
+    from uda_spark.cache import release_persisted
+    from uda_spark.queries.dedup import PFX_DEN, PFX_NUM
+    from uda_spark.registry import all_specs  # noqa: F401  (import path check)
+
+    sets = [frozenset(d) for d in docs]
+    rows = [(i, " ".join(f"t{t}" for t in sorted(s))) for i, s in enumerate(sets)]
+    expected = set()
+    for (i, a), (j, b) in combinations(list(enumerate(sets)), 2):
+        inter = len(a & b)
+        if inter * PFX_DEN >= PFX_NUM * len(a | b):
+            expected.add((i, j))
+
+    # run the same pipeline the registered query uses, on this corpus
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from uda_spark.functions import portable
+
+    tk = df.select(
+        "doc_id",
+        SF.explode(
+            SF.array_distinct(SF.expr(portable.tokens("text", "spark")))
+        ).alias("tok"),
+    ).distinct()
+    dfreq = tk.groupBy("tok").agg(SF.count("*").alias("df"))
+    ranked = (
+        tk.join(dfreq, on="tok")
+        .withColumn("rn", SF.row_number().over(W.partitionBy("doc_id").orderBy("df", "tok")))
+        .withColumn("n", SF.count("*").over(W.partitionBy("doc_id")))
+    )
+    pfx = ranked.where(
+        SF.col("rn")
+        <= SF.col("n") - SF.expr(f"({PFX_NUM} * n + {PFX_DEN} - 1) div {PFX_DEN}") + 1
+    ).select("doc_id", "tok")
+    cand = (
+        pfx.alias("a")
+        .join(pfx.alias("b"), SF.expr("a.tok = b.tok AND a.doc_id < b.doc_id"))
+        .select(SF.col("a.doc_id").alias("doc_a"), SF.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    got_cand = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    release_persisted()
+    missing = expected - got_cand
+    assert not missing, f"prefix filter dropped true pairs: {sorted(missing)[:5]}"

@@ -10,7 +10,7 @@ semantics are genuinely exercised (copies collapse, near-dups pair up).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uda_spark.cache import tracked_persist
@@ -1041,3 +1041,128 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_docs"
     ).unionByName(singles)
+
+
+# Prefix-filtering set-similarity join (Bayardo/Chaudhuri/Xiao ssjoin
+# family): for Jaccard >= t under ONE global token order, any qualifying
+# pair must share a token within each set's first |s| - ceil(t|s|) + 1
+# tokens — so candidates come from an equi-join on prefix tokens and the
+# verify step is exact.  t = 3/5 kept as integers end-to-end.
+PFX_NUM, PFX_DEN = 3, 5  # Jaccard threshold 0.6
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+WITH corpus AS ({_DUCK_CORPUS_NEAR}),
+tk AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({portable.tokens('text', 'duck')})) AS tok
+  FROM corpus
+),
+dfreq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tk GROUP BY tok),
+ranked AS (
+  SELECT tk.doc_id, tk.tok,
+         ROW_NUMBER() OVER (PARTITION BY tk.doc_id ORDER BY d.df, tk.tok) AS rn,
+         COUNT(*) OVER (PARTITION BY tk.doc_id) AS n
+  FROM tk JOIN dfreq d USING (tok)
+),
+pfx AS (
+  SELECT doc_id, tok, n FROM ranked
+  WHERE rn <= n - ({PFX_NUM} * n + {PFX_DEN} - 1) // {PFX_DEN} + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*)::BIGINT AS n_inter
+  FROM cand c
+  JOIN tk ta ON ta.doc_id = c.doc_a
+  JOIN tk tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM tk GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       CAST(i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter * {PFX_DEN} >= {PFX_NUM} * (sa.n + sb.n - i.n_inter)
+""",
+    tags=("dedup", "north-star", "join"),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    deterministic-complete alternative to MinHash banding: under one
+    global rare-tokens-first order, any pair with token-Jaccard >= 3/5
+    must share a token inside each side's ``|s| - ceil(0.6|s|) + 1``
+    prefix, so candidates come from an equi-join on PREFIX tokens only
+    (the rare ones — tiny posting lists) and verification counts the
+    exact intersection.  Zero false negatives by theorem, zero floats
+    anywhere: the threshold test is ``5·inter >= 3·(union)`` in
+    integers, so the pair set is engine-exact.
+
+    Scale shape: the candidate join touches only prefix tokens (rare by
+    construction — frequency-ascending order is WHY the algorithm
+    scales); verify joins candidates back to the distinct-token
+    relation keyed by doc.  Completeness is additionally
+    property-tested against brute force (tests/test_properties.py).
+    """
+    corpus = _corpus_near(spark, sf_dir)
+    tk = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(portable.tokens("text", "spark")))
+        ).alias("tok"),
+    ).distinct()
+    tk = tracked_persist(tk)
+    dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        tk.join(dfreq, on="tok")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    pfx = ranked.where(
+        F.col("rn")
+        <= F.col("n")
+        - F.expr(f"({PFX_NUM} * n + {PFX_DEN} - 1) div {PFX_DEN}")
+        + 1
+    ).select("doc_id", "tok")
+    cand = (
+        pfx.alias("a")
+        .join(pfx.alias("b"), F.expr("a.tok = b.tok AND a.doc_id < b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(tk.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tk.alias("tb"),
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sizes = tk.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), on="doc_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), on="doc_b")
+        .where(
+            F.col("n_inter") * PFX_DEN
+            >= PFX_NUM * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.expr("CAST(n_inter * 1000000 div (na + nb - n_inter) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
