@@ -1056,7 +1056,8 @@ PFX_NUM, PFX_DEN = 3, 5  # Jaccard threshold 0.6
     oracle=f"""
 WITH corpus AS ({_DUCK_CORPUS_NEAR}),
 tk AS (
-  SELECT DISTINCT doc_id, unnest(list_distinct({portable.tokens('text', 'duck')})) AS tok
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct({portable.shingles(portable.tokens('text', 'duck'), 3, 'duck')})) AS tok
   FROM corpus
 ),
 dfreq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tk GROUP BY tok),
@@ -1094,26 +1095,34 @@ WHERE i.n_inter * {PFX_DEN} >= {PFX_NUM} * (sa.n + sb.n - i.n_inter)
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering — the
     deterministic-complete alternative to MinHash banding: under one
-    global rare-tokens-first order, any pair with token-Jaccard >= 3/5
-    must share a token inside each side's ``|s| - ceil(0.6|s|) + 1``
-    prefix, so candidates come from an equi-join on PREFIX tokens only
-    (the rare ones — tiny posting lists) and verification counts the
-    exact intersection.  Zero false negatives by theorem, zero floats
-    anywhere: the threshold test is ``5·inter >= 3·(union)`` in
+    global rare-elements-first order, any pair with set-Jaccard >= 3/5
+    must share an element inside each side's ``|s| - ceil(0.6|s|) + 1``
+    prefix, so candidates come from an equi-join on PREFIX elements
+    only (the rare ones — tiny posting lists) and verification counts
+    the exact intersection.  Zero false negatives by theorem, zero
+    floats anywhere: the threshold test is ``5·inter >= 3·(union)`` in
     integers, so the pair set is engine-exact.
 
-    Scale shape: the candidate join touches only prefix tokens (rare by
-    construction — frequency-ascending order is WHY the algorithm
-    scales); verify joins candidates back to the distinct-token
-    relation keyed by doc.  Completeness is additionally
-    property-tested against brute force (tests/test_properties.py).
+    Sets are 3-token SHINGLES, not unigrams, and that choice is
+    load-bearing: prefix filtering's efficiency premise is that the
+    frequency-ascending prefix is rare, which holds for shingles
+    (near-unique outside duplicate families) and fails for a small
+    word vocabulary, where every posting list is huge and the
+    candidate join degenerates toward all-pairs (measured: the unigram
+    formulation blew past the bench budget at sf0.1; the shingle one
+    is sub-second).
+
+    Scale shape: the candidate join touches only prefix shingles (tiny
+    posting lists by construction); verify joins candidates back to
+    the distinct-shingle relation keyed by doc.  Completeness is
+    additionally property-tested against brute force
+    (tests/test_properties.py).
     """
     corpus = _corpus_near(spark, sf_dir)
+    sh = portable.shingles(portable.tokens("text", "spark"), 3, "spark")
     tk = corpus.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.expr(portable.tokens("text", "spark")))
-        ).alias("tok"),
+        F.explode(F.array_distinct(F.expr(sh))).alias("tok"),
     ).distinct()
     tk = tracked_persist(tk)
     dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))
