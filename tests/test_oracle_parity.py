@@ -74,16 +74,18 @@ def test_query_matches_oracle(name, spark, duck_smoke):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-def test_driver_window_is_rotation_2():
+def test_driver_window_is_rotation_3():
     """The external driver samples the first 50 exported queries; the
-    round-6 rotation puts the 50 frozen `_R06_WINDOW` names (never
-    driver-sampled through r05) in those positions.  Pin the ordering so
+    round-7 rotation puts the 47 frozen `_R07_WINDOW` names (never
+    driver-sampled through r06) in those positions, followed by the
+    round-7 registrations (`_R07_NEW`) in slots 48+.  Pin the ordering so
     a refactor can't silently reshuffle it before the driver runs, and
     check nothing was lost: the export is still all registered queries
     exactly once."""
-    from uda_spark.registry import _R06_WINDOW, get_queries
+    from uda_spark.registry import _R07_NEW, _R07_WINDOW, get_queries
 
     names = list(get_queries())
-    assert len(_R06_WINDOW) == 50
-    assert tuple(names[:50]) == _R06_WINDOW
+    assert len(_R07_WINDOW) == 47
+    head = _R07_WINDOW + _R07_NEW
+    assert tuple(names[: len(head)]) == head
     assert len(names) == len(set(names)) == len(SPECS)

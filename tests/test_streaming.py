@@ -188,8 +188,12 @@ def test_transform_with_state_running_totals(spark):
                 n += len(pdf)
                 cents += int(pdf["value_cents"].sum())
             self.totals.update((n, cents))
+            # Emit integer cents, not cents/100.0: the batch comparison
+            # sums DECIMAL then casts, and the two double roundings can
+            # differ in the last ulp — integer totals make the equality
+            # exact on both sides.
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
             )
 
         def close(self):
@@ -202,7 +206,7 @@ def test_transform_with_state_running_totals(spark):
     )
     out = prepped.groupBy("user_id").transformWithStateInPandas(
         Totals(),
-        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        outputStructType="user_id LONG, n_events LONG, total_cents LONG",
         outputMode="Update",
         timeMode="None",
     )
@@ -214,7 +218,9 @@ def test_transform_with_state_running_totals(spark):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.sum(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG)"))
+            .cast("long")
+            .alias("total_cents"),
         )
     )
     assert sorted(map(tuple, sink.collect())) == sorted(map(tuple, batch.collect()))

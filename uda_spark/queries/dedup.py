@@ -1049,6 +1049,18 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokens — so candidates come from an equi-join on prefix tokens and the
 # verify step is exact.  t = 3/5 kept as integers end-to-end.
 PFX_NUM, PFX_DEN = 3, 5  # Jaccard threshold 0.6
+# Posting-list cap on PREFIX tokens (the ssjoin analog of the LSH
+# `cap_buckets` skew guard): a prefix token shared by more than this many
+# documents is excluded from candidate generation in BOTH engines.  A
+# token only gets this hot inside a massive boilerplate family, where the
+# candidate join would otherwise degenerate toward |posting|² — exactly
+# the recorded unigram failure mode.  With the cap bound, pairs whose
+# ONLY shared prefix element is an ultra-hot token are missed; at the cap
+# below that requires >1000 near-identical documents, a regime the
+# MinHash/banding path (with its own tested cap) is the right tool for.
+# The cap never binds on the registered corpora (asserted by the skew
+# stress test), so the query remains engine-exact where it runs.
+PFX_CAP = 1000
 
 
 @register(
@@ -1062,7 +1074,7 @@ tk AS (
 ),
 dfreq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tk GROUP BY tok),
 ranked AS (
-  SELECT tk.doc_id, tk.tok,
+  SELECT tk.doc_id, tk.tok, d.df,
          ROW_NUMBER() OVER (PARTITION BY tk.doc_id ORDER BY d.df, tk.tok) AS rn,
          COUNT(*) OVER (PARTITION BY tk.doc_id) AS n
   FROM tk JOIN dfreq d USING (tok)
@@ -1070,10 +1082,12 @@ ranked AS (
 pfx AS (
   SELECT doc_id, tok, n FROM ranked
   WHERE rn <= n - ({PFX_NUM} * n + {PFX_DEN} - 1) // {PFX_DEN} + 1
+    AND df <= {PFX_CAP}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND {PFX_DEN} * LEAST(a.n, b.n) >= {PFX_NUM} * GREATEST(a.n, b.n)
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*)::BIGINT AS n_inter
@@ -1109,14 +1123,29 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-unique outside duplicate families) and fails for a small
     word vocabulary, where every posting list is huge and the
     candidate join degenerates toward all-pairs (measured: the unigram
-    formulation blew past the bench budget at sf0.1; the shingle one
-    is sub-second).
+    formulation blew past the bench budget at sf0.1; the shingle
+    formulation ran ~7s there before hardening — still the suite's
+    most expensive single query, dominated by the verify join).
+
+    Two standard ssjoin guards bound the candidate explosion:
+
+    * **Length filter**, applied INSIDE the candidate equi-join: a pair
+      with ``5*least(na,nb) < 3*greatest(na,nb)`` can never reach
+      J>=3/5 (J <= min/max), so it is pruned before the distinct and
+      the verify join ever see it.  Sound — zero false negatives.
+    * **Prefix posting cap** (``PFX_CAP``): ultra-hot prefix tokens
+      (df > 1000 — only possible inside a >1000-document boilerplate
+      family) are excluded from candidate generation in BOTH engines.
+      This is the one approximation, documented at the constant; it
+      never binds on the registered corpora.
 
     Scale shape: the candidate join touches only prefix shingles (tiny
-    posting lists by construction); verify joins candidates back to
-    the distinct-shingle relation keyed by doc.  Completeness is
-    additionally property-tested against brute force
-    (tests/test_properties.py).
+    posting lists by construction, now also capped); verify joins
+    candidates back to the distinct-shingle relation keyed by doc.
+    Completeness is additionally property-tested against brute force
+    (tests/test_properties.py) and skew-stress-tested on a
+    boilerplate-heavy corpus (tests/test_operators.py,
+    test_prefix_filter_skew_stress).
     """
     corpus = _corpus_near(spark, sf_dir)
     sh = portable.shingles(portable.tokens("text", "spark"), 3, "spark")
@@ -1133,14 +1162,24 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
     pfx = ranked.where(
-        F.col("rn")
-        <= F.col("n")
-        - F.expr(f"({PFX_NUM} * n + {PFX_DEN} - 1) div {PFX_DEN}")
-        + 1
-    ).select("doc_id", "tok")
+        (
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({PFX_NUM} * n + {PFX_DEN} - 1) div {PFX_DEN}")
+            + 1
+        )
+        & (F.col("df") <= PFX_CAP)
+    ).select("doc_id", "tok", "n")
     cand = (
         pfx.alias("a")
-        .join(pfx.alias("b"), F.expr("a.tok = b.tok AND a.doc_id < b.doc_id"))
+        .join(
+            pfx.alias("b"),
+            F.expr(
+                "a.tok = b.tok AND a.doc_id < b.doc_id"
+                f" AND {PFX_DEN} * least(a.n, b.n)"
+                f" >= {PFX_NUM} * greatest(a.n, b.n)"
+            ),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

@@ -1357,11 +1357,14 @@ w AS (
 ),
 sw AS (SELECT SUM(weight_fp)::BIGINT AS sum_w FROM w),
 rate AS (
+  -- HUGEINT (128-bit) keeps budget*weight_fp*ppm exact far past the
+  -- BIGINT bound (it wraps at only ~1e5 total docs); mirrors the Spark
+  -- side's arbitrary-precision driver computation.
   SELECT source, n_docs, weight_fp,
          LEAST(
-           {BALANCE_PPM_MOD},
-           ((SELECT total FROM tot) // 2) * weight_fp * {BALANCE_PPM_MOD}
-             // ((SELECT sum_w FROM sw) * n_docs)
+           {BALANCE_PPM_MOD}::HUGEINT,
+           ((SELECT total FROM tot)::HUGEINT // 2) * weight_fp * {BALANCE_PPM_MOD}
+             // ((SELECT sum_w FROM sw)::HUGEINT * n_docs)
          )::BIGINT AS rate_ppm
   FROM w
 ),
@@ -1398,11 +1401,14 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth.  The member checksum pins exact membership.
 
     Scale shape: identical to `pipeline_domain_balance` — one tiny
-    count aggregate, two scalar reductions over the per-source table
-    (driver-side O(#sources)), broadcast of the rate table, map-side
-    filter, tiny final aggregate; the corpus is scanned once and never
-    shuffled.  Overflow budget: T * weight_fp * 1e6 stays under 2^63
-    up to ~1e11 docs per source; past that, drop the ppm scale to ppb.
+    count aggregate, one O(#sources) collect from which the scalars AND
+    the per-source rates are derived driver-side, broadcast of the rate
+    table, map-side filter, tiny final aggregate; the corpus is scanned
+    once and never shuffled.  Overflow budget: the rate arithmetic runs
+    in Python arbitrary-precision integers (Spark side) and HUGEINT
+    (oracle side), so it is exact to ~1e16 docs per source (the
+    128-bit oracle bound); the previous engine-side BIGINT product
+    wrapped at only ~1e5 total docs.
     """
     docs = t(spark, sf_dir, "documents")
     cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
@@ -1413,20 +1419,31 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"
         ).alias("weight_fp"),
     )
-    scalars = w.agg(
-        F.sum("n_docs").cast("long").alias("total"),
-        F.sum("weight_fp").cast("long").alias("sum_w"),
-    ).collect()[0]
-    budget, sum_w = int(scalars["total"]) // 2, int(scalars["sum_w"])
-    rate = w.select(
-        "source",
-        "n_docs",
-        "weight_fp",
-        F.expr(
-            f"CAST(least(CAST({BALANCE_PPM_MOD} AS BIGINT), "
-            f"{budget}L * weight_fp * {BALANCE_PPM_MOD} div ({sum_w}L * n_docs)) "
-            f"AS BIGINT)"
-        ).alias("rate_ppm"),
+    # O(#sources) rows — collect once, derive the budget/sum_w scalars AND
+    # the per-source rates driver-side in Python arbitrary-precision
+    # integers: budget*weight_fp*ppm wraps BIGINT at only ~1e5 total docs,
+    # so the engine-side formulation silently overflowed; Python ints (and
+    # HUGEINT in the oracle) are exact at any corpus size.
+    wrows = w.collect()
+    budget = sum(int(r["n_docs"]) for r in wrows) // 2
+    sum_w = sum(int(r["weight_fp"]) for r in wrows)
+    rate = spark.createDataFrame(
+        [
+            (
+                r["source"],
+                int(r["n_docs"]),
+                int(r["weight_fp"]),
+                min(
+                    BALANCE_PPM_MOD,
+                    budget
+                    * int(r["weight_fp"])
+                    * BALANCE_PPM_MOD
+                    // (sum_w * int(r["n_docs"])),
+                ),
+            )
+            for r in wrows
+        ],
+        "source string, n_docs long, weight_fp long, rate_ppm long",
     )
     h = portable.hash60("concat('mix|', CAST(doc_id AS STRING))", "spark")
     tagged = docs.join(F.broadcast(rate), on="source").select(

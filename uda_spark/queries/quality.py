@@ -1868,17 +1868,34 @@ def ml_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             pairs.append((a, b))
     m = base.agg(*aggs)
+    # ONE corpus scan, literally: collect the one-row moments relation
+    # (O(1) driver data) and derive every pair correlation from literal
+    # one-row projections.  The previous unionByName-of-selectExpr
+    # re-planned the aggregate per pair — 6 full scans, zero
+    # ReusedExchange.  The double arithmetic still runs in Spark SQL with
+    # the identical expression text on the exact moment values, so the
+    # results are bit-identical to the engine-side formulation (and to
+    # the oracle's double math).
+    mrow = m.collect()[0].asDict()
+
+    def lit(k: str) -> str:
+        if k == "n":
+            return f"CAST({int(mrow['n'])} AS BIGINT)"
+        return f"CAST('{mrow[k]}' AS DECIMAL(38,0))"
+
     out = None
     for a, b in pairs:
         corr = (
-            f"round((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
-            f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
-            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+            f"round((CAST({lit('n')} AS DOUBLE) * CAST({lit(f'sp_{a}_{b}')} AS DOUBLE)"
+            f" - CAST({lit(f's_{a}')} AS DOUBLE) * CAST({lit(f's_{b}')} AS DOUBLE))"
+            f" / sqrt((CAST({lit('n')} AS DOUBLE) * CAST({lit(f'ss_{a}')} AS DOUBLE)"
+            f" - CAST({lit(f's_{a}')} AS DOUBLE) * CAST({lit(f's_{a}')} AS DOUBLE))"
+            f" * (CAST({lit('n')} AS DOUBLE) * CAST({lit(f'ss_{b}')} AS DOUBLE)"
+            f" - CAST({lit(f's_{b}')} AS DOUBLE) * CAST({lit(f's_{b}')} AS DOUBLE))), 6)"
         )
-        row = m.selectExpr(f"'{a}' AS var_a", f"'{b}' AS var_b", f"{corr} AS corr")
+        row = spark.range(1).selectExpr(
+            f"'{a}' AS var_a", f"'{b}' AS var_b", f"{corr} AS corr"
+        )
         out = row if out is None else out.unionByName(row)
     return out
 
@@ -1929,24 +1946,44 @@ def events_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int").alias("cohort"),
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
     )
-    m = base.groupBy("cohort").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("cents").cast("decimal(38,0)").alias("s"),
-        F.sum(F.expr("CAST(cents AS DECIMAL(19,0)) * cents"))
+    # ONE aggregation pass via conditional aggregation — the previous
+    # a/b filter + crossJoin re-planned the grouped aggregate per side
+    # (2 full scans).  Sums over a CASE subset are the same exact
+    # integer/decimal sums as the filtered formulation, so the final
+    # double steps (identical expression text) are bit-identical.
+    m = base.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("cents")))
         .cast("decimal(38,0)")
-        .alias("ss"),
+        .cast("double")
+        .alias("s_a"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("cents")))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("s_b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN cohort = 0 THEN CAST(cents AS DECIMAL(19,0)) * cents END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("ss_a"),
+        F.sum(
+            F.expr(
+                "CASE WHEN cohort = 1 THEN CAST(cents AS DECIMAL(19,0)) * cents END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("ss_b"),
     )
-    a = m.where(F.col("cohort") == 0).select(
-        F.col("n").alias("n_a"),
-        F.col("s").cast("double").alias("s_a"),
-        F.col("ss").cast("double").alias("ss_a"),
-    )
-    b = m.where(F.col("cohort") == 1).select(
-        F.col("n").alias("n_b"),
-        F.col("s").cast("double").alias("s_b"),
-        F.col("ss").cast("double").alias("ss_b"),
-    )
-    return a.crossJoin(b).selectExpr(
+    return m.selectExpr(
         "CAST(n_a AS BIGINT) AS n_a",
         "CAST(n_b AS BIGINT) AS n_b",
         "round(s_a / n_a - s_b / n_b, 6) AS mean_diff_cents",

@@ -59,92 +59,79 @@ _QUERY_MODULES = (
 )
 
 # ---------------------------------------------------------------------------
-# Rotation 2 (round 6) — coverage completion, pre-declared by VERDICT r05 #1.
+# Rotation 3 (round 7) — coverage completion, pre-declared by VERDICT r05 and
+# corrected per VERDICT r06 "What's wrong #3" (the round-6 pre-declaration
+# was written before the last 5 round-6 queries were registered and so
+# omitted them).
 #
-# After the round-5 rotation, exactly 79 of the 213 registered queries had
-# never earned an external CORRECTNESS row (they sat outside every round's
-# first-50 window).  This frozen tuple is those 79 names in registration
-# order, truncated at 50 — a pure function of the union of
-# CORRECTNESS_r01..r05 KEY SETS (which queries the driver ever sampled),
-# computed once at round-6 start and hard-coded here.  It does NOT depend on
-# pass/fail outcomes (all driver rows to date are green, so there is no
-# result signal to react to); it is a coverage schedule, nothing else.
+# This frozen tuple is EXACTLY the 47 registered queries with no external
+# CORRECTNESS row in the union of CORRECTNESS_r01..r06 KEY SETS, in
+# registration order — a pure function of which queries the driver ever
+# sampled, never of pass/fail outcomes (all driver rows to date are green,
+# so there is no result signal to react to).  It is a coverage schedule,
+# nothing else.  After round 7 every pre-round-7 query has >=1 driver row.
 #
-# Rotation 3 (round 7, pre-declared): the remaining 29 never-sampled names —
-#   pipeline_stratified_sample, streaming_cms_user_sketch,
-#   multimodal_scene_changes, pipeline_train_val_test_split,
-#   pipeline_domain_balance, pipeline_epoch_shuffle, pipeline_weighted_sample,
-#   multimodal_phash_near_dup, pipeline_shard_manifest, profile_orders,
-#   events_hourly_anomalies, events_cohort_retention, basket_copurchase_pairs,
-#   table_diff_orders, orders_rfm_segments, lineitem_abc_analysis,
-#   events_markov_transitions, orders_open_backlog,
-#   lineitem_ship_lag_histogram, orders_argmax_latest, events_value_winsorize,
-#   events_key_skew_profile, dq_constraint_report, events_lateness_profile,
-#   sketch_kmv_intersection, events_hourly_anomalies_mad, orders_cohort_ltv,
-#   part_supplier_hhi, orders_seasonality_index —
-# plus the 13 queries first registered in round 6, in registration order:
-#   geo_grid_neighbor_pairs, join_dpp_partitioned_orders,
-#   dedup_cluster_size_histogram, sim_filtered_knn,
-#   sim_pq_incremental_serve, text_blocklist_filter, text_source_drift_tvd,
-#   events_attribution_touchpoints, pipeline_temperature_mixture,
-#   pipeline_curriculum_phases, multimodal_audio_loudness,
-#   features_target_encoding_oof, pipeline_retrieval_e2e
-# (29 + 13 = 42 of the 50 slots; the remainder top up from the head of
-# plain registration order).  After rotation 3 all queries have >=1 driver
-# row and the window returns to plain registration order permanently.
-_R06_WINDOW = (
-    "table_digest_orders",
-    "kv_pyds_roundtrip",
-    "kv_pyds_stream_ingest",
-    "federated_mixed_format_scan",
-    "window_percent_rank_balances",
-    "window_share_of_total_balances",
-    "join_null_safe_types",
-    "join_bloom_prefilter",
-    "dedup_cluster_canonical_star",
-    "graph_triangle_stats",
-    "dedup_containment_pairs",
-    "graph_cluster_density",
-    "dedup_minhash_calibration",
-    "dedup_cluster_survivor",
-    "pipeline_leakage_safe_split",
-    "sim_pq_knn",
-    "sim_ivfpq_knn",
-    "sim_radius_search",
-    "sim_ann_recall_eval",
-    "sim_matryoshka_knn",
-    "sim_hybrid_rrf",
-    "sim_embedding_outliers",
-    "text_repetition_stats",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "text_chunk_windows",
-    "text_cms_heavy_hitters",
-    "text_fuzzy_part_pairs",
-    "text_inverted_index",
-    "text_langid_confusion",
-    "text_chunk_dedup",
-    "text_bigram_logprob",
-    "text_hashing_features",
-    "text_pmi_bigrams",
-    "text_novelty_score",
-    "events_scd2_user_type",
-    "events_ewma_value",
-    "events_funnel_steps",
-    "events_concurrency_curve",
-    "events_user_entropy",
-    "events_dow_hour_heatmap",
-    "events_interarrival_stats",
-    "events_props_map_stats",
-    "events_top_trigrams",
-    "events_purchase_session_lookup",
-    "events_rolling_active_users",
-    "events_scd2_temporal_join",
-    "events_session_busy_overlap",
-    "events_bot_score",
-    "events_time_to_convert",
+# Slots 48-50 (and beyond) go to queries registered DURING round 7 (listed
+# in ``_R07_NEW`` as they land) so new work earns a driver row in the same
+# round it ships instead of waiting a rotation; after those, plain
+# registration order.  From round 8 on the frozen tuple is dropped and the
+# window is simply "new-since-last-round first, then registration order",
+# which keeps coverage complete permanently.
+_R07_WINDOW = (
+    "geo_grid_neighbor_pairs",
+    "join_dpp_partitioned_orders",
+    "dedup_cluster_size_histogram",
+    "dedup_prefix_filter_pairs",
+    "sim_filtered_knn",
+    "sim_pq_incremental_serve",
+    "text_blocklist_filter",
+    "text_source_drift_tvd",
+    "events_attribution_touchpoints",
+    "pipeline_stratified_sample",
+    "streaming_cms_user_sketch",
+    "multimodal_scene_changes",
+    "pipeline_train_val_test_split",
+    "pipeline_domain_balance",
+    "pipeline_epoch_shuffle",
+    "pipeline_weighted_sample",
+    "multimodal_phash_near_dup",
+    "pipeline_shard_manifest",
+    "pipeline_temperature_mixture",
+    "pipeline_curriculum_phases",
+    "multimodal_audio_loudness",
+    "profile_orders",
+    "events_hourly_anomalies",
+    "events_cohort_retention",
+    "basket_copurchase_pairs",
+    "table_diff_orders",
+    "orders_rfm_segments",
+    "lineitem_abc_analysis",
+    "events_markov_transitions",
+    "orders_open_backlog",
+    "lineitem_ship_lag_histogram",
+    "orders_argmax_latest",
+    "events_value_winsorize",
+    "events_key_skew_profile",
+    "dq_constraint_report",
+    "events_lateness_profile",
+    "sketch_kmv_intersection",
+    "events_hourly_anomalies_mad",
+    "orders_cohort_ltv",
+    "part_supplier_hhi",
+    "orders_seasonality_index",
+    "features_target_encoding_oof",
+    "ml_linear_fit_price_qty",
+    "ml_correlation_matrix",
+    "events_ab_welch_test",
+    "pipeline_retrieval_e2e",
+    "pipeline_corpus_refresh_e2e",
 )
 
+# Queries first registered in round 7, in registration order — these fill
+# sample slots 48+ immediately after the frozen never-sampled names.
+# Appended (never reordered) as round-7 queries land.
+_R07_NEW: tuple[str, ...] = (
+)
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -175,14 +162,15 @@ def _load() -> None:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """All registered queries: the frozen rotation window first (so the
-    driver's first-50 sample completes external coverage — see the
-    rotation schedule above), then every other query in registration
-    (module) order.  Fixed, reproducible, and independent of anything
-    outside the package."""
+    """All registered queries: the frozen rotation-3 window first (the 47
+    never-driver-sampled names — see the rotation schedule above), then
+    queries first registered this round (``_R07_NEW``, filling sample
+    slots 48+), then every other query in registration (module) order.
+    Fixed, reproducible, and independent of anything outside the
+    package."""
     _load()
     out: dict[str, QuerySpec] = {}
-    for name in _R06_WINDOW:
+    for name in _R07_WINDOW + _R07_NEW:
         out[name] = _REGISTRY[name]
     for name, spec in _REGISTRY.items():
         if name not in out:
