@@ -153,6 +153,7 @@ def main() -> None:
     # incomparable across rounds.  Build = train + encode + materialize
     # the persisted index; search = LUTs + ADC + top-k against it.
     ann_phases: dict[str, dict] = {}
+    pipeline_phases: dict[str, dict] = {}
     try:
         from uda_spark.operators import similarity as SIM_OP
         from uda_spark.queries import similarity as SIMQ
@@ -200,6 +201,83 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 ann_phases[name] = {"error": f"{type(exc).__name__}: {exc}"}
                 print(f"# ann {name}: FAILED ({type(exc).__name__}: {exc})", file=sys.stderr)
+
+        # Per-stage timing for the composed pipelines (VERDICT r06 #4):
+        # each stage boundary is materialized (count / noop write) so a
+        # regression is attributable to a stage, the same way ann_phases
+        # split build from search.  Stage helpers are the SAME functions
+        # the registered queries compose, so these numbers describe the
+        # production plan, not a bench-only variant.
+        from uda_spark.queries import retrieval_pipeline as RP
+
+        class _Phased:
+            def __init__(self):
+                self.times: dict[str, float] = {}
+
+            def run(self, label, fn):
+                t0 = time.perf_counter()
+                res = fn()
+                self.times[label] = round(time.perf_counter() - t0, 3)
+                return res
+
+        try:
+            release_persisted()
+            ph = _Phased()
+            corpus, labels = ph.run(
+                "dedup_cc",
+                lambda: (lambda cl: (cl[1].count(), cl)[1])(
+                    RP._retrieval_dedup_cc(spark, sf_dir)
+                ),
+            )
+            surv = ph.run(
+                "survivors",
+                lambda: (lambda s: (s.count(), s)[1])(
+                    RP._retrieval_survivors(corpus, labels)
+                ),
+            )
+            coded, lut = ph.run(
+                "index_build",
+                lambda: (lambda cl: (cl[0].count(), cl)[1])(
+                    RP._retrieval_index(spark, sf_dir, surv)
+                ),
+            )
+            ph.run(
+                "search",
+                lambda: RP._retrieval_search(spark, sf_dir, coded, lut, surv)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            pipeline_phases["pipeline_retrieval_e2e"] = ph.times
+            print(f"# pipeline retrieval_e2e phases: {ph.times}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            pipeline_phases["pipeline_retrieval_e2e"] = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            release_persisted()
+            ph = _Phased()
+            admitted = ph.run(
+                "incr_dedup",
+                lambda: (lambda a: (a.count(), a)[1])(
+                    RP._refresh_admitted(spark, sf_dir)
+                ),
+            )
+            codebook, serve = ph.run(
+                "encode_union",
+                lambda: (lambda cs: (cs[1].count(), cs)[1])(
+                    RP._refresh_serve_set(spark, sf_dir, admitted)
+                ),
+            )
+            ph.run(
+                "serve_search",
+                lambda: RP._refresh_search(spark, sf_dir, codebook, serve)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            pipeline_phases["pipeline_corpus_refresh_e2e"] = ph.times
+            print(f"# pipeline corpus_refresh_e2e phases: {ph.times}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            pipeline_phases["pipeline_corpus_refresh_e2e"] = {"error": f"{type(exc).__name__}: {exc}"}
     finally:
         release_persisted()
 
@@ -226,6 +304,7 @@ def main() -> None:
                 "extended_queries": ext_timings,
                 "extended_query_iters": ext_iters_log,
                 "ann_phases": ann_phases,
+                "pipeline_phases": pipeline_phases,
                 "failed_queries": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

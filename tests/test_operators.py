@@ -717,6 +717,71 @@ def test_lsh_dedup_scale_stress(spark):
     assert wall < 420, f"LSH at 200k docs took {wall:.0f}s"
 
 
+@pytest.mark.slow
+def test_prefix_filter_skew_stress(spark):
+    """Prefix-filter ssjoin on a boilerplate-heavy corpus (the recorded
+    unigram failure mode): 5k unique docs plus a 2k-document family
+    sharing one hot boilerplate sentence.  The round-7 guards (length
+    filter in the candidate join + prefix posting cap) must keep the
+    candidate count near the planted-pair count instead of the ~2M
+    all-pairs blow-up the family would otherwise produce, while every
+    planted near-identical pair outside the family is still recovered
+    (the cap only touches tokens hotter than the cap)."""
+    import time
+
+    from uda_spark.cache import release_persisted
+    from uda_spark.operators.dedup import prefix_filter_similarity_pairs
+
+    n_unique, n_family, n_pairs = 5_000, 2_000, 200
+    # unique docs: 20 near-unique shingle streams seeded by id
+    base = spark.range(n_unique).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 20), "
+            "j -> concat('u', id, 'x', j)), ' ')"
+        ).alias("text"),
+    )
+    # docs [0, n_pairs) get a twin at id+1_000_000 with one extra token
+    twins = spark.range(n_pairs).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat(array_join(transform(sequence(1, 20), "
+            "j -> concat('u', id, 'x', j)), ' '), ' extratoken')"
+        ).alias("text"),
+    )
+    # boilerplate family: every doc shares the same 10-word sentence and
+    # adds 30 unique words, so pairwise Jaccard is far below 3/5 (no
+    # genuine pairs) but every shared shingle has df = n_family >> cap
+    family = spark.range(n_family).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.expr(
+            "concat('the quick brown fox jumps over the lazy dog again ', "
+            "array_join(transform(sequence(1, 30), "
+            "j -> concat('f', id, 'y', j)), ' '))"
+        ).alias("text"),
+    )
+    docs = base.union(twins).union(family)
+
+    t0 = time.perf_counter()
+    pairs = prefix_filter_similarity_pairs(
+        docs, "text", "doc_id", threshold_num=3, threshold_den=5,
+        prefix_cap=1_000,
+    )
+    got = {(int(r["doc_a"]), int(r["doc_b"])) for r in pairs.collect()}
+    wall = time.perf_counter() - t0
+    release_persisted()
+
+    planted = {(i, i + 1_000_000) for i in range(n_pairs)}
+    missing = planted - got
+    assert not missing, f"missed {len(missing)} planted pairs, e.g. {sorted(missing)[:3]}"
+    # the family must not explode the result: no family pair reaches
+    # Jaccard 3/5, and the hot boilerplate shingles are capped out of
+    # candidate generation, so the output is exactly the planted pairs
+    extras = got - planted
+    assert not extras, f"{len(extras)} unexpected pairs, e.g. {sorted(extras)[:3]}"
+    assert wall < 240, f"prefix-filter ssjoin stress took {wall:.0f}s"
+
+
 class TestCompactFiles:
     def test_many_small_files_become_few(self, spark, tmp_path):
         from uda_spark.operators.layout import compact_files

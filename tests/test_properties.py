@@ -622,3 +622,127 @@ def test_prefix_filter_join_is_complete(spark, docs):
     release_persisted()
     missing = expected - got_cand
     assert not missing, f"prefix filter dropped true pairs: {sorted(missing)[:5]}"
+
+
+class TestStatisticsTierInvariants:
+    """Round-7 property tests for the one-pass statistics tier (VERDICT
+    r06 #5): the OLS fit, the pairwise correlation matrix, and the Welch
+    A/B readout are checked against an independent numpy computation on
+    the SAME rows, plus the structural invariants each statistic must
+    satisfy by definition (R^2 and |r| bounds, sign agreements).  The
+    moments are exact integer sums (order-independent by construction),
+    so partitioning invariance is inherited; the numpy cross-check
+    pins the final double projection."""
+
+    @staticmethod
+    def _lineitem_xy(spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.sources.tables import load_table
+
+        import pyspark.sql.functions as SF
+
+        rows = (
+            load_table(spark, SF_SMOKE, "lineitem")
+            .select(
+                SF.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+                SF.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                ).alias("y"),
+            )
+            .collect()
+        )
+        import numpy as np
+
+        return (
+            np.array([r["x"] for r in rows], dtype=np.float64),
+            np.array([r["y"] for r in rows], dtype=np.float64),
+        )
+
+    def test_ols_matches_numpy_and_bounds(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+
+        row = all_specs()["ml_linear_fit_price_qty"].fn(spark, SF_SMOKE).collect()[0]
+        release_persisted()
+        x, y = self._lineitem_xy(spark)
+        assert row["n_rows"] == len(x)
+        assert 0.0 <= row["r2"] <= 1.0
+        cov = np.cov(x, y, bias=True)[0, 1]
+        # slope sign must match covariance sign
+        assert (row["slope_cents_per_unit"] > 0) == (cov > 0)
+        slope_np = cov / np.var(x)
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(row["slope_cents_per_unit"] - slope_np) <= 1e-4 * max(
+            1.0, abs(slope_np)
+        )
+        assert abs(row["r2"] - corr * corr) <= 1e-6
+        # intercept: mean(y) - slope * mean(x), rounded to integer cents
+        icpt_np = y.mean() - slope_np * x.mean()
+        assert abs(row["intercept_cents"] - icpt_np) <= 1.0
+
+    def test_correlation_matrix_matches_numpy_and_bounds(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.queries.quality import _CORR_MEASURES
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        import pyspark.sql.functions as SF
+
+        rows = all_specs()["ml_correlation_matrix"].fn(spark, SF_SMOKE).collect()
+        release_persisted()
+        names = [n for n, _ in _CORR_MEASURES]
+        n_vars = len(names)
+        assert len(rows) == n_vars * (n_vars - 1) // 2
+        data = (
+            load_table(spark, SF_SMOKE, "lineitem")
+            .select(*[SF.expr(e).alias(n) for n, e in _CORR_MEASURES])
+            .collect()
+        )
+        cols = {
+            n: np.array([r[n] for r in data], dtype=np.float64) for n in names
+        }
+        for r in rows:
+            assert -1.0 <= r["corr"] <= 1.0
+            ref = np.corrcoef(cols[r["var_a"]], cols[r["var_b"]])[0, 1]
+            assert abs(r["corr"] - ref) <= 1e-6, (r["var_a"], r["var_b"], r["corr"], ref)
+
+    def test_welch_matches_numpy_and_sign(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        import pyspark.sql.functions as SF
+
+        row = all_specs()["events_ab_welch_test"].fn(spark, SF_SMOKE).collect()[0]
+        release_persisted()
+        data = (
+            load_table(spark, SF_SMOKE, "events")
+            .where(SF.col("value").isNotNull())
+            .select(
+                (SF.col("user_id") % 2).cast("int").alias("cohort"),
+                SF.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+            .collect()
+        )
+        a = np.array([r["cents"] for r in data if r["cohort"] == 0], dtype=np.float64)
+        b = np.array([r["cents"] for r in data if r["cohort"] == 1], dtype=np.float64)
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        mean_diff = a.mean() - b.mean()
+        assert abs(row["mean_diff_cents"] - mean_diff) <= 1e-4 * max(1.0, abs(mean_diff))
+        # t sign must equal the mean-difference sign
+        assert (row["welch_t"] > 0) == (mean_diff > 0)
+        t_np = mean_diff / np.sqrt(
+            a.var(ddof=0) / (len(a) - 1) + b.var(ddof=0) / (len(b) - 1)
+        )
+        assert abs(row["welch_t"] - t_np) <= 1e-4 * max(1.0, abs(t_np))

@@ -1063,9 +1063,7 @@ PFX_NUM, PFX_DEN = 3, 5  # Jaccard threshold 0.6
 PFX_CAP = 1000
 
 
-@register(
-    "dedup_prefix_filter_pairs",
-    oracle=f"""
+_PREFIX_FILTER_SQL = f"""
 WITH corpus AS ({_DUCK_CORPUS_NEAR}),
 tk AS (
   SELECT DISTINCT doc_id,
@@ -1103,7 +1101,12 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.n_inter * {PFX_DEN} >= {PFX_NUM} * (sa.n + sb.n - i.n_inter)
-""",
+"""
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=_PREFIX_FILTER_SQL,
     tags=("dedup", "north-star", "join"),
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,70 +1150,85 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy corpus (tests/test_operators.py,
     test_prefix_filter_skew_stress).
     """
+    return D.prefix_filter_similarity_pairs(
+        _corpus_near(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        threshold_num=PFX_NUM,
+        threshold_den=PFX_DEN,
+        prefix_cap=PFX_CAP,
+        shingle_k=3,
+    )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+WITH truth AS ({_PREFIX_FILTER_SQL}),
+lsh AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL}) mh
+  WHERE jaccard >= {PFX_NUM} / {PFX_DEN}
+),
+hit AS (
+  SELECT t.doc_a FROM truth t JOIN lsh l
+  ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+)
+SELECT
+  (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+  (SELECT COUNT(*) FROM lsh)::BIGINT AS n_lsh,
+  (SELECT COUNT(*) FROM hit)::BIGINT AS n_found,
+  CAST((SELECT COUNT(*) FROM hit) * 1000000
+       // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_ppm,
+  CAST((SELECT COUNT(*) FROM hit) * 1000000
+       // (SELECT COUNT(*) FROM lsh) AS BIGINT) AS precision_ppm
+""",
+    tags=("dedup", "north-star", "evaluation"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-recall evaluation of banded MinHash LSH against the
+    EXACT prefix-filter set-similarity join at the same threshold
+    (J >= 3/5) — the measurement that tells a pipeline owner what the
+    LSH banding parameters are actually costing in missed near-dup
+    pairs.  The exact join is complete by theorem, so it is the ground
+    truth; LSH pairs are verified at the same threshold, so precision
+    must come out 1.0 (1,000,000 ppm) — the query result carries that
+    invariant as data.
+
+    At the default (16 hashes, 4 bands) the single-band collision
+    probability at J = 0.6 is 1-(1-0.6^4)^4 ≈ 0.44, so a sub-1.0
+    recall here is the banding working as designed, not a bug; the
+    production knob is more bands/hashes (dedup_minhash_calibration
+    maps that curve).
+
+    Scale shape: both pair sets are bucketed candidate generators
+    (banded triples / rare-prefix posting lists) and the final join is
+    pairs-to-pairs (tiny); the only full-corpus work is the two shingle
+    passes the component queries already do.
+    """
     corpus = _corpus_near(spark, sf_dir)
-    sh = portable.shingles(portable.tokens("text", "spark"), 3, "spark")
-    tk = corpus.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(sh))).alias("tok"),
-    ).distinct()
-    tk = tracked_persist(tk)
-    dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (
-        tk.join(dfreq, on="tok")
-        .withColumn("rn", F.row_number().over(wdoc))
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    truth = D.prefix_filter_similarity_pairs(
+        corpus, "text", "doc_id",
+        threshold_num=PFX_NUM, threshold_den=PFX_DEN,
+        prefix_cap=PFX_CAP, shingle_k=3,
+    ).select("doc_a", "doc_b")
+    lsh = (
+        D.minhash_near_dup_pairs(
+            corpus, "text", "doc_id",
+            n_hashes=N_HASHES, bands=BANDS, k=3,
+            jaccard_threshold=PFX_NUM / PFX_DEN,
+        )
+        .select("doc_a", "doc_b")
     )
-    pfx = ranked.where(
-        (
-            F.col("rn")
-            <= F.col("n")
-            - F.expr(f"({PFX_NUM} * n + {PFX_DEN} - 1) div {PFX_DEN}")
-            + 1
-        )
-        & (F.col("df") <= PFX_CAP)
-    ).select("doc_id", "tok", "n")
-    cand = (
-        pfx.alias("a")
-        .join(
-            pfx.alias("b"),
-            F.expr(
-                "a.tok = b.tok AND a.doc_id < b.doc_id"
-                f" AND {PFX_DEN} * least(a.n, b.n)"
-                f" >= {PFX_NUM} * greatest(a.n, b.n)"
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    hit = truth.join(lsh, on=["doc_a", "doc_b"], how="left_semi")
+    counts = (
+        truth.agg(F.count("*").cast("long").alias("n_truth"))
+        .crossJoin(lsh.agg(F.count("*").cast("long").alias("n_lsh")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_found")))
     )
-    inter = (
-        cand.join(tk.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tk.alias("tb"),
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("tb.tok") == F.col("ta.tok")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
-    )
-    sizes = tk.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    return (
-        inter.join(
-            sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), on="doc_a"
-        )
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), on="doc_b")
-        .where(
-            F.col("n_inter") * PFX_DEN
-            >= PFX_NUM * (F.col("na") + F.col("nb") - F.col("n_inter"))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            F.expr("CAST(n_inter * 1000000 div (na + nb - n_inter) AS BIGINT)").alias(
-                "jaccard_ppm"
-            ),
-        )
+    return counts.select(
+        "n_truth",
+        "n_lsh",
+        "n_found",
+        F.expr("CAST(n_found * 1000000 div n_truth AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(n_found * 1000000 div n_lsh AS BIGINT)").alias("precision_ppm"),
     )

@@ -146,19 +146,28 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers; the coded survivor corpus never shuffles (ADC scoring is a
     map-side projection against one broadcast LUT row).
     """
-    # --- stage 1-2: near-dup pairs -> connected components ---
+    corpus, labels = _retrieval_dedup_cc(spark, sf_dir)
+    surv = _retrieval_survivors(corpus, labels)
+    coded, lut = _retrieval_index(spark, sf_dir, surv)
+    return _retrieval_search(spark, sf_dir, coded, lut, surv)
+
+
+def _retrieval_dedup_cc(spark: SparkSession, sf_dir: str):
+    """Stages 1-2: near-dup candidate pairs -> connected components.
+    O(log n) star CC: same min-id labels as connected_components
+    (equality property-tested), ~20% faster here (A/B at sf0.1:
+    3.6s vs 4.5s warm) and round-bounded on chainy graphs."""
     corpus = _corpus_near(spark, sf_dir)
     pairs = D.minhash_near_dup_pairs(
         corpus, "text", "doc_id",
         n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
     )
-    # O(log n) star CC: same min-id labels as connected_components
-    # (equality property-tested), ~20% faster here (A/B at sf0.1:
-    # 3.6s vs 4.5s warm) and round-bounded on chainy graphs
-    labels = D.connected_components_star(pairs)  # (node, component)
+    return corpus, D.connected_components_star(pairs)  # (node, component)
 
-    # --- stage 3: longest-member survivor per cluster, resolved back to
-    # the stored doc id; singleton docs survive as themselves ---
+
+def _retrieval_survivors(corpus: DataFrame, labels: DataFrame) -> DataFrame:
+    """Stage 3: longest-member survivor per cluster, resolved back to
+    the stored doc id; singleton docs survive as themselves."""
     scored = labels.join(
         corpus.select(
             F.col("doc_id").alias("node"),
@@ -175,10 +184,12 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     singles = corpus.join(
         labels, corpus["doc_id"] == labels["node"], "left_anti"
     ).select((F.col("doc_id") % BASE_MOD).cast("long").alias("base"))
-    surv = cluster_surv.unionByName(singles).distinct()
+    return cluster_surv.unionByName(singles).distinct()
 
-    # --- stage 4: PQ index over the survivors only (codebook trained on
-    # the full embedding corpus — index metadata, one pass) ---
+
+def _retrieval_index(spark: SparkSession, sf_dir: str, surv: DataFrame):
+    """Stage 4: PQ index over the survivors only (codebook trained on
+    the full embedding corpus — index metadata, one pass)."""
     emb = t(spark, sf_dir, "embeddings")
     codebook = SIM.pq_train_codebooks(emb, "vec_id", "embedding", PQ_M, PQ_K, EMB_DIM)
     surv_emb = emb.join(
@@ -189,7 +200,13 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") == RRF_QVEC_ID),
         codebook, "vec_id", "embedding", PQ_M, EMB_DIM,
     )
+    return coded, lut
 
+
+def _retrieval_search(
+    spark: SparkSession, sf_dir: str, coded: DataFrame, lut: DataFrame, surv: DataFrame
+) -> DataFrame:
+    """Stage 5: ADC vector tier + lexical tier + reciprocal-rank fusion."""
     # --- stage 5a: vector tier (ADC over coded survivors) ---
     adc = (
         f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS DOUBLE), "
@@ -305,6 +322,14 @@ def pipeline_corpus_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     admitted rows against a broadcast codebook; the serve tier is the
     zero-corpus-exchange ADC scan.
     """
+    admitted = _refresh_admitted(spark, sf_dir)
+    codebook, serve = _refresh_serve_set(spark, sf_dir, admitted)
+    return _refresh_search(spark, sf_dir, codebook, serve)
+
+
+def _refresh_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh stage 1: incremental dedup of the new crawl batch against
+    the base corpus; only 'keep' verdicts are admitted."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     new_docs = (
         docs.where(F.col("doc_id") % 10 == 0)
@@ -326,10 +351,16 @@ def pipeline_corpus_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_docs, docs, "text", "doc_id",
         n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
     )
-    admitted = verdicts.where(F.col("verdict") == "keep").select(
+    return verdicts.where(F.col("verdict") == "keep").select(
         F.col("doc_id").alias("new_id"),
         (F.col("doc_id") % 1_000_000).alias("base_id"),
     )
+
+
+def _refresh_serve_set(spark: SparkSession, sf_dir: str, admitted: DataFrame):
+    """Refresh stage 2: encode admitted docs against the FROZEN
+    base-trained codebook (map-only, no retraining) and union with the
+    base codes."""
     emb = t(spark, sf_dir, "embeddings")
     codebook, coded = SIM.pq_build_index(
         emb, "vec_id", "embedding", PQ_M, PQ_K, EMB_DIM
@@ -337,7 +368,15 @@ def pipeline_corpus_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_codes = coded.join(
         F.broadcast(admitted), coded["c_id"] == admitted["base_id"]
     ).select(F.col("new_id").alias("c_id"), "codes")
-    serve = coded.unionByName(new_codes)
+    return codebook, coded.unionByName(new_codes)
+
+
+def _refresh_search(
+    spark: SparkSession, sf_dir: str, codebook: DataFrame, serve: DataFrame
+) -> DataFrame:
+    """Refresh stage 3: serve base ∪ admitted via the zero-corpus-
+    exchange ADC scan."""
+    emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return SIM.pq_search(
         serve, codebook, queries, "vec_id", "embedding", TOP_K, PQ_M, EMB_DIM

@@ -131,6 +131,7 @@ _R07_WINDOW = (
 # sample slots 48+ immediately after the frozen never-sampled names.
 # Appended (never reordered) as round-7 queries land.
 _R07_NEW: tuple[str, ...] = (
+    "dedup_lsh_recall_eval",
 )
 
 @dataclass(frozen=True)
