@@ -746,3 +746,70 @@ class TestStatisticsTierInvariants:
             a.var(ddof=0) / (len(a) - 1) + b.var(ddof=0) / (len(b) - 1)
         )
         assert abs(row["welch_t"] - t_np) <= 1e-4 * max(1.0, abs(t_np))
+
+
+class TestEvaluationTierInvariants:
+    """Round-7 model-evaluation tier: the rank-sum AUC must equal the
+    brute-force pairwise definition (P[score_pos > score_neg] + P[tie]/2)
+    on the live rows, and the confusion/calibration readouts must satisfy
+    their accounting identities."""
+
+    @staticmethod
+    def _base_rows(spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.evaluation import _user_label_score
+
+        return _user_label_score(spark, SF_SMOKE).collect()
+
+    def test_auc_matches_pairwise_definition(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+
+        row = all_specs()["ml_auc_rank_sum"].fn(spark, SF_SMOKE).collect()[0]
+        release_persisted()
+        base = self._base_rows(spark)
+        pos = [r["score"] for r in base if r["label"] == 1]
+        neg = [r["score"] for r in base if r["label"] == 0]
+        assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+        # brute-force U in halves: win = 2, tie = 1
+        u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+        assert row["u2"] == u2
+        assert row["auc_ppm"] == u2 * 1_000_000 // (2 * len(pos) * len(neg))
+        assert 0 <= row["auc_ppm"] <= 1_000_000
+
+    def test_confusion_accounting_identities(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.queries.evaluation import CONFUSION_THRESHOLD_CENTS
+        from uda_spark.registry import all_specs
+
+        row = all_specs()["ml_confusion_report"].fn(spark, SF_SMOKE).collect()[0]
+        release_persisted()
+        base = self._base_rows(spark)
+        assert row["tp"] + row["fp"] + row["tn"] + row["fn"] == len(base)
+        tp = sum(
+            1
+            for r in base
+            if r["score"] >= CONFUSION_THRESHOLD_CENTS and r["label"] == 1
+        )
+        assert row["tp"] == tp
+        if row["tp"] + row["fp"]:
+            assert row["precision_ppm"] == row["tp"] * 1_000_000 // (row["tp"] + row["fp"])
+        if row["tp"] + row["fn"]:
+            assert row["recall_ppm"] == row["tp"] * 1_000_000 // (row["tp"] + row["fn"])
+
+    def test_calibration_bins_partition_users(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+
+        rows = all_specs()["ml_calibration_bins"].fn(spark, SF_SMOKE).collect()
+        release_persisted()
+        base = self._base_rows(spark)
+        assert sum(r["n_users"] for r in rows) == len(base)
+        for r in rows:
+            assert 0 <= r["bin"] <= 9
+            assert 0 <= r["pos_rate_ppm"] <= 1_000_000
+            # mean predicted ppm must fall inside the bin's range
+            assert r["bin"] * 100_000 <= r["mean_score_ppm"] < (r["bin"] + 1) * 100_000

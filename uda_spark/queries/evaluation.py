@@ -1,0 +1,268 @@
+"""Model-evaluation readouts (round 7, north-star): the queries a
+training pipeline runs AFTER a model exists — ranking quality (AUC via
+the exact rank-sum statistic), calibration (reliability bins), and the
+thresholded confusion report.  A 100 TB pipeline evaluates on the full
+holdout, not a sample, so each readout is a one/two-pass exact
+aggregation with no per-row floats: scores are integer cents, ranks are
+exact integers with the standard average-rank tie treatment carried as
+2×rank to stay integral, and every ratio is an integer ppm.
+
+The per-user label/score relation is shared by all three queries:
+label = "user made more purchases than errors" (a behavioral target),
+score = total purchase value in cents (the model-score stand-in —
+deterministic, correlated with the label, with a genuine tie mass at 0).
+
+Reference parity: the reference ships no model-eval tier; these extend
+the engine the way its acceptance workloads (terasort/wordcount,
+src/test/regression) extend Hadoop — domain workloads over the same
+operator substrate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uda_spark.queries.common import t
+from uda_spark.registry import register
+
+# Shared per-user label/score base (engine-identical in both dialects).
+_BASE_SPARK = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS label,
+       SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+                ELSE 0 END) AS score
+FROM {events} GROUP BY user_id
+"""
+
+_BASE_DUCK = _BASE_SPARK.format(events="events")
+
+CONFUSION_THRESHOLD_CENTS = 50_000
+
+
+def _user_label_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("_eval_events")
+    return spark.sql(_BASE_SPARK.format(events="_eval_events"))
+
+
+@register(
+    "ml_auc_rank_sum",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+grp AS (
+  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY score
+),
+ranked AS (
+  SELECT score, c, p,
+         COALESCE(SUM(c) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM grp
+),
+s AS (
+  SELECT SUM(p)::BIGINT AS n_pos,
+         SUM(c - p)::BIGINT AS n_neg,
+         SUM(p * (2 * (cum_before + 1) + c - 1))::BIGINT AS s2_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(s2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM s
+""",
+    tags=("ml", "evaluation", "north-star"),
+)
+def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC as the exact Mann-Whitney rank-sum statistic — the
+    standard identity AUC = U / (n_pos * n_neg), computed without a
+    single float: ranks use the average-rank tie treatment carried as
+    2×rank (always integral: a tie group of size c starting at min-rank
+    r contributes average 2r + c - 1 per member), U is doubled to u2,
+    and the final AUC is integer ppm.
+
+    Scale shape: one groupBy(score) over the per-user relation, then a
+    window over the DISTINCT-score groups only (bounded by the number
+    of distinct scores, not users — here integer cents; a continuous
+    score would be quantized first, which is also what keeps the rank
+    sums integral), then a one-row reduction.  The naive formulation
+    ranks every user in one global window; this one never materializes
+    a per-user rank, which is what makes exact AUC viable on a
+    billion-user holdout with a quantized score.
+    """
+    base = _user_label_score(spark, sf_dir)
+    grp = base.groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("label").cast("long").alias("p"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    s = ranked.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p") * (2 * (F.col("cum_before") + 1) + F.col("c") - 1)
+        )
+        .cast("long")
+        .alias("s2_pos"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.expr("CAST(s2_pos - n_pos * (n_pos + 1) AS BIGINT)").alias("u2"),
+        F.expr(
+            "CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000"
+            " div (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+scored AS (
+  SELECT label,
+         LEAST(999999, score * 1000000 // 200000) AS score_ppm
+  FROM base
+)
+SELECT CAST(score_ppm // 100000 AS INT) AS bin,
+       COUNT(*)::BIGINT AS n_users,
+       CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+       CAST(SUM(label) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+FROM scored GROUP BY score_ppm // 100000
+""",
+    tags=("ml", "evaluation", "north-star"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) bins: map the cent score onto a ppm
+    pseudo-probability (score/$2000, capped at 1), decile-bin it, and compare the mean
+    predicted ppm against the observed positive rate per bin — the
+    standard calibration-curve input, exact in integers end to end.
+
+    Scale shape: one grouped aggregation over the per-user relation;
+    bins are bounded (10), so the output is O(1).
+    """
+    base = _user_label_score(spark, sf_dir)
+    scored = base.select(
+        "label",
+        F.expr("LEAST(999999L, score * 1000000 div 200000)").alias("score_ppm"),
+    )
+    return (
+        scored.groupBy(F.expr("score_ppm div 100000").cast("int").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("CAST(SUM(score_ppm) div COUNT(*) AS BIGINT)").alias(
+                "mean_score_ppm"
+            ),
+            F.expr("CAST(SUM(label) * 1000000 div COUNT(*) AS BIGINT)").alias(
+                "pos_rate_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "ml_confusion_report",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+conf AS (
+  SELECT
+    SUM(CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+    SUM(CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+    SUM(CASE WHEN score <  {CONFUSION_THRESHOLD_CENTS} AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+    SUM(CASE WHEN score <  {CONFUSION_THRESHOLD_CENTS} AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM base
+)
+SELECT tp, fp, tn, fn,
+       CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm,
+       CAST(2 * tp * 1000000 // NULLIF(2 * tp + fp + fn, 0) AS BIGINT) AS f1_ppm
+FROM conf
+""",
+    tags=("ml", "evaluation", "north-star"),
+)
+def ml_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix + precision/recall/F1 (integer ppm;
+    the F1 identity 2tp/(2tp+fp+fn) stays in one integer division) in a
+    single conditional-aggregation pass over the per-user relation —
+    the readout printed next to every trained classifier.
+    """
+    thr = CONFUSION_THRESHOLD_CENTS
+    base = _user_label_score(spark, sf_dir)
+    conf = base.agg(
+        F.sum(F.expr(f"CASE WHEN score >= {thr} AND label = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.expr(f"CASE WHEN score >= {thr} AND label = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.expr(f"CASE WHEN score < {thr} AND label = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.expr(f"CASE WHEN score < {thr} AND label = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fn"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr("CAST(tp * 1000000 div NULLIF(tp + fp, 0) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST(tp * 1000000 div NULLIF(tp + fn, 0) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "CAST(2 * tp * 1000000 div NULLIF(2 * tp + fp + fn, 0) AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+SELECT COALESCE(source, 'ALL') AS source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+       COUNT(DISTINCT lang)::BIGINT AS n_langs,
+       COUNT(DISTINCT md5(text))::BIGINT AS n_distinct_texts,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
+            // COUNT(*) AS BIGINT) AS dup_rate_ppm
+FROM documents
+GROUP BY GROUPING SETS ((source), ())
+""",
+    tags=("pipeline", "evaluation", "north-star"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-source and corpus-total composition stats
+    (volume, length, language spread, exact duplicate rate) in one
+    GROUPING SETS pass — the summary table published next to every
+    released training corpus.
+
+    Scale shape: one Expand + one exchange for both grouping shapes;
+    the distinct-text count groups 16-byte md5 digests, never bodies
+    (the same shuffle discipline as dedup_exact).  At extreme scale the
+    exact COUNT(DISTINCT) tier swaps for the HLL sketch queries the
+    module already provides — this card is the exact-tier readout.
+    """
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_card_documents")
+    return spark.sql(
+        """
+SELECT COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) div COUNT(*) AS BIGINT) AS mean_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
+            div COUNT(*) AS BIGINT) AS dup_rate_ppm
+FROM _card_documents
+GROUP BY GROUPING SETS ((source), ())
+"""
+    )

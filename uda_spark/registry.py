@@ -56,6 +56,9 @@ _QUERY_MODULES = (
     "uda_spark.queries.quality",
     # appended round 6 — covered by the rotation-3 window (see below)
     "uda_spark.queries.retrieval_pipeline",
+    # appended round 7 — new names go in _R07_NEW so the driver samples
+    # them this round (slots 48+)
+    "uda_spark.queries.evaluation",
 )
 
 # ---------------------------------------------------------------------------
@@ -132,6 +135,10 @@ _R07_WINDOW = (
 # Appended (never reordered) as round-7 queries land.
 _R07_NEW: tuple[str, ...] = (
     "dedup_lsh_recall_eval",
+    "ml_auc_rank_sum",
+    "ml_calibration_bins",
+    "ml_confusion_report",
+    "pipeline_dataset_card",
 )
 
 @dataclass(frozen=True)
