@@ -37,6 +37,10 @@ QUERIES = [
     "pipeline_temperature_mixture",  # map-side mixing vs broadcast rates
     "pipeline_curriculum_phases",    # per-source exact-order-statistic sort
     "pipeline_retrieval_e2e",        # composed dedup->CC->PQ->RRF pipeline
+    # round-7 additions
+    "dedup_prefix_filter_pairs",     # exact ssjoin (length+positional+cap guards)
+    "ml_auc_rank_sum",               # distinct-score-group rank sums
+    "pipeline_dataset_card",         # grouping-sets digest card
 ]
 ITERS = 3
 

@@ -1232,3 +1232,55 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_found * 1000000 div n_truth AS BIGINT)").alias("recall_ppm"),
         F.expr("CAST(n_found * 1000000 div n_lsh AS BIGINT)").alias("precision_ppm"),
     )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=f"""
+WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS degree FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL
+    SELECT doc_b AS node FROM pairs
+  ) GROUP BY node
+)
+SELECT CAST(length(bin(degree)) - 1 AS INT) AS log2_bucket,
+       COUNT(*)::BIGINT AS n_nodes,
+       MIN(degree) AS min_degree,
+       MAX(degree) AS max_degree,
+       SUM(degree)::BIGINT AS sum_degree
+FROM deg GROUP BY length(bin(degree)) - 1
+""",
+    tags=("dedup", "graph", "north-star"),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph in log2 buckets — the
+    first thing to look at before running CC at scale: a heavy tail
+    here predicts hot components (and is exactly what the LSH
+    `cap_buckets` guard bounds).  The bucket index is the integer
+    bit-length of the degree (`length(bin(d)) - 1` in both dialects),
+    so no floating log anywhere.
+
+    Scale shape: pairs explode into 2 rows each, one groupBy(node) for
+    degrees, one tiny bounded aggregate (<= 64 buckets) — strictly
+    cheaper than any downstream graph pass.
+    """
+    pairs = D.minhash_near_dup_pairs(
+        _corpus_near(spark, sf_dir), "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return deg.groupBy(
+        (F.length(F.expr("bin(degree)")) - 1).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+        F.sum("degree").cast("long").alias("sum_degree"),
+    )

@@ -266,3 +266,77 @@ FROM _card_documents
 GROUP BY GROUPING SETS ((source), ())
 """
     )
+
+
+PR_SWEEP_STEP_CENTS = 20_000
+PR_SWEEP_POINTS = 10
+
+
+@register(
+    "ml_pr_threshold_sweep",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+grp AS (
+  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY score
+),
+thr AS (SELECT t * {PR_SWEEP_STEP_CENTS} AS threshold
+        FROM range(0, {PR_SWEEP_POINTS}) r(t)),
+agg AS (
+  SELECT thr.threshold,
+         SUM(CASE WHEN g.score >= thr.threshold THEN g.p ELSE 0 END)::BIGINT AS tp,
+         SUM(CASE WHEN g.score >= thr.threshold THEN g.c - g.p ELSE 0 END)::BIGINT AS fp,
+         SUM(g.p)::BIGINT AS n_pos
+  FROM thr CROSS JOIN grp g GROUP BY thr.threshold
+)
+SELECT CAST(threshold AS BIGINT) AS threshold_cents, tp, fp,
+       CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // NULLIF(n_pos, 0) AS BIGINT) AS recall_ppm
+FROM agg
+""",
+    tags=("ml", "evaluation", "north-star"),
+)
+def ml_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precision-recall curve at a fixed threshold grid — the sweep
+    behind threshold selection, computed WITHOUT re-scanning the corpus
+    per threshold: one groupBy(score) pass builds the distinct-score
+    groups (the same relation `ml_auc_rank_sum` ranks), and the
+    10-threshold sweep is a broadcast cross against that tiny grouped
+    relation.  Exact integer counts and ppm ratios throughout.
+
+    Scale shape: corpus-sized work is the single per-user aggregation;
+    the sweep itself touches |thresholds| x |distinct scores| rows —
+    independent of user count.
+    """
+    base = _user_label_score(spark, sf_dir)
+    grp = base.groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("label").cast("long").alias("p"),
+    )
+    thr = spark.range(PR_SWEEP_POINTS).select(
+        (F.col("id") * PR_SWEEP_STEP_CENTS).alias("threshold")
+    )
+    agg = (
+        grp.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.expr("CASE WHEN score >= threshold THEN p ELSE 0 END"))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.expr("CASE WHEN score >= threshold THEN c - p ELSE 0 END"))
+            .cast("long")
+            .alias("fp"),
+            F.sum("p").cast("long").alias("n_pos"),
+        )
+    )
+    return agg.select(
+        F.col("threshold").cast("long").alias("threshold_cents"),
+        "tp",
+        "fp",
+        F.expr("CAST(tp * 1000000 div NULLIF(tp + fp, 0) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST(tp * 1000000 div NULLIF(n_pos, 0) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )

@@ -139,6 +139,8 @@ _R07_NEW: tuple[str, ...] = (
     "ml_calibration_bins",
     "ml_confusion_report",
     "pipeline_dataset_card",
+    "graph_degree_histogram",
+    "ml_pr_threshold_sweep",
 )
 
 @dataclass(frozen=True)
