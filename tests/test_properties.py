@@ -813,3 +813,86 @@ class TestEvaluationTierInvariants:
             assert 0 <= r["pos_rate_ppm"] <= 1_000_000
             # mean predicted ppm must fall inside the bin's range
             assert r["bin"] * 100_000 <= r["mean_score_ppm"] < (r["bin"] + 1) * 100_000
+
+
+class TestGraphDegreeHistogramInvariants:
+    """graph_degree_histogram must account exactly for the pair relation
+    it summarizes: sum(n_nodes) = #distinct endpoint nodes,
+    sum(sum_degree) = 2 * #pairs, and each bucket's degree range must
+    live inside [2^bucket, 2^(bucket+1))."""
+
+    def test_histogram_accounts_for_pairs(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.queries.dedup import (
+            BANDS,
+            JACCARD_T,
+            N_HASHES,
+            _corpus_near,
+        )
+        from uda_spark.operators.dedup import minhash_near_dup_pairs
+        from uda_spark.registry import all_specs
+
+        rows = all_specs()["graph_degree_histogram"].fn(spark, SF_SMOKE).collect()
+        pairs = minhash_near_dup_pairs(
+            _corpus_near(spark, SF_SMOKE), "text", "doc_id",
+            n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
+        ).collect()
+        release_persisted()
+        nodes = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+        assert sum(r["n_nodes"] for r in rows) == len(nodes)
+        assert sum(r["sum_degree"] for r in rows) == 2 * len(pairs)
+        for r in rows:
+            lo, hi = 1 << r["log2_bucket"], 1 << (r["log2_bucket"] + 1)
+            assert lo <= r["min_degree"] <= r["max_degree"] < hi
+
+
+class TestLshRecallEvalInvariants:
+    """dedup_lsh_recall_eval's structural guarantees: verified-LSH pairs
+    are a SUBSET of the exact join's output (so n_lsh == n_found and
+    precision is exactly 1.0), and recall_ppm is the integer ratio."""
+
+    def test_subset_and_ratio_identities(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+
+        row = all_specs()["dedup_lsh_recall_eval"].fn(spark, SF_SMOKE).collect()[0]
+        release_persisted()
+        assert row["n_lsh"] == row["n_found"]
+        assert row["precision_ppm"] == 1_000_000
+        assert row["n_found"] <= row["n_truth"]
+        assert row["recall_ppm"] == row["n_found"] * 1_000_000 // row["n_truth"]
+
+
+class TestHistogramQuantileSketchBracket:
+    """The mergeable histogram sketch's error contract: for each q, the
+    exact rank-target order statistic of the underlying cents values
+    must fall inside the reported [lo_cents, hi_cents] bucket."""
+
+    def test_bracket_contains_exact_quantile(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import event_micros, load_table
+
+        import pyspark.sql.functions as SF
+
+        rows = all_specs()["sketch_histogram_quantiles"].fn(spark, SF_SMOKE).collect()
+        ev = load_table(spark, SF_SMOKE, "events")
+        cents = sorted(
+            r["cents"]
+            for r in ev.select(
+                SF.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                    "cents"
+                )
+            ).collect()
+            if r["cents"] is not None and r["cents"] > 0
+        )
+        release_persisted()
+        assert rows and len(cents) == rows[0]["total_n"]
+        for r in rows:
+            exact = cents[r["target_rank"] - 1]  # rank is 1-based
+            assert r["lo_cents"] <= exact <= r["hi_cents"], (r, exact)
+            # factor-2 bracket by construction
+            assert r["hi_cents"] < 2 * r["lo_cents"]

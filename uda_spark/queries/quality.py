@@ -1991,3 +1991,93 @@ def events_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt((ss_a / n_a - (s_a / n_a) * (s_a / n_a)) / (n_a - 1)"
         " + (ss_b / n_b - (s_b / n_b) * (s_b / n_b)) / (n_b - 1)), 6) AS welch_t",
     )
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle="""
+WITH base AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+  WHERE value IS NOT NULL AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+),
+lvl1 AS (
+  SELECT day, CAST(length(bin(cents)) - 1 AS INT) AS bucket, COUNT(*)::BIGINT AS c
+  FROM base GROUP BY day, length(bin(cents)) - 1
+),
+merged AS (SELECT bucket, SUM(c)::BIGINT AS c FROM lvl1 GROUP BY bucket),
+cum AS (SELECT bucket, c, SUM(c) OVER (ORDER BY bucket)::BIGINT AS cum FROM merged),
+tot AS (SELECT SUM(c)::BIGINT AS total FROM merged),
+tgt AS (
+  SELECT q_pct, ((SELECT total FROM tot) * q_pct + 99) // 100 AS target_rank
+  FROM (VALUES (50), (90), (99)) v(q_pct)
+)
+SELECT CAST(t.q_pct AS INT) AS q_pct,
+       (SELECT total FROM tot) AS total_n,
+       CAST(t.target_rank AS BIGINT) AS target_rank,
+       CAST(MIN(cum.bucket) AS INT) AS bucket,
+       CAST(1::BIGINT << MIN(cum.bucket) AS BIGINT) AS lo_cents,
+       CAST((1::BIGINT << (MIN(cum.bucket) + 1)) - 1 AS BIGINT) AS hi_cents
+FROM tgt t JOIN cum ON cum.cum >= t.target_rank
+GROUP BY t.q_pct, t.target_rank
+""",
+    tags=("quality", "sketch", "north-star"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile estimation — the percentile analog of the HLL
+    two-level rollup (`hll_sketch_persisted_rollup`): level 1 builds
+    per-day log2-bucket histograms (bounded: <= 64 counters per day —
+    the relation you would persist alongside the daily rollup), level 2
+    merges them with a plain SUM per bucket and reads p50/p90/p99 off
+    the cumulative counts.  Estimates carry an explicit error contract
+    (the true quantile lies in [lo_cents, hi_cents], a factor-2 bracket)
+    instead of percentile_approx's unmergeable opaque state — integers
+    end to end, so both engines agree exactly.
+
+    Scale shape: the corpus-sized pass is the level-1 groupBy; merge
+    and quantile extraction touch <= 64 x days rows.  New days merge
+    into the sketch with a SUM — no recomputation of history — which is
+    the property percentile_approx cannot offer across partitions.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    base = (
+        ev.withColumn("ts_us", event_micros(ev))
+        .select(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .where(F.col("cents").isNotNull() & (F.col("cents") > 0))
+    )
+    lvl1 = base.groupBy(
+        "day", (F.length(F.expr("bin(cents)")) - 1).cast("int").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("c"))
+    merged = lvl1.groupBy("bucket").agg(F.sum("c").cast("long").alias("c"))
+    cum = merged.withColumn(
+        "cum",
+        F.sum("c").over(Window.orderBy("bucket")).cast("long"),
+    )
+    tot = merged.agg(F.sum("c").cast("long").alias("total"))
+    q = spark.createDataFrame([(50,), (90,), (99,)], "q_pct int")
+    tgt = q.crossJoin(F.broadcast(tot)).select(
+        "q_pct",
+        "total",
+        F.expr("(total * q_pct + 99) div 100").cast("long").alias("target_rank"),
+    )
+    return (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_pct", "total", "target_rank")
+        .agg(F.min("bucket").cast("int").alias("bucket"))
+        .select(
+            F.col("q_pct").cast("int").alias("q_pct"),
+            F.col("total").alias("total_n"),
+            "target_rank",
+            "bucket",
+            F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)").alias("lo_cents"),
+            F.expr("CAST(shiftleft(1L, bucket + 1) - 1 AS BIGINT)").alias("hi_cents"),
+        )
+    )

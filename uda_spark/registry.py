@@ -141,6 +141,7 @@ _R07_NEW: tuple[str, ...] = (
     "pipeline_dataset_card",
     "graph_degree_histogram",
     "ml_pr_threshold_sweep",
+    "sketch_histogram_quantiles",
 )
 
 @dataclass(frozen=True)
