@@ -351,3 +351,66 @@ class TestPythonDataSourceStreaming:
         assert out.count() == 100
         keys = sorted(bytes(r.key).decode() for r in out.collect())
         assert keys == sorted(f"k{i}" for i in range(100))
+
+
+class TestPythonDataSourceStreamWriter:
+    """uda_kv streaming WRITER (round 7): per-batch commit promotes temp
+    segments to batch-stamped names (pure function of batchId +
+    partitionId -> idempotent replay), and the directory stays readable
+    by the batch reader AND the streaming reader — the full
+    stream -> uda_kv -> batch loop."""
+
+    def _write_segment(self, path, name, pairs):
+        import os
+
+        from uda_spark.sources.hadoop_kv import encode_kv_records
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(encode_kv_records(pairs))
+
+    def _pump(self, spark, src, dst, ckpt):
+        from uda_spark.sources import pyds
+
+        pyds.register(spark)
+        q = (
+            spark.readStream.format("uda_kv")
+            .load(src)
+            .writeStream.format("uda_kv")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_stream_to_kv_sink_roundtrip(self, spark, tmp_path):
+        import os
+
+        src, dst, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+        )
+        pairs1 = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(60)]
+        self._write_segment(src, "part-a", pairs1)
+        self._pump(spark, src, dst, ckpt)
+        out = spark.read.format("uda_kv").load(dst)
+        assert sorted(bytes(r.key) for r in out.collect()) == sorted(
+            k for k, _ in pairs1
+        )
+        files = [f for f in os.listdir(dst) if f.startswith("part-")]
+        assert files and all(f.startswith("part-b") for f in files)
+        assert not [f for f in os.listdir(dst) if f.startswith("_tmp-")]
+
+        # second micro-batch appends new batch-stamped segments only
+        pairs2 = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(60, 90)]
+        self._write_segment(src, "part-b", pairs2)
+        self._pump(spark, src, dst, ckpt)
+        out = spark.read.format("uda_kv").load(dst)
+        assert sorted(bytes(r.key).decode() for r in out.collect()) == sorted(
+            f"k{i}" for i in range(90)
+        )
+        # batch stamps are distinct across the two commits
+        stamps = {f.split("-")[1] for f in os.listdir(dst) if f.startswith("part-b")}
+        assert len(stamps) == 2

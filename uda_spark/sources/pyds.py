@@ -36,6 +36,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -122,6 +123,58 @@ class _KVWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class _KVStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming sink for VInt segments.
+
+    Per micro-batch, each task writes a uniquely-named temp segment and
+    reports (tmp, pid, n) in its commit message; ``commit(batchId)``
+    promotes every temp file to the batch-stamped final name
+    ``part-b{batchId:06d}-{pid:05d}``.  Exactly-once follows from the
+    names being a pure function of (batchId, partitionId): a replayed
+    batch (failure between sink commit and checkpoint write) re-creates
+    the SAME final names and ``os.replace`` overwrites them — the
+    idempotent-sink half of Spark's end-to-end contract, mirroring what
+    the checkpointed offsets give the read side.  Batch-stamped names
+    keep the directory readable by the batch ``_KVReader`` (prefix
+    ``part-``) and by the streaming reader, closing the loop:
+    stream -> uda_kv -> stream.
+    """
+
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("uda_kv requires a path (use .start(path) or option)")
+
+    def write(self, iterator) -> _Committed:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._dir, exist_ok=True)
+        tmp = os.path.join(self._dir, f"_tmp-stream-{uuid.uuid4().hex}")
+        pairs = []
+        for row in iterator:
+            pairs.append((bytes(row[0]), bytes(row[1])))
+        with open(tmp, "wb") as fh:
+            fh.write(encode_kv_records(pairs))
+        # final_path is completed in commit() once the batchId is known
+        return _Committed(tmp, f"{pid:05d}", len(pairs))
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                final = os.path.join(
+                    self._dir, f"part-b{batchId:06d}-{m.final_path}"
+                )
+                os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class _KVStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch reader over an append-only directory of VInt segments.
 
@@ -191,6 +244,9 @@ class UdaKVDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         return _KVStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _KVStreamWriter(self.options)
 
 
 def register(spark) -> None:
