@@ -83,6 +83,15 @@ EXTENDED = [
     "ml_correlation_matrix",
     "events_ab_welch_test",
     "dedup_prefix_filter_pairs",
+    # round-7 additions
+    "dedup_lsh_recall_eval",
+    "ml_auc_rank_sum",
+    "ml_pr_threshold_sweep",
+    "ml_calibration_bins",
+    "ml_confusion_report",
+    "pipeline_dataset_card",
+    "graph_degree_histogram",
+    "sketch_histogram_quantiles",
 ]
 
 

@@ -896,3 +896,40 @@ class TestHistogramQuantileSketchBracket:
             assert r["lo_cents"] <= exact <= r["hi_cents"], (r, exact)
             # factor-2 bracket by construction
             assert r["hi_cents"] < 2 * r["lo_cents"]
+
+
+class TestCusumChangepointInvariants:
+    """events_cusum_changepoint must return the true argmax of the
+    scaled centered CUSUM over the daily series (recomputed here from
+    the same rows in plain Python), with the documented tie-break."""
+
+    def test_argmax_matches_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.cache import release_persisted
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import event_micros, load_table
+
+        import pyspark.sql.functions as SF
+
+        row = all_specs()["events_cusum_changepoint"].fn(spark, SF_SMOKE).collect()[0]
+        ev = load_table(spark, SF_SMOKE, "events")
+        daily = sorted(
+            (r["day"], r["n"])
+            for r in ev.withColumn("ts_us", event_micros(ev))
+            .groupBy(SF.expr("ts_us div 86400000000").alias("day"))
+            .agg(SF.count("*").alias("n"))
+            .collect()
+        )
+        release_persisted()
+        d = len(daily)
+        s = sum(n for _, n in daily)
+        assert row["n_days"] == d
+        cum, best = 0, None
+        for t, (day, n) in enumerate(daily, start=1):
+            cum += n
+            dev = abs(cum * d - t * s)
+            if best is None or dev > best[0] or (dev == best[0] and day < best[1]):
+                best = (dev, day, cum, t)
+        assert row["max_abs_cusum_scaled"] == best[0]
+        assert row["changepoint_day"] == best[1]
+        assert row["mean_before_milli"] == best[2] * 1000 // best[3]

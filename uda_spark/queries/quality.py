@@ -2081,3 +2081,79 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(shiftleft(1L, bucket + 1) - 1 AS BIGINT)").alias("hi_cents"),
         )
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY epoch_us(ts) // 86400000000
+),
+tot AS (SELECT COUNT(*)::BIGINT AS d, SUM(n)::BIGINT AS s FROM daily),
+cus AS (
+  SELECT day, n,
+         SUM(n) OVER (ORDER BY day)::BIGINT AS cum,
+         ROW_NUMBER() OVER (ORDER BY day) AS t
+  FROM daily
+),
+scored AS (
+  SELECT day, t, cum,
+         abs(cum * (SELECT d FROM tot) - t * (SELECT s FROM tot)) AS dev
+  FROM cus
+),
+best AS (SELECT * FROM scored ORDER BY dev DESC, day LIMIT 1)
+SELECT (SELECT d FROM tot) AS n_days,
+       CAST(b.day AS BIGINT) AS changepoint_day,
+       CAST(b.dev AS BIGINT) AS max_abs_cusum_scaled,
+       CAST(b.cum * 1000 // b.t AS BIGINT) AS mean_before_milli,
+       CAST(((SELECT s FROM tot) - b.cum) * 1000
+            // NULLIF((SELECT d FROM tot) - b.t, 0) AS BIGINT) AS mean_after_milli
+FROM best b
+""",
+    tags=("quality", "events", "anomaly", "north-star"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (changepoint) detection over the daily event-count
+    series via the exact CUSUM statistic: with D days and S total
+    events, the mean-centered cumulative sum at day t is
+    cum_t - t*S/D; scaling by D keeps it integral
+    (dev_t = |D*cum_t - t*S|), and the changepoint is the argmax —
+    the split that maximizes the before/after mean separation, the
+    integer twin of the classic CUSUM segmentation step.  Before/after
+    means are reported in milli-events (integer division).
+
+    Scale shape: one corpus-sized groupBy(day); the CUSUM windows and
+    the argmax run over the bounded daily relation (|days| rows).
+    Deterministic tie-break on day keeps both engines aligned.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("ts_us", event_micros(ev))
+        .groupBy(F.expr("ts_us div 86400000000").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("d"), F.sum("n").cast("long").alias("s")
+    )
+    cus = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(Window.orderBy("day")).cast("long").alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    scored = cus.crossJoin(F.broadcast(tot)).withColumn(
+        "dev", F.abs(F.col("cum") * F.col("d") - F.col("t") * F.col("s"))
+    )
+    best = scored.orderBy(F.desc("dev"), F.col("day")).limit(1)
+    return best.select(
+        F.col("d").alias("n_days"),
+        F.col("day").cast("long").alias("changepoint_day"),
+        F.col("dev").cast("long").alias("max_abs_cusum_scaled"),
+        F.expr("CAST(cum * 1000 div t AS BIGINT)").alias("mean_before_milli"),
+        F.expr("CAST((s - cum) * 1000 div NULLIF(d - t, 0) AS BIGINT)").alias(
+            "mean_after_milli"
+        ),
+    )

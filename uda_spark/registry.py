@@ -142,6 +142,7 @@ _R07_NEW: tuple[str, ...] = (
     "graph_degree_histogram",
     "ml_pr_threshold_sweep",
     "sketch_histogram_quantiles",
+    "events_cusum_changepoint",
 )
 
 @dataclass(frozen=True)
