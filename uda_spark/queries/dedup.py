@@ -1178,9 +1178,9 @@ SELECT
   (SELECT COUNT(*) FROM lsh)::BIGINT AS n_lsh,
   (SELECT COUNT(*) FROM hit)::BIGINT AS n_found,
   CAST((SELECT COUNT(*) FROM hit) * 1000000
-       // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_ppm,
+       // NULLIF((SELECT COUNT(*) FROM truth), 0) AS BIGINT) AS recall_ppm,
   CAST((SELECT COUNT(*) FROM hit) * 1000000
-       // (SELECT COUNT(*) FROM lsh) AS BIGINT) AS precision_ppm
+       // NULLIF((SELECT COUNT(*) FROM lsh), 0) AS BIGINT) AS precision_ppm
 """,
     tags=("dedup", "north-star", "evaluation"),
 )
@@ -1229,8 +1229,12 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         "n_lsh",
         "n_found",
-        F.expr("CAST(n_found * 1000000 div n_truth AS BIGINT)").alias("recall_ppm"),
-        F.expr("CAST(n_found * 1000000 div n_lsh AS BIGINT)").alias("precision_ppm"),
+        F.expr(
+            "CAST(n_found * 1000000 div NULLIF(n_truth, 0) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(n_found * 1000000 div NULLIF(n_lsh, 0) AS BIGINT)"
+        ).alias("precision_ppm"),
     )
 
 

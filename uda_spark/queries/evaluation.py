@@ -70,7 +70,7 @@ s AS (
 SELECT n_pos, n_neg,
        CAST(s2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
        CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000
-            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+            // NULLIF(2 * n_pos * n_neg, 0) AS BIGINT) AS auc_ppm
 FROM s
 """,
     tags=("ml", "evaluation", "north-star"),
@@ -114,7 +114,7 @@ def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(s2_pos - n_pos * (n_pos + 1) AS BIGINT)").alias("u2"),
         F.expr(
             "CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000"
-            " div (2 * n_pos * n_neg) AS BIGINT)"
+            " div NULLIF(2 * n_pos * n_neg, 0) AS BIGINT)"
         ).alias("auc_ppm"),
     )
 
@@ -340,3 +340,107 @@ def ml_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+@register(
+    "pipeline_model_eval_e2e",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+grp AS (
+  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY score
+),
+ranked AS (
+  SELECT score, c, p,
+         COALESCE(SUM(c) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM grp
+),
+auc AS (
+  SELECT SUM(p)::BIGINT AS n_pos,
+         SUM(c - p)::BIGINT AS n_neg,
+         SUM(p * (2 * (cum_before + 1) + c - 1))::BIGINT AS s2_pos
+  FROM ranked
+),
+conf AS (
+  SELECT
+    SUM(CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+    SUM(CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+    SUM(CASE WHEN score <  {CONFUSION_THRESHOLD_CENTS} AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+    SUM(CASE WHEN score <  {CONFUSION_THRESHOLD_CENTS} AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM base
+)
+SELECT 'n_pos' AS metric, n_pos AS value FROM auc
+UNION ALL SELECT 'n_neg', n_neg FROM auc
+UNION ALL SELECT 'auc_ppm',
+  CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000
+       // NULLIF(2 * n_pos * n_neg, 0) AS BIGINT) FROM auc
+UNION ALL SELECT 'tp', tp FROM conf
+UNION ALL SELECT 'fp', fp FROM conf
+UNION ALL SELECT 'tn', tn FROM conf
+UNION ALL SELECT 'fn', fn FROM conf
+UNION ALL SELECT 'precision_ppm',
+  CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT) FROM conf
+UNION ALL SELECT 'recall_ppm',
+  CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) FROM conf
+UNION ALL SELECT 'f1_ppm',
+  CAST(2 * tp * 1000000 // NULLIF(2 * tp + fp + fn, 0) AS BIGINT) FROM conf
+""",
+    tags=("ml", "evaluation", "pipeline", "north-star"),
+)
+def pipeline_model_eval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full model report from ONE materialized label/score pass:
+    the per-user relation is built and persisted once, and every
+    readout (AUC rank-sum, confusion counts, ppm metrics) derives from
+    it — the composed twin of the individual `ml_*` queries, shaped the
+    way a 100 TB evaluation actually runs (score the holdout once,
+    persist the per-unit relation, read every metric off it; the
+    corpus-sized scan happens exactly once).
+
+    Output is long-form (metric, value) so adding a readout never
+    changes the schema.
+    """
+    from uda_spark.cache import tracked_persist
+
+    base = tracked_persist(_user_label_score(spark, sf_dir))
+    grp = base.groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("label").cast("long").alias("p"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    auc = ranked.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (2 * (F.col("cum_before") + 1) + F.col("c") - 1))
+        .cast("long")
+        .alias("s2_pos"),
+    )
+    thr = CONFUSION_THRESHOLD_CENTS
+    conf = base.agg(
+        F.sum(F.expr(f"CASE WHEN score >= {thr} AND label = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.expr(f"CASE WHEN score >= {thr} AND label = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.expr(f"CASE WHEN score < {thr} AND label = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.expr(f"CASE WHEN score < {thr} AND label = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fn"),
+    )
+    auc_rows = auc.selectExpr(
+        "stack(3, 'n_pos', n_pos, 'n_neg', n_neg, 'auc_ppm', "
+        "CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000 "
+        "div NULLIF(2 * n_pos * n_neg, 0) AS BIGINT)) AS (metric, value)"
+    )
+    conf_rows = conf.selectExpr(
+        "stack(7, 'tp', tp, 'fp', fp, 'tn', tn, 'fn', fn, "
+        "'precision_ppm', CAST(tp * 1000000 div NULLIF(tp + fp, 0) AS BIGINT), "
+        "'recall_ppm', CAST(tp * 1000000 div NULLIF(tp + fn, 0) AS BIGINT), "
+        "'f1_ppm', CAST(2 * tp * 1000000 div NULLIF(2 * tp + fp + fn, 0) AS BIGINT)"
+        ") AS (metric, value)"
+    )
+    return auc_rows.unionByName(conf_rows)

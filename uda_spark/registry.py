@@ -143,6 +143,7 @@ _R07_NEW: tuple[str, ...] = (
     "ml_pr_threshold_sweep",
     "sketch_histogram_quantiles",
     "events_cusum_changepoint",
+    "pipeline_model_eval_e2e",
 )
 
 @dataclass(frozen=True)
