@@ -933,3 +933,48 @@ class TestCusumChangepointInvariants:
         assert row["max_abs_cusum_scaled"] == best[0]
         assert row["changepoint_day"] == best[1]
         assert row["mean_before_milli"] == best[2] * 1000 // best[3]
+
+
+@pytest.mark.slow
+def test_auc_rank_sum_scale_stress(spark):
+    """The grouped rank-sum AUC machinery at 2M users with 2M DISTINCT
+    scores (the worst case for the distinct-score-group formulation —
+    every group has size 1) and an analytically known answer:
+    positives at odd scores 2i+1, negatives at even scores 2i
+    (i in [0, n)), so positive i beats exactly i+1 negatives:
+    U = sum(i+1) = n(n+1)/2 and AUC = (n+1)/(2n) -> 500000 ppm + eps.
+    Pins exactness AND that the plan survives a million-group window."""
+    import time
+
+    from pyspark.sql import functions as SF, Window as W
+
+    from uda_spark.cache import release_persisted
+
+    n = 1_000_000
+    base = spark.range(2 * n).select(
+        (F.col("id") % 2).cast("int").alias("label"),
+        # even ids are negatives at score id; odd ids positives at score id
+        F.col("id").alias("score"),
+    )
+    t0 = time.perf_counter()
+    grp = base.groupBy("score").agg(
+        SF.count("*").cast("long").alias("c"),
+        SF.sum("label").cast("long").alias("p"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grp.withColumn("cum_before", SF.coalesce(SF.sum("c").over(w), SF.lit(0)))
+    row = ranked.agg(
+        SF.sum("p").cast("long").alias("n_pos"),
+        SF.sum(SF.col("c") - SF.col("p")).cast("long").alias("n_neg"),
+        SF.sum(SF.col("p") * (2 * (SF.col("cum_before") + 1) + SF.col("c") - 1))
+        .cast("long")
+        .alias("s2_pos"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    release_persisted()
+    assert row["n_pos"] == row["n_neg"] == n
+    u2 = row["s2_pos"] - n * (n + 1)
+    assert u2 == n * (n + 1)  # 2U where U = n(n+1)/2
+    auc_ppm = u2 * 1_000_000 // (2 * n * n)
+    assert auc_ppm == (n + 1) * 1_000_000 // (2 * n)
+    assert wall < 180, f"AUC at 2M users took {wall:.0f}s"
