@@ -92,6 +92,8 @@ EXTENDED = [
     "pipeline_dataset_card",
     "graph_degree_histogram",
     "sketch_histogram_quantiles",
+    "events_cusum_changepoint",
+    "pipeline_model_eval_e2e",
 ]
 
 
