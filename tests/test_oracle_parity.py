@@ -75,17 +75,17 @@ def test_query_matches_oracle(name, spark, duck_smoke):
 
 
 def test_driver_window_is_rotation_3():
-    """The external driver samples the first 50 exported queries; the
-    round-7 rotation puts the 47 frozen `_R07_WINDOW` names (never
-    driver-sampled through r06) in those positions, followed by the
-    round-7 registrations (`_R07_NEW`) in slots 48+.  Pin the ordering so
-    a refactor can't silently reshuffle it before the driver runs, and
-    check nothing was lost: the export is still all registered queries
-    exactly once."""
-    from uda_spark.registry import _R07_NEW, _R07_WINDOW, get_queries
+    """The external driver samples the first 50 exported queries; from
+    round 8 the window is "never-driver-sampled first (`_R08_UNSAMPLED`,
+    the 7 round-7 registrations that landed after slot 50), then this
+    round's registrations (`_R08_NEW`), then registration order".  Pin
+    the ordering so a refactor can't silently reshuffle it before the
+    driver runs, and check nothing was lost: the export is still all
+    registered queries exactly once."""
+    from uda_spark.registry import _R08_NEW, _R08_UNSAMPLED, get_queries
 
     names = list(get_queries())
-    assert len(_R07_WINDOW) == 47
-    head = _R07_WINDOW + _R07_NEW
+    assert len(_R08_UNSAMPLED) == 7
+    head = _R08_UNSAMPLED + _R08_NEW
     assert tuple(names[: len(head)]) == head
     assert len(names) == len(set(names)) == len(SPECS)

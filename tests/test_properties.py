@@ -943,12 +943,19 @@ def test_auc_rank_sum_scale_stress(spark):
     positives at odd scores 2i+1, negatives at even scores 2i
     (i in [0, n)), so positive i beats exactly i+1 negatives:
     U = sum(i+1) = n(n+1)/2 and AUC = (n+1)/(2n) -> 500000 ppm + eps.
-    Pins exactness AND that the plan survives a million-group window."""
+
+    Runs the SAME code path as ml_auc_rank_sum (rank_sum_stats), and
+    asserts the round-8 scale contract: the cumulative-count window is
+    range-partitioned — NO single-partition exchange anywhere before
+    the one-row final reduction (whose SinglePartition exchange moves
+    only O(num_partitions) partial-aggregate rows)."""
     import time
 
-    from pyspark.sql import functions as SF, Window as W
+    from pyspark.sql import functions as SF
 
-    from uda_spark.cache import release_persisted
+    from uda_spark.operators.sort import global_cumulative_sum
+    from uda_spark.plans.explain import plan_str
+    from uda_spark.queries.evaluation import rank_sum_stats
 
     n = 1_000_000
     base = spark.range(2 * n).select(
@@ -956,25 +963,37 @@ def test_auc_rank_sum_scale_stress(spark):
         # even ids are negatives at score id; odd ids positives at score id
         F.col("id").alias("score"),
     )
-    t0 = time.perf_counter()
     grp = base.groupBy("score").agg(
         SF.count("*").cast("long").alias("c"),
         SF.sum("label").cast("long").alias("p"),
     )
-    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
-    ranked = grp.withColumn("cum_before", SF.coalesce(SF.sum("c").over(w), SF.lit(0)))
-    row = ranked.agg(
-        SF.sum("p").cast("long").alias("n_pos"),
-        SF.sum(SF.col("c") - SF.col("p")).cast("long").alias("n_neg"),
-        SF.sum(SF.col("p") * (2 * (SF.col("cum_before") + 1) + SF.col("c") - 1))
-        .cast("long")
-        .alias("s2_pos"),
-    ).collect()[0]
+    # Plan contract: the cumulative relation itself never funnels the
+    # 2M groups through one task.
+    cum = global_cumulative_sum(grp, ["score"], "c", "cum_before")
+    assert "SinglePartition" not in plan_str(cum, mode="simple")
+
+    t0 = time.perf_counter()
+    row = rank_sum_stats(grp).collect()[0]
     wall = time.perf_counter() - t0
-    release_persisted()
     assert row["n_pos"] == row["n_neg"] == n
-    u2 = row["s2_pos"] - n * (n + 1)
-    assert u2 == n * (n + 1)  # 2U where U = n(n+1)/2
-    auc_ppm = u2 * 1_000_000 // (2 * n * n)
-    assert auc_ppm == (n + 1) * 1_000_000 // (2 * n)
+    assert row["u2"] == n * (n + 1)  # 2U where U = n(n+1)/2
+    assert row["auc_ppm"] == (n + 1) * 1_000_000 // (2 * n)
     assert wall < 180, f"AUC at 2M users took {wall:.0f}s"
+
+
+def test_rank_sum_ppm_past_int64_wrap(spark):
+    """The ppm step beyond the int64 wrap point: with n_pos = n_neg =
+    5e6 (every positive above every negative) u2 = 2*n^2 = 5e13 and
+    u2 * 1e6 = 5e19 > 2^63 — round-7's BIGINT arithmetic wrapped
+    silently here; the DECIMAL(38,0) path must return exactly 1e6 ppm.
+    Cheap: rank_sum_stats consumes the 2-row grouped relation directly."""
+    from uda_spark.queries.evaluation import rank_sum_stats
+
+    n = 5_000_000
+    grp = spark.createDataFrame(
+        [(0, n, 0), (1, n, n)], "score LONG, c LONG, p LONG"
+    )
+    row = rank_sum_stats(grp).collect()[0]
+    assert row["n_pos"] == row["n_neg"] == n
+    assert row["u2"] == 2 * n * n
+    assert row["auc_ppm"] == 1_000_000

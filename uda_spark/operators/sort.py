@@ -82,6 +82,57 @@ def global_rank(
     )
 
 
+def global_cumulative_sum(
+    df: DataFrame,
+    order_keys: Sequence[str],
+    value_col: str,
+    alias: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive running SUM(``value_col``) over the global ``order_keys``
+    order (sum of all rows STRICTLY before each row) without a
+    single-partition window.
+
+    Same two-pass shape as :func:`global_rank`: range-partition on the
+    keys, window within each physical partition, then add per-partition
+    subtotals collected as O(num_partitions) driver metadata and
+    broadcast back as a literal map.  A naive ``Window.orderBy(keys)``
+    forces every row through ONE task; this keeps the window partitioned
+    and scales with cluster width.  Requires unique key tuples per row
+    (group first — the callers feed distinct-key grouped relations).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    key_cols = [F.col(k) for k in order_keys]
+    parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
+    # localCheckpoint for the same reason as global_rank: the subtotal job
+    # and the window job must observe identical physical partition ids.
+    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+
+    totals = sorted(
+        snap.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in totals:
+        offsets[row["_pid"]] = acc
+        acc += row["_t"] or 0
+    offset_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    return (
+        snap.withColumn(alias, (within + offset_map[F.col("_pid")]).cast("long"))
+        .drop("_pid")
+    )
+
+
 def validate_sorted(df: DataFrame, keys: Sequence[str]) -> bool:
     """Teravalidate equivalent: is ``df`` physically in global ``keys`` order?
 

@@ -20,9 +20,10 @@ operator substrate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uda_spark.operators.sort import global_cumulative_sum
 from uda_spark.queries.common import t
 from uda_spark.registry import register
 
@@ -47,14 +48,49 @@ def _user_label_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BASE_SPARK.format(events="_eval_events"))
 
 
-@register(
-    "ml_auc_rank_sum",
-    oracle=f"""
-WITH base AS ({_BASE_DUCK}),
-grp AS (
-  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
-  FROM base GROUP BY score
-),
+def rank_sum_stats(grp: DataFrame) -> DataFrame:
+    """One-row exact Mann-Whitney statistics from the distinct-score
+    group relation ``(score, c, p)``: ``n_pos``, ``n_neg``, ``u2``
+    (doubled U), ``auc_ppm``.
+
+    Scale shape: ``cum_before`` uses the two-pass range-partitioned
+    cumulative sum (:func:`uda_spark.operators.sort.global_cumulative_sum`)
+    — per-partition windows plus O(num_partitions) broadcast offsets —
+    so NO single-partition window exists even when the score is
+    user-cardinality (round-7's formulation bounded the window input by
+    distinct scores but still ran it through one task).  The rank-sum
+    ``s2_pos`` and the ppm step are carried in DECIMAL(38,0) (HUGEINT on
+    the oracle side): ``(s2_pos - n_pos*(n_pos+1)) * 1e6`` exceeds int64
+    once ``n_pos*n_neg > ~4.6e12`` (~4M balanced users), where non-ANSI
+    Spark would wrap silently.  ``u2`` itself is returned as BIGINT —
+    exact up to ~6e9 balanced users (u2 <= n^2/2 < 2^63), stated here as
+    the contract bound.
+    """
+    ranked = global_cumulative_sum(grp, ["score"], "c", "cum_before")
+    s = ranked.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (2 * (F.col("cum_before") + 1) + F.col("c") - 1)
+        ).alias("s2_raw"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST(s2_raw - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS BIGINT)"
+        ).alias("u2"),
+        F.expr(
+            "CAST((s2_raw - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+            " div NULLIF(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# The DuckDB twin of rank_sum_stats' final arithmetic (HUGEINT = the
+# oracle-side DECIMAL(38,0) stand-in, same exactness class).
+_RANK_SUM_ORACLE_TAIL = """
 ranked AS (
   SELECT score, c, p,
          COALESCE(SUM(c) OVER (ORDER BY score
@@ -64,13 +100,25 @@ ranked AS (
 s AS (
   SELECT SUM(p)::BIGINT AS n_pos,
          SUM(c - p)::BIGINT AS n_neg,
-         SUM(p * (2 * (cum_before + 1) + c - 1))::BIGINT AS s2_pos
+         SUM(p::HUGEINT * (2 * (cum_before + 1) + c - 1))::HUGEINT AS s2_raw
   FROM ranked
 )
+"""
+
+
+@register(
+    "ml_auc_rank_sum",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+grp AS (
+  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY score
+),
+{_RANK_SUM_ORACLE_TAIL}
 SELECT n_pos, n_neg,
-       CAST(s2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-       CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000
-            // NULLIF(2 * n_pos * n_neg, 0) AS BIGINT) AS auc_ppm
+       CAST(s2_raw - n_pos::HUGEINT * (n_pos + 1) AS BIGINT) AS u2,
+       CAST((s2_raw - n_pos::HUGEINT * (n_pos + 1)) * 1000000
+            // NULLIF(2 * n_pos::HUGEINT * n_neg, 0) AS BIGINT) AS auc_ppm
 FROM s
 """,
     tags=("ml", "evaluation", "north-star"),
@@ -83,40 +131,21 @@ def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     r contributes average 2r + c - 1 per member), U is doubled to u2,
     and the final AUC is integer ppm.
 
-    Scale shape: one groupBy(score) over the per-user relation, then a
-    window over the DISTINCT-score groups only (bounded by the number
-    of distinct scores, not users — here integer cents; a continuous
-    score would be quantized first, which is also what keeps the rank
-    sums integral), then a one-row reduction.  The naive formulation
-    ranks every user in one global window; this one never materializes
-    a per-user rank, which is what makes exact AUC viable on a
-    billion-user holdout with a quantized score.
+    Scale shape: one groupBy(score) over the per-user relation, then the
+    range-partitioned two-pass cumulative count over the distinct-score
+    groups (see :func:`rank_sum_stats` — no single-partition window
+    anywhere, so a user-cardinality score is fine, not just a quantized
+    one), then a one-row reduction.  The naive formulation ranks every
+    user in one global window; this one never materializes a per-user
+    rank, which is what makes exact AUC viable on a billion-user
+    holdout.
     """
     base = _user_label_score(spark, sf_dir)
     grp = base.groupBy("score").agg(
         F.count("*").cast("long").alias("c"),
         F.sum("label").cast("long").alias("p"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = grp.withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
-    s = ranked.agg(
-        F.sum("p").cast("long").alias("n_pos"),
-        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
-        F.sum(
-            F.col("p") * (2 * (F.col("cum_before") + 1) + F.col("c") - 1)
-        )
-        .cast("long")
-        .alias("s2_pos"),
-    )
-    return s.select(
-        "n_pos",
-        "n_neg",
-        F.expr("CAST(s2_pos - n_pos * (n_pos + 1) AS BIGINT)").alias("u2"),
-        F.expr(
-            "CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000"
-            " div NULLIF(2 * n_pos * n_neg, 0) AS BIGINT)"
-        ).alias("auc_ppm"),
-    )
+    return rank_sum_stats(grp)
 
 
 @register(
@@ -226,7 +255,7 @@ def ml_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_dataset_card",
     oracle="""
-SELECT COALESCE(source, 'ALL') AS source,
+SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
        COUNT(*)::BIGINT AS n_docs,
        SUM(n_chars)::BIGINT AS total_chars,
        CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
@@ -254,7 +283,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "documents").createOrReplaceTempView("_card_documents")
     return spark.sql(
         """
-SELECT COALESCE(source, 'ALL') AS source,
+SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
        COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars,
        CAST(SUM(n_chars) div COUNT(*) AS BIGINT) AS mean_chars,
@@ -359,7 +388,7 @@ ranked AS (
 auc AS (
   SELECT SUM(p)::BIGINT AS n_pos,
          SUM(c - p)::BIGINT AS n_neg,
-         SUM(p * (2 * (cum_before + 1) + c - 1))::BIGINT AS s2_pos
+         SUM(p::HUGEINT * (2 * (cum_before + 1) + c - 1))::HUGEINT AS s2_raw
   FROM ranked
 ),
 conf AS (
@@ -373,8 +402,8 @@ conf AS (
 SELECT 'n_pos' AS metric, n_pos AS value FROM auc
 UNION ALL SELECT 'n_neg', n_neg FROM auc
 UNION ALL SELECT 'auc_ppm',
-  CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000
-       // NULLIF(2 * n_pos * n_neg, 0) AS BIGINT) FROM auc
+  CAST((s2_raw - n_pos::HUGEINT * (n_pos + 1)) * 1000000
+       // NULLIF(2 * n_pos::HUGEINT * n_neg, 0) AS BIGINT) FROM auc
 UNION ALL SELECT 'tp', tp FROM conf
 UNION ALL SELECT 'fp', fp FROM conf
 UNION ALL SELECT 'tn', tn FROM conf
@@ -407,15 +436,7 @@ def pipeline_model_eval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("c"),
         F.sum("label").cast("long").alias("p"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = grp.withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
-    auc = ranked.agg(
-        F.sum("p").cast("long").alias("n_pos"),
-        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
-        F.sum(F.col("p") * (2 * (F.col("cum_before") + 1) + F.col("c") - 1))
-        .cast("long")
-        .alias("s2_pos"),
-    )
+    stats = rank_sum_stats(grp)
     thr = CONFUSION_THRESHOLD_CENTS
     conf = base.agg(
         F.sum(F.expr(f"CASE WHEN score >= {thr} AND label = 1 THEN 1 ELSE 0 END"))
@@ -431,10 +452,9 @@ def pipeline_model_eval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fn"),
     )
-    auc_rows = auc.selectExpr(
-        "stack(3, 'n_pos', n_pos, 'n_neg', n_neg, 'auc_ppm', "
-        "CAST((s2_pos - n_pos * (n_pos + 1)) * 1000000 "
-        "div NULLIF(2 * n_pos * n_neg, 0) AS BIGINT)) AS (metric, value)"
+    auc_rows = stats.selectExpr(
+        "stack(3, 'n_pos', n_pos, 'n_neg', n_neg, 'auc_ppm', auc_ppm)"
+        " AS (metric, value)"
     )
     conf_rows = conf.selectExpr(
         "stack(7, 'tp', tp, 'fp', fp, 'tn', tn, 'fn', fn, "

@@ -130,9 +130,8 @@ _R07_WINDOW = (
     "pipeline_corpus_refresh_e2e",
 )
 
-# Queries first registered in round 7, in registration order — these fill
-# sample slots 48+ immediately after the frozen never-sampled names.
-# Appended (never reordered) as round-7 queries land.
+# Queries first registered in round 7, in registration order (kept for the
+# historical record / tests; no longer drives the export ordering).
 _R07_NEW: tuple[str, ...] = (
     "dedup_lsh_recall_eval",
     "ml_auc_rank_sum",
@@ -145,6 +144,30 @@ _R07_NEW: tuple[str, ...] = (
     "events_cusum_changepoint",
     "pipeline_model_eval_e2e",
 )
+
+# ---------------------------------------------------------------------------
+# Round 8 — the frozen rotation tuples are retired per the round-7 contract.
+# The export window is now simply: never-driver-sampled queries first, then
+# queries first registered this round, then registration order.
+#
+# `_R08_UNSAMPLED` is EXACTLY the registered queries with no external
+# CORRECTNESS row in the union of CORRECTNESS_r01..r07 key sets (the last 7
+# round-7 registrations, which landed after sample slot 50), in registration
+# order — a pure coverage schedule, never a function of pass/fail outcomes.
+_R08_UNSAMPLED: tuple[str, ...] = (
+    "ml_confusion_report",
+    "pipeline_dataset_card",
+    "graph_degree_histogram",
+    "ml_pr_threshold_sweep",
+    "sketch_histogram_quantiles",
+    "events_cusum_changepoint",
+    "pipeline_model_eval_e2e",
+)
+
+# Queries first registered in round 8, in registration order — appended
+# (never reordered) as they land, filling sample slots 8+ so new work earns
+# a driver row in the same round it ships.
+_R08_NEW: tuple[str, ...] = ()
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -175,15 +198,14 @@ def _load() -> None:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """All registered queries: the frozen rotation-3 window first (the 47
-    never-driver-sampled names — see the rotation schedule above), then
-    queries first registered this round (``_R07_NEW``, filling sample
-    slots 48+), then every other query in registration (module) order.
-    Fixed, reproducible, and independent of anything outside the
-    package."""
+    """All registered queries: never-driver-sampled names first
+    (``_R08_UNSAMPLED`` — earns them their first external CORRECTNESS
+    row), then queries first registered this round (``_R08_NEW``), then
+    every other query in registration (module) order.  Fixed,
+    reproducible, and independent of anything outside the package."""
     _load()
     out: dict[str, QuerySpec] = {}
-    for name in _R07_WINDOW + _R07_NEW:
+    for name in _R08_UNSAMPLED + _R08_NEW:
         out[name] = _REGISTRY[name]
     for name, spec in _REGISTRY.items():
         if name not in out:
