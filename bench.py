@@ -321,11 +321,13 @@ def main() -> None:
             }
         )
     )
-    # The external driver captures only the TAIL of stdout, and round 6's
-    # detailed line (per-iteration arrays + ann_phases) grew past that
-    # window, truncating away the headline total (BENCH_r06 `parsed: null`).
-    # Emit a compact summary as the LAST line so any tail capture >=200
-    # bytes always contains a complete, parseable JSON record.
+    # The external driver captures only the TAIL of stdout (~2.2 kB), and
+    # round 6's detailed line (per-iteration arrays + ann_phases) grew past
+    # that window, truncating away the headline total (BENCH_r06
+    # `parsed: null`).  Emit a compact summary as the LAST line — it still
+    # carries the 19-entry per-query min dict (~700 bytes), so the contract
+    # is: this line must stay well under the ~2.2 kB driver tail window
+    # (a tail shorter than the line would clip its head and not parse).
     sys.stdout.flush()
     print(
         json.dumps(

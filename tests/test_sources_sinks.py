@@ -414,3 +414,84 @@ class TestPythonDataSourceStreamWriter:
         # batch stamps are distinct across the two commits
         stamps = {f.split("-")[1] for f in os.listdir(dst) if f.startswith("part-b")}
         assert len(stamps) == 2
+
+    def test_replay_after_crash_before_checkpoint_commit(self, spark, tmp_path):
+        """Crash between sink commit and checkpoint write — the exact
+        failure window the exactly-once contract covers: run a batch to
+        completion, delete the checkpoint commit marker (the state such
+        a crash leaves behind), restart.  Spark replays batch 0 into the
+        already-committed directory; contents must be exactly-once."""
+        import os
+
+        src, dst, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+        )
+        pairs = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(40)]
+        self._write_segment(src, "part-a", pairs)
+        self._pump(spark, src, dst, ckpt)
+        # simulate the crash: the commit marker never made it to the
+        # checkpoint (drop the Hadoop-local .crc twin too, or the
+        # ChecksumFileSystem refuses the replay's rewrite)
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+        self._pump(spark, src, dst, ckpt)
+        out = spark.read.format("uda_kv").load(dst)
+        assert sorted(bytes(r.key).decode() for r in out.collect()) == sorted(
+            f"k{i}" for i in range(40)
+        )
+        assert not [f for f in os.listdir(dst) if f.startswith("_tmp-")]
+
+    def test_commit_prunes_stale_attempt_files(self, tmp_path):
+        """A replayed batch may yield FEWER partitions than the
+        previously committed attempt (source split layout changed);
+        commit() must delete same-batch finals outside the winning
+        message set and sweep loser-attempt temps, leaving other
+        batches untouched — idempotence without the equal-partition
+        assumption."""
+        import os
+
+        from uda_spark.sources.hadoop_kv import decode_kv_stream, encode_kv_records
+        from uda_spark.sources.pyds import _Committed, _KVStreamWriter
+
+        d = str(tmp_path / "dst")
+        os.makedirs(d)
+
+        def seg(name, pairs):
+            with open(os.path.join(d, name), "wb") as fh:
+                fh.write(encode_kv_records(pairs))
+
+        seg("part-b000001-00000", [(b"old0", b"x")])  # prior attempt, pid 0
+        seg("part-b000001-00001", [(b"old1", b"x")])  # prior attempt, pid 1 (stale)
+        seg("part-b000000-00000", [(b"b0", b"x")])  # earlier batch — keep
+        seg("_tmp-stream-loser", [(b"spec", b"x")])  # speculative loser attempt
+        seg("_tmp-stream-winner", [(b"new0", b"y")])  # winning attempt temp
+
+        w = _KVStreamWriter({"path": d})
+        w.commit([_Committed(os.path.join(d, "_tmp-stream-winner"), "00000", 1)], 1)
+
+        assert sorted(os.listdir(d)) == ["part-b000000-00000", "part-b000001-00000"]
+        with open(os.path.join(d, "part-b000001-00000"), "rb") as fh:
+            assert list(decode_kv_stream(fh.read())) == [(b"new0", b"y")]
+
+    def test_abort_sweeps_orphan_temps(self, tmp_path):
+        """abort() removes the failed batch's temps AND any loser-attempt
+        orphans, so a long-running stream with task retries never leaks
+        directory entries."""
+        import os
+
+        from uda_spark.sources.hadoop_kv import encode_kv_records
+        from uda_spark.sources.pyds import _Committed, _KVStreamWriter
+
+        d = str(tmp_path / "dst")
+        os.makedirs(d)
+        for name in ("_tmp-stream-a", "_tmp-stream-b"):
+            with open(os.path.join(d, name), "wb") as fh:
+                fh.write(encode_kv_records([(b"k", b"v")]))
+        with open(os.path.join(d, "part-b000000-00000"), "wb") as fh:
+            fh.write(encode_kv_records([(b"keep", b"v")]))
+
+        w = _KVStreamWriter({"path": d})
+        w.abort([_Committed(os.path.join(d, "_tmp-stream-a"), "00000", 1), None], 0)
+        assert sorted(os.listdir(d)) == ["part-b000000-00000"]

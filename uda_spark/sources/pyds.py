@@ -134,10 +134,23 @@ class _KVStreamWriter(DataSourceStreamWriter):
     batch (failure between sink commit and checkpoint write) re-creates
     the SAME final names and ``os.replace`` overwrites them — the
     idempotent-sink half of Spark's end-to-end contract, mirroring what
-    the checkpointed offsets give the read side.  Batch-stamped names
-    keep the directory readable by the batch ``_KVReader`` (prefix
-    ``part-``) and by the streaming reader, closing the loop:
+    the checkpointed offsets give the read side.  ``commit`` also
+    deletes any final file of the SAME batch that is not in the current
+    message set, so a replay that yields FEWER partitions than the
+    previously committed attempt (source split layout changed) cannot
+    leave duplicate higher-pid segments behind — idempotence holds
+    regardless of partition count, not by assumption.  Batch-stamped
+    names keep the directory readable by the batch ``_KVReader``
+    (prefix ``part-``) and by the streaming reader, closing the loop:
     stream -> uda_kv -> stream.
+
+    Hygiene: failed or speculative task attempts write uuid temps but
+    never reach commit/abort with a message, so both hooks sweep ALL
+    remaining ``_tmp-stream-*`` files (safe: micro-batches execute
+    serially per query, and commit/abort runs on the driver after every
+    task of the batch has finished — any temp still present is a loser
+    attempt).  Readers skip temps either way; the sweep just stops a
+    long-running stream from leaking directory entries forever.
     """
 
     def __init__(self, options):
@@ -162,17 +175,39 @@ class _KVStreamWriter(DataSourceStreamWriter):
         return _Committed(tmp, f"{pid:05d}", len(pairs))
 
     def commit(self, messages, batchId: int) -> None:
+        keep = set()
         for m in messages:
             if m is not None:
                 final = os.path.join(
                     self._dir, f"part-b{batchId:06d}-{m.final_path}"
                 )
                 os.replace(m.tmp_path, final)
+                keep.add(os.path.basename(final))
+        self._sweep(batch_prefix=f"part-b{batchId:06d}-", keep=keep)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        self._sweep()
+
+    def _sweep(self, batch_prefix: str | None = None, keep: set | None = None) -> None:
+        """Best-effort cleanup after a batch settles: drop loser-attempt
+        temps, and (on commit) any final segment of this batch not in
+        the winning message set."""
+        if not os.path.isdir(self._dir):
+            return
+        for f in os.listdir(self._dir):
+            stale_final = (
+                batch_prefix is not None
+                and f.startswith(batch_prefix)
+                and f not in (keep or set())
+            )
+            if stale_final or f.startswith("_tmp-stream-"):
+                try:
+                    os.remove(os.path.join(self._dir, f))
+                except OSError:
+                    pass
 
 
 class _KVStreamReader(SimpleDataSourceStreamReader):
