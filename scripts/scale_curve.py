@@ -41,6 +41,11 @@ QUERIES = [
     "dedup_prefix_filter_pairs",     # exact ssjoin (length+positional+cap guards)
     "ml_auc_rank_sum",               # distinct-score-group rank sums
     "pipeline_dataset_card",         # grouping-sets digest card
+    "ml_pr_threshold_sweep",         # one corpus pass + broadcast threshold grid
+    "sketch_histogram_quantiles",    # mergeable log-bucket histogram
+    "events_cusum_changepoint",      # daily series + exact argmax
+    "pipeline_model_eval_e2e",       # one persisted pass, long-form metrics
+    "graph_degree_histogram",        # pair explode + bounded-bucket agg
 ]
 ITERS = 3
 

@@ -897,6 +897,41 @@ class TestHistogramQuantileSketchBracket:
             # factor-2 bracket by construction
             assert r["hi_cents"] < 2 * r["lo_cents"]
 
+    def test_incremental_day_merges_without_recompute(self, spark, tmp_path):
+        """Appending a day to the persisted sketch re-runs ONLY the
+        bounded SUM-merge: the new day contributes <= 64 level-1 rows
+        computed from its own events alone, the merge consumes nothing
+        but the persisted relation (the plan never rescans the events
+        corpus), and the result equals the full recompute exactly."""
+        from tests.conftest import SF_SMOKE
+        from uda_spark.plans.explain import plan_str
+        from uda_spark.queries.quality import histogram_lvl1, histogram_quantiles
+        from uda_spark.sources.tables import event_micros, load_table
+
+        import pyspark.sql.functions as SF
+
+        ev = load_table(spark, SF_SMOKE, "events")
+        day = SF.expr("ts_us div 86400000000")
+        with_day = ev.withColumn("ts_us", event_micros(ev))
+        cutoff = with_day.agg(SF.max(day).alias("m")).collect()[0]["m"]
+
+        path = str(tmp_path / "qhist")
+        # day 0..cutoff-1: the already-persisted historical sketch
+        histogram_lvl1(with_day.where(day < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        # the appended day's level-1 rows come from ITS events only
+        new_rows = histogram_lvl1(with_day.where(day == cutoff))
+        assert new_rows.count() <= 64
+        new_rows.write.mode("append").parquet(path)
+
+        merged = histogram_quantiles(spark.read.parquet(path))
+        assert "events.parquet" not in plan_str(merged, final_only=False)
+        expect = histogram_quantiles(histogram_lvl1(ev))
+        assert sorted(map(tuple, merged.collect()), key=lambda t: t[0]) == sorted(
+            map(tuple, expect.collect()), key=lambda t: t[0]
+        )
+
 
 class TestCusumChangepointInvariants:
     """events_cusum_changepoint must return the true argmax of the

@@ -1993,9 +1993,7 @@ def events_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_histogram_quantiles",
-    oracle="""
+_QHIST_ORACLE = """
 WITH base AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
          epoch_us(ts) // 86400000000 AS day
@@ -2021,7 +2019,12 @@ SELECT CAST(t.q_pct AS INT) AS q_pct,
        CAST((1::BIGINT << (MIN(cum.bucket) + 1)) - 1 AS BIGINT) AS hi_cents
 FROM tgt t JOIN cum ON cum.cum >= t.target_rank
 GROUP BY t.q_pct, t.target_rank
-""",
+"""
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=_QHIST_ORACLE,
     tags=("quality", "sketch", "north-star"),
 )
 def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2040,9 +2043,16 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the sketch with a SUM — no recomputation of history — which is
     the property percentile_approx cannot offer across partitions.
     """
+    lvl1 = histogram_lvl1(t(spark, sf_dir, "events"))
+    return histogram_quantiles(lvl1)
+
+
+def histogram_lvl1(ev: DataFrame) -> DataFrame:
+    """Level 1 of the mergeable quantile sketch: per-day log2-bucket
+    counts ``(day, bucket, c)`` — <= 64 counters per day, the relation
+    persisted alongside a daily rollup."""
     from uda_spark.sources.tables import event_micros
 
-    ev = t(spark, sf_dir, "events")
     base = (
         ev.withColumn("ts_us", event_micros(ev))
         .select(
@@ -2053,9 +2063,16 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cents").isNotNull() & (F.col("cents") > 0))
     )
-    lvl1 = base.groupBy(
+    return base.groupBy(
         "day", (F.length(F.expr("bin(cents)")) - 1).cast("int").alias("bucket")
     ).agg(F.count("*").cast("long").alias("c"))
+
+
+def histogram_quantiles(lvl1: DataFrame) -> DataFrame:
+    """Level 2: SUM-merge per-day histograms and read p50/p90/p99 off
+    the cumulative counts.  Touches <= 64 x days rows; the orderBy
+    window runs over <= 64 merged buckets (bounded, not corpus-sized)."""
+    spark = lvl1.sparkSession
     merged = lvl1.groupBy("bucket").agg(F.sum("c").cast("long").alias("c"))
     cum = merged.withColumn(
         "cum",
@@ -2081,6 +2098,37 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(shiftleft(1L, bucket + 1) - 1 AS BIGINT)").alias("hi_cents"),
         )
     )
+
+
+@register(
+    "sketch_histogram_persisted_merge",
+    oracle=_QHIST_ORACLE,
+    tags=("quality", "sketch", "io", "north-star"),
+)
+def sketch_histogram_persisted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch AT REST — the percentile analog of
+    `hll_sketch_persisted_rollup`: the per-day level-1 histogram
+    relation is WRITTEN to parquet (<= 64 rows per day — exactly the
+    state a 100 TB rollup stores next to each day's partition), read
+    back in a separate scan, and SUM-merged into p50/p90/p99.  The
+    round trip proves the sketch survives the storage layer with its
+    mergeability intact: appending a day appends <= 64 rows and re-runs
+    ONLY the bounded merge, never the historical corpus scan (pinned by
+    tests/test_properties.py's incremental-day test).  The oracle is
+    the full recompute — persisted-merge and recompute must agree
+    exactly, integers end to end.
+    """
+    import os
+    import tempfile
+
+    lvl1 = histogram_lvl1(t(spark, sf_dir, "events"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"uda_qhist_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    lvl1.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    return histogram_quantiles(stored)
 
 
 @register(

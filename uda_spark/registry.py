@@ -167,7 +167,9 @@ _R08_UNSAMPLED: tuple[str, ...] = (
 # Queries first registered in round 8, in registration order — appended
 # (never reordered) as they land, filling sample slots 8+ so new work earns
 # a driver row in the same round it ships.
-_R08_NEW: tuple[str, ...] = ()
+_R08_NEW: tuple[str, ...] = (
+    "sketch_histogram_persisted_merge",
+)
 
 @dataclass(frozen=True)
 class QuerySpec:
