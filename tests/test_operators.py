@@ -627,6 +627,100 @@ class TestStarConnectedComponents:
         }
         assert got == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20}
 
+    def test_hot_degree_guard_matches_unguarded(self, spark):
+        """The degree-skew guard (broadcast min-join for hot nodes) is a
+        pure execution-strategy change: with an aggressively low
+        threshold (2 — most nodes take the hot path) the labels must be
+        IDENTICAL to the unguarded run on a random graph with hubs."""
+        import random
+
+        from uda_spark.operators.dedup import connected_components_star
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+        # two explicit hubs so the hot path definitely fires
+        edges += [(190, i) for i in range(0, 60, 2)]
+        edges += [(7, i) for i in range(100, 160, 3)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        guarded = {
+            (r["node"], r["component"])
+            for r in connected_components_star(
+                df, hot_degree_threshold=2
+            ).collect()
+        }
+        plain = {
+            (r["node"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert guarded == plain
+
+    def test_hot_degree_guard_plans_broadcast_join(self, spark):
+        """With one giant family's hub exceeding the threshold, the star
+        round's min-join must resolve the hub via BroadcastHashJoin (its
+        rows never shuffle on the hub key) while cold keys keep the
+        shuffled join."""
+        from uda_spark.operators.dedup import _star_round
+        from uda_spark.plans.explain import plan_str
+
+        n = 5_000
+        hub = spark.range(n).selectExpr(
+            f"CAST({n} AS LONG) AS hi", "id AS lo"
+        )
+        round1 = _star_round(hub, hot_degree_threshold=100)
+        plan = plan_str(round1, mode="simple")
+        assert "BroadcastHashJoin" in plan
+        # and the guarded round still computes the right thing: a star
+        # centered at the minimum id, flattened in one round
+        rows = {(r["hi"], r["lo"]) for r in round1.collect()}
+        assert rows == {(i, 0) for i in range(1, n)} | {(n, 0)}
+
+
+@pytest.mark.slow
+def test_star_cc_giant_family_stress(spark):
+    """One giant near-dup family (300k nodes, 37 hot hubs of ~8k degree
+    each — the shape a bucket-capped LSH pass emits for a template-spam
+    corpus) plus a background chain: the degree-guarded star CC must
+    label every node exactly, converge in few rounds (LAST_STAR_ROUNDS
+    stays O(log), so per-round shuffle volume is bounded by the
+    monotonically shrinking edge list — no round re-shuffles the hub
+    rows on a hub key thanks to the broadcast min-join), and finish in
+    bounded wall time."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators import dedup as D
+
+    n = 300_000
+    giant = spark.range(37, n).select(
+        F.col("id").alias("doc_a"), (F.col("id") % 37).alias("doc_b")
+    )
+    spokes = spark.range(1, 37).select(
+        F.col("id").alias("doc_a"), F.lit(0).cast("long").alias("doc_b")
+    )
+    chain = spark.range(n + 10, n + 210).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    pairs = giant.union(spokes).union(chain)
+    t0 = time.monotonic()
+    labels = D.connected_components_star(
+        pairs, hot_degree_threshold=1_000
+    )
+    bad = labels.where(
+        ~(
+            ((F.col("node") < n) & (F.col("component") == 0))
+            | ((F.col("node") >= n + 10) & (F.col("component") == n + 10))
+        )
+    ).count()
+    wall = time.monotonic() - t0
+    assert bad == 0
+    assert labels.count() == n + 201
+    # the 200-node chain drives the count (log2(200)~8 + the signature-
+    # stabilization round); the giant family itself flattens in ~2
+    assert D.LAST_STAR_ROUNDS is not None and D.LAST_STAR_ROUNDS <= 10
+    assert wall < 120, f"giant-family CC took {wall:.0f}s"
+
 
 @pytest.mark.slow
 def test_terasort_spill_stress():

@@ -407,7 +407,59 @@ def connected_components(
     return labels.select("node", "component")
 
 
-def _star_round(edges: DataFrame) -> DataFrame:
+# Hot nodes broadcast per star round are bounded: beyond this many, the
+# rest stay on the shuffled path (where AQE skew-join is the backstop), so
+# the broadcast can never itself become the memory problem.
+_STAR_MAX_HOT = 4096
+
+
+def _min_join(
+    rows: DataFrame,
+    key: str,
+    val: str,
+    include_self: bool,
+    hot_degree_threshold: int | None,
+) -> DataFrame:
+    """Join every ``(key, val)`` row with ``m`` = min(val) per key
+    (optionally also min'd with the key itself) — the per-round kernel of
+    star CC, degree-skew-guarded.
+
+    Both star steps are "edge list ⋈ per-key aggregate of itself", and a
+    hub node (one giant near-dup family) puts ALL its rows on one join
+    key.  With ``hot_degree_threshold`` set, keys whose degree exceeds it
+    resolve through a BROADCAST of their (single-row) aggregates instead
+    of the shuffled join — the hub's rows never shuffle on the hub key at
+    all (the preceding groupBy is safe either way: partial aggregation
+    bounds per-task input).  The degree comes free as a COUNT alongside
+    the MIN, i.e. the same readout `graph_degree_histogram` profiles —
+    this is that histogram's heavy tail wired in as an execution guard,
+    the join-side analog of :func:`cap_buckets`.  Hot keys beyond
+    ``_STAR_MAX_HOT`` stay on the shuffled path, so the broadcast stays
+    bounded no matter how degenerate the graph.
+    """
+    m_col = F.least(F.col("mn"), F.col(key)) if include_self else F.col("mn")
+    mins = (
+        rows.groupBy(key)
+        .agg(F.min(val).alias("mn"), F.count("*").alias("deg"))
+        .select(key, m_col.alias("m"), "deg")
+    )
+    if hot_degree_threshold is None:
+        return rows.join(mins.select(key, "m"), on=key)
+    hot = (
+        mins.where(F.col("deg") > hot_degree_threshold)
+        .orderBy(F.col("deg").desc(), key)
+        .limit(_STAR_MAX_HOT)
+        .select(key, "m")
+    )
+    cold_rows = rows.join(F.broadcast(hot.select(key)), on=key, how="left_anti")
+    hot_joined = rows.join(F.broadcast(hot), on=key)
+    cold_joined = cold_rows.join(mins.select(key, "m"), on=key)
+    return hot_joined.union(cold_joined)
+
+
+def _star_round(
+    edges: DataFrame, hot_degree_threshold: int | None = None
+) -> DataFrame:
     """One large-star + small-star alternation over a directed edge list
     (hi, lo) with hi > lo; returns a new (hi, lo) edge list with the same
     connected components."""
@@ -416,13 +468,8 @@ def _star_round(edges: DataFrame) -> DataFrame:
     sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("mn", F.col("u")).alias("m"))
-    )
     large = (
-        sym.join(mins, on="u")
+        _min_join(sym, "u", "v", True, hot_degree_threshold)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         .where(F.col("hi") != F.col("lo"))
@@ -430,13 +477,13 @@ def _star_round(edges: DataFrame) -> DataFrame:
     )
     # small-star: each node connects its smaller neighbors (and itself)
     # to the minimum of that set — flattens local trees into stars
-    mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
-    leaves = (
-        large.join(mins2, on="hi")
-        .select(F.col("lo").alias("node"), "m")
-        .where(F.col("node") != F.col("m"))
+    with_min = _min_join(large, "hi", "lo", False, hot_degree_threshold)
+    leaves = with_min.select(F.col("lo").alias("node"), "m").where(
+        F.col("node") != F.col("m")
     )
-    centers = mins2.select(F.col("hi").alias("node"), "m")
+    # one row per hi suffices for centers; duplicates fold in the final
+    # distinct, so no extra exchange here
+    centers = with_min.select(F.col("hi").alias("node"), "m")
     return (
         leaves.union(centers)
         .select(F.col("node").alias("hi"), F.col("m").alias("lo"))
@@ -461,6 +508,22 @@ def connected_components_star(
     # covers ~2^14-diameter chains and costs nothing when convergence is
     # earlier (the loop breaks on the edge-set signature)
     max_iterations: int = 16,
+    # degree above which a node's per-round min-join resolves via
+    # broadcast instead of a shuffled join (see _min_join).  ADAPTIVE:
+    # one aggregation over the checkpointed input edges (the
+    # `graph_degree_histogram` readout reduced to its max) decides
+    # whether any node actually crosses the threshold — the guard pays
+    # a constant 2-3x per round (the min relation feeds the hot filter,
+    # the anti-join, AND the cold join; measured at sf0.1: cluster
+    # histogram 2.2s plain vs 6.1s always-guarded), so it only runs
+    # when a hot family exists.  Caveat (deliberate): star rounds
+    # concentrate degree on component minima, so a cold input with one
+    # huge-diameter component can grow a hot min mid-run — that
+    # residual case rides on AQE's skew-join split (proven firing in
+    # plans/partitioning.py); the realistic degenerate shape (a
+    # template-spam near-dup family, hot from round 0) takes the
+    # guarded path from the start.  None skips the profiling entirely.
+    hot_degree_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star edge
     rewriting — the O(log n)-round formulation (Kiveris et al.,
@@ -499,10 +562,25 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if hot_degree_threshold is not None:
+        # degree readout on the CHECKPOINTED edges (the upstream pair
+        # pipeline never re-executes) — one cheap aggregation deciding
+        # whether the guarded rounds are worth their constant
+        max_deg = (
+            edges.select(F.col("hi").alias("n"))
+            .union(edges.select(F.col("lo").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+            .agg(F.max("d"))
+            .first()[0]
+            or 0
+        )
+        if max_deg <= hot_degree_threshold:
+            hot_degree_threshold = None
     global LAST_STAR_ROUNDS
     prev_sig = None
     for rounds_used in range(1, max_iterations + 1):
-        edges = _star_round(edges).localCheckpoint(eager=True)
+        edges = _star_round(edges, hot_degree_threshold).localCheckpoint(eager=True)
         row = edges.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),

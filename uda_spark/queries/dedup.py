@@ -25,6 +25,14 @@ BANDS = 4
 ROWS_PER_BAND = N_HASHES // BANDS
 JACCARD_T = 0.4
 HAMMING_T = 3
+# Star-CC degree guard for the clustering queries: a node in more than
+# this many verified near-dup pairs (one giant template-spam family)
+# resolves its per-round min-join via broadcast instead of a shuffled
+# join (operators/dedup._min_join).  No sf0.1 node comes close, so the
+# guard is plan-only here; the giant-family stress
+# (tests/test_operators.py::test_star_cc_giant_family_stress) exercises
+# it hot.
+CC_HOT_DEGREE = 4096
 
 _DUCK_CORPUS_EXACT = """
   SELECT doc_id, text FROM documents
@@ -392,7 +400,9 @@ def dedup_cluster_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         jaccard_threshold=JACCARD_T,
     )
-    return D.connected_components_star(pairs).select(
+    return D.connected_components_star(
+        pairs, hot_degree_threshold=CC_HOT_DEGREE
+    ).select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
     )
@@ -1022,7 +1032,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # star CC: identical min-id labels, fewer rounds (see
     # pipeline_retrieval_e2e's A/B note)
-    labels = D.connected_components_star(pairs)
+    labels = D.connected_components_star(pairs, hot_degree_threshold=CC_HOT_DEGREE)
     sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(
         F.count("*").cast("long").alias("n_clusters"),

@@ -36,6 +36,7 @@ from uda_spark.operators import similarity as SIM
 from uda_spark.queries.common import t
 from uda_spark.queries.dedup import (
     BANDS,
+    CC_HOT_DEGREE,
     JACCARD_T,
     N_HASHES,
     _corpus_near,
@@ -162,7 +163,9 @@ def _retrieval_dedup_cc(spark: SparkSession, sf_dir: str):
         corpus, "text", "doc_id",
         n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
     )
-    return corpus, D.connected_components_star(pairs)  # (node, component)
+    return corpus, D.connected_components_star(
+        pairs, hot_degree_threshold=CC_HOT_DEGREE
+    )  # (node, component)
 
 
 def _retrieval_survivors(corpus: DataFrame, labels: DataFrame) -> DataFrame:
