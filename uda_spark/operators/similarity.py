@@ -83,6 +83,79 @@ def knn_bruteforce(
     )
 
 
+def binary_signatures(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Sign-bit binary quantization: one bit per dimension (set iff the
+    component is > 0), packed into two 32-bit halves carried as BIGINTs
+    — 64 dims in 8 bytes, a 32× compression over float32 and the most
+    aggressive quantization tier below int8/PQ.  Two halves, not one
+    64-bit word, because ``1 << 63`` overflows signed ranges differently
+    across engines; each half stays < 2^32, so packing is plain exact
+    integer arithmetic in both.  Map-only (no shuffle), pure codegen.
+    """
+
+    def _half(start: int) -> str:
+        return (
+            f"aggregate(sequence({start}, {start + 31}), 0L, (acc, d) -> "
+            f"acc + IF(element_at({vec_col}, CAST(d + 1 AS INT)) > 0, "
+            f"shiftleft(1L, CAST(d - {start} AS INT)), 0L))"
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.expr(_half(0)).alias("sig_lo"),
+        F.expr(_half(32)).alias("sig_hi"),
+    )
+
+
+def binary_hamming_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Hamming top-k over sign-bit signatures: broadcast query signatures
+    × one corpus-signature scan; distance = popcount of the XOR'd halves
+    (two ``bit_count`` calls, both codegen'd); same partial-then-final
+    top-k discipline as :func:`knn_bruteforce`, so no task ever holds a
+    full corpus' scores for one query.  At 100 TB the signature relation
+    is the only thing scanned — 8 bytes/vector — which is why binary
+    pre-ranking is the standard first pass before int8/PQ rerank.
+    Ties (hamming is 0..64, ties are common) break by neighbor id.
+    """
+    c = binary_signatures(corpus, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id", "sig_lo": "c_lo", "sig_hi": "c_hi"}
+    )
+    q = binary_signatures(queries, id_col, vec_col).withColumnsRenamed(
+        {id_col: "query_id", "sig_lo": "q_lo", "sig_hi": "q_hi"}
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr("bit_count(c_lo ^ q_lo)") + F.expr("bit_count(c_hi ^ q_hi)")
+            ).alias("hamming"),
+            F.spark_partition_id().alias("_part"),
+        )
+    )
+    order = (F.col("hamming").asc(), F.col("neighbor_id"))
+    pw = Window.partitionBy("query_id", "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= top_k)
+        .drop("_part", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str, bits: int = 8
 ) -> DataFrame:

@@ -464,3 +464,299 @@ def pipeline_model_eval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") AS (metric, value)"
     )
     return auc_rows.unionByName(conf_rows)
+
+
+N_SEGMENTS = 4
+
+
+@register(
+    "ml_auc_by_segment",
+    oracle=f"""
+WITH base AS (
+SELECT user_id % {N_SEGMENTS} AS segment,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS label,
+       SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+                ELSE 0 END) AS score
+FROM events GROUP BY user_id
+),
+grp AS (
+  SELECT segment, score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY segment, score
+),
+ranked AS (
+  SELECT segment, score, c, p,
+         COALESCE(SUM(c) OVER (PARTITION BY segment ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM grp
+),
+s AS (
+  SELECT segment,
+         SUM(p)::BIGINT AS n_pos,
+         SUM(c - p)::BIGINT AS n_neg,
+         SUM(p::HUGEINT * (2 * (cum_before + 1) + c - 1))::HUGEINT AS s2_raw
+  FROM ranked GROUP BY segment
+)
+SELECT CAST(segment AS INT) AS segment, n_pos, n_neg,
+       CAST((s2_raw - n_pos::HUGEINT * (n_pos + 1)) * 1000000
+            // NULLIF(2 * n_pos::HUGEINT * n_neg, 0) AS BIGINT) AS auc_ppm
+FROM s
+""",
+    tags=("ml", "evaluation", "north-star"),
+)
+def ml_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ROC-AUC — the fairness/slice readout run next to
+    every global AUC (does the model rank equally well for every user
+    cohort?).  Same exact rank-sum arithmetic as `ml_auc_rank_sum`
+    (average-rank ties as 2x integers, DECIMAL(38,0) ppm step), but the
+    cumulative-count window is PARTITIONED BY segment, so segments
+    rank concurrently.
+
+    Scale shape: one per-user aggregation, one groupBy(segment, score),
+    then per-segment windows — each bounded by the segment's distinct
+    scores.  A segment whose distinct-score count is itself
+    user-cardinality would need the range-partitioned formulation of
+    `rank_sum_stats` applied per segment; with the quantized-score
+    contract the per-segment window stays bounded and parallel.
+    """
+    t(spark, sf_dir, "events").createOrReplaceTempView("_eval_events")
+    return spark.sql(
+        f"""
+WITH base AS (
+SELECT user_id % {N_SEGMENTS} AS segment,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS label,
+       SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+                ELSE 0 END) AS score
+FROM _eval_events GROUP BY user_id
+),
+grp AS (
+  SELECT segment, score, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(label) AS BIGINT) AS p
+  FROM base GROUP BY segment, score
+),
+ranked AS (
+  SELECT segment, score, c, p,
+         COALESCE(SUM(c) OVER (PARTITION BY segment ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM grp
+),
+s AS (
+  SELECT segment,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(c - p) AS BIGINT) AS n_neg,
+         SUM(CAST(p AS DECIMAL(38,0)) * (2 * (cum_before + 1) + c - 1)) AS s2_raw
+  FROM ranked GROUP BY segment
+)
+SELECT CAST(segment AS INT) AS segment, n_pos, n_neg,
+       CAST((s2_raw - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000
+            div NULLIF(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0) AS BIGINT) AS auc_ppm
+FROM s
+"""
+    )
+
+
+@register(
+    "ml_chi_square_independence",
+    oracle="""
+WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+         COUNT(*)::HUGEINT AS o
+  FROM events GROUP BY event_type, dow
+),
+rm AS (SELECT event_type, SUM(o)::HUGEINT AS r FROM cells GROUP BY event_type),
+cm AS (SELECT dow, SUM(o)::HUGEINT AS cc FROM cells GROUP BY dow),
+tot AS (SELECT SUM(o)::HUGEINT AS n FROM cells),
+terms AS (
+  SELECT ((cells.o * tot.n - rm.r * cm.cc) * (cells.o * tot.n - rm.r * cm.cc)
+          * 1000) // (rm.r * cm.cc * tot.n) AS term_milli
+  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN tot
+)
+SELECT (SELECT COUNT(*)::BIGINT FROM cells) AS n_cells,
+       CAST(((SELECT COUNT(*) FROM rm) - 1) * ((SELECT COUNT(*) FROM cm) - 1) AS INT) AS dof,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS n_obs,
+       CAST(SUM(term_milli) AS BIGINT) AS chi2_milli
+FROM terms
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week — the drift/seasonality significance readout, exact in
+    integers: each cell's (o*N - r*c)^2 * 1000 / (r*c*N) term is carried
+    in DECIMAL(38,0) (HUGEINT oracle-side; the squared numerator alone
+    exceeds int64 at sf0.1), floored to milli units identically in both
+    engines, then summed.
+
+    Scale shape: ONE corpus-sized groupBy builds the contingency cells
+    (bounded: |types| x 7); marginals, total, and terms all operate on
+    that bounded relation — the statistic's cost is the one aggregation
+    regardless of corpus size.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts_us", event_micros(ev)).createOrReplaceTempView("_chi_events")
+    return spark.sql(
+        """
+WITH cells AS (
+  SELECT event_type, (ts_us div 86400000000) % 7 AS dow,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+  FROM _chi_events GROUP BY event_type, dow
+),
+rm AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+cm AS (SELECT dow, SUM(o) AS cc FROM cells GROUP BY dow),
+tot AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT ((cells.o * tot.n - rm.r * cm.cc) * (cells.o * tot.n - rm.r * cm.cc)
+          * 1000) div (rm.r * cm.cc * tot.n) AS term_milli
+  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN tot
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+       CAST(((SELECT COUNT(*) FROM rm) - 1) * ((SELECT COUNT(*) FROM cm) - 1) AS INT) AS dof,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS n_obs,
+       CAST(SUM(term_milli) AS BIGINT) AS chi2_milli
+FROM terms
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k — ranking quality of the retrieval tier.
+
+NDCG_K = 10
+NDCG_QUERIES = 10
+
+# Discount table computed ONCE here and embedded verbatim in BOTH engines'
+# plans, so no runtime log2 (whose last-ulp could differ across libm
+# implementations) ever enters a comparison: d_i = round(1e6 / log2(i+1)),
+# cum_j = sum(d_1..d_j) with cum_0 = 0 (the IDCG lookup for n_rel = 0..K).
+import math as _math  # noqa: E402
+
+DISCOUNT_PPM = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, NDCG_K + 1)]
+_CUM = [0]
+for _d in DISCOUNT_PPM:
+    _CUM.append(_CUM[-1] + _d)
+
+_DISC_VALUES = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(DISCOUNT_PPM))
+_CUM_VALUES = ", ".join(f"({j}, {c})" for j, c in enumerate(_CUM))
+
+
+from uda_spark.functions import portable as _portable  # noqa: E402
+
+_NDCG_IV = _portable.int_vec("embedding", "duck")
+_NDCG_NSQ = _portable.int_dot("v", "v", "duck")
+_NDCG_COS = _portable.cosine_from_ints(
+    _portable.int_dot("q.v", "c.v", "duck"), "q.nsq", "c.nsq"
+)
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_NDCG_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {_NDCG_NSQ} AS nsq FROM iv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.label AS qlabel, c.label AS clabel,
+         round({_NDCG_COS}, 6) AS score
+  FROM n q JOIN n c ON q.vec_id < {NDCG_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+),
+disc AS (SELECT * FROM (VALUES {_DISC_VALUES}) v(rnk, d_ppm)),
+cum AS (SELECT * FROM (VALUES {_CUM_VALUES}) v(j, cum_ppm)),
+dcg AS (
+  SELECT query_id,
+         SUM(CASE WHEN clabel = qlabel THEN d_ppm ELSE 0 END)::BIGINT AS dcg_ppm
+  FROM ranked JOIN disc USING (rnk)
+  WHERE rnk <= {NDCG_K} GROUP BY query_id
+),
+q AS (SELECT vec_id AS query_id, label FROM iv WHERE vec_id < {NDCG_QUERIES}),
+nrel AS (
+  SELECT q.query_id, COUNT(c.vec_id)::BIGINT AS n_rel
+  FROM q LEFT JOIN iv c ON c.vec_id <> q.query_id AND c.label = q.label
+  GROUP BY q.query_id
+)
+SELECT d.query_id, n.n_rel, d.dcg_ppm,
+       CAST(cum.cum_ppm AS BIGINT) AS idcg_ppm,
+       CAST(d.dcg_ppm * 1000000 // NULLIF(cum.cum_ppm, 0) AS BIGINT) AS ndcg_ppm
+FROM dcg d JOIN nrel n USING (query_id)
+JOIN cum ON cum.j = LEAST({NDCG_K}, n.n_rel)
+""",
+    tags=("ml", "evaluation", "similarity", "north-star"),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact-cosine retriever against same-label
+    relevance — the ranking-quality metric for the similarity-search
+    tier (AUC grades a classifier; NDCG grades a RANKING).  Relevance of
+    a neighbor is "shares the query's label"; DCG uses the standard
+    1/log2(rank+1) discounts, pre-tabulated as integer ppm so both
+    engines share byte-identical constants (no runtime log2), and IDCG
+    is the cumulative-discount lookup at min(k, n_relevant).
+
+    Scale shape: the ranking reuses `knn_bruteforce`'s broadcast-queries
+    x corpus-scan with partial-then-final top-k (the corpus never
+    shuffles); per-label corpus counts are one bounded aggregation
+    broadcast back; everything downstream operates on
+    |queries| x k rows.
+    """
+    from uda_spark.operators import similarity as SIM_OPS
+
+    emb = t(spark, sf_dir, "embeddings")
+    lbl = emb.select("vec_id", "label")
+    queries = emb.where(F.col("vec_id") < NDCG_QUERIES)
+    knn = SIM_OPS.knn_bruteforce(emb, queries, "vec_id", "embedding", top_k=NDCG_K)
+
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(DISCOUNT_PPM)], "rank int, d_ppm long"
+    )
+    cum = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(_CUM)], "j long, cum_ppm long"
+    )
+
+    labeled = (
+        knn.join(F.broadcast(lbl.withColumnsRenamed({"vec_id": "neighbor_id", "label": "clabel"})), on="neighbor_id")
+        .join(
+            F.broadcast(
+                lbl.where(F.col("vec_id") < NDCG_QUERIES).withColumnsRenamed(
+                    {"vec_id": "query_id", "label": "qlabel"}
+                )
+            ),
+            on="query_id",
+        )
+        .join(F.broadcast(disc), on="rank")
+    )
+    dcg = labeled.groupBy("query_id").agg(
+        F.sum(F.when(F.col("clabel") == F.col("qlabel"), F.col("d_ppm")).otherwise(0))
+        .cast("long")
+        .alias("dcg_ppm")
+    )
+    # per-label corpus counts (bounded by |labels|) -> n_rel per query
+    by_label = emb.groupBy("label").agg(F.count("*").alias("n_label"))
+    nrel = (
+        lbl.where(F.col("vec_id") < NDCG_QUERIES)
+        .join(F.broadcast(by_label), on="label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("n_label") - 1).cast("long").alias("n_rel"),
+        )
+    )
+    return (
+        dcg.join(nrel, on="query_id")
+        .join(F.broadcast(cum), F.col("j") == F.least(F.lit(NDCG_K), F.col("n_rel")))
+        .select(
+            "query_id",
+            "n_rel",
+            "dcg_ppm",
+            F.col("cum_ppm").cast("long").alias("idcg_ppm"),
+            F.expr(
+                "CAST(dcg_ppm * 1000000 div NULLIF(cum_ppm, 0) AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+    )

@@ -1581,3 +1581,138 @@ def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_silent"),
     )
+
+
+COMPACT_TARGET_CHARS = 200_000
+
+
+@register(
+    "pipeline_compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT source, lang, SUM(n_chars)::BIGINT AS size_chars
+  FROM documents GROUP BY source, lang
+),
+ordered AS (
+  SELECT *, COALESCE(SUM(size_chars) OVER (
+              ORDER BY size_chars DESC, source, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM files
+),
+planned AS (
+  SELECT *, CAST(cum_before // {COMPACT_TARGET_CHARS} AS INT) AS compaction_group
+  FROM ordered
+)
+SELECT compaction_group, COUNT(*)::BIGINT AS n_files,
+       SUM(size_chars)::BIGINT AS total_chars,
+       MIN(size_chars)::BIGINT AS min_file_chars,
+       MAX(size_chars)::BIGINT AS max_file_chars
+FROM planned GROUP BY compaction_group
+""",
+    tags=("pipeline", "io", "layout"),
+)
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance job
+    (Delta OPTIMIZE / Iceberg rewrite_data_files): take the per-fragment
+    size manifest (here: per-(source, lang) document fragments), order
+    largest-first, and band the running total into target-size
+    compaction groups, so each group rewrites into ~one well-sized file.
+    Exact integer arithmetic; groups and their membership are identical
+    in both engines.
+
+    Scale shape: ONE corpus-sized aggregation builds the fragment
+    manifest; the plan itself (window + banding) runs over the manifest,
+    which is metadata-sized (file counts, not rows), so the global
+    ordering window is bounded the same way the shard-manifest and
+    validate_sorted boundary checks are.
+    """
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_compact_docs")
+    return spark.sql(
+        f"""
+WITH files AS (
+  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS size_chars
+  FROM _compact_docs GROUP BY source, lang
+),
+ordered AS (
+  SELECT *, COALESCE(SUM(size_chars) OVER (
+              ORDER BY size_chars DESC, source, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM files
+),
+planned AS (
+  SELECT *, CAST(cum_before div {COMPACT_TARGET_CHARS} AS INT) AS compaction_group
+  FROM ordered
+)
+SELECT compaction_group, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(size_chars) AS BIGINT) AS min_file_chars,
+       CAST(MAX(size_chars) AS BIGINT) AS max_file_chars
+FROM planned GROUP BY compaction_group
+"""
+    )
+
+
+@register(
+    "streaming_histogram_quantiles",
+    oracle=None,  # set just below to quality._QHIST_ORACLE (same contract
+    # as the batch and persisted twins); deferred import avoids a module-
+    # level import cycle risk at registration time.
+    tags=("streaming", "sketch", "quality"),
+)
+def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable quantile sketch on the STREAMING path: each
+    micro-batch's per-day level-1 log2-bucket histogram lands in parquet
+    under ``epoch=<id>`` (idempotent per-epoch overwrite — the same
+    exactly-once-per-epoch pattern as `streaming_foreachbatch_sink`),
+    and the final p50/p90/p99 SUM-merge over ALL epochs' partials equals
+    the batch recompute exactly — the mergeability property is what
+    makes the sketch streamable at all (percentile_approx state cannot
+    be merged across batches).
+
+    Scale shape: per batch, one bounded aggregation (<= 64 buckets x
+    days-in-batch rows land); the merge reads only the tiny persisted
+    sketch relation.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from uda_spark.queries.quality import histogram_lvl1, histogram_quantiles
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"uda_qhist_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_ckpt", ignore_errors=True)
+
+    ev = ST.events_file_stream(spark, sf_dir)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        histogram_lvl1(batch_df).write.mode("overwrite").parquet(
+            os.path.join(path, f"epoch={epoch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    stored = spark.read.option("basePath", path).parquet(path + "/epoch=*")
+    return histogram_quantiles(stored.select("day", "bucket", "c"))
+
+
+def _attach_streaming_qhist_oracle() -> None:
+    from uda_spark import registry as _reg
+    from uda_spark.queries.quality import _QHIST_ORACLE
+
+    spec = _reg._REGISTRY["streaming_histogram_quantiles"]
+    _reg._REGISTRY["streaming_histogram_quantiles"] = _reg.QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=_QHIST_ORACLE, tags=spec.tags, doc=spec.doc
+    )
+
+
+_attach_streaming_qhist_oracle()

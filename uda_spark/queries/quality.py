@@ -2205,3 +2205,57 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after_milli"
         ),
     )
+
+
+K_ANON = 10
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+WITH groups AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*)::BIGINT AS n
+  FROM documents GROUP BY lang, source, n_chars // 100
+)
+SELECT CAST({K_ANON} AS INT) AS k,
+       COUNT(*)::BIGINT AS n_groups,
+       SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END)::BIGINT AS n_small_groups,
+       SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)::BIGINT AS n_rows_at_risk,
+       MIN(n)::BIGINT AS min_group_size,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) * 1000000
+            // SUM(n) AS BIGINT) AS at_risk_ppm
+FROM groups
+""",
+    tags=("quality", "privacy", "dq"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy readout a
+    curation pipeline publishes before release: group the corpus by the
+    quasi-identifier tuple (language, source, length bucket — the
+    standard mix of categorical and discretized-numeric QIs), and report
+    how many groups (and rows) fall below k=10, i.e. rows whose QI
+    combination is rare enough to re-identify.  Exact integer counts and
+    ppm rate.
+
+    Scale shape: one grouped aggregation over the corpus, then a bounded
+    aggregate over the group-size relation — the same two-level shape as
+    the dataset card; no row-level data ever leaves the first exchange.
+    """
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_kanon_docs")
+    return spark.sql(
+        f"""
+WITH groups AS (
+  SELECT lang, source, n_chars div 100 AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM _kanon_docs GROUP BY lang, source, n_chars div 100
+)
+SELECT CAST({K_ANON} AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) * 1000000
+            div SUM(n) AS BIGINT) AS at_risk_ppm
+FROM groups
+"""
+    )

@@ -1164,3 +1164,60 @@ def sim_pq_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
     )
+
+
+BINARY_TOP_K = 10
+
+_BIN_SIG_DUCK = """
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, 32), d ->
+           CASE WHEN embedding[CAST(d + 1 AS INT)] > 0
+                THEN (1::BIGINT << CAST(d AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
+         CAST(list_sum(list_transform(range(32, 64), d ->
+           CASE WHEN embedding[CAST(d + 1 AS INT)] > 0
+                THEN (1::BIGINT << CAST(d - 32 AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
+  FROM embeddings
+"""
+
+
+@register(
+    "sim_binary_hamming_knn",
+    oracle=f"""
+WITH sig AS ({_BIN_SIG_DUCK}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.sig_lo, q.sig_lo))
+              + bit_count(xor(c.sig_hi, q.sig_hi)) AS INT) AS hamming
+  FROM sig q JOIN sig c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {BINARY_TOP_K}
+""",
+    tags=("similarity", "quantization", "north-star"),
+)
+def sim_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantized nearest neighbours: 64 dims packed
+    into two 32-bit halves (8 bytes/vector, 32x smaller than float32),
+    ranked by Hamming distance = popcount of the XOR'd halves — the
+    standard cheap first-pass retriever below the int8 and PQ tiers
+    (operators/similarity.binary_signatures / binary_hamming_knn).
+
+    Scale shape: signatures are map-only; the search is broadcast
+    queries x one 8-byte-per-row signature scan with partial-then-final
+    top-k — the corpus never shuffles, and the scan is ~32x lighter than
+    the float corpus the brute-force tier reads.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    out = SIM.binary_hamming_knn(
+        emb, queries, "vec_id", "embedding", top_k=BINARY_TOP_K
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("hamming").cast("int").alias("hamming"),
+        F.col("rank").cast("int").alias("rank"),
+    )

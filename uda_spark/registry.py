@@ -169,6 +169,13 @@ _R08_UNSAMPLED: tuple[str, ...] = (
 # a driver row in the same round it ships.
 _R08_NEW: tuple[str, ...] = (
     "sketch_histogram_persisted_merge",
+    "ml_auc_by_segment",
+    "ml_chi_square_independence",
+    "ml_ndcg_at_k",
+    "sim_binary_hamming_knn",
+    "pipeline_compaction_plan",
+    "streaming_histogram_quantiles",
+    "dq_k_anonymity",
 )
 
 @dataclass(frozen=True)
