@@ -94,6 +94,14 @@ EXTENDED = [
     "sketch_histogram_quantiles",
     "events_cusum_changepoint",
     "pipeline_model_eval_e2e",
+    # round-8 additions
+    "ml_auc_by_segment",
+    "ml_chi_square_independence",
+    "ml_ndcg_at_k",
+    "sim_binary_hamming_knn",
+    "pipeline_compaction_plan",
+    "dq_k_anonymity",
+    "sketch_histogram_persisted_merge",
 ]
 
 

@@ -46,6 +46,12 @@ QUERIES = [
     "events_cusum_changepoint",      # daily series + exact argmax
     "pipeline_model_eval_e2e",       # one persisted pass, long-form metrics
     "graph_degree_histogram",        # pair explode + bounded-bucket agg
+    # round-8 additions
+    "ml_auc_by_segment",             # per-segment partitioned rank windows
+    "ml_chi_square_independence",    # one pass -> bounded contingency cells
+    "ml_ndcg_at_k",                  # broadcast-queries corpus scan + k rows/query
+    "sim_binary_hamming_knn",        # 8-byte signature scan, popcount ranking
+    "dq_k_anonymity",                # two-level grouped audit
 ]
 ITERS = 3
 

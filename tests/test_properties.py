@@ -1032,3 +1032,116 @@ def test_rank_sum_ppm_past_int64_wrap(spark):
     assert row["n_pos"] == row["n_neg"] == n
     assert row["u2"] == 2 * n * n
     assert row["auc_ppm"] == 1_000_000
+
+
+class TestRound8QueryInvariants:
+    """Cross-checks for the round-8 tier beyond oracle parity: recompute
+    the statistic in plain Python from the same rows, or pin the
+    structural invariants the SQL can't state."""
+
+    def test_chi_square_matches_python_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import event_micros, load_table
+
+        import pyspark.sql.functions as SF
+
+        row = all_specs()["ml_chi_square_independence"].fn(spark, SF_SMOKE).collect()[0]
+        ev = load_table(spark, SF_SMOKE, "events")
+        cells = {
+            (r["event_type"], r["dow"]): r["o"]
+            for r in ev.withColumn("ts_us", event_micros(ev))
+            .groupBy("event_type", SF.expr("(ts_us div 86400000000) % 7").alias("dow"))
+            .agg(SF.count("*").alias("o"))
+            .collect()
+        }
+        n = sum(cells.values())
+        rm, cm = {}, {}
+        for (t_, d), o in cells.items():
+            rm[t_] = rm.get(t_, 0) + o
+            cm[d] = cm.get(d, 0) + o
+        chi2_milli = sum(
+            ((o * n - rm[t_] * cm[d]) ** 2 * 1000) // (rm[t_] * cm[d] * n)
+            for (t_, d), o in cells.items()
+        )
+        assert row["n_cells"] == len(cells)
+        assert row["n_obs"] == n
+        assert row["dof"] == (len(rm) - 1) * (len(cm) - 1)
+        assert row["chi2_milli"] == chi2_milli
+
+    def test_binary_hamming_matches_popcount_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        rows = all_specs()["sim_binary_hamming_knn"].fn(spark, SF_SMOKE).collect()
+        emb = {
+            r["vec_id"]: r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        }
+
+        def sig(v):
+            return sum(1 << d for d, x in enumerate(v) if x > 0)
+
+        assert rows
+        for r in rows:
+            expect = bin(sig(emb[r["query_id"]]) ^ sig(emb[r["neighbor_id"]])).count("1")
+            assert r["hamming"] == expect, (r, expect)
+            assert 0 <= r["hamming"] <= 64
+
+    def test_ndcg_bounds_and_idcg_lookup(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.evaluation import _CUM, NDCG_K
+        from uda_spark.registry import all_specs
+
+        rows = all_specs()["ml_ndcg_at_k"].fn(spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            assert r["idcg_ppm"] == _CUM[min(NDCG_K, r["n_rel"])]
+            assert 0 <= r["dcg_ppm"] <= r["idcg_ppm"]
+            assert 0 <= r["ndcg_ppm"] <= 1_000_000
+            assert r["ndcg_ppm"] == r["dcg_ppm"] * 1_000_000 // r["idcg_ppm"]
+
+    def test_compaction_plan_partitions_the_manifest(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        import pyspark.sql.functions as SF
+
+        rows = all_specs()["pipeline_compaction_plan"].fn(spark, SF_SMOKE).collect()
+        files = (
+            load_table(spark, SF_SMOKE, "documents")
+            .groupBy("source", "lang")
+            .agg(SF.sum("n_chars").alias("s"))
+            .collect()
+        )
+        gids = sorted(r["compaction_group"] for r in rows)
+        assert gids == list(range(len(rows)))  # contiguous group ids
+        assert sum(r["n_files"] for r in rows) == len(files)
+        assert sum(r["total_chars"] for r in rows) == sum(r["s"] for r in files)
+
+    def test_k_anonymity_matches_python_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.quality import K_ANON
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        import collections
+
+        import pyspark.sql.functions as SF
+
+        row = all_specs()["dq_k_anonymity"].fn(spark, SF_SMOKE).collect()[0]
+        sizes = collections.Counter()
+        for r in (
+            load_table(spark, SF_SMOKE, "documents")
+            .select("lang", "source", SF.expr("n_chars div 100").alias("b"))
+            .collect()
+        ):
+            sizes[(r["lang"], r["source"], r["b"])] += 1
+        small = [n for n in sizes.values() if n < K_ANON]
+        assert row["n_groups"] == len(sizes)
+        assert row["n_small_groups"] == len(small)
+        assert row["n_rows_at_risk"] == sum(small)
+        assert row["min_group_size"] == min(sizes.values())
+        assert row["at_risk_ppm"] == sum(small) * 1_000_000 // sum(sizes.values())

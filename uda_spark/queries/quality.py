@@ -2259,3 +2259,86 @@ SELECT CAST({K_ANON} AS INT) AS k,
 FROM groups
 """
     )
+
+
+HOLT_ALPHA_MILLI = 300  # level smoothing 0.3
+HOLT_BETA_MILLI = 100  # trend smoothing 0.1
+HOLT_HORIZON = 7
+
+# Identical recursion in both dialects; only the epoch extraction and the
+# integer-division spelling differ.  Verified: both engines truncate
+# integer division toward zero (-7 div 2 == -7 // 2 == -3), so the milli
+# fixed-point updates agree even when the trend goes negative.
+_HOLT_TEMPLATE = """
+WITH RECURSIVE daily AS (
+  SELECT {DAY} AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM {SRC} GROUP BY {DAY}
+),
+idx AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+holt(t, l_milli, b_milli, sae_milli) AS (
+  SELECT t, CAST(y * 1000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.t,
+         CAST(({A} * i.y * 1000 + (1000 - {A}) * (h.l_milli + h.b_milli))
+              {DIV} 1000 AS BIGINT),
+         CAST(({B} * ((({A} * i.y * 1000 + (1000 - {A}) * (h.l_milli + h.b_milli))
+                       {DIV} 1000) - h.l_milli)
+               + (1000 - {B}) * h.b_milli) {DIV} 1000 AS BIGINT),
+         CAST(h.sae_milli + ABS(i.y * 1000 - (h.l_milli + h.b_milli)) AS BIGINT)
+  FROM holt h JOIN idx i ON i.t = h.t + 1
+),
+fitted AS (SELECT * FROM holt ORDER BY t DESC LIMIT 1),
+meta AS (SELECT CAST(MAX(t) AS BIGINT) AS n_days FROM idx),
+hz AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) v(h))
+SELECT CAST(hz.h AS INT) AS h,
+       CAST(fitted.l_milli + hz.h * fitted.b_milli AS BIGINT) AS yhat_milli,
+       CAST(fitted.l_milli AS BIGINT) AS level_milli,
+       CAST(fitted.b_milli AS BIGINT) AS trend_milli,
+       meta.n_days,
+       CAST(fitted.sae_milli {DIV} (meta.n_days - 1) AS BIGINT) AS mae_milli
+FROM hz CROSS JOIN fitted CROSS JOIN meta
+"""
+
+
+@register(
+    "events_holt_forecast",
+    oracle=_HOLT_TEMPLATE.format(
+        DAY="epoch_us(ts) // 86400000000",
+        SRC="events",
+        DIV="//",
+        A=HOLT_ALPHA_MILLI,
+        B=HOLT_BETA_MILLI,
+    ),
+    tags=("events", "timeseries", "recursive-cte", "iterative"),
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) over the
+    daily event-count series, with a 7-day forecast and in-sample MAE —
+    the capacity-planning readout that pairs with the CUSUM changepoint
+    detector.  The recurrence runs as a NATIVE recursive CTE (Spark 4.x)
+    with byte-identical milli fixed-point updates in both engines
+    (truncating integer division verified to agree on negatives, so a
+    downward trend stays exact).
+
+    Scale shape: the corpus-sized work is ONE groupBy(day); the
+    recursion walks the bounded daily series (30 rows here; recursion
+    depth = days, far under Spark's default 100 — a years-long series
+    would raise the recursion limit or fold the series with
+    ``aggregate`` over the collected bounded array, both O(days)
+    driver-free).  Each recursive step joins the one-row frontier to the
+    tiny idx relation.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts_us", event_micros(ev)).createOrReplaceTempView("_holt_events")
+    return spark.sql(
+        _HOLT_TEMPLATE.format(
+            DAY="ts_us div 86400000000",
+            SRC="_holt_events",
+            DIV="div",
+            A=HOLT_ALPHA_MILLI,
+            B=HOLT_BETA_MILLI,
+        )
+    )

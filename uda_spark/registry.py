@@ -176,6 +176,7 @@ _R08_NEW: tuple[str, ...] = (
     "pipeline_compaction_plan",
     "streaming_histogram_quantiles",
     "dq_k_anonymity",
+    "events_holt_forecast",
 )
 
 @dataclass(frozen=True)
