@@ -102,6 +102,8 @@ EXTENDED = [
     "pipeline_compaction_plan",
     "dq_k_anonymity",
     "sketch_histogram_persisted_merge",
+    "events_holt_forecast",
+    "events_survival_km",
 ]
 
 

@@ -1145,3 +1145,52 @@ class TestRound8QueryInvariants:
         assert row["n_rows_at_risk"] == sum(small)
         assert row["min_group_size"] == min(sizes.values())
         assert row["at_risk_ppm"] == sum(small) * 1_000_000 // sum(sizes.values())
+
+
+def test_survival_km_matches_python_recompute(spark):
+    """events_survival_km must equal the textbook Kaplan-Meier estimator
+    recomputed in plain Python (integer ppm fold, same truncating
+    division) from the same per-user first-event / first-error days."""
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import event_micros, load_table
+
+    import pyspark.sql.functions as SF
+
+    rows = sorted(
+        map(tuple, all_specs()["events_survival_km"].fn(spark, SF_SMOKE).collect())
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_user = (
+        ev.withColumn("ts_us", event_micros(ev))
+        .groupBy("user_id")
+        .agg(
+            SF.min(SF.expr("ts_us div 86400000000")).alias("f"),
+            SF.max(SF.expr("ts_us div 86400000000")).alias("l"),
+            SF.min(
+                SF.expr(
+                    "CASE WHEN event_type = 'error' THEN ts_us div 86400000000 END"
+                )
+            ).alias("e"),
+        )
+        .collect()
+    )
+    horizon = max(r["l"] for r in per_user)
+    obs = [
+        ((r["e"] - r["f"]) if r["e"] is not None else horizon - r["f"],
+         1 if r["e"] is not None else 0)
+        for r in per_user
+    ]
+    import collections
+
+    tbl = collections.defaultdict(lambda: [0, 0])
+    for dur, evf in obs:
+        tbl[dur][0] += 1
+        tbl[dur][1] += evf
+    expect, s, at_risk = [], 1_000_000, len(obs)
+    for dur in sorted(tbl):
+        n_total, d = tbl[dur]
+        s = s * (at_risk - d) // at_risk
+        expect.append((dur, at_risk, d, s))
+        at_risk -= n_total
+    assert rows == sorted(expect)

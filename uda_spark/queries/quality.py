@@ -2342,3 +2342,82 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             B=HOLT_BETA_MILLI,
         )
     )
+
+
+# Kaplan-Meier over per-user time-to-first-error; recursion carries the
+# survival product as exact ppm with truncating integer division (the
+# ordered fold both engines execute identically — a float cumulative
+# product would be partitioning-dependent).
+_KM_TEMPLATE = """
+WITH RECURSIVE per_user AS (
+  SELECT user_id, MIN({DAY}) AS f, MAX({DAY}) AS l,
+         MIN(CASE WHEN event_type = 'error' THEN {DAY} END) AS e
+  FROM {SRC} GROUP BY user_id
+),
+horizon AS (SELECT MAX(l) AS maxday FROM per_user),
+obs AS (
+  SELECT CASE WHEN e IS NOT NULL THEN e - f
+              ELSE (SELECT maxday FROM horizon) - f END AS dur,
+         CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user
+),
+tbl AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_total, CAST(SUM(ev) AS BIGINT) AS d
+  FROM obs GROUP BY dur
+),
+idx AS (
+  SELECT dur, d,
+         CAST(SUM(n_total) OVER (ORDER BY dur DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+         ROW_NUMBER() OVER (ORDER BY dur) AS tn
+  FROM tbl
+),
+km(tn, s_ppm) AS (
+  SELECT tn, CAST((1000000 * (n_risk - d)) {DIV} n_risk AS BIGINT)
+  FROM idx WHERE tn = 1
+  UNION ALL
+  SELECT i.tn, CAST((k.s_ppm * (i.n_risk - i.d)) {DIV} i.n_risk AS BIGINT)
+  FROM km k JOIN idx i ON i.tn = k.tn + 1
+)
+SELECT CAST(i.dur AS INT) AS duration_days, i.n_risk,
+       i.d AS n_churned, CAST(k.s_ppm AS BIGINT) AS survival_ppm
+FROM idx i JOIN km k ON i.tn = k.tn
+"""
+
+
+@register(
+    "events_survival_km",
+    oracle=_KM_TEMPLATE.format(
+        DAY="epoch_us(ts) // 86400000000",
+        SRC="events",
+        DIV="//",
+    ),
+    tags=("events", "timeseries", "statistics", "recursive-cte"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-failure curve: duration = days from a user's
+    first event to their FIRST 'error' event; users who never error are
+    right-censored at the corpus horizon (they contribute to the risk
+    sets but not to the failure counts) — the standard survival-analysis
+    treatment of incomplete observation.  The survival product
+    S_t = S_(t-1) * (n_risk - d)/n_risk is an ORDERED fold, executed as
+    a native recursive CTE carrying exact ppm integers, so both engines
+    agree bit-for-bit (a float cumulative product would depend on merge
+    order).
+
+    Scale shape: the corpus-sized pass is one groupBy(user_id); the risk
+    table is bounded by distinct durations (<= days span), the reverse
+    cumulative n_risk window runs over that bounded relation, and the
+    recursion walks it once.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts_us", event_micros(ev)).createOrReplaceTempView("_km_events")
+    return spark.sql(
+        _KM_TEMPLATE.format(
+            DAY="ts_us div 86400000000",
+            SRC="_km_events",
+            DIV="div",
+        )
+    )

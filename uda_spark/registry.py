@@ -177,6 +177,7 @@ _R08_NEW: tuple[str, ...] = (
     "streaming_histogram_quantiles",
     "dq_k_anonymity",
     "events_holt_forecast",
+    "events_survival_km",
 )
 
 @dataclass(frozen=True)
