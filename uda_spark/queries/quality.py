@@ -2269,15 +2269,13 @@ HOLT_HORIZON = 7
 # integer-division spelling differ.  Verified: both engines truncate
 # integer division toward zero (-7 div 2 == -7 // 2 == -3), so the milli
 # fixed-point updates agree even when the trend goes negative.
-_HOLT_TEMPLATE = """
-WITH RECURSIVE daily AS (
-  SELECT {DAY} AS day, CAST(COUNT(*) AS BIGINT) AS y
-  FROM {SRC} GROUP BY {DAY}
-),
-idx AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
-holt(t, l_milli, b_milli, sae_milli) AS (
+# The recursion body is shared verbatim by both engines; {IDX} is the
+# (day, y, t) series relation — a CTE in the oracle, an eagerly
+# checkpointed temp view on the Spark side (see the docstring).
+_HOLT_RECURSION = """
+WITH RECURSIVE holt(t, l_milli, b_milli, sae_milli) AS (
   SELECT t, CAST(y * 1000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-  FROM idx WHERE t = 1
+  FROM {IDX} WHERE t = 1
   UNION ALL
   SELECT i.t,
          CAST(({A} * i.y * 1000 + (1000 - {A}) * (h.l_milli + h.b_milli))
@@ -2286,61 +2284,94 @@ holt(t, l_milli, b_milli, sae_milli) AS (
                        {DIV} 1000) - h.l_milli)
                + (1000 - {B}) * h.b_milli) {DIV} 1000 AS BIGINT),
          CAST(h.sae_milli + ABS(i.y * 1000 - (h.l_milli + h.b_milli)) AS BIGINT)
-  FROM holt h JOIN idx i ON i.t = h.t + 1
+  FROM holt h JOIN {IDX} i ON i.t = h.t + 1
 ),
 fitted AS (SELECT * FROM holt ORDER BY t DESC LIMIT 1),
-meta AS (SELECT CAST(MAX(t) AS BIGINT) AS n_days FROM idx),
+meta AS (SELECT CAST(MAX(t) AS BIGINT) AS n_days FROM {IDX}),
 hz AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) v(h))
 SELECT CAST(hz.h AS INT) AS h,
        CAST(fitted.l_milli + hz.h * fitted.b_milli AS BIGINT) AS yhat_milli,
        CAST(fitted.l_milli AS BIGINT) AS level_milli,
        CAST(fitted.b_milli AS BIGINT) AS trend_milli,
        meta.n_days,
-       CAST(fitted.sae_milli {DIV} (meta.n_days - 1) AS BIGINT) AS mae_milli
+       CAST(fitted.sae_milli {DIV} NULLIF(meta.n_days - 1, 0) AS BIGINT) AS mae_milli
 FROM hz CROSS JOIN fitted CROSS JOIN meta
 """
+
+_HOLT_ORACLE_IDX = """(
+  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t
+  FROM (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*)::BIGINT AS y
+        FROM events GROUP BY 1)
+)"""
 
 
 @register(
     "events_holt_forecast",
-    oracle=_HOLT_TEMPLATE.format(
-        DAY="epoch_us(ts) // 86400000000",
-        SRC="events",
+    oracle=_HOLT_RECURSION.format(
+        IDX=_HOLT_ORACLE_IDX,
         DIV="//",
         A=HOLT_ALPHA_MILLI,
         B=HOLT_BETA_MILLI,
     ),
-    tags=("events", "timeseries", "recursive-cte", "iterative"),
+    tags=("events", "timeseries", "iterative"),
 )
 def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing (level + linear trend) over the
     daily event-count series, with a 7-day forecast and in-sample MAE —
     the capacity-planning readout that pairs with the CUSUM changepoint
-    detector.  The recurrence runs as a NATIVE recursive CTE (Spark 4.x)
-    with byte-identical milli fixed-point updates in both engines
-    (truncating integer division verified to agree on negatives, so a
-    downward trend stays exact).
+    detector.  The recurrence is an ORDERED fold with milli fixed-point
+    updates (truncating integer division verified to agree on negatives
+    in both engines, so a downward trend stays exact): Spark executes it
+    as ONE ``aggregate`` higher-order function over the day-sorted
+    bounded array (a single job), the oracle as a recursive CTE —
+    structurally different, arithmetically byte-identical.  A native
+    Spark recursive CTE also works (and is showcased by
+    recursive_cte_part_ancestors) but schedules a join job per step and
+    re-evaluates referenced relations each step — measured 7.4s vs 0.6s
+    at sf0.1 for this 30-step recurrence.
 
-    Scale shape: the corpus-sized work is ONE groupBy(day); the
-    recursion walks the bounded daily series (30 rows here; recursion
-    depth = days, far under Spark's default 100 — a years-long series
-    would raise the recursion limit or fold the series with
-    ``aggregate`` over the collected bounded array, both O(days)
-    driver-free).  Each recursive step joins the one-row frontier to the
-    tiny idx relation.
+    Scale shape: the corpus-sized work is ONE groupBy(day); the fold
+    input is the bounded daily series (one collect_list row of <= days
+    elements — the same bounded-metadata class as teravalidate's
+    per-partition bounds), and the forecast join touches 7 rows.
     """
     from uda_spark.sources.tables import event_micros
 
     ev = t(spark, sf_dir, "events")
     ev.withColumn("ts_us", event_micros(ev)).createOrReplaceTempView("_holt_events")
     return spark.sql(
-        _HOLT_TEMPLATE.format(
-            DAY="ts_us div 86400000000",
-            SRC="_holt_events",
-            DIV="div",
-            A=HOLT_ALPHA_MILLI,
-            B=HOLT_BETA_MILLI,
-        )
+        f"""
+WITH daily AS (
+  SELECT ts_us div 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM _holt_events GROUP BY ts_us div 86400000000
+),
+arr AS (
+  SELECT transform(array_sort(collect_list(struct(day, y))), e -> e.y) AS ys
+  FROM daily
+),
+st AS (
+  SELECT CAST(size(ys) AS BIGINT) AS n_days,
+         aggregate(slice(ys, 2, size(ys) - 1),
+           named_struct('l', ys[0] * CAST(1000 AS BIGINT),
+                        'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT)),
+           (acc, y) -> named_struct(
+             'l', ({HOLT_ALPHA_MILLI} * y * 1000
+                   + (1000 - {HOLT_ALPHA_MILLI}) * (acc.l + acc.b)) div 1000,
+             'b', ({HOLT_BETA_MILLI} * ((({HOLT_ALPHA_MILLI} * y * 1000
+                   + (1000 - {HOLT_ALPHA_MILLI}) * (acc.l + acc.b)) div 1000) - acc.l)
+                   + (1000 - {HOLT_BETA_MILLI}) * acc.b) div 1000,
+             'sae', acc.sae + ABS(y * 1000 - (acc.l + acc.b)))) AS s
+  FROM arr
+),
+hz AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) v(h))
+SELECT CAST(hz.h AS INT) AS h,
+       CAST(st.s.l + hz.h * st.s.b AS BIGINT) AS yhat_milli,
+       CAST(st.s.l AS BIGINT) AS level_milli,
+       CAST(st.s.b AS BIGINT) AS trend_milli,
+       st.n_days,
+       CAST(st.s.sae div NULLIF(st.n_days - 1, 0) AS BIGINT) AS mae_milli
+FROM hz CROSS JOIN st
+"""
     )
 
 
@@ -2348,8 +2379,8 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survival product as exact ppm with truncating integer division (the
 # ordered fold both engines execute identically — a float cumulative
 # product would be partitioning-dependent).
-_KM_TEMPLATE = """
-WITH RECURSIVE per_user AS (
+_KM_PREP = """
+WITH per_user AS (
   SELECT user_id, MIN({DAY}) AS f, MAX({DAY}) AS l,
          MIN(CASE WHEN event_type = 'error' THEN {DAY} END) AS e
   FROM {SRC} GROUP BY user_id
@@ -2364,35 +2395,41 @@ obs AS (
 tbl AS (
   SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_total, CAST(SUM(ev) AS BIGINT) AS d
   FROM obs GROUP BY dur
-),
-idx AS (
-  SELECT dur, d,
-         CAST(SUM(n_total) OVER (ORDER BY dur DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
-         ROW_NUMBER() OVER (ORDER BY dur) AS tn
-  FROM tbl
-),
-km(tn, s_ppm) AS (
+)
+SELECT dur, d,
+       CAST(SUM(n_total) OVER (ORDER BY dur DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+       ROW_NUMBER() OVER (ORDER BY dur) AS tn
+FROM tbl
+"""
+
+# Shared recursion body; {IDX} is the bounded (dur, d, n_risk, tn) risk
+# table — inlined as a derived table in the oracle, an eagerly
+# checkpointed temp view on the Spark side (an un-checkpointed relation
+# would re-run the corpus groupBy once per recursion step).
+_KM_RECURSION = """
+WITH RECURSIVE km(tn, s_ppm) AS (
   SELECT tn, CAST((1000000 * (n_risk - d)) {DIV} n_risk AS BIGINT)
-  FROM idx WHERE tn = 1
+  FROM {IDX} WHERE tn = 1
   UNION ALL
   SELECT i.tn, CAST((k.s_ppm * (i.n_risk - i.d)) {DIV} i.n_risk AS BIGINT)
-  FROM km k JOIN idx i ON i.tn = k.tn + 1
+  FROM km k JOIN {IDX} i ON i.tn = k.tn + 1
 )
 SELECT CAST(i.dur AS INT) AS duration_days, i.n_risk,
        i.d AS n_churned, CAST(k.s_ppm AS BIGINT) AS survival_ppm
-FROM idx i JOIN km k ON i.tn = k.tn
+FROM {IDX} i JOIN km k ON i.tn = k.tn
 """
 
 
 @register(
     "events_survival_km",
-    oracle=_KM_TEMPLATE.format(
-        DAY="epoch_us(ts) // 86400000000",
-        SRC="events",
+    oracle=_KM_RECURSION.format(
+        IDX="("
+        + _KM_PREP.format(DAY="epoch_us(ts) // 86400000000", SRC="events")
+        + ")",
         DIV="//",
     ),
-    tags=("events", "timeseries", "statistics", "recursive-cte"),
+    tags=("events", "timeseries", "statistics", "iterative"),
 )
 def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-failure curve: duration = days from a user's
@@ -2400,24 +2437,46 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     right-censored at the corpus horizon (they contribute to the risk
     sets but not to the failure counts) — the standard survival-analysis
     treatment of incomplete observation.  The survival product
-    S_t = S_(t-1) * (n_risk - d)/n_risk is an ORDERED fold, executed as
-    a native recursive CTE carrying exact ppm integers, so both engines
-    agree bit-for-bit (a float cumulative product would depend on merge
-    order).
+    S_t = S_(t-1) * (n_risk - d)/n_risk is an ORDERED fold carrying
+    exact ppm integers, so both engines agree bit-for-bit (a float
+    cumulative product would depend on merge order): Spark runs it as
+    one ``aggregate`` HOF over the duration-sorted risk table with an
+    array accumulator emitting every step's survival (a single job —
+    per-step recursive-CTE scheduling measured 8.3s vs 0.9s at sf0.1);
+    the oracle keeps the recursive-CTE formulation of the same fold.
 
     Scale shape: the corpus-sized pass is one groupBy(user_id); the risk
     table is bounded by distinct durations (<= days span), the reverse
-    cumulative n_risk window runs over that bounded relation, and the
-    recursion walks it once.
+    cumulative n_risk window and the fold both run over that bounded
+    relation.
     """
     from uda_spark.sources.tables import event_micros
 
     ev = t(spark, sf_dir, "events")
     ev.withColumn("ts_us", event_micros(ev)).createOrReplaceTempView("_km_events")
+    idx = spark.sql(_KM_PREP.format(DAY="ts_us div 86400000000", SRC="_km_events"))
+    idx.createOrReplaceTempView("_km_idx")
     return spark.sql(
-        _KM_TEMPLATE.format(
-            DAY="ts_us div 86400000000",
-            SRC="_km_events",
-            DIV="div",
-        )
+        """
+WITH arr AS (
+  SELECT array_sort(collect_list(struct(tn, dur, d, n_risk))) AS rs FROM _km_idx
+),
+folded AS (
+  SELECT arrays_zip(rs,
+           aggregate(rs,
+             named_struct('s', CAST(1000000 AS BIGINT),
+                          'out', CAST(array() AS ARRAY<BIGINT>)),
+             (acc, r) -> named_struct(
+               's', (acc.s * (r.n_risk - r.d)) div r.n_risk,
+               'out', concat(acc.out,
+                             array((acc.s * (r.n_risk - r.d)) div r.n_risk)))
+           ).out) AS zipped
+  FROM arr
+)
+SELECT CAST(z.rs.dur AS INT) AS duration_days,
+       z.rs.n_risk AS n_risk,
+       z.rs.d AS n_churned,
+       CAST(z.out AS BIGINT) AS survival_ppm
+FROM folded LATERAL VIEW explode(zipped) AS z
+"""
     )
