@@ -104,6 +104,8 @@ EXTENDED = [
     "sketch_histogram_persisted_merge",
     "events_holt_forecast",
     "events_survival_km",
+    "sim_late_interaction_maxsim",
+    "ml_ols_two_features",
 ]
 
 

@@ -52,6 +52,8 @@ QUERIES = [
     "ml_ndcg_at_k",                  # broadcast-queries corpus scan + k rows/query
     "sim_binary_hamming_knn",        # 8-byte signature scan, popcount ranking
     "dq_k_anonymity",                # two-level grouped audit
+    "sim_late_interaction_maxsim",   # nested-HOF multivector scoring, no explode
+    "events_survival_km",            # grouped spans + bounded ordered fold
 ]
 ITERS = 3
 

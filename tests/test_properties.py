@@ -1194,3 +1194,71 @@ def test_survival_km_matches_python_recompute(spark):
         expect.append((dur, at_risk, d, s))
         at_risk -= n_total
     assert rows == sorted(expect)
+
+
+def test_ols_two_features_matches_numpy_lstsq(spark):
+    """ml_ols_two_features' closed-form coefficients must agree with
+    numpy's least-squares solution on the same exact integer design
+    matrix (independent algorithm: SVD vs normal equations)."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as SF
+
+    row = all_specs()["ml_ols_two_features"].fn(spark, SF_SMOKE).collect()[0]
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select(
+            SF.expr("CAST(l_quantity AS BIGINT)").alias("x1"),
+            SF.expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("x2"),
+            SF.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("y"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in rows])
+    y = np.array([float(r["y"]) for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["n_rows"] == len(rows)
+    assert abs(row["b_qty_cents_per_unit"] - beta[1]) < 1e-3 * max(1, abs(beta[1]))
+    assert abs(row["b_discount_cents_per_bp"] - beta[2]) < 1e-3 * max(1, abs(beta[2]))
+    assert abs(row["intercept_cents"] - beta[0]) <= max(1, 1e-6 * abs(beta[0])) + 1
+    resid = y - X @ beta
+    r2 = 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert abs(row["r2"] - r2) < 1e-4
+    assert 0 <= row["r2"] <= 1
+
+
+def test_maxsim_matches_python_recompute(spark):
+    """sim_late_interaction_maxsim scores recomputed in plain Python
+    from the fixed-point integer sub-vectors (and MaxSim >= the plain
+    full-vector dot is NOT implied — only exact score equality is)."""
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.similarity import MAXSIM_SUBDIM, MAXSIM_SUBVECS
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    rows = all_specs()["sim_late_interaction_maxsim"].fn(spark, SF_SMOKE).collect()
+    emb = {
+        r["vec_id"]: [round(x * 1_000_000) for x in r["embedding"]]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def subs(v):
+        return [
+            v[i * MAXSIM_SUBDIM : (i + 1) * MAXSIM_SUBDIM]
+            for i in range(MAXSIM_SUBVECS)
+        ]
+
+    def maxsim(q, c):
+        return sum(
+            max(sum(a * b for a, b in zip(qs, cs)) for cs in subs(c))
+            for qs in subs(q)
+        )
+
+    assert rows
+    for r in rows:
+        expect = maxsim(emb[r["query_id"]], emb[r["neighbor_id"]])
+        assert r["maxsim_fp"] == expect, (r, expect)

@@ -2480,3 +2480,106 @@ SELECT CAST(z.rs.dur AS INT) AS duration_days,
 FROM folded LATERAL VIEW explode(zipped) AS z
 """
     )
+
+
+# Two-feature closed-form OLS: centered second moments in deterministic
+# doubles over the exact integer sums, then the 2x2 solve + intercept —
+# identical expression text in both engines (the ml_linear_fit pattern
+# extended one feature).
+_OLS2_CENTER = {
+    "c11": "CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n",
+    "c22": "CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n",
+    "c12": "CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n",
+    "c1y": "CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n",
+    "c2y": "CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n",
+    "cyy": "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n",
+}
+_OLS2_OUT = (
+    "CAST(n AS BIGINT) AS n_rows",
+    "round((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12), 6)"
+    " AS b_qty_cents_per_unit",
+    "round((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12), 6)"
+    " AS b_discount_cents_per_bp",
+    "CAST(floor((CAST(sy AS DOUBLE)"
+    " - ((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12)) * CAST(s1 AS DOUBLE)"
+    " - ((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12)) * CAST(s2 AS DOUBLE))"
+    " / n + 0.5) AS BIGINT) AS intercept_cents",
+    "round((((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12)) * c1y"
+    " + ((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12)) * c2y) / cyy, 6)"
+    " AS r2",
+)
+
+
+@register(
+    "ml_ols_two_features",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x2,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM base
+),
+c AS (
+  SELECT n, s1, s2, sy,
+         {_OLS2_CENTER['c11']} AS c11, {_OLS2_CENTER['c22']} AS c22,
+         {_OLS2_CENTER['c12']} AS c12, {_OLS2_CENTER['c1y']} AS c1y,
+         {_OLS2_CENTER['c2y']} AS c2y, {_OLS2_CENTER['cyy']} AS cyy
+  FROM m
+)
+SELECT {', '.join(_OLS2_OUT)} FROM c
+""",
+    tags=("quality", "features", "ml", "north-star"),
+)
+def ml_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate closed-form OLS (price ~ quantity + discount): the
+    two-feature normal equations solved from ONE moments pass — nine
+    exact integer/decimal sufficient statistics, then the centered 2x2
+    solve, intercept, and R^2 as deterministic double expressions with
+    identical text in both engines.  The step from
+    `ml_linear_fit_price_qty` to genuinely multivariate regression
+    without introducing iteration: at 100 TB the fit is still one
+    partial-aggregated pass with a single-row tail.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x1"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias(
+            "x2"
+        ),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    m = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias(
+            "syy"
+        ),
+    )
+    c = m.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        *[F.expr(expr).alias(name) for name, expr in _OLS2_CENTER.items()],
+    )
+    return c.selectExpr(*_OLS2_OUT)

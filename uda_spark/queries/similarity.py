@@ -1221,3 +1221,102 @@ def sim_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("int").alias("hamming"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+MAXSIM_SUBVECS = 4
+MAXSIM_SUBDIM = 16
+MAXSIM_TOP_K = 5
+
+
+@register(
+    "sim_late_interaction_maxsim",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+subs AS (
+  SELECT vec_id,
+         list_transform(range(0, {MAXSIM_SUBVECS}),
+           i -> list_slice(v, CAST(i * {MAXSIM_SUBDIM} + 1 AS INT),
+                              CAST(i * {MAXSIM_SUBDIM} + {MAXSIM_SUBDIM} AS INT))) AS sv
+  FROM iv
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(q.sv, qs ->
+           list_max(list_transform(c.sv, cs ->
+             list_sum(list_transform(range(1, {MAXSIM_SUBDIM} + 1),
+               d -> qs[CAST(d AS INT)] * cs[CAST(d AS INT)])))))) AS BIGINT) AS maxsim_fp
+  FROM subs q JOIN subs c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, maxsim_fp, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim_fp DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {MAXSIM_TOP_K}
+""",
+    tags=("similarity", "north-star", "multivector"),
+)
+def sim_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over
+    multi-vector documents: each embedding is treated as 4 sub-vectors
+    of 16 dims (the shape of per-token/per-patch multi-vector indexes),
+    and score(q, d) = sum over query sub-vectors of the MAX dot product
+    against any document sub-vector — the interaction that single-vector
+    cosine cannot express (a doc matching each query aspect with a
+    DIFFERENT region outranks one matching all aspects weakly).  All
+    dot products are exact fixed-point integers, so ranking ties out
+    identically in both engines.
+
+    Scale shape: sub-vector splitting is map-only (nested array HOFs,
+    no explode — the corpus row count never multiplies); the search is
+    broadcast queries x one corpus scan with the same partial-then-final
+    top-k as `sim_knn_bruteforce`.  A production multi-vector index adds
+    the IVF/PQ tiers this module already provides per sub-vector.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    subs = iv.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {MAXSIM_SUBVECS - 1}),"
+            f" i -> slice(v, CAST(i * {MAXSIM_SUBDIM} + 1 AS INT), {MAXSIM_SUBDIM}))"
+        ).alias("sv"),
+    )
+    q = subs.withColumnsRenamed({"vec_id": "query_id", "sv": "q_sv"}).where(
+        F.col("query_id") < N_QUERIES
+    )
+    maxsim = (
+        "aggregate(q_sv, CAST(0 AS BIGINT), (acc, qs) -> acc +"
+        " array_max(transform(sv, cs ->"
+        "   aggregate(zip_with(qs, cs, (a, b) -> a * b),"
+        "             CAST(0 AS BIGINT), (s, x) -> s + x))))"
+    )
+    scored = (
+        subs.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(maxsim).alias("maxsim_fp"),
+            F.spark_partition_id().alias("_part"),
+        )
+    )
+    order = (F.col("maxsim_fp").desc(), F.col("neighbor_id"))
+    pw = Window.partitionBy("query_id", "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= MAXSIM_TOP_K)
+        .drop("_part", "_prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MAXSIM_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "maxsim_fp",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

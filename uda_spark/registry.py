@@ -178,6 +178,8 @@ _R08_NEW: tuple[str, ...] = (
     "dq_k_anonymity",
     "events_holt_forecast",
     "events_survival_km",
+    "sim_late_interaction_maxsim",
+    "ml_ols_two_features",
 )
 
 @dataclass(frozen=True)
