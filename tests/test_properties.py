@@ -1262,3 +1262,33 @@ def test_maxsim_matches_python_recompute(spark):
     for r in rows:
         expect = maxsim(emb[r["query_id"]], emb[r["neighbor_id"]])
         assert r["maxsim_fp"] == expect, (r, expect)
+
+
+@SPARK_SETTINGS
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    ),
+    n=st.integers(min_value=1, max_value=12),
+)
+def test_global_ntile_matches_window_ntile(spark, keys, n):
+    """global_ntile (range-partitioned rank + closed-form bucket) must
+    reproduce Window NTILE exactly, including the first-buckets-get-the-
+    extra-row tie handling, for any bucket count and row count."""
+    from pyspark.sql import Window as W
+
+    from uda_spark.operators.sort import global_ntile
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in global_ntile(df, ["k"], n, alias="b", num_partitions=4).collect()
+    }
+    expect = {
+        r["k"]: r["b"]
+        for r in df.withColumn("b", F.ntile(n).over(W.orderBy("k"))).collect()
+    }
+    assert got == expect

@@ -88,10 +88,13 @@ def global_cumulative_sum(
     value_col: str,
     alias: str,
     num_partitions: int | None = None,
+    result_cast: str | None = "long",
 ) -> DataFrame:
     """Exclusive running SUM(``value_col``) over the global ``order_keys``
     order (sum of all rows STRICTLY before each row) without a
-    single-partition window.
+    single-partition window.  ``result_cast=None`` keeps the sum's
+    natural type (e.g. exact DECIMAL running totals); the default long
+    cast suits counting applications.
 
     Same two-pass shape as :func:`global_rank`: range-partition on the
     keys, window within each physical partition, then add per-partition
@@ -127,9 +130,42 @@ def global_cumulative_sum(
     offset_map = F.create_map(
         *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
     )
+    total = within + offset_map[F.col("_pid")]
+    if result_cast is not None:
+        total = total.cast(result_cast)
+    return snap.withColumn(alias, total).drop("_pid")
+
+
+def global_ntile(
+    df: DataFrame,
+    keys: Sequence[str],
+    n_buckets: int,
+    alias: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over the global ``keys`` order without a
+    single-partition window: :func:`global_rank`'s two-pass
+    range-partitioned rank plus the closed-form bucket from
+    (rank, total) — the first ``total % n`` buckets take one extra row,
+    exactly Window-ntile semantics.  Requires unique key tuples (append
+    a tiebreaker column); for a descending dimension pass a negated
+    column.  ``total`` is the max rank, broadcast as one row.
+    """
+    n = int(n_buckets)
+    ranked = global_rank(df, keys, num_partitions=num_partitions, alias="_gnt_rnk")
+    tot = ranked.agg(F.max("_gnt_rnk").alias("_gnt_total"))
+    big = f"(_gnt_total div {n} + 1)"
+    nbig = f"(_gnt_total % {n})"
+    bucket = (
+        f"CAST(CASE WHEN _gnt_rnk <= {nbig} * {big} "
+        f"THEN (_gnt_rnk - 1) div {big} + 1 "
+        f"ELSE {nbig} + (_gnt_rnk - 1 - {nbig} * {big})"
+        f" div (_gnt_total div {n}) + 1 END AS INT)"
+    )
     return (
-        snap.withColumn(alias, (within + offset_map[F.col("_pid")]).cast("long"))
-        .drop("_pid")
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(alias, F.expr(bucket))
+        .drop("_gnt_rnk", "_gnt_total")
     )
 
 

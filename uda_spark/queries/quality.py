@@ -396,13 +396,14 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     into {RFM_BINS} ntile bins (higher = better; ties broken by
     custkey so the binning is deterministic).
 
-    One (custkey) aggregation; the ntile windows are global but run
-    over the customer relation (|customers| rows, already tiny relative
-    to the fact) — at 100 TB you'd range-partition the score windows
-    the same way global sort does.
+    One (custkey) aggregation; each score then uses
+    ``operators.sort.global_ntile`` — the two-pass range-partitioned
+    rank plus the closed-form ntile bucket — so NO single-partition
+    window exists even at billion-customer cardinality (round 8; the
+    Window-ntile equivalence is property-tested in
+    tests/test_properties.py::test_global_ntile_matches_window_ntile).
     """
     orders = t(spark, sf_dir, "orders")
-    from pyspark.sql import Window
 
     # ONE fact scan: per-customer aggregates first, then the reference
     # date is the max of the per-customer maxima (a tiny broadcast) —
@@ -425,23 +426,15 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    return cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(RFM_BINS)
-        .over(Window.orderBy(F.desc("recency_days"), "o_custkey"))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(RFM_BINS)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(RFM_BINS)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .cast("int")
-        .alias("m_score"),
+    from uda_spark.operators.sort import global_ntile
+
+    scored = cust.withColumn("_neg_rec", -F.col("recency_days"))
+    scored = global_ntile(scored, ["_neg_rec", "o_custkey"], RFM_BINS, alias="r_score")
+    scored = global_ntile(scored, ["frequency", "o_custkey"], RFM_BINS, alias="f_score")
+    scored = global_ntile(scored, ["monetary", "o_custkey"], RFM_BINS, alias="m_score")
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -476,23 +469,35 @@ def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics workhorse.
 
     Exactness discipline: revenue, the running total, and the grand
-    total all stay EXACT DECIMAL through aggregation and the window
-    (no float addition order anywhere); only the final share ratio
+    total all stay EXACT DECIMAL through aggregation and the cumulative
+    pass (no float addition order anywhere); only the final share ratio
     converts to double, once, deterministically — a float cumsum or a
     float grand total flips boundary rows between classes across
-    engines/partitionings.
+    engines/partitionings.  The running total itself is the two-pass
+    range-partitioned ``global_cumulative_sum`` (round 8, with
+    ``result_cast=None`` keeping exact DECIMAL) — no single-partition
+    window even at full-catalog part cardinality.
     """
-    from pyspark.sql import Window
-
     li = t(spark, sf_dir, "lineitem")
+    from uda_spark.operators.sort import global_cumulative_sum
     from uda_spark.queries.common import revenue_expr
 
     rev = li.groupBy("l_partkey").agg(F.sum(revenue_expr()).alias("rev_d"))
     tot = rev.agg(F.sum("rev_d").cast("double").alias("t"))
-    w = Window.orderBy(F.desc("rev_d"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum_excl = global_cumulative_sum(
+        rev.withColumn("_neg_rev", -F.col("rev_d")),
+        ["_neg_rev", "l_partkey"],
+        "rev_d",
+        "cum_before",
+        result_cast=None,
     )
-    c = rev.withColumn("cum", F.sum("rev_d").over(w)).crossJoin(F.broadcast(tot))
+    c = (
+        cum_excl.withColumn(
+            "cum", F.coalesce(F.col("cum_before"), F.lit(0)) + F.col("rev_d")
+        )
+        .drop("_neg_rev", "cum_before")
+        .crossJoin(F.broadcast(tot))
+    )
     share = F.col("cum").cast("double") / F.col("t")
     return c.select(
         "l_partkey",
