@@ -1538,7 +1538,9 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two per-user MIN aggregates co-partitioned on
     user_id, a same-key join, then order statistics over the
-    CONVERTED-users relation (users-sized, not events-sized).
+    CONVERTED-users relation (users-sized, not events-sized) — ranked
+    with the two-pass range-partitioned ``global_rank`` (round 8), so
+    no single-partition window remains even at full user cardinality.
     """
     from uda_spark.sources.tables import event_micros
 
@@ -1561,13 +1563,12 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = fs.join(fp, on="user_id").select(
         "user_id", (F.col("p_us") - F.col("s_us")).alias("latency_us")
     )
+    from uda_spark.operators.sort import global_rank
+
     n_signup = fs.agg(F.count("*").alias("n_signup_users"))
-    w = Window.orderBy("latency_us", "user_id")
-    ranked = lat.select(
-        "latency_us",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked0 = global_rank(lat, ["latency_us", "user_id"], alias="rk")
+    nrow = ranked0.agg(F.count("*").alias("n"))
+    ranked = ranked0.crossJoin(F.broadcast(nrow))
     summary = ranked.agg(
         F.max("n").cast("long").alias("n_converted"),
         F.expr(

@@ -863,21 +863,19 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank assignment is engine-identical.
 
     Scale shape: the fact collapses to the per-key count relation in
-    one exchange (millions of keys from billions of rows); the ranking
-    pass runs over THAT relation, not the fact.  The global sort of the
-    key-count relation is the honest cost of an exact Gini — the
-    sketch tier (approx histogram of counts) absorbs it when keys
-    outgrow a sort.
+    one exchange (millions of keys from billions of rows); the exact
+    rank over THAT relation uses the two-pass range-partitioned
+    ``global_rank`` (round 8 — previously a single-partition window),
+    and k/total ride one broadcast totals row, so the whole readout
+    stays partitioned at any key cardinality.
     """
+    from uda_spark.operators.sort import global_rank
+
     ev = t(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    w = Window.orderBy("n", "user_id")
-    ranked = c.select(
-        "n",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("k"),
-        F.sum("n").over(Window.partitionBy()).alias("total"),
-    )
+    ranked0 = global_rank(c, ["n", "user_id"], alias="i")
+    tots = ranked0.agg(F.count("*").alias("k"), F.sum("n").alias("total"))
+    ranked = ranked0.crossJoin(F.broadcast(tots))
     return ranked.agg(
         F.max("k").cast("long").alias("n_keys"),
         F.max("total").cast("long").alias("n_rows"),
@@ -1521,7 +1519,10 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two keyed aggregates sharing the l_partkey grouping
     (Catalyst reuses the partitioning for the second), one co-keyed
-    join, and a HAVING that reduces output to the risky tail only.
+    join, and a HAVING that reduces output to the risky tail only; the
+    p90 cut's exact order statistic ranks the per-part HHI relation
+    with the two-pass range-partitioned ``global_rank`` (round 8 — no
+    single-partition window at full-catalog part cardinality).
     """
     rev = (
         t(spark, sf_dir, "lineitem")
@@ -1548,13 +1549,14 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("share_ppm").cast("long").alias("top_share_ppm"),
     )
-    wq = Window.orderBy("hhi_ppm", "l_partkey")
+    from uda_spark.operators.sort import global_rank
+
+    ranked_h = global_rank(
+        hhi.select("l_partkey", "hhi_ppm"), ["hhi_ppm", "l_partkey"], alias="rk"
+    )
+    nrow = ranked_h.agg(F.count("*").alias("n"))
     cut = (
-        hhi.select(
-            "hhi_ppm",
-            F.row_number().over(wq).alias("rk"),
-            F.count("*").over(Window.partitionBy()).alias("n"),
-        )
+        ranked_h.crossJoin(F.broadcast(nrow))
         .groupBy()
         .agg(
             F.max(
