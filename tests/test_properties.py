@@ -1292,3 +1292,107 @@ def test_global_ntile_matches_window_ntile(spark, keys, n):
         for r in df.withColumn("b", F.ntile(n).over(W.orderBy("k"))).collect()
     }
     assert got == expect
+
+
+@SPARK_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # group
+            st.integers(min_value=-(2**30), max_value=2**30),  # order key
+            st.integers(min_value=0, max_value=100),     # value
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_grouped_global_cumsum_matches_partitioned_window(spark, rows):
+    """grouped_global_cumulative_sum must equal the plain
+    Window.partitionBy(group).orderBy(key) exclusive running sum for
+    every (group, key) — the two-pass machinery is execution-strategy
+    only."""
+    from pyspark.sql import Window as W
+
+    from uda_spark.operators.sort import grouped_global_cumulative_sum
+
+    # unique (group, key) tuples per the contract
+    uniq = {(g, k): v for g, k, v in rows}
+    data = [(g, k, v) for (g, k), v in uniq.items()]
+    df = spark.createDataFrame(data, "g long, k long, v long")
+    got = {
+        (r["g"], r["k"]): r["cum"]
+        for r in grouped_global_cumulative_sum(
+            df, ["g"], ["k"], "v", "cum", num_partitions=4
+        ).collect()
+    }
+    w = (
+        W.partitionBy("g").orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    )
+    expect = {
+        (r["g"], r["k"]): r["cum"]
+        for r in df.withColumn(
+            "cum", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == expect
+
+
+@pytest.mark.slow
+def test_grouped_auc_hot_segment_stress(spark):
+    """The grouped rank-sum machinery with ONE hot segment: segment 0
+    carries 1M users at 1M DISTINCT scores (the case where a plain
+    partitionBy(segment) window funnels the whole segment through one
+    task), segment 1 is tiny.  The hot segment's AUC must hit the
+    analytic value and the cumulative plan must stay partitioned."""
+    import time
+
+    from pyspark.sql import functions as SF
+
+    from uda_spark.operators.sort import grouped_global_cumulative_sum
+    from uda_spark.plans.explain import plan_str
+
+    n = 500_000
+    hot = spark.range(2 * n).select(
+        SF.lit(0).cast("long").alias("segment"),
+        (SF.col("id") % 2).cast("long").alias("label"),
+        SF.col("id").alias("score"),
+    )
+    # segment 1: 2 perfect-separation users -> AUC 1.0
+    cold = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 20)], "segment long, label long, score long"
+    )
+    grp = (
+        hot.unionByName(cold)
+        .groupBy("segment", "score")
+        .agg(
+            SF.count("*").cast("long").alias("c"),
+            SF.sum("label").cast("long").alias("p"),
+        )
+    )
+    t0 = time.perf_counter()
+    ranked = grouped_global_cumulative_sum(grp, ["segment"], ["score"], "c", "cum_before")
+    assert "SinglePartition" not in plan_str(ranked, mode="simple")
+    s = ranked.groupBy("segment").agg(
+        SF.sum("p").cast("long").alias("n_pos"),
+        SF.sum(SF.col("c") - SF.col("p")).cast("long").alias("n_neg"),
+        SF.sum(
+            SF.col("p").cast("decimal(38,0)")
+            * (2 * (SF.col("cum_before") + 1) + SF.col("c") - 1)
+        ).alias("s2_raw"),
+    )
+    rows = {
+        r["segment"]: r
+        for r in s.selectExpr(
+            "segment",
+            "n_pos",
+            "n_neg",
+            "CAST((s2_raw - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+            " div NULLIF(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0) AS BIGINT)"
+            " AS auc_ppm",
+        ).collect()
+    }
+    wall = time.perf_counter() - t0
+    assert rows[0]["n_pos"] == rows[0]["n_neg"] == n
+    assert rows[0]["auc_ppm"] == (n + 1) * 1_000_000 // (2 * n)
+    assert rows[1]["auc_ppm"] == 1_000_000
+    assert wall < 120, f"hot-segment AUC took {wall:.0f}s"

@@ -136,6 +136,65 @@ def global_cumulative_sum(
     return snap.withColumn(alias, total).drop("_pid")
 
 
+def grouped_global_cumulative_sum(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order_keys: Sequence[str],
+    value_col: str,
+    alias: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group exclusive running SUM(``value_col``) over the global
+    ``order_keys`` order WITHIN each group, with no per-group
+    single-partition window: range-partition on (group_keys +
+    order_keys), window per (physical partition, group), then add
+    per-(partition, group) subtotals back as a broadcast offset join.
+
+    The plain ``Window.partitionBy(group).orderBy(keys)`` is already
+    partitioned BY GROUP — this helper matters when ONE group's
+    order-key cardinality is itself huge (a hot group's window runs in
+    one task); here every group spans as many range partitions as its
+    size demands.  Because range partitions cover contiguous
+    (group, order) spans, the collected offset relation has at most
+    num_partitions + num_groups rows — driver metadata, same class as
+    :func:`global_rank`'s counts.  Requires unique
+    (group + order) key tuples per row.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    gcols = [F.col(k) for k in group_keys]
+    ocols = [F.col(k) for k in order_keys]
+    parted = df.repartitionByRange(n, *gcols, *ocols).sortWithinPartitions(
+        *gcols, *ocols
+    )
+    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("_pid", *group_keys)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+
+    totals = snap.groupBy("_pid", *group_keys).agg(F.sum(value_col).alias("_t")).collect()
+    # running offset per group across its (contiguous) partition span
+    acc: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(totals, key=lambda r: (tuple(r[k] for k in group_keys), r["_pid"])):
+        g = tuple(r[k] for k in group_keys)
+        rows.append((r["_pid"],) + g + (acc.get(g, 0),))
+        acc[g] = acc.get(g, 0) + (r["_t"] or 0)
+    if not rows:  # empty input: schema inference has nothing to work with
+        return snap.withColumn(alias, F.lit(0).cast("long")).drop("_pid")
+    offsets = spark.createDataFrame(
+        rows, ["_pid", *group_keys, "_goff"]
+    )
+    return (
+        snap.join(F.broadcast(offsets), on=["_pid", *group_keys])
+        .withColumn(alias, (within + F.col("_goff")).cast("long"))
+        .drop("_pid", "_goff")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     keys: Sequence[str],

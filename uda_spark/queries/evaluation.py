@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from uda_spark.operators.sort import global_cumulative_sum
+from uda_spark.operators.sort import (
+    global_cumulative_sum,
+    grouped_global_cumulative_sum,
+)
 from uda_spark.queries.common import t
 from uda_spark.registry import register
 
@@ -514,16 +517,17 @@ def ml_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank concurrently.
 
     Scale shape: one per-user aggregation, one groupBy(segment, score),
-    then per-segment windows — each bounded by the segment's distinct
-    scores.  A segment whose distinct-score count is itself
-    user-cardinality would need the range-partitioned formulation of
-    `rank_sum_stats` applied per segment; with the quantized-score
-    contract the per-segment window stays bounded and parallel.
+    then the GROUPED two-pass range-partitioned cumulative count
+    (:func:`uda_spark.operators.sort.grouped_global_cumulative_sum`) —
+    every segment spans as many range partitions as its distinct-score
+    cardinality demands, so even ONE hot segment with a
+    user-cardinality score never funnels through a single task (the
+    plain partitionBy(segment) window would), and the offset relation
+    stays O(partitions + segments) driver metadata.
     """
     t(spark, sf_dir, "events").createOrReplaceTempView("_eval_events")
-    return spark.sql(
+    base = spark.sql(
         f"""
-WITH base AS (
 SELECT user_id % {N_SEGMENTS} AS segment,
        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS label,
@@ -531,30 +535,31 @@ SELECT user_id % {N_SEGMENTS} AS segment,
                 THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
                 ELSE 0 END) AS score
 FROM _eval_events GROUP BY user_id
-),
-grp AS (
-  SELECT segment, score, CAST(COUNT(*) AS BIGINT) AS c,
-         CAST(SUM(label) AS BIGINT) AS p
-  FROM base GROUP BY segment, score
-),
-ranked AS (
-  SELECT segment, score, c, p,
-         COALESCE(SUM(c) OVER (PARTITION BY segment ORDER BY score
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-  FROM grp
-),
-s AS (
-  SELECT segment,
-         CAST(SUM(p) AS BIGINT) AS n_pos,
-         CAST(SUM(c - p) AS BIGINT) AS n_neg,
-         SUM(CAST(p AS DECIMAL(38,0)) * (2 * (cum_before + 1) + c - 1)) AS s2_raw
-  FROM ranked GROUP BY segment
-)
-SELECT CAST(segment AS INT) AS segment, n_pos, n_neg,
-       CAST((s2_raw - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000
-            div NULLIF(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0) AS BIGINT) AS auc_ppm
-FROM s
 """
+    )
+    grp = base.groupBy("segment", "score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("label").cast("long").alias("p"),
+    )
+    ranked = grouped_global_cumulative_sum(
+        grp, ["segment"], ["score"], "c", "cum_before"
+    )
+    s = ranked.groupBy("segment").agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (2 * (F.col("cum_before") + 1) + F.col("c") - 1)
+        ).alias("s2_raw"),
+    )
+    return s.select(
+        F.col("segment").cast("int").alias("segment"),
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST((s2_raw - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+            " div NULLIF(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0) AS BIGINT)"
+        ).alias("auc_ppm"),
     )
 
 
