@@ -54,6 +54,10 @@ QUERIES = [
     "dq_k_anonymity",                # two-level grouped audit
     "sim_late_interaction_maxsim",   # nested-HOF multivector scoring, no explode
     "events_survival_km",            # grouped spans + bounded ordered fold
+    "ml_lift_deciles",               # two-pass global rank -> 10-row readout
+    "pipeline_token_budget_pack",    # grouped range-partitioned cumsum packing
+    "dq_referential_integrity",      # per-edge join-agg, broadcast small parents
+    "dq_schema_profile",             # column-pruned per-column distinct scans
 ]
 ITERS = 3
 

@@ -1396,3 +1396,136 @@ def test_grouped_auc_hot_segment_stress(spark):
     assert rows[0]["auc_ppm"] == (n + 1) * 1_000_000 // (2 * n)
     assert rows[1]["auc_ppm"] == 1_000_000
     assert wall < 120, f"hot-segment AUC took {wall:.0f}s"
+
+
+class TestRound8LateTierInvariants:
+    """Python recomputes / structural invariants for the late round-8
+    additions (lift deciles, token-budget packing, the dq audits)."""
+
+    def test_lift_deciles_matches_python_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.evaluation import LIFT_DECILES, _user_label_score
+        from uda_spark.registry import all_specs
+
+        rows = all_specs()["ml_lift_deciles"].fn(spark, SF_SMOKE).collect()
+        base = [
+            (r["score"], r["user_id"], r["label"])
+            for r in _user_label_score(spark, SF_SMOKE).collect()
+        ]
+        base.sort(key=lambda x: (-x[0], x[1]))
+        n = len(base)
+        n_pos_total = sum(lbl for _, _, lbl in base)
+        expect: dict[int, list[int]] = {}
+        for i, (_, _, lbl) in enumerate(base):
+            d = (i * LIFT_DECILES) // n + 1
+            users_pos = expect.setdefault(d, [0, 0])
+            users_pos[0] += 1
+            users_pos[1] += lbl
+        assert len(rows) == len(expect)
+        cum = 0
+        for r in sorted(rows, key=lambda r: r["decile"]):
+            users, pos = expect[r["decile"]]
+            cum += pos
+            assert r["n_users"] == users
+            assert r["n_pos"] == pos
+            assert r["pos_rate_ppm"] == pos * 1_000_000 // users
+            assert r["lift_ppm"] == pos * n * 1_000_000 // (users * n_pos_total)
+            assert r["cum_capture_ppm"] == cum * 1_000_000 // n_pos_total
+        # deciles partition the population into near-equal rank buckets
+        sizes = [r["n_users"] for r in rows]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1
+        # full capture at the bottom decile
+        assert max(r["cum_capture_ppm"] for r in rows) == 1_000_000
+
+    def test_token_budget_pack_matches_python_greedy(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.pipelines import TOKEN_BUDGET
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        rows = all_specs()["pipeline_token_budget_pack"].fn(spark, SF_SMOKE).collect()
+        docs = [
+            # python twin of portable.tokens: lowercase space split,
+            # empties kept
+            (r["source"], len(r["text"].lower().split(" ")), r["doc_id"])
+            for r in load_table(spark, SF_SMOKE, "documents").collect()
+        ]
+        by_src: dict[str, list[tuple[int, int]]] = {}
+        for src, ntok, did in docs:
+            by_src.setdefault(src, []).append((ntok, did))
+        for r in rows:
+            lst = sorted(by_src[r["source"]], key=lambda x: (-x[0], x[1]))
+            cum = 0
+            sel_docs = sel_toks = 0
+            for ntok, _ in lst:
+                if cum < TOKEN_BUDGET:
+                    sel_docs += 1
+                    sel_toks += ntok
+                cum += ntok
+            assert r["docs_total"] == len(lst)
+            assert r["tokens_total"] == sum(ntok for ntok, _ in lst)
+            assert r["docs_selected"] == sel_docs
+            assert r["tokens_selected"] == sel_toks
+            assert r["budget_fill_ppm"] == sel_toks * 1_000_000 // TOKEN_BUDGET
+            # greedy prefix contract: never stop while under budget, and
+            # overshoot at most by the straddling document
+            assert sel_toks >= min(TOKEN_BUDGET, r["tokens_total"])
+            if lst:
+                assert sel_toks < TOKEN_BUDGET + lst[0][0]
+        assert {r["source"] for r in rows} == set(by_src)
+
+    def test_referential_integrity_matches_python_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.quality import _FK_EDGES
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        rows = {
+            r["fk_name"]: r
+            for r in all_specs()["dq_referential_integrity"].fn(spark, SF_SMOKE).collect()
+        }
+        assert set(rows) == {e[0] for e in _FK_EDGES}
+        for name, child, ck, parent, pk in _FK_EDGES:
+            child_keys = [
+                r[ck] for r in load_table(spark, SF_SMOKE, child).select(ck).collect()
+            ]
+            parent_keys = {
+                r[pk] for r in load_table(spark, SF_SMOKE, parent).select(pk).collect()
+            }
+            orphans = [k for k in child_keys if k not in parent_keys]
+            r = rows[name]
+            assert r["n_rows"] == len(child_keys)
+            assert r["n_orphans"] == len(orphans)
+            assert r["n_orphan_keys"] == len(set(orphans))
+            assert r["orphan_ppm"] == len(orphans) * 1_000_000 // len(child_keys)
+
+    def test_schema_profile_matches_python_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.quality import _PROFILE_COLS
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        rows = {
+            r["col_name"]: r
+            for r in all_specs()["dq_schema_profile"].fn(spark, SF_SMOKE).collect()
+        }
+        assert set(rows) == {c for c, _ in _PROFILE_COLS}
+        data = load_table(spark, SF_SMOKE, "orders").collect()
+        for col, _ in _PROFILE_COLS:
+            vals = [r[col] for r in data]
+            nonnull = [v for v in vals if v is not None]
+            r = rows[col]
+            assert r["n_rows"] == len(vals)
+            assert r["n_null"] == len(vals) - len(nonnull)
+            assert r["n_distinct"] == len(set(nonnull))
+            # min/max are taken on the native type, then rendered
+            if col == "o_totalprice":
+                assert r["min_str"] == f"{min(nonnull):.2f}"
+                assert r["max_str"] == f"{max(nonnull):.2f}"
+            elif col == "o_orderdate":
+                assert r["min_str"] == min(nonnull).strftime("%Y-%m-%d %H:%M:%S")
+                assert r["max_str"] == max(nonnull).strftime("%Y-%m-%d %H:%M:%S")
+            else:
+                assert r["min_str"] == str(min(nonnull))
+                assert r["max_str"] == str(max(nonnull))

@@ -20,11 +20,12 @@ operator substrate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uda_spark.operators.sort import (
     global_cumulative_sum,
+    global_rank,
     grouped_global_cumulative_sum,
 )
 from uda_spark.queries.common import t
@@ -764,4 +765,99 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(dcg_ppm * 1000000 div NULLIF(cum_ppm, 0) AS BIGINT)"
             ).alias("ndcg_ppm"),
         )
+    )
+
+
+LIFT_DECILES = 10
+
+
+@register(
+    "ml_lift_deciles",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+r AS (SELECT label,
+             ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rnk
+      FROM base),
+m AS (SELECT COUNT(*)::BIGINT AS n, SUM(label)::BIGINT AS n_pos_total FROM base),
+d AS (SELECT ((rnk - 1) * {LIFT_DECILES}) // m.n + 1 AS decile,
+             COUNT(*)::BIGINT AS n_users,
+             SUM(label)::BIGINT AS n_pos
+      FROM r, m GROUP BY 1)
+SELECT CAST(d.decile AS INT) AS decile, d.n_users, d.n_pos,
+       CAST(d.n_pos * 1000000 // d.n_users AS BIGINT) AS pos_rate_ppm,
+       CAST(d.n_pos * m.n * 1000000 // (d.n_users * m.n_pos_total) AS BIGINT)
+         AS lift_ppm,
+       CAST(SUM(d.n_pos) OVER (ORDER BY d.decile) * 1000000
+            // m.n_pos_total AS BIGINT) AS cum_capture_ppm
+FROM d, m ORDER BY decile
+""",
+    tags=("evaluation", "ml", "ranking"),
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the campaign-targeting readout: rank every
+    user by model score (descending, user_id tie-break), split into 10
+    equi-count buckets by rank arithmetic, and report each decile's
+    positive count, positive rate, lift vs the base rate, and the
+    cumulative share of all positives captured down to that decile.  All
+    ratios are exact integer ppm.
+
+    Bucket contract: decile = (rank-1)*10 div n + 1 — the SAME closed
+    form in both engines (NOT the builtin NTILE, whose
+    remainder-goes-first sizing differs from rank arithmetic), so the
+    bucket boundaries are bit-identical.
+
+    Scale shape: the global descending rank uses the two-pass
+    range-partitioned :func:`global_rank` (per-partition row_numbers +
+    O(partitions) broadcast offsets) — a plain
+    ``ROW_NUMBER() OVER (ORDER BY score)`` funnels every user through
+    one task, which is exactly the single-partition window this module
+    retired in round 8.  Everything after the rank is a 10-row relation;
+    the final cumulative-capture window runs on those 10 rows.
+    """
+    base = _user_label_score(spark, sf_dir)
+    ranked = global_rank(
+        base.withColumn("neg_score", -F.col("score")),
+        ["neg_score", "user_id"],
+        alias="rnk",
+    )
+    # scalar totals read the checkpoint global_rank just materialized —
+    # no second scan of events
+    n_total, pos_total = ranked.agg(
+        F.count("*").cast("long"), F.sum("label").cast("long")
+    ).first()
+    deciles = (
+        ranked.withColumn(
+            "decile",
+            F.expr(
+                f"CAST((rnk - 1) * {LIFT_DECILES} div {n_total}L AS INT) + 1"
+            ),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.withColumn(
+            "pos_rate_ppm",
+            F.expr("CAST(n_pos * 1000000 div n_users AS BIGINT)"),
+        )
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                f"CAST(n_pos * {n_total}L * 1000000 div"
+                f" (n_users * {pos_total}L) AS BIGINT)"
+            ),
+        )
+        .withColumn("cum_pos", F.sum("n_pos").over(w_cum))
+        .withColumn(
+            "cum_capture_ppm",
+            F.expr(
+                f"CAST(cum_pos * 1000000 div {pos_total}L AS BIGINT)"
+            ),
+        )
+        .drop("cum_pos")
+        .orderBy("decile")
     )

@@ -29,6 +29,7 @@ from uda_spark import multimodal as MM
 from uda_spark import streaming as ST
 from uda_spark.functions import portable
 from uda_spark.operators import dedup as D
+from uda_spark.operators.sort import grouped_global_cumulative_sum
 from uda_spark.queries.common import t
 from uda_spark.queries.events import _DUCK_US, SESSION_GAP_S
 from uda_spark.registry import register
@@ -1716,3 +1717,88 @@ def _attach_streaming_qhist_oracle() -> None:
 
 
 _attach_streaming_qhist_oracle()
+
+
+TOKEN_BUDGET = 40_000  # per-source token budget for the packing report
+
+
+@register(
+    "pipeline_token_budget_pack",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len({portable.tokens('text', 'duck')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY n_tokens DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT source,
+       COUNT(*)::BIGINT AS docs_total,
+       SUM(n_tokens)::BIGINT AS tokens_total,
+       SUM(CASE WHEN cum_before < {TOKEN_BUDGET} THEN 1 ELSE 0 END)::BIGINT
+         AS docs_selected,
+       SUM(CASE WHEN cum_before < {TOKEN_BUDGET} THEN n_tokens ELSE 0 END)::BIGINT
+         AS tokens_selected,
+       CAST(SUM(CASE WHEN cum_before < {TOKEN_BUDGET} THEN n_tokens ELSE 0 END)
+            * 1000000 // {TOKEN_BUDGET} AS BIGINT) AS budget_fill_ppm
+FROM cum GROUP BY source ORDER BY source
+""",
+    tags=("pipelines", "curation"),
+)
+def pipeline_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget packing — the mixture-construction
+    step that fills each source's token allowance with its longest
+    documents first (longest-first is the deterministic stand-in for
+    quality-first; ties broken by doc_id): a document is selected while
+    the tokens already packed from its source are still under the
+    budget, i.e. the selection is the maximal prefix of the
+    (n_tokens DESC, doc_id) order whose EXCLUSIVE running total is
+    below TOKEN_BUDGET.  Reports per-source totals, selected counts,
+    and the exact budget-fill ppm (can exceed 1e6: the straddling
+    document is taken whole).
+
+    Scale shape: the per-source running total uses round 8's
+    :func:`grouped_global_cumulative_sum` — range-partitioned on
+    (source, order keys), windowed per (physical partition, source),
+    per-(partition, source) subtotals broadcast back — so one giant
+    source (the common corpus shape: one crawl dominates) spans as many
+    partitions as its size demands instead of funneling through a
+    single ``partitionBy(source)`` window task.  The final readout is a
+    per-source aggregation over bounded groups.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({portable.tokens('text', 'spark')}) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+    )
+    cum = grouped_global_cumulative_sum(
+        docs.withColumn("neg_tokens", -F.col("n_tokens")),
+        group_keys=["source"],
+        order_keys=["neg_tokens", "doc_id"],
+        value_col="n_tokens",
+        alias="cum_before",
+    )
+    sel = F.col("cum_before") < TOKEN_BUDGET
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs_total"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("docs_selected"),
+            F.sum(F.when(sel, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .withColumn(
+            "budget_fill_ppm",
+            F.expr(f"CAST(tokens_selected * 1000000 div {TOKEN_BUDGET} AS BIGINT)"),
+        )
+        .orderBy("source")
+    )

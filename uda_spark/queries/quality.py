@@ -2590,3 +2590,130 @@ def ml_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(expr).alias(name) for name, expr in _OLS2_CENTER.items()],
     )
     return c.selectExpr(*_OLS2_OUT)
+
+
+# (fk_name, child table, child key, parent table, parent key) — the four
+# referential edges of the TPC-H-ish star this repo's joins rely on.
+_FK_EDGES = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{name}' AS fk_name,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+       COUNT(DISTINCT CASE WHEN p.{pk} IS NULL THEN c.{ck} END)::BIGINT
+         AS n_orphan_keys,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS orphan_ppm
+FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}"""
+        for name, child, ck, parent, pk in _FK_EDGES
+    )
+    + "\nORDER BY fk_name",
+    tags=("quality", "dq"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the foreign-key orphan report a
+    warehouse runs before trusting its joins: for each FK edge of the
+    star schema, count child rows whose key has no parent (and the
+    distinct orphan key values).  An inner join silently DROPS these
+    rows, so the audit is the difference between "join looked fine" and
+    "join lost data".  Exact counts plus an integer-ppm orphan rate.
+
+    Scale shape: each edge is one left join aggregated to a single row
+    in the same pass (SUM over the null-parent indicator — the
+    anti-join count without a second shuffle).  customer/part/supplier
+    are broadcast under the session threshold; at 100 TB the
+    lineitem->orders edge becomes a plain shuffled join on the key both
+    sides are already bucketed by elsewhere in the repo.  Output is
+    exactly len(_FK_EDGES) rows.
+    """
+    out: DataFrame | None = None
+    for name, child, ck, parent, pk in _FK_EDGES:
+        c = t(spark, sf_dir, child).select(ck)
+        p = t(spark, sf_dir, parent).select(pk)
+        joined = c.join(p, c[ck] == p[pk], "left")
+        edge = joined.agg(
+            F.lit(name).alias("fk_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+            F.countDistinct(F.when(F.col(pk).isNull(), F.col(ck)))
+            .cast("long")
+            .alias("n_orphan_keys"),
+        ).withColumn(
+            "orphan_ppm",
+            F.expr("CAST(n_orphans * 1000000 div n_rows AS BIGINT)"),
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out.orderBy("fk_name")
+
+
+# (column, expression that renders min/max as an engine-identical string) —
+# doubles go through DECIMAL(18,2) so both engines print "857.71", never
+# scientific notation; timestamps print "yyyy-MM-dd HH:mm:ss" in both.
+_PROFILE_COLS = (
+    ("o_orderkey", "{v}"),
+    ("o_custkey", "{v}"),
+    ("o_orderstatus", "{v}"),
+    ("o_totalprice", "CAST({v} AS DECIMAL(18,2))"),
+    ("o_orderdate", "{v}"),
+    ("o_orderpriority", "{v}"),
+)
+
+
+@register(
+    "dq_schema_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{col}' AS col_name,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       COUNT(DISTINCT {col})::BIGINT AS n_distinct,
+       CAST(MIN({rend.format(v=col)}) AS VARCHAR) AS min_str,
+       CAST(MAX({rend.format(v=col)}) AS VARCHAR) AS max_str
+FROM orders"""
+        for col, rend in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+    tags=("quality", "dq"),
+)
+def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over ``orders`` — the first thing a data
+    engineer asks of an unfamiliar table: per column, the row count,
+    null count, EXACT distinct count, and min/max rendered as
+    engine-identical strings (min/max are taken on the NATIVE type and
+    only then cast — string-casting first would order '9' after '10').
+
+    Scale shape: one aggregation job per column, each scanning ONLY its
+    column (parquet column pruning — the profile of a 100-column table
+    reads each column once, never the full row), with the distinct
+    count partial-aggregated map-side.  This beats the single-pass
+    multi-DISTINCT alternative, whose Expand multiplies every input row
+    by the column count before the exchange.  Output is exactly one row
+    per profiled column.
+    """
+    orders = t(spark, sf_dir, "orders")
+    out: DataFrame | None = None
+    for col, rend in _PROFILE_COLS:
+        rendered = rend.format(v=col)
+        prof = orders.select(col).agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct(F.col(col)).cast("long").alias("n_distinct"),
+            F.expr(f"CAST(MIN({rendered}) AS STRING)").alias("min_str"),
+            F.expr(f"CAST(MAX({rendered}) AS STRING)").alias("max_str"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out.orderBy("col_name")

@@ -180,6 +180,10 @@ _R08_NEW: tuple[str, ...] = (
     "events_survival_km",
     "sim_late_interaction_maxsim",
     "ml_ols_two_features",
+    "ml_lift_deciles",
+    "pipeline_token_budget_pack",
+    "dq_referential_integrity",
+    "dq_schema_profile",
 )
 
 @dataclass(frozen=True)
