@@ -58,6 +58,8 @@ QUERIES = [
     "pipeline_token_budget_pack",    # grouped range-partitioned cumsum packing
     "dq_referential_integrity",      # per-edge join-agg, broadcast small parents
     "dq_schema_profile",             # column-pruned per-column distinct scans
+    "ml_ks_statistic",               # fused multi-column range-partitioned cumsum
+    "dq_benford_firstdigit",         # filtered scan -> 9-digit bounded readout
 ]
 ITERS = 3
 

@@ -1529,3 +1529,100 @@ class TestRound8LateTierInvariants:
             else:
                 assert r["min_str"] == str(min(nonnull))
                 assert r["max_str"] == str(max(nonnull))
+
+
+def test_global_cumulative_sums_matches_single_column_helper(spark):
+    from uda_spark.operators.sort import global_cumulative_sum, global_cumulative_sums
+
+    rows = [(k, (k * 7919) % 101, (k * 104729) % 53) for k in range(500)]
+    df = spark.createDataFrame(rows, ["k", "a", "b"])
+    multi = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in global_cumulative_sums(
+            df, ["k"], ["a", "b"], ["cum_a", "cum_b"], num_partitions=7
+        ).collect()
+    }
+    single_a = {
+        r["k"]: r["cum_a"]
+        for r in global_cumulative_sum(df, ["k"], "a", "cum_a", num_partitions=3).collect()
+    }
+    single_b = {
+        r["k"]: r["cum_b"]
+        for r in global_cumulative_sum(df, ["k"], "b", "cum_b", num_partitions=11).collect()
+    }
+    assert len(multi) == 500
+    for k, (ca, cb) in multi.items():
+        assert ca == single_a[k]
+        assert cb == single_b[k]
+
+
+class TestKsAndBenfordInvariants:
+    def test_ks_statistic_matches_python_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.evaluation import _user_label_score
+        from uda_spark.registry import all_specs
+
+        row = all_specs()["ml_ks_statistic"].fn(spark, SF_SMOKE).collect()[0]
+        base = [
+            (r["score"], r["label"])
+            for r in _user_label_score(spark, SF_SMOKE).collect()
+        ]
+        n_pos = sum(lbl for _, lbl in base)
+        n_neg = len(base) - n_pos
+        per_score: dict[int, list[int]] = {}
+        for s, lbl in base:
+            cp = per_score.setdefault(s, [0, 0])
+            cp[lbl] += 1  # index 0 = neg, 1 = pos
+        cum_p = cum_n = 0
+        best = (-1, None)
+        for s in sorted(per_score):
+            cum_n += per_score[s][0]
+            cum_p += per_score[s][1]
+            dd = abs(cum_p * n_neg - cum_n * n_pos)
+            if dd > best[0]:
+                best = (dd, s)
+        assert row["n_pos"] == n_pos
+        assert row["n_neg"] == n_neg
+        assert row["ks_ppm"] == best[0] * 1_000_000 // (n_pos * n_neg)
+        assert row["ks_at_score"] == best[1]
+        # KS >= |2*AUC - 1| does NOT hold in general; but KS is in [0, 1e6]
+        assert 0 <= row["ks_ppm"] <= 1_000_000
+
+    def test_benford_matches_python_recompute(self, spark):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.quality import _BENFORD_PPM
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        rows = {
+            r["digit"]: r
+            for r in all_specs()["dq_benford_firstdigit"].fn(spark, SF_SMOKE).collect()
+        }
+        assert set(rows) == set(range(1, 10))
+        assert sum(_BENFORD_PPM.values()) == 1_000_000
+        vals = [
+            r["o_totalprice"]
+            for r in load_table(spark, SF_SMOKE, "orders").collect()
+            if r["o_totalprice"] is not None and r["o_totalprice"] >= 1
+        ]
+        counts: dict[int, int] = {}
+        for v in vals:
+            # python twin of CAST(x AS DECIMAL(18,2)): HALF_UP on the
+            # exact double value
+            d = int(str(Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP))[0])
+            counts[d] = counts.get(d, 0) + 1
+        total = len(vals)
+        assert sum(r["n_obs"] for r in rows.values()) == total
+        for d in range(1, 10):
+            r = rows[d]
+            n = counts.get(d, 0)
+            assert r["n_obs"] == n
+            assert r["obs_ppm"] == n * 1_000_000 // total
+            assert r["exp_ppm"] == _BENFORD_PPM[d]
+            assert r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"]
+            assert (
+                r["chi2_contrib_milli"]
+                == r["dev_ppm"] * r["dev_ppm"] * 1000 // r["exp_ppm"]
+            )

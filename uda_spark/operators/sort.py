@@ -263,3 +263,56 @@ def validate_sorted(df: DataFrame, keys: Sequence[str]) -> bool:
         if prev["hi"] > cur["lo"]:
             return False
     return True
+
+
+def global_cumulative_sums(
+    df: DataFrame,
+    order_keys: Sequence[str],
+    value_cols: Sequence[str],
+    aliases: Sequence[str],
+    num_partitions: int | None = None,
+    result_cast: str | None = "long",
+) -> DataFrame:
+    """Multi-column variant of :func:`global_cumulative_sum`: one range
+    exchange, one checkpoint, one O(num_partitions) subtotal collect —
+    and an exclusive running sum for EVERY column in ``value_cols``.
+    The single-column helper run N times pays N exchanges of the same
+    relation; cumulative CDF-style readouts (e.g. the two-sample KS
+    statistic needs both class counts cumulated over one score order)
+    fuse into a single pass here.  Same contract: unique key tuples per
+    row, offsets broadcast as literal maps.
+    """
+    assert len(value_cols) == len(aliases)
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    key_cols = [F.col(k) for k in order_keys]
+    parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
+    # localCheckpoint: the subtotal job and the window job must see the
+    # same physical partition ids (see global_rank)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = sorted(
+        snap.groupBy("_pid")
+        .agg(*[F.sum(v).alias(f"_t{i}") for i, v in enumerate(value_cols)])
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    out = snap
+    for i, (vcol, alias) in enumerate(zip(value_cols, aliases)):
+        offsets: dict[int, int] = {}
+        acc = 0
+        for row in totals:
+            offsets[row["_pid"]] = acc
+            acc += row[f"_t{i}"] or 0
+        offset_map = F.create_map(
+            *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+        )
+        total = F.coalesce(F.sum(vcol).over(w), F.lit(0)) + offset_map[F.col("_pid")]
+        if result_cast is not None:
+            total = total.cast(result_cast)
+        out = out.withColumn(alias, total)
+    return out.drop("_pid")

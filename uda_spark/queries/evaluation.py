@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from uda_spark.operators.sort import (
     global_cumulative_sum,
+    global_cumulative_sums,
     global_rank,
     grouped_global_cumulative_sum,
 )
@@ -860,4 +861,84 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("cum_pos")
         .orderBy("decile")
+    )
+
+
+@register(
+    "ml_ks_statistic",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+grp AS (
+  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY score
+),
+cum AS (
+  SELECT score,
+         SUM(p) OVER (ORDER BY score) AS cum_p,
+         SUM(c - p) OVER (ORDER BY score) AS cum_n
+  FROM grp
+),
+m AS (SELECT SUM(p)::BIGINT AS n_pos, SUM(c - p)::BIGINT AS n_neg FROM grp),
+d AS (
+  SELECT score,
+         ABS(cum_p::HUGEINT * m.n_neg - cum_n::HUGEINT * m.n_pos) AS dd
+  FROM cum, m
+)
+SELECT m.n_pos, m.n_neg,
+       CAST(dd * 1000000 // (m.n_pos::HUGEINT * m.n_neg) AS BIGINT) AS ks_ppm,
+       d.score AS ks_at_score
+FROM d, m ORDER BY dd DESC, d.score ASC LIMIT 1
+""",
+    tags=("ml", "evaluation"),
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    positive- and negative-class score distributions — the classic
+    scorecard separation metric next to AUC: KS = max over thresholds
+    of |CDF_pos - CDF_neg|, reported as integer ppm together with the
+    LOWEST score achieving the max (the natural cut point).  The
+    difference is carried as the cross-multiplied integer
+    |cum_p * n_neg - cum_n * n_pos| in DECIMAL(38,0) — no float
+    division ever happens, and ties across thresholds resolve to the
+    smallest score in both engines.
+
+    Scale shape: one groupBy(score) to distinct-score class counts,
+    then round 8's MULTI-column range-partitioned cumulative sum
+    (:func:`uda_spark.operators.sort.global_cumulative_sums`) cumulates
+    BOTH class counts in a single exchange + checkpoint — the
+    single-column helper twice would range-shuffle the same relation
+    twice.  The argmax is a 1-row TakeOrderedAndProject over the
+    distinct-score relation; class totals ride the same checkpoint as
+    O(1) collected scalars.
+    """
+    base = _user_label_score(spark, sf_dir)
+    grp = base.groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("label").cast("long").alias("p"),
+    )
+    cum = global_cumulative_sums(
+        grp.withColumn("np", F.col("c") - F.col("p")),
+        order_keys=["score"],
+        value_cols=["p", "np"],
+        aliases=["cum_p_before", "cum_n_before"],
+    )
+    n_pos, n_neg = cum.agg(
+        F.sum("p").cast("long"), F.sum("np").cast("long")
+    ).first()
+    d = cum.select(
+        "score",
+        F.expr(
+            f"ABS(CAST(cum_p_before + p AS DECIMAL(38,0)) * {n_neg}L"
+            f" - CAST(cum_n_before + np AS DECIMAL(38,0)) * {n_pos}L)"
+        ).alias("dd"),
+    )
+    top = d.orderBy(F.col("dd").desc(), F.col("score").asc()).limit(1)
+    return top.select(
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        F.expr(
+            f"CAST(dd * 1000000 div (CAST({n_pos}L AS DECIMAL(38,0)) * {n_neg}L)"
+            " AS BIGINT)"
+        ).alias("ks_ppm"),
+        F.col("score").alias("ks_at_score"),
     )

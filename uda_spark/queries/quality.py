@@ -2717,3 +2717,90 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = prof if out is None else out.unionByName(prof)
     return out.orderBy("col_name")
+
+
+# Benford first-digit expected frequencies, log10(1 + 1/d) as integer ppm —
+# mathematical constants tabulated once for BOTH engines (they sum to
+# exactly 1_000_000), so no runtime transcendental enters the comparison.
+_BENFORD_PPM = {
+    1: 301_030, 2: 176_091, 3: 124_939, 4: 96_910, 5: 79_181,
+    6: 66_947, 7: 57_992, 8: 51_153, 9: 45_757,
+}
+# engine-identical first significant digit of a positive price: render the
+# DECIMAL(18,2) and take the leading character (values >= 1 only — the
+# query filters — so the leading character IS the leading digit; float
+# log10 at power-of-ten boundaries is exactly the portability hazard this
+# avoids)
+_BENFORD_DIGIT_DUCK = (
+    "CAST(SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT)"
+)
+_BENFORD_DIGIT_SPARK = (
+    "CAST(SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1) AS INT)"
+)
+
+
+@register(
+    "dq_benford_firstdigit",
+    oracle=f"""
+WITH digits(digit, exp_ppm) AS (VALUES {', '.join(f'({d}, {p})' for d, p in _BENFORD_PPM.items())}),
+obs AS (
+  SELECT {_BENFORD_DIGIT_DUCK} AS digit, COUNT(*)::BIGINT AS n
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+),
+m AS (SELECT SUM(n)::BIGINT AS n_total FROM obs)
+SELECT CAST(d.digit AS INT) AS digit,
+       COALESCE(o.n, 0)::BIGINT AS n_obs,
+       CAST(COALESCE(o.n, 0) * 1000000 // m.n_total AS BIGINT) AS obs_ppm,
+       CAST(d.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(COALESCE(o.n, 0) * 1000000 // m.n_total - d.exp_ppm AS BIGINT) AS dev_ppm,
+       CAST((COALESCE(o.n, 0) * 1000000 // m.n_total - d.exp_ppm)
+            * (COALESCE(o.n, 0) * 1000000 // m.n_total - d.exp_ppm)
+            * 1000 // d.exp_ppm AS BIGINT) AS chi2_contrib_milli
+FROM digits d LEFT JOIN obs o ON o.digit = d.digit, m
+ORDER BY digit
+""",
+    tags=("quality", "dq"),
+)
+def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data screen: compare the observed first-significant-digit
+    distribution against log10(1+1/d), with the per-digit deviation and
+    chi-square contribution in exact integer ppm/milli.  The digit comes
+    from the DECIMAL(18,2) rendering (engine-identical, see
+    `dq_schema_profile`), never from float log10, whose behavior at
+    power-of-ten boundaries differs per engine.
+
+    Scale shape: one filtered scan aggregating to <= 9 observed-digit
+    counts (map-side partial), then every remaining step — the total,
+    the expected-table join, the readout — runs on bounded 9-row
+    relations (expected table broadcast from literals).  Output is
+    exactly 9 rows, digits with zero observations included.
+    """
+    orders = t(spark, sf_dir, "orders")
+    obs = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .groupBy(F.expr(_BENFORD_DIGIT_SPARK).alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    digits = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), ["digit", "exp_ppm"]
+    )
+    m = obs.agg(F.sum("n").cast("long").alias("n_total"))
+    return (
+        digits.join(F.broadcast(obs), on="digit", how="left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(
+                "CAST(COALESCE(n, 0) * 1000000 div n_total AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", F.expr("CAST(obs_ppm - exp_ppm AS BIGINT)"))
+        .withColumn(
+            "chi2_contrib_milli",
+            F.expr("CAST(dev_ppm * dev_ppm * 1000 div exp_ppm AS BIGINT)"),
+        )
+        .orderBy("digit")
+    )

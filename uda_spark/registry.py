@@ -184,6 +184,8 @@ _R08_NEW: tuple[str, ...] = (
     "pipeline_token_budget_pack",
     "dq_referential_integrity",
     "dq_schema_profile",
+    "ml_ks_statistic",
+    "dq_benford_firstdigit",
 )
 
 @dataclass(frozen=True)
