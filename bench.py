@@ -106,6 +106,13 @@ EXTENDED = [
     "events_survival_km",
     "sim_late_interaction_maxsim",
     "ml_ols_two_features",
+    # late round-8 additions
+    "ml_lift_deciles",
+    "ml_ks_statistic",
+    "pipeline_token_budget_pack",
+    "dq_referential_integrity",
+    "dq_schema_profile",
+    "dq_benford_firstdigit",
 ]
 
 
