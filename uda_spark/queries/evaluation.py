@@ -886,7 +886,7 @@ d AS (
 )
 SELECT m.n_pos, m.n_neg,
        CAST(dd * 1000000 // (m.n_pos::HUGEINT * m.n_neg) AS BIGINT) AS ks_ppm,
-       d.score AS ks_at_score
+       CAST(d.score AS BIGINT) AS ks_at_score
 FROM d, m ORDER BY dd DESC, d.score ASC LIMIT 1
 """,
     tags=("ml", "evaluation"),
@@ -941,4 +941,126 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ks_ppm"),
         F.col("score").alias("ks_at_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic half-sample bootstrap CI for the mean score
+
+BOOTSTRAP_B = 32  # replicates = usable bits of one 60-bit portable hash
+
+_BS_SPARK_H = (
+    "CAST(conv(substring(md5(concat('bs|', CAST(user_id AS STRING))), 1, 15),"
+    " 16, 10) AS BIGINT)"
+)
+_BS_DUCK_H = """list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 16),
+  i -> CAST(strpos('0123456789abcdef',
+       substr(md5('bs|' || user_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
+  (a, b) -> a * 16 + b)"""
+
+_BS_SPARK_COLS = ",\n        ".join(
+    f"SUM(CASE WHEN shiftright(h, {r}) % 2 = 0 THEN score ELSE 0 END) AS s{r},\n"
+    f"        SUM(CASE WHEN shiftright(h, {r}) % 2 = 0 THEN 1 ELSE 0 END) AS n{r}"
+    for r in range(BOOTSTRAP_B)
+)
+_BS_DUCK_COLS = ",\n        ".join(
+    f"SUM(CASE WHEN (h >> {r}) % 2 = 0 THEN score ELSE 0 END)::BIGINT AS s{r},\n"
+    f"        SUM(CASE WHEN (h >> {r}) % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n{r}"
+    for r in range(BOOTSTRAP_B)
+)
+_BS_SPARK_STACK = "stack({b}, {args}) AS (r, s, n)".format(
+    b=BOOTSTRAP_B,
+    args=", ".join(f"{r}, s{r}, n{r}" for r in range(BOOTSTRAP_B)),
+)
+_BS_DUCK_REPS = "\nUNION ALL ".join(
+    f"SELECT {r} AS r, s{r} AS s, n{r} AS n FROM agg" for r in range(BOOTSTRAP_B)
+)
+
+
+@register(
+    "ml_bootstrap_ci_mean",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+h AS (SELECT score, {_BS_DUCK_H} AS h FROM base),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n_users, SUM(score)::BIGINT AS s_all,
+        {_BS_DUCK_COLS}
+  FROM h
+),
+reps AS ({_BS_DUCK_REPS}),
+means AS (
+  SELECT r, CAST((s::HUGEINT * 1000000) // n AS BIGINT) AS m,
+         ROW_NUMBER() OVER (ORDER BY (s::HUGEINT * 1000000) // n, r) AS rn
+  FROM reps
+)
+SELECT agg.n_users,
+       CAST((agg.s_all::HUGEINT * 1000000) // agg.n_users AS BIGINT) AS mean_micro,
+       MIN(CASE WHEN rn = 2 THEN m END)::BIGINT AS ci_lo_micro,
+       MIN(CASE WHEN rn = {BOOTSTRAP_B - 1} THEN m END)::BIGINT AS ci_hi_micro,
+       {BOOTSTRAP_B} AS n_replicates
+FROM means, agg
+GROUP BY agg.n_users, agg.s_all
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free confidence interval for the mean user score via
+    deterministic half-sample replication: replicate r keeps user u iff
+    bit r of a 60-bit portable hash of the user id is 0 (an expected
+    half-sample), and the CI is the [2nd, {BOOTSTRAP_B - 1}th] order
+    statistic of the {BOOTSTRAP_B} replicate means — the subsampling
+    analog of the bootstrap with ZERO randomness: both engines (and any
+    two cluster runs) derive the identical interval, so the readout is
+    value-hash checkable like every other query here.
+
+    Exactness: replicate sums are exact BIGINT cents; each mean is the
+    integer-truncated micro-cents ratio carried in DECIMAL(38,0)/HUGEINT
+    (sum·1e6 exceeds int64 past ~$9e7 total); order statistics over the
+    {BOOTSTRAP_B}-row replicate relation are exact by construction, with
+    the replicate index breaking mean ties deterministically.
+
+    Scale shape: all {BOOTSTRAP_B} replicates come from ONE bounded
+    aggregation — 2·{BOOTSTRAP_B} conditional-sum columns over the
+    per-user relation, map-side combined, emitting a single row.  No
+    explode-by-replicate (the naive bootstrap's B× row blowup never
+    happens), no second pass over events; the {BOOTSTRAP_B}-row window
+    that ranks replicate means is bounded by the literal B, like
+    ml_lift_deciles' 10-row decile window.
+    """
+    base = _user_label_score(spark, sf_dir)
+    agg = base.selectExpr("score", f"{_BS_SPARK_H} AS h").selectExpr(
+        "COUNT(*) AS n_users",
+        "SUM(score) AS s_all",
+        *(
+            e
+            for r in range(BOOTSTRAP_B)
+            for e in (
+                f"SUM(CASE WHEN shiftright(h, {r}) % 2 = 0 THEN score ELSE 0 END) AS s{r}",
+                f"SUM(CASE WHEN shiftright(h, {r}) % 2 = 0 THEN 1 ELSE 0 END) AS n{r}",
+            )
+        ),
+    )
+    reps = agg.selectExpr("n_users", "s_all", _BS_SPARK_STACK)
+    w = Window.orderBy(
+        F.expr("(CAST(s AS DECIMAL(38,0)) * 1000000) div n"), F.col("r")
+    )
+    means = reps.select(
+        "n_users",
+        "s_all",
+        F.expr("CAST((CAST(s AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)").alias("m"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return means.groupBy("n_users", "s_all").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("m"))).cast("long").alias("ci_lo_micro"),
+        F.min(F.when(F.col("rn") == BOOTSTRAP_B - 1, F.col("m")))
+        .cast("long")
+        .alias("ci_hi_micro"),
+    ).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr(
+            "CAST((CAST(s_all AS DECIMAL(38,0)) * 1000000) div n_users AS BIGINT)"
+        ).alias("mean_micro"),
+        "ci_lo_micro",
+        "ci_hi_micro",
+        F.lit(BOOTSTRAP_B).cast("int").alias("n_replicates"),
     )

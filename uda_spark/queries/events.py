@@ -1696,3 +1696,105 @@ def events_attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n_last").cast("long").alias("n_last"),
         F.sum("last_cents").cast("long").alias("last_touch_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily event-count series
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "events_acf_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_DUCK_US} // {_DAY_US} AS day, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s FROM daily),
+den AS (
+  SELECT SUM((tot.n::HUGEINT * x - tot.s) * (tot.n::HUGEINT * x - tot.s))::HUGEINT AS d
+  FROM daily, tot
+),
+pairs AS (
+  SELECT b.day - a.day AS lag,
+         COUNT(*)::BIGINT AS n_pairs,
+         SUM((tot.n::HUGEINT * a.x - tot.s) * (tot.n::HUGEINT * b.x - tot.s))::HUGEINT AS num
+  FROM daily a JOIN daily b ON b.day - a.day BETWEEN 1 AND {ACF_MAX_LAG}
+  CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den.d
+                 ELSE -((-num * 1000000) // den.d) END AS BIGINT) AS acf_ppm
+FROM pairs, den ORDER BY lag
+""",
+    tags=("events", "timeseries", "statistics"),
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..{ACF_MAX_LAG} — the seasonality/changepoint screen run before
+    trusting any forecast (a strong lag-7 spike means weekly structure;
+    all-lags-near-zero means the Holt/seasonality models are fitting
+    noise).
+
+    Exactness: the standard ACF r_h = Σ(x_t−m)(x_{{t+h}}−m) / Σ(x_t−m)²
+    shares one denominator, so multiplying both sums by n² clears the
+    rational mean m = S/n: numerator terms become (n·x_t − S)(n·x_{{t+h}}
+    − S) — pure integers, carried in DECIMAL(38,0)/HUGEINT (n·x can
+    reach ~4e11 at 100 TB; its square times the day count stays ~1e26,
+    well inside 38 digits).  The final ppm division truncates toward
+    zero via explicit sign decomposition, because DuckDB's `//` floors
+    while Spark's `div` truncates — they disagree exactly when the
+    numerator is negative, which a negative autocorrelation makes real.
+
+    Scale shape: ONE pass over the fact builds the daily rollup (tiny:
+    bounded by calendar days, not data volume, forever); it is persisted
+    so the totals row, the denominator, and the lag self-join all read
+    the O(days) relation instead of re-scanning events.  The lag join
+    explodes each day into {ACF_MAX_LAG} (day+h) probes — an equi-join
+    on the broadcast-sized daily relation — and every aggregate
+    downstream is O(days).
+    """
+    from uda_spark.cache import tracked_persist
+
+    ev = _with_us(t(spark, sf_dir, "events"))
+    daily = tracked_persist(
+        ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day")).agg(
+            F.count("*").alias("x")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    dev = "(CAST(n AS DECIMAL(38,0)) * {x} - s)"
+    den = (
+        daily.crossJoin(F.broadcast(tot))
+        .agg(F.expr(f"SUM({dev.format(x='x')} * {dev.format(x='x')})").alias("d"))
+    )
+    probes = daily.select(
+        F.explode(F.expr(f"sequence(day + 1, day + {ACF_MAX_LAG})")).alias("day"),
+        F.col("day").alias("a_day"),
+        F.col("x").alias("a_x"),
+    )
+    pairs = (
+        probes.join(daily, on="day")
+        .crossJoin(F.broadcast(tot))
+        .groupBy((F.col("day") - F.col("a_day")).cast("int").alias("lag"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(f"SUM({dev.format(x='a_x')} * {dev.format(x='x')})").alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(
+                "CAST(CASE WHEN num >= 0 THEN (num * 1000000) div d"
+                " ELSE -((-num * 1000000) div d) END AS BIGINT)"
+            ).alias("acf_ppm"),
+        )
+        .orderBy("lag")
+    )

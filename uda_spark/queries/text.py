@@ -1416,3 +1416,121 @@ def text_source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tvd_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval
+
+BM25_QUERY_TERMS = ("join", "hash", "vector", "spark")
+BM25_TOP_K = 20
+
+
+def _bm25_term_score(i: int) -> str:
+    """Per-term BM25 score expression — the SAME text in both dialects
+    (only shared ANSI functions: ln/CASE/CAST), so every double op runs
+    in the identical IEEE order and the scores are bit-equal.
+
+    Lucene-floored idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — written as
+    the integer-doubled ratio (2(N-df)+1)/(2df+1) so no fractional
+    literal is ever parsed (Spark reads `0.5` as DECIMAL, DuckDB as
+    DOUBLE — same value here, but the doubled form removes the decimal
+    arithmetic entirely).  Saturation with k1=1.2, b=0.75 is likewise
+    cleared of fractional literals by scaling numerator and denominator
+    by 10: tf·(k1+1)/(tf + k1·dlnorm) = 22·tf / (10·tf + 12·dlnorm),
+    dlnorm = 1/4 + 3/4·dl·N/L (exact binary 0.25/0.75 from integer
+    division).
+    """
+    return (
+        f"CASE WHEN tf{i} > 0 THEN "
+        f"ln(CAST(1 AS DOUBLE) + (2 * (n_docs - df{i}) + 1) / CAST(2 * df{i} + 1 AS DOUBLE))"
+        f" * (22 * tf{i})"
+        f" / (10 * tf{i} + 12 * (CAST(1 AS DOUBLE) / 4"
+        f" + CAST(3 AS DOUBLE) / 4 * dl * n_docs / corpus_len))"
+        f" ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+_BM25_TOTAL = " + ".join(f"({_bm25_term_score(i)})" for i in range(len(BM25_QUERY_TERMS)))
+
+_BM25_DUCK_TF = ",\n         ".join(
+    f"len(list_filter(toks, x -> x = '{term}'))::BIGINT AS tf{i}"
+    for i, term in enumerate(BM25_QUERY_TERMS)
+)
+_BM25_DUCK_DF = ",\n         ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+    for i in range(len(BM25_QUERY_TERMS))
+)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_DU_TOKS} AS toks FROM documents),
+per AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl,
+         {_BM25_DUCK_TF}
+  FROM d
+),
+tot AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS corpus_len,
+         {_BM25_DUCK_DF}
+  FROM per
+)
+SELECT doc_id, dl, ROUND({_BM25_TOTAL}, 6) AS bm25
+FROM per CROSS JOIN tot
+WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_QUERY_TERMS)))} > 0
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+""",
+    tags=("text", "retrieval", "north-star"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-{BM25_TOP_K} documents for a fixed
+    multi-term query (Lucene-floored idf, k1=1.2, b=0.75) — the lexical
+    half of a hybrid retriever (sim_hybrid_rrf fuses this family with
+    the dense ANN side).
+
+    Exactness: every BM25 input (tf, df, dl, N, L) is an exact integer;
+    the float formula is the same expression TEXT in both engines (see
+    :func:`_bm25_term_score`), so the doubles agree bitwise.  The
+    per-term scores are added in a FIXED textual order (never a float
+    SUM() whose accumulation order is partition-dependent), and ties
+    break on doc_id.
+
+    Scale shape: tf for the (few) query terms is computed per document
+    with map-side ``size(filter(toks, ...))`` — the corpus is NEVER
+    exploded and never shuffled.  One bounded aggregation produces
+    (N, L, df_i) as a single broadcast row; scoring is a second map-only
+    pass over matching docs, finished by TakeOrderedAndProject.  Two
+    corpus scans total, zero wide exchanges at any scale — strictly
+    cheaper than the inverted-index formulation whenever the query is
+    small (the index pays an explode + doc_id shuffle first).
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SP_TOKS).alias("toks")
+    )
+    per = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{term}'))")
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("corpus_len"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    match = " + ".join(f"tf{i}" for i in range(len(BM25_QUERY_TERMS)))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.expr(f"{match} > 0"))
+        .select("doc_id", "dl", F.expr(f"ROUND({_BM25_TOTAL}, 6)").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )

@@ -186,6 +186,9 @@ _R08_NEW: tuple[str, ...] = (
     "dq_schema_profile",
     "ml_ks_statistic",
     "dq_benford_firstdigit",
+    "text_bm25_topk",
+    "events_acf_daily",
+    "ml_bootstrap_ci_mean",
 )
 
 @dataclass(frozen=True)
