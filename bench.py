@@ -113,6 +113,9 @@ EXTENDED = [
     "dq_referential_integrity",
     "dq_schema_profile",
     "dq_benford_firstdigit",
+    "text_bm25_topk",
+    "events_acf_daily",
+    "ml_bootstrap_ci_mean",
 ]
 
 

@@ -60,6 +60,9 @@ QUERIES = [
     "dq_schema_profile",             # column-pruned per-column distinct scans
     "ml_ks_statistic",               # fused multi-column range-partitioned cumsum
     "dq_benford_firstdigit",         # filtered scan -> 9-digit bounded readout
+    "text_bm25_topk",                # two map-only corpus passes + top-k, no explode
+    "events_acf_daily",              # one fact pass -> O(days) lag self-join
+    "ml_bootstrap_ci_mean",          # 64-conditional-column single-row aggregate
 ]
 ITERS = 3
 

@@ -1626,3 +1626,133 @@ class TestKsAndBenfordInvariants:
                 r["chi2_contrib_milli"]
                 == r["dev_ppm"] * r["dev_ppm"] * 1000 // r["exp_ppm"]
             )
+
+
+class TestBm25AcfBootstrapInvariants:
+    """Python twins for the round-8 retrieval/statistics tail: every
+    value the three queries emit is recomputed from the raw tables with
+    exact integer (or IEEE-order-identical float) arithmetic."""
+
+    def test_bm25_matches_python_recompute(self, spark):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.text import BM25_QUERY_TERMS, BM25_TOP_K
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        got = all_specs()["text_bm25_topk"].fn(spark, SF_SMOKE).collect()
+        docs = [
+            (r["doc_id"], (r["text"] or "").lower().split(" "))
+            for r in load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", "text")
+            .collect()
+        ]
+        n_docs = len(docs)
+        corpus_len = sum(len(tk) for _, tk in docs)
+        tf = {
+            doc_id: [tk.count(term) for term in BM25_QUERY_TERMS]
+            for doc_id, tk in docs
+        }
+        dl = {doc_id: len(tk) for doc_id, tk in docs}
+        df = [
+            sum(1 for v in tf.values() if v[i] > 0)
+            for i in range(len(BM25_QUERY_TERMS))
+        ]
+        import math
+
+        def score(doc_id: int) -> float:
+            # same IEEE op order as the shared SQL expression text
+            s = 0.0
+            for i in range(len(BM25_QUERY_TERMS)):
+                t = tf[doc_id][i]
+                if t > 0:
+                    idf = math.log(
+                        1.0 + (2 * (n_docs - df[i]) + 1) / float(2 * df[i] + 1)
+                    )
+                    s = s + idf * (22 * t) / (
+                        10 * t + 12 * (1.0 / 4 + 3.0 / 4 * dl[doc_id] * n_docs / corpus_len)
+                    )
+            # Spark/DuckDB ROUND(double, 6) is HALF_UP on the exact value
+            return float(
+                Decimal(s).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+
+        matches = [d for d, v in tf.items() if sum(v) > 0]
+        expected = sorted(
+            ((score(d), d) for d in matches), key=lambda p: (-p[0], p[1])
+        )[:BM25_TOP_K]
+        assert [(r["doc_id"], r["bm25"]) for r in got] == [
+            (d, s) for s, d in expected
+        ]
+        assert all(r["dl"] == dl[r["doc_id"]] for r in got)
+
+    def test_acf_matches_python_recompute_and_is_bounded(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.events import ACF_MAX_LAG, _with_us
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        rows = {
+            r["lag"]: r
+            for r in all_specs()["events_acf_daily"].fn(spark, SF_SMOKE).collect()
+        }
+        day_us = 86400 * 1_000_000
+        daily: dict[int, int] = {}
+        for r in (
+            _with_us(load_table(spark, SF_SMOKE, "events")).select("ts_us").collect()
+        ):
+            d = r["ts_us"] // day_us
+            daily[d] = daily.get(d, 0) + 1
+        n = len(daily)
+        s = sum(daily.values())
+        den = sum((n * x - s) ** 2 for x in daily.values())
+        for h in range(1, ACF_MAX_LAG + 1):
+            num = sum(
+                (n * daily[d] - s) * (n * daily[d + h] - s)
+                for d in daily
+                if d + h in daily
+            )
+            n_pairs = sum(1 for d in daily if d + h in daily)
+            if n_pairs == 0:
+                assert h not in rows
+                continue
+            q = (
+                (num * 1_000_000) // den
+                if num >= 0
+                else -((-num * 1_000_000) // den)
+            )
+            assert rows[h]["n_pairs"] == n_pairs
+            assert rows[h]["acf_ppm"] == q
+            # Cauchy-Schwarz on the shared-denominator ACF
+            assert abs(rows[h]["acf_ppm"]) <= 1_000_000
+
+    def test_bootstrap_ci_matches_python_recompute(self, spark):
+        import hashlib
+
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.evaluation import BOOTSTRAP_B, _user_label_score
+        from uda_spark.registry import all_specs
+
+        row = all_specs()["ml_bootstrap_ci_mean"].fn(spark, SF_SMOKE).collect()[0]
+        base = [
+            (r["user_id"], r["score"])
+            for r in _user_label_score(spark, SF_SMOKE).collect()
+        ]
+        means = []
+        for r in range(BOOTSTRAP_B):
+            tot = cnt = 0
+            for uid, sc in base:
+                h = int(hashlib.md5(f"bs|{uid}".encode()).hexdigest()[:15], 16)
+                if (h >> r) % 2 == 0:
+                    tot += sc
+                    cnt += 1
+            means.append((tot * 1_000_000) // cnt)
+        means.sort()
+        assert row["n_users"] == len(base)
+        s_all = sum(sc for _, sc in base)
+        assert row["mean_micro"] == (s_all * 1_000_000) // len(base)
+        assert row["ci_lo_micro"] == means[1]
+        assert row["ci_hi_micro"] == means[BOOTSTRAP_B - 2]
+        assert row["ci_lo_micro"] <= row["ci_hi_micro"]
+        assert row["n_replicates"] == BOOTSTRAP_B

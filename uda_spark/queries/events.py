@@ -1725,8 +1725,8 @@ pairs AS (
   GROUP BY 1
 )
 SELECT CAST(lag AS INT) AS lag, n_pairs,
-       CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den.d
-                 ELSE -((-num * 1000000) // den.d) END AS BIGINT) AS acf_ppm
+       CAST(CASE WHEN num >= 0 THEN (num * 1000000) // NULLIF(den.d, 0)
+                 ELSE -((-num * 1000000) // NULLIF(den.d, 0)) END AS BIGINT) AS acf_ppm
 FROM pairs, den ORDER BY lag
 """,
     tags=("events", "timeseries", "statistics"),
@@ -1792,8 +1792,8 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag",
             "n_pairs",
             F.expr(
-                "CAST(CASE WHEN num >= 0 THEN (num * 1000000) div d"
-                " ELSE -((-num * 1000000) div d) END AS BIGINT)"
+                "CAST(CASE WHEN num >= 0 THEN (num * 1000000) div NULLIF(d, 0)"
+                " ELSE -((-num * 1000000) div NULLIF(d, 0)) END AS BIGINT)"
             ).alias("acf_ppm"),
         )
         .orderBy("lag")
