@@ -1007,8 +1007,8 @@ def ml_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-free confidence interval for the mean user score via
     deterministic half-sample replication: replicate r keeps user u iff
     bit r of a 60-bit portable hash of the user id is 0 (an expected
-    half-sample), and the CI is the [2nd, {BOOTSTRAP_B - 1}th] order
-    statistic of the {BOOTSTRAP_B} replicate means — the subsampling
+    half-sample), and the CI is the [2nd, 31st] order statistic of the
+    32 replicate means — the subsampling
     analog of the bootstrap with ZERO randomness: both engines (and any
     two cluster runs) derive the identical interval, so the readout is
     value-hash checkable like every other query here.
@@ -1016,14 +1016,14 @@ def ml_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: replicate sums are exact BIGINT cents; each mean is the
     integer-truncated micro-cents ratio carried in DECIMAL(38,0)/HUGEINT
     (sum·1e6 exceeds int64 past ~$9e7 total); order statistics over the
-    {BOOTSTRAP_B}-row replicate relation are exact by construction, with
+    32-row replicate relation are exact by construction, with
     the replicate index breaking mean ties deterministically.
 
-    Scale shape: all {BOOTSTRAP_B} replicates come from ONE bounded
-    aggregation — 2·{BOOTSTRAP_B} conditional-sum columns over the
+    Scale shape: all 32 replicates come from ONE bounded
+    aggregation — 64 conditional-sum columns over the
     per-user relation, map-side combined, emitting a single row.  No
     explode-by-replicate (the naive bootstrap's B× row blowup never
-    happens), no second pass over events; the {BOOTSTRAP_B}-row window
+    happens), no second pass over events; the 32-row window
     that ranks replicate means is bounded by the literal B, like
     ml_lift_deciles' 10-row decile window.
     """

@@ -1733,7 +1733,7 @@ FROM pairs, den ORDER BY lag
 )
 def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of the daily event-count series at lags
-    1..{ACF_MAX_LAG} — the seasonality/changepoint screen run before
+    1..7 — the seasonality/changepoint screen run before
     trusting any forecast (a strong lag-7 spike means weekly structure;
     all-lags-near-zero means the Holt/seasonality models are fitting
     noise).
@@ -1752,7 +1752,7 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by calendar days, not data volume, forever); it is persisted
     so the totals row, the denominator, and the lag self-join all read
     the O(days) relation instead of re-scanning events.  The lag join
-    explodes each day into {ACF_MAX_LAG} (day+h) probes — an equi-join
+    explodes each day into ACF_MAX_LAG=7 (day+h) probes — an equi-join
     on the broadcast-sized daily relation — and every aggregate
     downstream is O(days).
     """

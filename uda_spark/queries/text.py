@@ -1484,7 +1484,7 @@ ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
     tags=("text", "retrieval", "north-star"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval: top-{BM25_TOP_K} documents for a fixed
+    """BM25 lexical retrieval: top-20 documents for a fixed
     multi-term query (Lucene-floored idf, k1=1.2, b=0.75) — the lexical
     half of a hybrid retriever (sim_hybrid_rrf fuses this family with
     the dense ANN side).
