@@ -68,6 +68,13 @@ ITERS = 3
 
 
 def main() -> None:
+    # Optional argv: query names to (re)measure; their rows MERGE into the
+    # existing SCALECURVE.json so adding a query doesn't re-run the world.
+    only = set(sys.argv[1:])
+    run_list = [q for q in QUERIES if not only or q in only]
+    unknown = only - set(QUERIES)
+    if unknown:
+        sys.exit(f"not in QUERIES: {sorted(unknown)}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = get_spark(
         "uda_spark_scale_curve", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
@@ -75,7 +82,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
     out: dict = {"metric": "scale_curve", "unit": "sec", "iters": ITERS, "queries": {}}
-    for name in QUERIES:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALECURVE.json"
+    )
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        out["queries"].update(prior.get("queries", {}))
+    for name in run_list:
         times = {}
         for sf in SFS:
             best = None
@@ -94,7 +108,7 @@ def main() -> None:
         print(f"# {name}: {times} ratios {ratios}", file=sys.stderr)
     line = json.dumps(out)
     print(line)
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALECURVE.json"), "w") as fh:
+    with open(path, "w") as fh:
         fh.write(line + "\n")
     spark.stop()
 
