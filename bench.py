@@ -116,6 +116,8 @@ EXTENDED = [
     "text_bm25_topk",
     "events_acf_daily",
     "ml_bootstrap_ci_mean",
+    "events_pareto_front",
+    "dq_freshness_lag",
 ]
 
 

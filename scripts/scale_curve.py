@@ -63,6 +63,8 @@ QUERIES = [
     "text_bm25_topk",                # two map-only corpus passes + top-k, no explode
     "events_acf_daily",              # one fact pass -> O(days) lag self-join
     "ml_bootstrap_ci_mean",          # 64-conditional-column single-row aggregate
+    "events_pareto_front",           # sort-based skyline via range-partitioned cummax
+    "dq_freshness_lag",              # one fact pass -> (stream, day) bounded rollup
 ]
 ITERS = 3
 

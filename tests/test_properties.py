@@ -1756,3 +1756,106 @@ class TestBm25AcfBootstrapInvariants:
         assert row["ci_hi_micro"] == means[BOOTSTRAP_B - 2]
         assert row["ci_lo_micro"] <= row["ci_hi_micro"]
         assert row["n_replicates"] == BOOTSTRAP_B
+
+
+@SPARK_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    agg=st.sampled_from(["min", "max"]),
+)
+def test_global_cumulative_extreme_matches_naive_window(spark, rows, agg):
+    """The range-partitioned exclusive running MIN/MAX equals the naive
+    single-partition window on unique keys, including the NULL first row."""
+    df = spark.createDataFrame(rows, "k int, v long")
+    out = {
+        r["k"]: r["ext"]
+        for r in SRT.global_cumulative_extreme(
+            df, ["k"], "v", "ext", agg=agg, num_partitions=4
+        ).collect()
+    }
+    expected = {}
+    run = None
+    for k, v in sorted(rows):
+        expected[k] = run
+        run = v if run is None else (min(run, v) if agg == "min" else max(run, v))
+    assert out == expected
+
+
+class TestParetoAndFreshnessInvariants:
+    def test_pareto_front_matches_bruteforce_dominance(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.registry import all_specs
+
+        got = sorted(
+            (r["user_id"], r["score_cents"], r["n_events"])
+            for r in all_specs()["events_pareto_front"].fn(spark, SF_SMOKE).collect()
+        )
+        # brute-force O(n^2) dominance over the per-user relation
+        from uda_spark.queries.events import _PARETO_CENTS
+        from uda_spark.sources.tables import load_table
+
+        u = [
+            (r["user_id"], r["score_cents"], r["n_events"])
+            for r in load_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(
+                F.expr(_PARETO_CENTS).alias("score_cents"),
+                F.count("*").cast("long").alias("n_events"),
+            )
+            .collect()
+        ]
+
+        def dominated(a):
+            return any(
+                b[1] >= a[1]
+                and b[2] >= a[2]
+                and (b[1] > a[1] or b[2] > a[2])
+                for b in u
+                if b[0] != a[0]
+            )
+
+        expected = sorted(a for a in u if not dominated(a))
+        assert got == expected
+        # every pair on the front is mutually non-dominated
+        for a in got:
+            for b in got:
+                assert not (
+                    b[1] >= a[1] and b[2] >= a[2] and (b[1] > a[1] or b[2] > a[2])
+                ) or (a[1] == b[1] and a[2] == b[2])
+
+    def test_freshness_lag_matches_python_recompute(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.queries.events import _with_us
+        from uda_spark.registry import all_specs
+        from uda_spark.sources.tables import load_table
+
+        rows = {
+            r["event_type"]: r
+            for r in all_specs()["dq_freshness_lag"].fn(spark, SF_SMOKE).collect()
+        }
+        day_us = 86400 * 1_000_000
+        per: dict[str, dict] = {}
+        for r in (
+            _with_us(load_table(spark, SF_SMOKE, "events"))
+            .select("event_type", "ts_us")
+            .collect()
+        ):
+            d = per.setdefault(r["event_type"], {"max": -1, "days": {}})
+            d["max"] = max(d["max"], r["ts_us"])
+            day = r["ts_us"] // day_us
+            d["days"][day] = d["days"].get(day, 0) + 1
+        g_max = max(d["max"] for d in per.values())
+        g_last = g_max // day_us
+        assert set(rows) == set(per)
+        for et, d in per.items():
+            r = rows[et]
+            assert r["max_us"] == d["max"]
+            assert r["lag_us"] == g_max - d["max"]
+            assert r["n_latest_day"] == d["days"].get(g_last, 0)
+            assert r["days_active"] == len(d["days"])
+        assert min(r["lag_us"] for r in rows.values()) == 0

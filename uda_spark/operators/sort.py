@@ -136,6 +136,67 @@ def global_cumulative_sum(
     return snap.withColumn(alias, total).drop("_pid")
 
 
+def global_cumulative_extreme(
+    df: DataFrame,
+    order_keys: Sequence[str],
+    value_col: str,
+    alias: str,
+    agg: str = "min",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive running MIN/MAX of ``value_col`` over the global
+    ``order_keys`` order (extreme of all rows STRICTLY before each row;
+    NULL for the global first row) without a single-partition window —
+    the skyline/Pareto building block.
+
+    Same two-pass shape as :func:`global_cumulative_sum`: range-partition
+    on the keys, exclusive window per physical partition, then combine
+    with the prefix-extreme of the per-partition extremes, collected as
+    O(num_partitions) driver metadata and broadcast back as a literal
+    map.  ``least``/``greatest`` skip NULLs, so the partition-local NULL
+    (first row) and the no-prior-partition NULL compose correctly.
+    Requires unique key tuples per row (group first).
+    """
+    if agg not in ("min", "max"):
+        raise ValueError(f"agg must be 'min' or 'max', got {agg!r}")
+    fn = F.min if agg == "min" else F.max
+    comb = F.least if agg == "min" else F.greatest
+    py_comb = min if agg == "min" else max
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    key_cols = [F.col(k) for k in order_keys]
+    dt = df.schema[value_col].dataType
+    parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
+    # localCheckpoint for the same reason as global_rank: the extremes job
+    # and the window job must observe identical physical partition ids.
+    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = fn(value_col).over(w)
+
+    totals = sorted(
+        snap.groupBy("_pid").agg(fn(value_col).alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    prefix: dict[int, object] = {}
+    run = None
+    for row in totals:
+        prefix[row["_pid"]] = run
+        if row["_t"] is not None:
+            run = row["_t"] if run is None else py_comb(run, row["_t"])
+    offset_map = F.create_map(
+        *[
+            c
+            for pid, off in prefix.items()
+            for c in (F.lit(pid), F.lit(off).cast(dt))
+        ]
+    )
+    return snap.withColumn(alias, comb(within, offset_map[F.col("_pid")])).drop("_pid")
+
+
 def grouped_global_cumulative_sum(
     df: DataFrame,
     group_keys: Sequence[str],

@@ -1798,3 +1798,82 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto front (skyline) of users: spend vs activity
+
+_PARETO_CENTS = (
+    "SUM(CASE WHEN event_type = 'purchase' "
+    "THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT) "
+    "ELSE 0 END)"
+)
+
+
+@register(
+    "events_pareto_front",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, {_PARETO_CENTS} AS score_cents, COUNT(*)::BIGINT AS n_events
+  FROM events GROUP BY user_id
+),
+g AS (SELECT score_cents, MAX(n_events) AS best FROM u GROUP BY score_cents),
+cm AS (
+  SELECT score_cents, best,
+         MAX(best) OVER (ORDER BY score_cents DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_higher
+  FROM g
+)
+SELECT u.user_id, CAST(u.score_cents AS BIGINT) AS score_cents, u.n_events
+FROM u JOIN cm USING (score_cents)
+WHERE u.n_events = cm.best
+  AND (cm.best_higher IS NULL OR u.n_events > cm.best_higher)
+""",
+    tags=("events", "analytics", "skyline"),
+)
+def events_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) of users on two maximize dimensions —
+    purchase spend (exact cents) and event count: a user survives iff no
+    other user is >= on both and strictly better on one.  The classic
+    multi-criteria "best customers" readout, and the 2-D skyline
+    operator the reference's relational surface lacks.
+
+    Algorithm: the sort-based skyline — per-distinct-spend best activity,
+    then an EXCLUSIVE running max over spend DESCENDING: a user is on
+    the front iff they hold their spend level's best activity AND beat
+    the best activity of every strictly-higher spend level.  Ties on
+    both dimensions survive together (neither strictly dominates).
+
+    Scale shape: spend is user-cardinality, so the running max uses
+    :func:`uda_spark.operators.sort.global_cumulative_extreme` — the
+    range-partitioned two-pass cumulative with O(partitions) collected
+    extremes, never a single-partition ``ORDER BY score`` window.  One
+    exchange to the per-user relation (persisted, reused by both the
+    level rollup and the final join), one range exchange over the
+    distinct-spend levels, one shuffle join back.  No pairwise
+    dominance comparison ever happens — the naive skyline is O(n²).
+    """
+    from uda_spark.cache import tracked_persist
+    from uda_spark.operators.sort import global_cumulative_extreme
+
+    ev = t(spark, sf_dir, "events")
+    u = tracked_persist(
+        ev.groupBy("user_id").agg(
+            F.expr(_PARETO_CENTS).alias("score_cents"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    g = (
+        u.groupBy("score_cents")
+        .agg(F.max("n_events").alias("best"))
+        .withColumn("neg_score", -F.col("score_cents"))
+    )
+    cm = global_cumulative_extreme(g, ["neg_score"], "best", "best_higher", agg="max")
+    return (
+        u.join(cm.select("score_cents", "best", "best_higher"), on="score_cents")
+        .where(
+            (F.col("n_events") == F.col("best"))
+            & (F.col("best_higher").isNull() | (F.col("n_events") > F.col("best_higher")))
+        )
+        .select("user_id", "score_cents", "n_events")
+    )

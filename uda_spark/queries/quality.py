@@ -2804,3 +2804,69 @@ def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness audit: per-stream lag behind the newest event
+
+_FRESH_DAY_US = 86400 * 1_000_000
+
+
+@register(
+    "dq_freshness_lag",
+    oracle=f"""
+WITH rolled AS (
+  SELECT event_type, epoch_us(ts) // {_FRESH_DAY_US} AS day,
+         COUNT(*)::BIGINT AS n, MAX(epoch_us(ts))::BIGINT AS max_us
+  FROM events GROUP BY 1, 2
+),
+gmax AS (SELECT MAX(max_us) AS g_max_us, MAX(day) AS g_last_day FROM rolled)
+SELECT event_type,
+       MAX(max_us)::BIGINT AS max_us,
+       CAST(gmax.g_max_us - MAX(max_us) AS BIGINT) AS lag_us,
+       SUM(CASE WHEN day = gmax.g_last_day THEN n ELSE 0 END)::BIGINT AS n_latest_day,
+       COUNT(*)::BIGINT AS days_active
+FROM rolled, gmax
+GROUP BY event_type, gmax.g_max_us, gmax.g_last_day
+""",
+    tags=("dq", "quality", "events"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: per event stream, how far its newest record
+    lags the newest record anywhere (exact microseconds), how many rows
+    arrived on the corpus's final calendar day, and how many days the
+    stream was active — the stale-feed detector a 100 TB ingest runs
+    before every training snapshot (a stream whose lag jumps from
+    seconds to days is a dead upstream, not a quiet one).
+
+    Scale shape: ONE pass over the fact builds the (stream, day) rollup
+    — bounded by streams × calendar days forever — and it is persisted
+    so the global-max row and the per-stream report both read the tiny
+    relation.  The global maximum joins back as a broadcast single row;
+    everything downstream is O(streams).
+    """
+    from uda_spark.cache import tracked_persist
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    rolled = tracked_persist(
+        ev.withColumn("ts_us", event_micros(ev))
+        .groupBy("event_type", F.expr(f"ts_us div {_FRESH_DAY_US}").alias("day"))
+        .agg(F.count("*").alias("n"), F.max("ts_us").alias("max_us"))
+    )
+    glob = rolled.agg(
+        F.max("max_us").alias("g_max_us"), F.max("day").alias("g_last_day")
+    )
+    return (
+        rolled.crossJoin(F.broadcast(glob))
+        .groupBy("event_type", "g_max_us", "g_last_day")
+        .agg(
+            F.max("max_us").cast("long").alias("max_us"),
+            F.expr("CAST(g_max_us - MAX(max_us) AS BIGINT)").alias("lag_us"),
+            F.sum(F.when(F.col("day") == F.col("g_last_day"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_latest_day"),
+            F.count("*").cast("long").alias("days_active"),
+        )
+        .select("event_type", "max_us", "lag_us", "n_latest_day", "days_active")
+    )

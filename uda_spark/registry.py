@@ -189,6 +189,8 @@ _R08_NEW: tuple[str, ...] = (
     "text_bm25_topk",
     "events_acf_daily",
     "ml_bootstrap_ci_mean",
+    "events_pareto_front",
+    "dq_freshness_lag",
 )
 
 @dataclass(frozen=True)
