@@ -118,6 +118,8 @@ EXTENDED = [
     "ml_bootstrap_ci_mean",
     "events_pareto_front",
     "dq_freshness_lag",
+    "ml_conformal_interval",
+    "ml_cohens_kappa",
 ]
 
 

@@ -149,6 +149,8 @@ EXTRA = [
     "ml_bootstrap_ci_mean",
     "events_pareto_front",
     "dq_freshness_lag",
+    "ml_conformal_interval",
+    "ml_cohens_kappa",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

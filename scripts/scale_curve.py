@@ -65,6 +65,8 @@ QUERIES = [
     "ml_bootstrap_ci_mean",          # 64-conditional-column single-row aggregate
     "events_pareto_front",           # sort-based skyline via range-partitioned cummax
     "dq_freshness_lag",              # one fact pass -> (stream, day) bounded rollup
+    "ml_conformal_interval",         # integer-rational OLS residual rank (two-pass)
+    "ml_cohens_kappa",               # one corpus pass -> bounded confusion cells
 ]
 ITERS = 3
 

@@ -1859,3 +1859,84 @@ class TestParetoAndFreshnessInvariants:
             assert r["n_latest_day"] == d["days"].get(g_last, 0)
             assert r["days_active"] == len(d["days"])
         assert min(r["lag_us"] for r in rows.values()) == 0
+
+
+def test_conformal_interval_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+    from uda_spark.queries.events import _PARETO_CENTS
+
+    row = all_specs()["ml_conformal_interval"].fn(spark, SF_SMOKE).collect()[0]
+    u = [
+        (r["x"], r["y"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.expr(_PARETO_CENTS).alias("y"),
+        )
+        .collect()
+    ]
+    n = len(u)
+    sx = sum(x for x, _ in u)
+    sy = sum(y for _, y in u)
+    sxy = sum(x * y for x, y in u)
+    sxx = sum(x * x for x, _ in u)
+    d = n * sxx - sx * sx
+    b_num = n * sxy - sx * sy
+    a_num = sy * sxx - sx * sxy
+
+    def tz(num: int, den: int) -> int:
+        return num // den if num >= 0 else -((-num) // den)
+
+    res = sorted(abs(y * d - (a_num + b_num * x)) for x, y in u)
+    k = (9 * (n + 1)) // 10
+    q = res[k - 1]
+    assert row["n_users"] == n
+    assert row["slope_micro"] == tz(b_num * 1_000_000, d)
+    assert row["intercept_micro"] == tz(a_num * 1_000_000, d)
+    assert row["q_micro"] == (q * 1_000_000) // d
+    n_within = sum(1 for r in res if r <= q)
+    assert row["coverage_ppm"] == n_within * 1_000_000 // n
+    # conformal guarantee: empirical coverage >= 1 - alpha - 1/n (ppm, floor)
+    assert row["coverage_ppm"] >= 900_000 - 1_000_000 // n - 1
+
+
+def test_cohens_kappa_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.functions import portable as PORT
+    from uda_spark.functions import text as TXT
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_cohens_kappa"].fn(spark, SF_SMOKE).collect()[0]
+    pairs = [
+        (r["actual"], r["pred"])
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .withColumn("toks", F.expr(PORT.tokens("text", "spark")))
+        .select(
+            F.col("lang").alias("actual"),
+            F.expr(TXT.lang_predict("toks", "spark")).alias("pred"),
+        )
+        .collect()
+    ]
+    n = len(pairs)
+    agree = sum(1 for a, p in pairs if a == p)
+    from collections import Counter
+
+    rows_c = Counter(a for a, _ in pairs)
+    cols_c = Counter(p for _, p in pairs)
+    exp_sum = sum(rows_c[k] * cols_c.get(k, 0) for k in rows_c)
+
+    def tz(num: int, den: int) -> int:
+        return num // den if num >= 0 else -((-num) // den)
+
+    assert row["n_docs"] == n
+    assert row["agree"] == agree
+    assert row["po_ppm"] == agree * 1_000_000 // n
+    assert row["pe_ppm"] == exp_sum * 1_000_000 // (n * n)
+    assert row["kappa_ppm"] == tz(
+        (agree * n - exp_sum) * 1_000_000, n * n - exp_sum
+    )
+    assert -1_000_000 <= row["kappa_ppm"] <= 1_000_000

@@ -1064,3 +1064,252 @@ def ml_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi_micro",
         F.lit(BOOTSTRAP_B).cast("int").alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval around a 1-feature OLS fit
+
+CONFORMAL_ALPHA_PCT = 10  # 90% target coverage
+
+# signed integer division that truncates toward zero in BOTH engines
+# (DuckDB // floors, Spark div truncates — they disagree on negatives)
+def _tzdiv(num: str, den: str, op: str) -> str:
+    return (
+        f"CASE WHEN {num} >= 0 THEN ({num}) {op} ({den}) "
+        f"ELSE -((-({num})) {op} ({den})) END"
+    )
+
+
+@register(
+    "ml_conformal_interval",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, COUNT(*)::BIGINT AS x,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+                  ELSE 0 END)::BIGINT AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(x::HUGEINT * y)::HUGEINT AS sxy, SUM(x::HUGEINT * x)::HUGEINT AS sxx
+  FROM u
+),
+coef AS (
+  SELECT n, NULLIF(n * sxx - sx * sx, 0) AS d,
+         n * sxy - sx * sy AS b_num,
+         sy * sxx - sx * sxy AS a_num
+  FROM s
+),
+res AS (
+  SELECT u.user_id, ABS(u.y::HUGEINT * coef.d - (coef.a_num + coef.b_num * u.x)) AS r
+  FROM u, coef
+),
+ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, user_id) AS rnk FROM res
+),
+q AS (
+  SELECT ranked.r AS q_scaled FROM ranked, coef
+  WHERE ranked.rnk = (9 * (coef.n + 1)) // 10
+)
+SELECT CAST(coef.n AS BIGINT) AS n_users,
+       CAST({_tzdiv('coef.b_num * 1000000', 'coef.d', '//')} AS BIGINT) AS slope_micro,
+       CAST({_tzdiv('coef.a_num * 1000000', 'coef.d', '//')} AS BIGINT) AS intercept_micro,
+       CAST(q.q_scaled * 1000000 // coef.d AS BIGINT) AS q_micro,
+       CAST((SELECT COUNT(*) FROM res WHERE res.r <= q.q_scaled) * 1000000
+            // coef.n AS BIGINT) AS coverage_ppm
+FROM coef, q
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around the 1-feature OLS fit
+    of user spend on user activity: the 90% conformal radius is the
+    ceil(0.9·(n+1))-th order statistic of the absolute residuals — the
+    distribution-free guarantee modern model-serving pipelines attach to
+    point predictions, here computed EXACTLY on the full population.
+
+    Exactness: the OLS slope/intercept are carried as integer rationals
+    over the common denominator d = n·Σx² − (Σx)² (never divided
+    through), so each residual |y·d − (a_num + b_num·x)| is a pure
+    DECIMAL(38,0)/HUGEINT integer — bit-exact rank order, no float
+    residual anywhere.  At a billion users the magnitudes reach ~1e26,
+    inside 38 digits.  The reported slope/intercept/radius divide by d
+    only at the final ppm step, truncating toward zero via explicit sign
+    decomposition (DuckDB floors, Spark truncates).
+
+    Scale shape: one exchange to the per-user relation (persisted, read
+    three times: moments, ranking, coverage); the moment row broadcasts
+    back; the order statistic uses the two-pass range-partitioned
+    :func:`global_rank` — never a single-partition ORDER BY window over
+    user-cardinality residuals (the oracle may; DuckDB is the
+    small-scale referee).  Coverage is one more bounded aggregate with
+    the 1-row radius broadcast.
+    """
+    from uda_spark.cache import tracked_persist
+
+    ev = t(spark, sf_dir, "events")
+    u = tracked_persist(
+        ev.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("x"),
+            F.expr(
+                "SUM(CASE WHEN event_type = 'purchase' "
+                "THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT) "
+                "ELSE 0 END)"
+            ).alias("y"),
+        )
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    coef = u.agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr(f"SUM({dec.format('x')})").alias("sx"),
+        F.expr(f"SUM({dec.format('y')})").alias("sy"),
+        F.expr(f"SUM({dec.format('x')} * y)").alias("sxy"),
+        F.expr(f"SUM({dec.format('x')} * x)").alias("sxx"),
+    ).selectExpr(
+        "n",
+        "NULLIF(n * sxx - sx * sx, 0) AS d",
+        "n * sxy - sx * sy AS b_num",
+        "sy * sxx - sx * sxy AS a_num",
+    )
+    res = u.crossJoin(F.broadcast(coef)).selectExpr(
+        "user_id",
+        f"ABS({dec.format('y')} * d - (a_num + b_num * x)) AS r",
+        "n",
+        "d",
+        "b_num",
+        "a_num",
+    )
+    ranked = global_rank(res, ["r", "user_id"], alias="rnk")
+    q = ranked.where(F.expr("rnk = (9 * (n + 1)) div 10")).select(
+        F.col("r").alias("q_scaled"), "n", "d", "b_num", "a_num"
+    )
+    cov = (
+        res.select("r")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("q_scaled"), 1).otherwise(0)).alias(
+                "n_within"
+            ),
+            F.first("q_scaled").alias("q_scaled"),
+            F.first("n").alias("n"),
+            F.first("d").alias("d"),
+            F.first("b_num").alias("b_num"),
+            F.first("a_num").alias("a_num"),
+        )
+    )
+    return cov.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        f"CAST({_tzdiv('b_num * 1000000', 'd', 'div')} AS BIGINT) AS slope_micro",
+        f"CAST({_tzdiv('a_num * 1000000', 'd', 'div')} AS BIGINT) AS intercept_micro",
+        "CAST(q_scaled * 1000000 div d AS BIGINT) AS q_micro",
+        "CAST(n_within * 1000000 div n AS BIGINT) AS coverage_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement of the langid heuristic
+
+from uda_spark.functions import portable as _KAPPA_PORT
+from uda_spark.functions import text as _KAPPA_TXT
+
+_KAPPA_TOKS_DUCK = _KAPPA_PORT.tokens("text", "duck")
+_KAPPA_PRED_DUCK = _KAPPA_TXT.lang_predict("toks", "duck")
+
+
+@register(
+    "ml_cohens_kappa",
+    oracle=f"""
+WITH labeled AS (
+  SELECT lang AS actual,
+         {_KAPPA_PRED_DUCK} AS pred
+  FROM (SELECT lang, {_KAPPA_TOKS_DUCK} AS toks FROM documents)
+),
+cells AS (
+  SELECT actual, pred, COUNT(*)::BIGINT AS c FROM labeled GROUP BY 1, 2
+),
+n AS (SELECT SUM(c)::BIGINT AS n_docs,
+             SUM(CASE WHEN actual = pred THEN c ELSE 0 END)::BIGINT AS agree
+      FROM cells),
+rows_ AS (SELECT actual AS k, SUM(c)::BIGINT AS row_c FROM cells GROUP BY 1),
+cols_ AS (SELECT pred AS k, SUM(c)::BIGINT AS col_c FROM cells GROUP BY 1),
+e AS (
+  SELECT SUM(rows_.row_c::HUGEINT * cols_.col_c)::HUGEINT AS exp_sum
+  FROM rows_ JOIN cols_ USING (k)
+)
+SELECT n.n_docs, n.agree,
+       CAST(n.agree::HUGEINT * 1000000 // n.n_docs AS BIGINT) AS po_ppm,
+       CAST(e.exp_sum * 1000000 // (n.n_docs::HUGEINT * n.n_docs) AS BIGINT) AS pe_ppm,
+       CAST({_tzdiv('(n.agree::HUGEINT * n.n_docs - e.exp_sum) * 1000000',
+                    'n.n_docs::HUGEINT * n.n_docs - e.exp_sum', '//')} AS BIGINT)
+         AS kappa_ppm
+FROM n, e
+""",
+    tags=("ml", "evaluation", "statistics", "text"),
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stored document language and the
+    marker-vocabulary langid heuristic — the chance-corrected agreement
+    score that tells a curation pipeline whether its cheap classifier
+    beats guessing the label marginals (raw accuracy alone rewards a
+    degenerate majority-class predictor).
+
+    Exactness: kappa = (p_o − p_e)/(1 − p_e) is the integer rational
+    (N·agree − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k); both sides
+    ride DECIMAL(38,0)/HUGEINT (N²·1e6 reaches ~1e24 at a billion docs)
+    and the ppm step truncates toward zero via explicit sign
+    decomposition (kappa goes negative for worse-than-chance raters).
+
+    Scale shape: ONE pass over the corpus to the (actual, predicted)
+    confusion cells — bounded by the language-pair count forever — and
+    every marginal, the agreement diagonal, and the kappa arithmetic
+    derive from that tiny relation (1-row broadcast cross joins).  The
+    langid CASE chain is pure map-side token arithmetic, same plan as
+    text_quality_langid.
+    """
+    from uda_spark.functions import portable as PORT
+    from uda_spark.functions import text as TXT
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr(PORT.tokens("text", "spark"))
+    )
+    cells = (
+        docs.select(
+            F.col("lang").alias("actual"),
+            F.expr(TXT.lang_predict("toks", "spark")).alias("pred"),
+        )
+        .groupBy("actual", "pred")
+        .agg(F.count("*").alias("c"))
+    )
+    from uda_spark.cache import tracked_persist
+
+    cells = tracked_persist(cells)
+    n = cells.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("actual") == F.col("pred"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    rows_ = cells.groupBy(F.col("actual").alias("k")).agg(
+        F.sum("c").alias("row_c")
+    )
+    cols_ = cells.groupBy(F.col("pred").alias("k")).agg(F.sum("c").alias("col_c"))
+    e = (
+        rows_.join(cols_, on="k")
+        .agg(
+            F.expr("SUM(CAST(row_c AS DECIMAL(38,0)) * col_c)").alias("exp_sum")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(e))
+        .selectExpr(
+            "n_docs",
+            "agree",
+            "CAST(CAST(agree AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT) AS po_ppm",
+            "CAST(exp_sum * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)"
+            " AS BIGINT) AS pe_ppm",
+            f"""CAST({_tzdiv('(CAST(agree AS DECIMAL(38,0)) * n_docs - exp_sum) * 1000000',
+                             'CAST(n_docs AS DECIMAL(38,0)) * n_docs - exp_sum', 'div')}
+                AS BIGINT) AS kappa_ppm""",
+        )
+    )

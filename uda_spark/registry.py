@@ -191,6 +191,8 @@ _R08_NEW: tuple[str, ...] = (
     "ml_bootstrap_ci_mean",
     "events_pareto_front",
     "dq_freshness_lag",
+    "ml_conformal_interval",
+    "ml_cohens_kappa",
 )
 
 @dataclass(frozen=True)
