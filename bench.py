@@ -120,6 +120,7 @@ EXTENDED = [
     "dq_freshness_lag",
     "ml_conformal_interval",
     "ml_cohens_kappa",
+    "text_gini_tokens",
 ]
 
 

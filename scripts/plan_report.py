@@ -151,6 +151,7 @@ EXTRA = [
     "dq_freshness_lag",
     "ml_conformal_interval",
     "ml_cohens_kappa",
+    "text_gini_tokens",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

@@ -67,6 +67,7 @@ QUERIES = [
     "dq_freshness_lag",              # one fact pass -> (stream, day) bounded rollup
     "ml_conformal_interval",         # integer-rational OLS residual rank (two-pass)
     "ml_cohens_kappa",               # one corpus pass -> bounded confusion cells
+    "text_gini_tokens",              # map-only counts -> two-pass rank -> 1 row
 ]
 ITERS = 3
 

@@ -1940,3 +1940,22 @@ def test_cohens_kappa_matches_python_recompute(spark):
         (agree * n - exp_sum) * 1_000_000, n * n - exp_sum
     )
     assert -1_000_000 <= row["kappa_ppm"] <= 1_000_000
+
+
+def test_gini_tokens_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["text_gini_tokens"].fn(spark, SF_SMOKE).collect()[0]
+    ys = sorted(
+        len((r["text"] or "").lower().split(" "))
+        for r in load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    )
+    n = len(ys)
+    tot = sum(ys)
+    ry = sum((i + 1) * y for i, y in enumerate(ys))
+    assert row["n_docs"] == n
+    assert row["total_tokens"] == tot
+    assert row["gini_ppm"] == (2 * ry - (n + 1) * tot) * 1_000_000 // (n * tot)
+    assert 0 <= row["gini_ppm"] < 1_000_000

@@ -1534,3 +1534,71 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-document token counts
+
+
+@register(
+    "text_gini_tokens",
+    oracle=f"""
+WITH y AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, {_DU_TOKS} AS toks FROM documents)
+),
+ranked AS (
+  SELECT n_tokens, ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rnk FROM y
+),
+s AS (
+  SELECT COUNT(*)::HUGEINT AS n, SUM(n_tokens)::HUGEINT AS tot,
+         SUM(rnk::HUGEINT * n_tokens)::HUGEINT AS ry
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(tot AS BIGINT) AS total_tokens,
+       CAST((2 * ry - (n + 1) * tot) * 1000000 // NULLIF(n * tot, 0) AS BIGINT)
+         AS gini_ppm
+FROM s
+""",
+    tags=("text", "statistics", "quality", "north-star"),
+)
+def text_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token counts — the corpus
+    concentration readout: 0 means every document carries equal token
+    mass, →1 means a handful of giant documents dominate the training
+    mixture (a skew that sequence packing and per-shard budgets must
+    know about before any sampling decision).
+
+    Exactness: the sample Gini G = (2·Σ i·y_(i) − (n+1)·Σy) / (n·Σy)
+    over ascending-sorted counts is a pure integer rational; ties are
+    order-independent in Σ i·y (equal y values contribute the same under
+    any permutation of their ranks), so the (y, doc_id) tiebreak only
+    pins determinism, not the value.  Chebyshev's sum inequality makes
+    the numerator non-negative, so truncation needs no sign handling.
+    Products ride DECIMAL(38,0)/HUGEINT (rank·y ≈ 1e14 at a billion
+    docs; the sum ≈ 1e24).
+
+    Scale shape: one map-only pass computes each document's token count
+    (no explode — `size(tokens)` on the token array); the ascending rank
+    is the two-pass range-partitioned :func:`global_rank`, and the
+    final three sums are one bounded aggregation.  Never a
+    single-partition ORDER BY window over doc-cardinality counts.
+    """
+    from uda_spark.operators.sort import global_rank
+
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    y = docs.select(
+        "doc_id",
+        F.expr(TXT.token_count("toks", "spark")).cast("long").alias("n_tokens"),
+    )
+    ranked = global_rank(y, ["n_tokens", "doc_id"], alias="rnk")
+    return ranked.agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("SUM(CAST(n_tokens AS DECIMAL(38,0)))").alias("tot"),
+        F.expr("SUM(CAST(rnk AS DECIMAL(38,0)) * n_tokens)").alias("ry"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(tot AS BIGINT) AS total_tokens",
+        "CAST((2 * ry - (n + 1) * tot) * 1000000 div NULLIF(n * tot, 0) AS BIGINT)"
+        " AS gini_ppm",
+    )

@@ -193,6 +193,7 @@ _R08_NEW: tuple[str, ...] = (
     "dq_freshness_lag",
     "ml_conformal_interval",
     "ml_cohens_kappa",
+    "text_gini_tokens",
 )
 
 @dataclass(frozen=True)
