@@ -121,6 +121,7 @@ EXTENDED = [
     "ml_conformal_interval",
     "ml_cohens_kappa",
     "text_gini_tokens",
+    "events_trend_mk",
 ]
 
 

@@ -152,6 +152,7 @@ EXTRA = [
     "ml_conformal_interval",
     "ml_cohens_kappa",
     "text_gini_tokens",
+    "events_trend_mk",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

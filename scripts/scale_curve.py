@@ -68,6 +68,7 @@ QUERIES = [
     "ml_conformal_interval",         # integer-rational OLS residual rank (two-pass)
     "ml_cohens_kappa",               # one corpus pass -> bounded confusion cells
     "text_gini_tokens",              # map-only counts -> two-pass rank -> 1 row
+    "events_trend_mk",               # one fact pass -> O(days^2) tiny sign pairs
 ]
 ITERS = 3
 

@@ -1959,3 +1959,33 @@ def test_gini_tokens_matches_python_recompute(spark):
     assert row["total_tokens"] == tot
     assert row["gini_ppm"] == (2 * ry - (n + 1) * tot) * 1_000_000 // (n * tot)
     assert 0 <= row["gini_ppm"] < 1_000_000
+
+
+def test_trend_mk_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.events import _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["events_trend_mk"].fn(spark, SF_SMOKE).collect()[0]
+    day_us = 86400 * 1_000_000
+    daily: dict[int, int] = {}
+    for r in (
+        _with_us(load_table(spark, SF_SMOKE, "events")).select("ts_us").collect()
+    ):
+        d = r["ts_us"] // day_us
+        daily[d] = daily.get(d, 0) + 1
+    xs = [x for _, x in sorted(daily.items())]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    n_pairs = n * (n - 1) // 2
+    assert row["n_days"] == n
+    assert row["mk_s"] == s
+    assert row["n_pairs"] == n_pairs
+    tz = (s * 1_000_000) // n_pairs if s >= 0 else -((-s * 1_000_000) // n_pairs)
+    assert row["tau_ppm"] == tz
+    assert -1_000_000 <= row["tau_ppm"] <= 1_000_000

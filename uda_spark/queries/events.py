@@ -1877,3 +1877,81 @@ def events_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "score_cents", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on the daily event-count series
+
+
+@register(
+    "events_trend_mk",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_DUCK_US} // {_DAY_US} AS day, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s,
+         COUNT(*)::BIGINT AS n_pairs
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+n AS (SELECT COUNT(*)::BIGINT AS n_days FROM daily)
+SELECT n.n_days, pairs.s AS mk_s, pairs.n_pairs,
+       CAST(CASE WHEN pairs.s >= 0 THEN (pairs.s::HUGEINT * 1000000) // pairs.n_pairs
+                 ELSE -((-pairs.s::HUGEINT * 1000000) // pairs.n_pairs)
+            END AS BIGINT) AS tau_ppm
+FROM n, pairs
+""",
+    tags=("events", "timeseries", "statistics"),
+)
+def events_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic on the daily event-count series —
+    the distribution-free monotone-trend screen (is traffic structurally
+    growing or decaying, independent of its distribution?): S = Σ_{{i<j}}
+    sign(x_j − x_i) over all day pairs, with Kendall's tau-a = S /
+    (n(n−1)/2) as integer ppm (sign-decomposed division — S goes
+    negative for decaying series, and DuckDB floors where Spark
+    truncates).
+
+    Complement to :func:`events_acf_daily` (which measures periodic
+    structure; this measures monotone drift) and to the parametric
+    Holt/OLS fits (this one is rank-based, immune to spikes).
+
+    Scale shape: one pass over the fact to the persisted daily rollup —
+    bounded by calendar days, not data volume — then the all-pairs
+    comparison is O(days²) on that tiny relation (a 10-year series is
+    ~6.7M sign evaluations, one broadcast join task group); every
+    aggregate downstream is a single bounded row.  The fact is never
+    self-joined.
+    """
+    from uda_spark.cache import tracked_persist
+
+    ev = _with_us(t(spark, sf_dir, "events"))
+    daily = tracked_persist(
+        ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day")).agg(
+            F.count("*").alias("x")
+        )
+    )
+    b = daily.select(F.col("day").alias("b_day"), F.col("x").alias("b_x"))
+    pairs = (
+        daily.join(F.broadcast(b), F.col("b_day") > F.col("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b_x") > F.col("x"), 1)
+                .when(F.col("b_x") < F.col("x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    n = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return n.crossJoin(F.broadcast(pairs)).selectExpr(
+        "n_days",
+        "s AS mk_s",
+        "n_pairs",
+        "CAST(CASE WHEN s >= 0 THEN (CAST(s AS DECIMAL(38,0)) * 1000000) div n_pairs"
+        " ELSE -((CAST(-s AS DECIMAL(38,0)) * 1000000) div n_pairs) END AS BIGINT)"
+        " AS tau_ppm",
+    )

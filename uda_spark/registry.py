@@ -194,6 +194,7 @@ _R08_NEW: tuple[str, ...] = (
     "ml_conformal_interval",
     "ml_cohens_kappa",
     "text_gini_tokens",
+    "events_trend_mk",
 )
 
 @dataclass(frozen=True)
