@@ -122,6 +122,7 @@ EXTENDED = [
     "ml_cohens_kappa",
     "text_gini_tokens",
     "events_trend_mk",
+    "streaming_freshness_lag",
 ]
 
 

@@ -224,3 +224,22 @@ def test_transform_with_state_running_totals(spark):
         )
     )
     assert sorted(map(tuple, sink.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_freshness_matches_batch_audit(spark):
+    """The streaming freshness monitor agrees with the batch
+    dq_freshness_lag audit on the shared columns (max_us, lag_us)."""
+    stream_rows = {
+        r["event_type"]: r
+        for r in all_specs()["streaming_freshness_lag"].fn(spark, SF_SMOKE).collect()
+    }
+    batch_rows = {
+        r["event_type"]: r
+        for r in all_specs()["dq_freshness_lag"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(stream_rows) == set(batch_rows)
+    for et, b in batch_rows.items():
+        s = stream_rows[et]
+        assert s["max_us"] == b["max_us"]
+        assert s["lag_us"] == b["lag_us"]
+    assert min(r["lag_us"] for r in stream_rows.values()) == 0

@@ -1802,3 +1802,47 @@ def pipeline_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "streaming_freshness_lag",
+    oracle=f"""
+WITH per AS (
+  SELECT event_type, MAX({_DUCK_US})::BIGINT AS max_us, COUNT(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+),
+g AS (SELECT MAX(max_us) AS g_max FROM per)
+SELECT event_type, max_us,
+       CAST(g.g_max - max_us AS BIGINT) AS lag_us,
+       n_events
+FROM per, g
+""",
+    tags=("streaming", "dq", "quality"),
+)
+def streaming_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the dq_freshness_lag audit: per-stream max
+    event time and row count maintained as a LIVE complete-mode
+    aggregation over the event stream, with each stream's lag behind the
+    freshest stream computed on the bounded sink — the always-on
+    stale-feed monitor (the batch twin answers "was the snapshot fresh";
+    this one answers "is the feed dead RIGHT NOW").
+
+    Scale shape: streaming state is O(streams) — two scalars per event
+    type — the cheapest stateful query in the streaming tier; the lag
+    arithmetic (global max broadcast as one row) runs on the
+    streams-sized sink table, never on the stream itself.  Exact integer
+    microseconds end to end, same exactness class as the batch twin.
+    """
+    ev = ST.events_file_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.max("ts_us").cast("long").alias("max_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    sink = ST.run_stream_to_memory(agg, _sink_name("freshness_sink"), mode="complete")
+    g = sink.agg(F.max("max_us").alias("g_max"))
+    return sink.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "max_us",
+        F.expr("CAST(g_max - max_us AS BIGINT)").alias("lag_us"),
+        "n_events",
+    )

@@ -195,6 +195,7 @@ _R08_NEW: tuple[str, ...] = (
     "ml_cohens_kappa",
     "text_gini_tokens",
     "events_trend_mk",
+    "streaming_freshness_lag",
 )
 
 @dataclass(frozen=True)
