@@ -123,6 +123,7 @@ EXTENDED = [
     "text_gini_tokens",
     "events_trend_mk",
     "streaming_freshness_lag",
+    "ml_psi_score_drift",
 ]
 
 

@@ -153,6 +153,7 @@ EXTRA = [
     "ml_cohens_kappa",
     "text_gini_tokens",
     "events_trend_mk",
+    "ml_psi_score_drift",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

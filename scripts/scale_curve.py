@@ -69,6 +69,7 @@ QUERIES = [
     "ml_cohens_kappa",               # one corpus pass -> bounded confusion cells
     "text_gini_tokens",              # map-only counts -> two-pass rank -> 1 row
     "events_trend_mk",               # one fact pass -> O(days^2) tiny sign pairs
+    "ml_psi_score_drift",            # two bounded aggregates -> 10-row PSI readout
 ]
 ITERS = 3
 

@@ -1989,3 +1989,55 @@ def test_trend_mk_matches_python_recompute(spark):
     tz = (s * 1_000_000) // n_pairs if s >= 0 else -((-s * 1_000_000) // n_pairs)
     assert row["tau_ppm"] == tz
     assert -1_000_000 <= row["tau_ppm"] <= 1_000_000
+
+
+def test_psi_score_drift_matches_python_recompute(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.evaluation import PSI_BIN_CENTS, PSI_BINS, _PSI_DAY_US
+    from uda_spark.queries.events import _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    rows = {
+        r["bin"]: r
+        for r in all_specs()["ml_psi_score_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = [
+        (r["user_id"], r["ts_us"] // _PSI_DAY_US,
+         r["event_type"], r["value"])
+        for r in _with_us(load_table(spark, SF_SMOKE, "events"))
+        .select("user_id", "ts_us", "event_type", "value")
+        .collect()
+    ]
+    days = [d for _, d, _, _ in ev]
+    split = (min(days) + max(days) + 1) // 2
+    scores: dict[tuple, int] = {}
+    for uid, d, et, v in ev:
+        key = (uid, 0 if d < split else 1)
+        cents = 0
+        if et == "purchase" and v is not None:
+            cents = int(
+                Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+            )
+        scores[key] = scores.get(key, 0) + cents
+    cells = {(p, b): 0 for p in (0, 1) for b in range(PSI_BINS)}
+    for (uid, p), sc in scores.items():
+        cells[(p, min(PSI_BINS - 1, sc // PSI_BIN_CENTS))] += 1
+    n0 = sum(c for (p, _), c in cells.items() if p == 0)
+    n1 = sum(c for (p, _), c in cells.items() if p == 1)
+    assert set(rows) == set(range(PSI_BINS))
+    for b in range(PSI_BINS):
+        c0, c1 = cells[(0, b)], cells[(1, b)]
+        assert rows[b]["n_base"] == c0
+        assert rows[b]["n_curr"] == c1
+        part = (
+            (c0 + 1) / float(n0 + PSI_BINS) - (c1 + 1) / float(n1 + PSI_BINS)
+        ) * math.log(
+            ((c0 + 1) * float(n1 + PSI_BINS)) / ((c1 + 1) * float(n0 + PSI_BINS))
+        )
+        expect = float(Decimal(part).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        assert rows[b]["psi_part"] == expect
+        assert rows[b]["psi_part"] >= 0  # each PSI term is (p-q)ln(p/q) >= 0

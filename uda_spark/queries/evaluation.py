@@ -1313,3 +1313,135 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS kappa_ppm""",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index of the score distribution across time halves
+
+PSI_BINS = 10
+PSI_BIN_CENTS = 20_000  # same binning as ml_calibration_bins
+
+_PSI_DAY_US = 86400 * 1_000_000
+
+# Laplace-smoothed shares as the SAME expression text in both dialects:
+# every input is an exact integer, so the doubles agree bitwise.
+_PSI_PART = (
+    "((c0 + 1) / CAST(n0 + {b} AS DOUBLE) - (c1 + 1) / CAST(n1 + {b} AS DOUBLE))"
+    " * ln(((c0 + 1) * CAST(n1 + {b} AS DOUBLE)) / ((c1 + 1) * CAST(n0 + {b} AS DOUBLE)))"
+).format(b=PSI_BINS)
+
+
+@register(
+    "ml_psi_score_drift",
+    oracle=f"""
+WITH bounds AS (
+  SELECT (MIN(epoch_us(ts) // {_PSI_DAY_US}) + MAX(epoch_us(ts) // {_PSI_DAY_US}) + 1) // 2
+    AS split_day
+  FROM events
+),
+scored AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) // {_PSI_DAY_US} < bounds.split_day THEN 0 ELSE 1 END AS period,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+                  ELSE 0 END) AS score
+  FROM events, bounds GROUP BY 1, 2
+),
+binned AS (
+  SELECT period, LEAST({PSI_BINS - 1}, score // {PSI_BIN_CENTS}) AS bin,
+         COUNT(*)::BIGINT AS c
+  FROM scored GROUP BY 1, 2
+),
+grid AS (
+  SELECT r.range AS bin,
+         COALESCE((SELECT c FROM binned WHERE period = 0 AND bin = r.range), 0) AS c0,
+         COALESCE((SELECT c FROM binned WHERE period = 1 AND bin = r.range), 0) AS c1
+  FROM range({PSI_BINS}) r
+),
+tot AS (SELECT SUM(c0)::BIGINT AS n0, SUM(c1)::BIGINT AS n1 FROM grid)
+SELECT CAST(grid.bin AS INT) AS bin, CAST(c0 AS BIGINT) AS n_base, CAST(c1 AS BIGINT) AS n_curr,
+       ROUND({_PSI_PART}, 6) AS psi_part
+FROM grid, tot ORDER BY bin
+""",
+    tags=("ml", "evaluation", "quality", "statistics"),
+)
+def ml_psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the user-score distribution between
+    the first and second half of the event timeline — the standard
+    model-monitoring drift alarm (PSI < 0.1 stable, > 0.25 retrain):
+    per-bin contributions (share_base − share_curr)·ln(share_base /
+    share_curr) with add-one Laplace smoothing so empty bins stay
+    finite, reported per bin so the drifting bins are visible, not just
+    the total.
+
+    Exactness: the time split is integer day arithmetic ((min+max+1)
+    div 2); bin counts are exact integers; the smoothed-share float
+    formula is the same expression TEXT in both engines over
+    exact-integer inputs, so the doubles agree bitwise (same discipline
+    as text_bm25_topk), rounded at 6 places.
+
+    Scale shape: the day bounds are one O(1) aggregate broadcast back;
+    one exchange builds the (user, period) score relation; bin counts
+    are a bounded second aggregate (2×10 cells joined onto a literal
+    10-row grid so empty bins materialize); everything after is 10-row
+    arithmetic.  Complements text_source_drift_tvd (corpus drift) with
+    the model-score drift readout.
+    """
+    ev = t(spark, sf_dir, "events")
+    from uda_spark.sources.tables import event_micros
+
+    ev = ev.withColumn("ts_us", event_micros(ev)).withColumn(
+        "day", F.expr(f"ts_us div {_PSI_DAY_US}")
+    )
+    bounds = ev.agg(
+        F.expr("CAST((MIN(day) + MAX(day) + 1) div 2 AS BIGINT)").alias("split_day")
+    )
+    scored = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.expr("CASE WHEN day < split_day THEN 0 ELSE 1 END").alias("period"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN event_type = 'purchase' "
+                "THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT) "
+                "ELSE 0 END)"
+            ).alias("score")
+        )
+    )
+    binned = scored.groupBy(
+        "period",
+        F.expr(f"LEAST({PSI_BINS - 1}, score div {PSI_BIN_CENTS})").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    grid = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    cells = (
+        grid.join(
+            binned.where(F.col("period") == 0).select("bin", F.col("c").alias("c0")),
+            on="bin",
+            how="left",
+        )
+        .join(
+            binned.where(F.col("period") == 1).select("bin", F.col("c").alias("c1")),
+            on="bin",
+            how="left",
+        )
+        .select(
+            "bin",
+            F.coalesce("c0", F.lit(0)).cast("long").alias("c0"),
+            F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("c0").alias("n_base"),
+            F.col("c1").alias("n_curr"),
+            F.expr(f"ROUND({_PSI_PART}, 6)").alias("psi_part"),
+        )
+        .orderBy("bin")
+    )

@@ -196,6 +196,7 @@ _R08_NEW: tuple[str, ...] = (
     "text_gini_tokens",
     "events_trend_mk",
     "streaming_freshness_lag",
+    "ml_psi_score_drift",
 )
 
 @dataclass(frozen=True)
