@@ -124,6 +124,7 @@ EXTENDED = [
     "events_trend_mk",
     "streaming_freshness_lag",
     "ml_psi_score_drift",
+    "pipeline_lorenz_deciles",
 ]
 
 

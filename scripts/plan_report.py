@@ -154,6 +154,7 @@ EXTRA = [
     "text_gini_tokens",
     "events_trend_mk",
     "ml_psi_score_drift",
+    "pipeline_lorenz_deciles",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

@@ -70,6 +70,7 @@ QUERIES = [
     "text_gini_tokens",              # map-only counts -> two-pass rank -> 1 row
     "events_trend_mk",               # one fact pass -> O(days^2) tiny sign pairs
     "ml_psi_score_drift",            # two bounded aggregates -> 10-row PSI readout
+    "pipeline_lorenz_deciles",       # map-only counts -> global_ntile -> 10 rows
 ]
 ITERS = 3
 

@@ -2041,3 +2041,42 @@ def test_psi_score_drift_matches_python_recompute(spark):
         expect = float(Decimal(part).quantize(Decimal("0.000001"), ROUND_HALF_UP))
         assert rows[b]["psi_part"] == expect
         assert rows[b]["psi_part"] >= 0  # each PSI term is (p-q)ln(p/q) >= 0
+
+
+def test_lorenz_deciles_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.text import LORENZ_BUCKETS
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    rows = {
+        r["decile"]: r
+        for r in all_specs()["pipeline_lorenz_deciles"].fn(spark, SF_SMOKE).collect()
+    }
+    ys = sorted(
+        (len((r["text"] or "").lower().split(" ")), r["doc_id"])
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n = len(ys)
+    big = n // LORENZ_BUCKETS + 1
+    nbig = n % LORENZ_BUCKETS
+    # NTILE semantics: first n % k buckets take ceil(n/k) rows
+    sizes = [big if b < nbig else n // LORENZ_BUCKETS for b in range(LORENZ_BUCKETS)]
+    total = sum(y for y, _ in ys)
+    idx, cum = 0, 0
+    for b in range(LORENZ_BUCKETS):
+        chunk = ys[idx : idx + sizes[b]]
+        idx += sizes[b]
+        toks = sum(y for y, _ in chunk)
+        cum += toks
+        r = rows[b + 1]
+        assert r["n_docs"] == len(chunk)
+        assert r["n_tokens"] == toks
+        assert r["share_ppm"] == toks * 1_000_000 // total
+        assert r["cum_share_ppm"] == cum * 1_000_000 // total
+    # Lorenz curve is convex: shares non-decreasing by decile
+    shares = [rows[b + 1]["share_ppm"] for b in range(LORENZ_BUCKETS)]
+    assert shares == sorted(shares)
+    assert rows[LORENZ_BUCKETS]["cum_share_ppm"] == 1_000_000

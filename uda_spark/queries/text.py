@@ -1602,3 +1602,81 @@ def text_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((2 * ry - (n + 1) * tot) * 1000000 div NULLIF(n * tot, 0) AS BIGINT)"
         " AS gini_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve (decile token shares) — Gini's per-decile companion
+
+LORENZ_BUCKETS = 10
+
+
+@register(
+    "pipeline_lorenz_deciles",
+    oracle=f"""
+WITH y AS (
+  SELECT doc_id, CAST(len({_DU_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+nt AS (
+  SELECT n_tokens,
+         NTILE({LORENZ_BUCKETS}) OVER (ORDER BY n_tokens, doc_id) AS decile
+  FROM y
+),
+d AS (
+  SELECT decile, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::HUGEINT AS toks
+  FROM nt GROUP BY decile
+),
+tot AS (SELECT SUM(toks) AS total FROM d)
+SELECT CAST(d.decile AS INT) AS decile, d.n_docs,
+       CAST(d.toks AS BIGINT) AS n_tokens,
+       CAST(d.toks * 1000000 // tot.total AS BIGINT) AS share_ppm,
+       CAST(SUM(d.toks) OVER (ORDER BY d.decile) * 1000000 // tot.total AS BIGINT)
+         AS cum_share_ppm
+FROM d, tot ORDER BY decile
+""",
+    tags=("pipeline", "text", "statistics", "north-star"),
+)
+def pipeline_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of token mass across documents, at decile grain —
+    the per-bucket companion to :func:`text_gini_tokens`: sort documents
+    by token count ascending, cut into 10 equal-count buckets, and
+    report each bucket's token share and the cumulative share — the
+    readout that says "the bottom 50% of documents carry X% of tokens",
+    which drives shard sizing and sequence-packing budgets directly.
+
+    Exactness: bucketing is :func:`uda_spark.operators.sort.global_ntile`
+    — exact Window-NTILE semantics (first total%10 buckets one row
+    larger) property-tested against the naive window — and every share
+    is an integer ppm over exact token sums in DECIMAL(38,0)/HUGEINT.
+
+    Scale shape: one map-only pass to per-doc counts (no explode), the
+    two-pass range-partitioned rank inside global_ntile, one bounded
+    10-row aggregate; the cumulative window runs on those 10 rows.
+    """
+    from uda_spark.operators.sort import global_ntile
+
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    y = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+    nt = global_ntile(y, ["n_tokens", "doc_id"], LORENZ_BUCKETS, alias="decile")
+    d = nt.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("SUM(CAST(n_tokens AS DECIMAL(38,0)))").alias("toks"),
+    )
+    tot = d.agg(F.sum("toks").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn("cum_toks", F.sum("toks").over(w))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            F.col("toks").cast("long").alias("n_tokens"),
+            F.expr("CAST(toks * 1000000 div total AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(cum_toks * 1000000 div total AS BIGINT)").alias(
+                "cum_share_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -197,6 +197,7 @@ _R08_NEW: tuple[str, ...] = (
     "events_trend_mk",
     "streaming_freshness_lag",
     "ml_psi_score_drift",
+    "pipeline_lorenz_deciles",
 )
 
 @dataclass(frozen=True)
