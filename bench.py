@@ -125,6 +125,7 @@ EXTENDED = [
     "streaming_freshness_lag",
     "ml_psi_score_drift",
     "pipeline_lorenz_deciles",
+    "events_burstiness_fano",
 ]
 
 

@@ -155,6 +155,7 @@ EXTRA = [
     "events_trend_mk",
     "ml_psi_score_drift",
     "pipeline_lorenz_deciles",
+    "events_burstiness_fano",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

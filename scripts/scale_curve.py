@@ -71,6 +71,7 @@ QUERIES = [
     "events_trend_mk",               # one fact pass -> O(days^2) tiny sign pairs
     "ml_psi_score_drift",            # two bounded aggregates -> 10-row PSI readout
     "pipeline_lorenz_deciles",       # map-only counts -> global_ntile -> 10 rows
+    "events_burstiness_fano",        # one fact pass -> per-stream dispersion row
 ]
 ITERS = 3
 

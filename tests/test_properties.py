@@ -2080,3 +2080,38 @@ def test_lorenz_deciles_matches_python_recompute(spark):
     shares = [rows[b + 1]["share_ppm"] for b in range(LORENZ_BUCKETS)]
     assert shares == sorted(shares)
     assert rows[LORENZ_BUCKETS]["cum_share_ppm"] == 1_000_000
+
+
+def test_burstiness_fano_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.events import _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in all_specs()["events_burstiness_fano"].fn(spark, SF_SMOKE).collect()
+    }
+    day_us = 86400 * 1_000_000
+    daily: dict[tuple, int] = {}
+    for r in (
+        _with_us(load_table(spark, SF_SMOKE, "events"))
+        .select("event_type", "ts_us")
+        .collect()
+    ):
+        k = (r["event_type"], r["ts_us"] // day_us)
+        daily[k] = daily.get(k, 0) + 1
+    per: dict[str, list[int]] = {}
+    for (et, _), x in daily.items():
+        per.setdefault(et, []).append(x)
+    assert set(rows) == set(per)
+    for et, xs in per.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        r = rows[et]
+        assert r["n_days"] == n
+        assert r["n_events"] == sx
+        if n <= 1:
+            assert r["fano_ppm"] is None
+        else:
+            assert r["fano_ppm"] == (n * sxx - sx * sx) * 1_000_000 // ((n - 1) * sx)
+            assert r["fano_ppm"] >= 0

@@ -1955,3 +1955,61 @@ def events_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE -((CAST(-s AS DECIMAL(38,0)) * 1000000) div n_pairs) END AS BIGINT)"
         " AS tau_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) of each event stream's daily volume
+
+
+@register(
+    "events_burstiness_fano",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, {_DUCK_US} // {_DAY_US} AS day, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::HUGEINT AS sx,
+         SUM(x::HUGEINT * x)::HUGEINT AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(sx AS BIGINT) AS n_events,
+       CAST((n * sxx - sx * sx) * 1000000 // NULLIF((n - 1) * sx, 0) AS BIGINT)
+         AS fano_ppm
+FROM s
+""",
+    tags=("events", "timeseries", "statistics", "quality"),
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of each event stream's daily
+    volume — variance-to-mean of the daily counts, the burstiness
+    classifier: ≈1e6 ppm is Poisson-like arrivals, well above is bursty
+    (campaign spikes, bot storms), well below is throttled/metronomic.
+    The per-stream companion to the global CUSUM/trend screens.
+
+    Exactness: F = s²/x̄ clears every division —
+    (n·Σx² − (Σx)²)·1e6 div ((n−1)·Σx) — one exact integer expression
+    in DECIMAL(38,0)/HUGEINT (numerator non-negative by Cauchy-Schwarz,
+    so truncation needs no sign handling; NULL for single-day streams
+    where the sample variance is undefined).
+
+    Scale shape: one pass over the fact to the (stream, day) rollup —
+    bounded by streams × calendar days — then one bounded aggregate per
+    stream.  Nothing downstream ever touches the fact again.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).agg(F.count("*").alias("x"))
+    s = daily.groupBy("event_type").agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(sx AS BIGINT) AS n_events",
+        "CAST((n * sxx - sx * sx) * 1000000 div NULLIF((n - 1) * sx, 0) AS BIGINT)"
+        " AS fano_ppm",
+    )

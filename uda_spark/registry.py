@@ -198,6 +198,7 @@ _R08_NEW: tuple[str, ...] = (
     "streaming_freshness_lag",
     "ml_psi_score_drift",
     "pipeline_lorenz_deciles",
+    "events_burstiness_fano",
 )
 
 @dataclass(frozen=True)
