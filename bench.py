@@ -126,6 +126,7 @@ EXTENDED = [
     "ml_psi_score_drift",
     "pipeline_lorenz_deciles",
     "events_burstiness_fano",
+    "sim_recall_at_k_curve",
 ]
 
 

@@ -156,6 +156,7 @@ EXTRA = [
     "ml_psi_score_drift",
     "pipeline_lorenz_deciles",
     "events_burstiness_fano",
+    "sim_recall_at_k_curve",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

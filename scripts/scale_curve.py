@@ -72,6 +72,7 @@ QUERIES = [
     "ml_psi_score_drift",            # two bounded aggregates -> 10-row PSI readout
     "pipeline_lorenz_deciles",       # map-only counts -> global_ntile -> 10 rows
     "events_burstiness_fano",        # one fact pass -> per-stream dispersion row
+    "sim_recall_at_k_curve",         # two audited kNN tiers + a (q x k)-row join
 ]
 ITERS = 3
 

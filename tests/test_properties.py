@@ -2115,3 +2115,24 @@ def test_burstiness_fano_matches_python_recompute(spark):
         else:
             assert r["fano_ppm"] == (n * sxx - sx * sx) * 1_000_000 // ((n - 1) * sx)
             assert r["fano_ppm"] >= 0
+
+
+def test_recall_curve_consistent_with_single_k_eval(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.similarity import RECALL_KS, TOP_K
+    from uda_spark.registry import all_specs
+
+    curve = {
+        r["k"]: r
+        for r in all_specs()["sim_recall_at_k_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(curve) == set(RECALL_KS)
+    # hits grow with k; recall ppm stays within [0, 1e6]
+    hits = [curve[k]["n_hits"] for k in sorted(curve)]
+    assert hits == sorted(hits)
+    for k, r in curve.items():
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+    # cross-query invariant: the curve's k=TOP_K point equals the sum of
+    # the per-query single-k eval's hit counts
+    per_query = all_specs()["sim_ann_recall_eval"].fn(spark, SF_SMOKE).collect()
+    assert curve[TOP_K]["n_hits"] == sum(r["n_hits"] for r in per_query)

@@ -1320,3 +1320,123 @@ def sim_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall@k curve for the SRP-LSH index
+
+RECALL_KS = (1, 3, 5)
+
+_RECALL_DUCK_ARMS = "\nUNION ALL ".join(
+    f"""SELECT {k} AS k,
+       SUM(CASE WHEN bf.rnk <= {k} AND lsh.rnk <= {k} THEN 1 ELSE 0 END)::BIGINT AS n_hits
+FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id"""
+    for k in RECALL_KS
+)
+
+
+@register(
+    "sim_recall_at_k_curve",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS nsq FROM iv),
+bf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS DOUBLE) / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))), 6) AS score
+  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id, rnk
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored)
+  WHERE rnk <= 5
+),
+buckets AS (SELECT vec_id, 0 AS tbl, CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, 1, -1])[i])) >= 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1])[i])) >= 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, 1])[i])) >= 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, 1, -1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1])[i])) >= 0 THEN 1 ELSE 0 END AS bucket FROM iv
+UNION ALL
+SELECT vec_id, 1 AS tbl, CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, 1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1])[i])) >= 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1])[i])) >= 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1])[i])) >= 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1])[i])) >= 0 THEN 1 ELSE 0 END AS bucket FROM iv
+UNION ALL
+SELECT vec_id, 2 AS tbl, CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1])[i])) >= 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1])[i])) >= 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, 1, 1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1])[i])) >= 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1])[i])) >= 0 THEN 1 ELSE 0 END AS bucket FROM iv
+UNION ALL
+SELECT vec_id, 3 AS tbl, CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1])[i])) >= 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1])[i])) >= 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1])[i])) >= 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1])[i])) >= 0 THEN 1 ELSE 0 END AS bucket FROM iv
+UNION ALL
+SELECT vec_id, 4 AS tbl, CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, -1, 1, 1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1])[i])) >= 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1])[i])) >= 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, -1, -1, 1])[i])) >= 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1])[i])) >= 0 THEN 1 ELSE 0 END AS bucket FROM iv
+UNION ALL
+SELECT vec_id, 5 AS tbl, CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, -1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, 1])[i])) >= 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, -1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1])[i])) >= 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1])[i])) >= 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1])[i])) >= 0 THEN 1 ELSE 0 END AS bucket FROM iv
+UNION ALL
+SELECT vec_id, 6 AS tbl, CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, -1, 1, -1, -1, -1, 1, 1, -1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, -1, -1])[i])) >= 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1])[i])) >= 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, -1])[i])) >= 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1])[i])) >= 0 THEN 1 ELSE 0 END AS bucket FROM iv
+UNION ALL
+SELECT vec_id, 7 AS tbl, CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1])[i])) >= 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1])[i])) >= 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([1, -1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1])[i])) >= 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ([-1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1])[i])) >= 0 THEN 1 ELSE 0 END AS bucket FROM iv),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+lsh_scored AS (
+  SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS DOUBLE) / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))), 6) AS score
+  FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.c_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id, rnk
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM lsh_scored)
+  WHERE rnk <= 5
+),
+arms AS ({_RECALL_DUCK_ARMS})
+SELECT CAST(k AS INT) AS k, n_hits,
+       CAST(n_hits * 1000000 // (10 * k) AS BIGINT) AS recall_ppm
+FROM arms ORDER BY k
+""",
+    tags=("similarity", "evaluation", "north-star"),
+)
+def sim_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k CURVE of the SRP-LSH index against exact brute-force
+    ground truth, micro-averaged over the query set at k ∈ {1, 3, 5} —
+    the full quality profile an ANN deployment tunes against
+    (sim_ann_recall_eval reports the single-k per-query view; this is
+    the aggregate curve: recall@1 says whether the TOP answer survives
+    approximation, recall@5 whether the candidate pool does).
+
+    Both tiers are the already-registered production operators with
+    identical deterministic tie-breaks, so the hit counts are exact
+    integers and even the curve itself value-hash checks.
+
+    Scale shape: the expensive parts are the two kNN tiers already
+    audited (broadcast-queries corpus scans, banded LSH buckets); the
+    curve itself is one inner join of two (queries × k)-row relations
+    plus three conditional sums — negligible at any corpus size, and at
+    100 TB the query set is hash-sampled exactly as in the single-k
+    eval.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    bf = SIM.knn_bruteforce(emb, queries, "vec_id", "embedding", top_k=TOP_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("bf_rk")
+    )
+    lsh = SIM.lsh_knn(
+        emb, queries, "vec_id", "embedding",
+        top_k=TOP_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("lsh_rk"))
+    both = bf.join(lsh, on=["query_id", "neighbor_id"])
+    one = both.agg(
+        *[
+            F.sum(
+                F.when((F.col("bf_rk") <= k) & (F.col("lsh_rk") <= k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"h{k}")
+            for k in RECALL_KS
+        ]
+    )
+    stack = "stack({n}, {args}) AS (k, n_hits)".format(
+        n=len(RECALL_KS), args=", ".join(f"{k}, h{k}" for k in RECALL_KS)
+    )
+    return (
+        one.selectExpr(stack)
+        .selectExpr(
+            "CAST(k AS INT) AS k",
+            "n_hits",
+            f"CAST(n_hits * 1000000 div ({N_QUERIES} * k) AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("k")
+    )

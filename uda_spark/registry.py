@@ -199,6 +199,7 @@ _R08_NEW: tuple[str, ...] = (
     "ml_psi_score_drift",
     "pipeline_lorenz_deciles",
     "events_burstiness_fano",
+    "sim_recall_at_k_curve",
 )
 
 @dataclass(frozen=True)
