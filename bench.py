@@ -127,6 +127,7 @@ EXTENDED = [
     "pipeline_lorenz_deciles",
     "events_burstiness_fano",
     "sim_recall_at_k_curve",
+    "pipeline_mixture_entropy",
 ]
 
 

@@ -157,6 +157,7 @@ EXTRA = [
     "pipeline_lorenz_deciles",
     "events_burstiness_fano",
     "sim_recall_at_k_curve",
+    "pipeline_mixture_entropy",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

@@ -73,6 +73,7 @@ QUERIES = [
     "pipeline_lorenz_deciles",       # map-only counts -> global_ntile -> 10 rows
     "events_burstiness_fano",        # one fact pass -> per-stream dispersion row
     "sim_recall_at_k_curve",         # two audited kNN tiers + a (q x k)-row join
+    "pipeline_mixture_entropy",      # map-only source sums -> 1-row entropy
 ]
 ITERS = 3
 

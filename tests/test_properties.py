@@ -2136,3 +2136,37 @@ def test_recall_curve_consistent_with_single_k_eval(spark):
     # the per-query single-k eval's hit counts
     per_query = all_specs()["sim_ann_recall_eval"].fn(spark, SF_SMOKE).collect()
     assert curve[TOP_K]["n_hits"] == sum(r["n_hits"] for r in per_query)
+
+
+def test_mixture_entropy_matches_python_recompute(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["pipeline_mixture_entropy"].fn(spark, SF_SMOKE).collect()[0]
+    per: dict[str, int] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    ):
+        per[r["source"]] = per.get(r["source"], 0) + len(
+            (r["text"] or "").lower().split(" ")
+        )
+    total = sum(per.values())
+
+    def half_up(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    h = sum(
+        half_up(-(t / float(total)) * math.log(t / float(total)) * 1_000_000)
+        for t in per.values()
+    )
+    assert row["n_sources"] == len(per)
+    assert row["total_tokens"] == total
+    assert row["entropy_micronats"] == h
+    assert row["effective_domains_milli"] == half_up(math.exp(h / 1_000_000.0) * 1000)
+    assert row["max_share_ppm"] == max(per.values()) * 1_000_000 // total
+    # effective domains can never exceed the source count (plus rounding)
+    assert row["effective_domains_milli"] <= row["n_sources"] * 1000 + 1

@@ -1846,3 +1846,82 @@ def streaming_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(g_max - max_us AS BIGINT)").alias("lag_us"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture entropy: the effective number of domains
+
+# Per-source entropy contribution in integer MICRO-NATS: the float
+# -p·ln(p) is computed from exact integers with the same expression text
+# in both engines (bitwise-equal doubles), rounded to an integer PER
+# SOURCE, then summed as integers — float SUM across rows would be
+# accumulation-order-dependent; integer SUM is not.
+_ENT_CONTRIB = (
+    "CAST(ROUND(-(toks / CAST(total AS DOUBLE))"
+    " * ln(toks / CAST(total AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+)
+
+
+@register(
+    "pipeline_mixture_entropy",
+    oracle=f"""
+WITH per AS (
+  SELECT source, SUM(len(string_split(lower(text), ' ')))::BIGINT AS toks
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(toks)::BIGINT AS total, COUNT(*)::BIGINT AS n_sources,
+               MAX(toks)::BIGINT AS max_toks FROM per),
+c AS (
+  SELECT SUM({_ENT_CONTRIB})::BIGINT AS entropy_micronats
+  FROM per, tot
+)
+SELECT tot.n_sources, tot.total AS total_tokens,
+       c.entropy_micronats,
+       CAST(ROUND(exp(c.entropy_micronats / CAST(1000000 AS DOUBLE)) * 1000, 0)
+            AS BIGINT) AS effective_domains_milli,
+       CAST(tot.max_toks * 1000000 // tot.total AS BIGINT) AS max_share_ppm
+FROM tot, c
+""",
+    tags=("pipeline", "text", "statistics", "sampling"),
+)
+def pipeline_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source mixture's token mass and the
+    EFFECTIVE number of domains exp(H) — the single number that says
+    whether a "10-source" corpus is really 10 sources or 2 giants plus
+    noise; domain-balance and temperature-mixture decisions key off it.
+
+    Exactness: per-source −p·ln(p) is a deterministic double from exact
+    integer inputs (same expression text both engines), rounded to
+    integer micro-nats PER SOURCE and summed as integers — a float SUM
+    across sources would be accumulation-order-dependent, an integer
+    SUM is not.  exp(H) is then a deterministic function of that one
+    integer.  Max share is exact ppm.
+
+    Scale shape: one map-only pass to per-source token sums (bounded by
+    the source count forever); everything downstream is arithmetic over
+    that tiny relation with a 1-row broadcast total.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.expr(
+            f"SUM(size({portable.tokens('text', 'spark')}))"
+        ).cast("long").alias("toks")
+    )
+    tot = per.agg(
+        F.sum("toks").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("toks").cast("long").alias("max_toks"),
+    )
+    c = (
+        per.crossJoin(F.broadcast(tot))
+        .agg(F.expr(f"SUM({_ENT_CONTRIB})").cast("long").alias("entropy_micronats"))
+    )
+    return c.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_sources",
+        "total AS total_tokens",
+        "entropy_micronats",
+        "CAST(ROUND(exp(entropy_micronats / CAST(1000000 AS DOUBLE)) * 1000, 0)"
+        " AS BIGINT) AS effective_domains_milli",
+        "CAST(CAST(max_toks AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
+        " AS max_share_ppm",
+    )

@@ -200,6 +200,7 @@ _R08_NEW: tuple[str, ...] = (
     "pipeline_lorenz_deciles",
     "events_burstiness_fano",
     "sim_recall_at_k_curve",
+    "pipeline_mixture_entropy",
 )
 
 @dataclass(frozen=True)
