@@ -128,6 +128,7 @@ EXTENDED = [
     "events_burstiness_fano",
     "sim_recall_at_k_curve",
     "pipeline_mixture_entropy",
+    "events_runs_test",
 ]
 
 

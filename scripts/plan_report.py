@@ -158,6 +158,7 @@ EXTRA = [
     "events_burstiness_fano",
     "sim_recall_at_k_curve",
     "pipeline_mixture_entropy",
+    "events_runs_test",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

@@ -74,6 +74,7 @@ QUERIES = [
     "events_burstiness_fano",        # one fact pass -> per-stream dispersion row
     "sim_recall_at_k_curve",         # two audited kNN tiers + a (q x k)-row join
     "pipeline_mixture_entropy",      # map-only source sums -> 1-row entropy
+    "events_runs_test",              # daily rollup -> calendar-bounded lag window
 ]
 ITERS = 3
 

@@ -2170,3 +2170,36 @@ def test_mixture_entropy_matches_python_recompute(spark):
     assert row["max_share_ppm"] == max(per.values()) * 1_000_000 // total
     # effective domains can never exceed the source count (plus rounding)
     assert row["effective_domains_milli"] <= row["n_sources"] * 1000 + 1
+
+
+def test_runs_test_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.events import _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["events_runs_test"].fn(spark, SF_SMOKE).collect()[0]
+    day_us = 86400 * 1_000_000
+    daily: dict[int, int] = {}
+    for r in (
+        _with_us(load_table(spark, SF_SMOKE, "events")).select("ts_us").collect()
+    ):
+        d = r["ts_us"] // day_us
+        daily[d] = daily.get(d, 0) + 1
+    days = sorted(daily)
+    sgns = []
+    for a, b in zip(days, days[1:]):
+        if b == a + 1 and daily[b] != daily[a]:
+            sgns.append(1 if daily[b] > daily[a] else -1)
+    n_up = sgns.count(1)
+    n_down = sgns.count(-1)
+    n_runs = sum(
+        1 for i, s in enumerate(sgns) if i == 0 or s != sgns[i - 1]
+    )
+    assert row["n_up"] == n_up
+    assert row["n_down"] == n_down
+    assert row["n_runs"] == n_runs
+    assert row["expected_runs_milli"] == ((n_up + n_down) + 2 * n_up * n_down) * 1000 // (
+        n_up + n_down
+    )
+    assert 1 <= n_runs <= n_up + n_down

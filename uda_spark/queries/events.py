@@ -2013,3 +2013,87 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((n * sxx - sx * sx) * 1000000 div NULLIF((n - 1) * sx, 0) AS BIGINT)"
         " AS fano_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily up/down moves
+
+
+@register(
+    "events_runs_test",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_DUCK_US} // {_DAY_US} AS day, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+moves AS (
+  SELECT b.day,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.day = a.day + 1
+),
+nz AS (SELECT day, sgn FROM moves WHERE sgn <> 0),
+runs AS (
+  SELECT SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)::BIGINT AS n_runs,
+         SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+         SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down
+  FROM (SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM nz)
+)
+SELECT n_up, n_down, n_runs,
+       CAST(((n_up + n_down) + 2 * n_up * n_down) * 1000
+            // NULLIF(n_up + n_down, 0) AS BIGINT) AS expected_runs_milli
+FROM runs
+""",
+    tags=("events", "timeseries", "statistics"),
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily series' up/down moves — the
+    randomness screen that complements Mann-Kendall: far FEWER runs than
+    expected means momentum/trending, far MORE means oscillation
+    (day-of-week sawtooth); ties (flat days) are dropped per the
+    standard treatment.  Expected runs E[R] = 1 + 2ab/(a+b) is the
+    exact integer rational ((a+b) + 2ab)/(a+b), reported in milli-units.
+
+    Scale shape: one pass over the fact to the persisted daily rollup;
+    moves are a lag-1 equi-join on the O(days) relation, and the runs
+    count is one LAG window over the calendar-bounded move sequence —
+    the same bounded-by-construction window class as the 10-row decile
+    table (a century of days is 36k rows), explicitly NOT a
+    data-volume-scaling window.
+    """
+    from uda_spark.cache import tracked_persist
+
+    ev = _with_us(t(spark, sf_dir, "events"))
+    daily = tracked_persist(
+        ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day")).agg(
+            F.count("*").alias("x")
+        )
+    )
+    nxt = daily.select((F.col("day") - 1).alias("day"), F.col("x").alias("x_next"))
+    moves = (
+        daily.join(nxt, on="day")
+        .select(
+            (F.col("day") + 1).alias("day"),
+            F.when(F.col("x_next") > F.col("x"), 1)
+            .when(F.col("x_next") < F.col("x"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+        .where(F.col("sgn") != 0)
+    )
+    w = Window.orderBy("day")
+    flagged = moves.withColumn("prev", F.lag("sgn").over(w))
+    return flagged.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("long").alias("n_down"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("sgn") != F.col("prev")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_runs"),
+    ).selectExpr(
+        "n_up",
+        "n_down",
+        "n_runs",
+        "CAST(((n_up + n_down) + 2 * n_up * n_down) * 1000"
+        " div NULLIF(n_up + n_down, 0) AS BIGINT) AS expected_runs_milli",
+    )

@@ -201,6 +201,7 @@ _R08_NEW: tuple[str, ...] = (
     "events_burstiness_fano",
     "sim_recall_at_k_curve",
     "pipeline_mixture_entropy",
+    "events_runs_test",
 )
 
 @dataclass(frozen=True)
