@@ -129,6 +129,7 @@ EXTENDED = [
     "sim_recall_at_k_curve",
     "pipeline_mixture_entropy",
     "events_runs_test",
+    "ml_brier_score",
 ]
 
 

@@ -159,6 +159,7 @@ EXTRA = [
     "sim_recall_at_k_curve",
     "pipeline_mixture_entropy",
     "events_runs_test",
+    "ml_brier_score",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

@@ -75,6 +75,7 @@ QUERIES = [
     "sim_recall_at_k_curve",         # two audited kNN tiers + a (q x k)-row join
     "pipeline_mixture_entropy",      # map-only source sums -> 1-row entropy
     "events_runs_test",              # daily rollup -> calendar-bounded lag window
+    "ml_brier_score",                # one exchange -> 1-row proper-score readout
 ]
 ITERS = 3
 

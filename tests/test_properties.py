@@ -2203,3 +2203,26 @@ def test_runs_test_matches_python_recompute(spark):
         n_up + n_down
     )
     assert 1 <= n_runs <= n_up + n_down
+
+
+def test_brier_score_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.evaluation import _user_label_score
+    from uda_spark.registry import all_specs
+
+    row = all_specs()["ml_brier_score"].fn(spark, SF_SMOKE).collect()[0]
+    base = [
+        (r["label"], min(999_999, r["score"] * 1_000_000 // 200_000))
+        for r in _user_label_score(spark, SF_SMOKE).collect()
+    ]
+    n = len(base)
+    sq = sum((p - y * 1_000_000) ** 2 for y, p in base)
+    ab = sum((1_000_000 - p) if y == 1 else p for y, p in base)
+    assert row["n_users"] == n
+    assert row["brier_ppm2"] == sq // n
+    assert row["mae_ppm"] == ab // n
+    # proper-score bounds: brier in [0, 1e12], mae in [0, 1e6]
+    assert 0 <= row["brier_ppm2"] <= 10**12
+    assert 0 <= row["mae_ppm"] <= 10**6
+    # Brier <= MAE in ppm^2 terms iff errors <= 1: mae^2 <= brier (Jensen)
+    assert row["mae_ppm"] ** 2 <= row["brier_ppm2"] + n  # truncation slack

@@ -1445,3 +1445,60 @@ def ml_psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score of the capped-ppm pseudo-probability
+
+
+@register(
+    "ml_brier_score",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+scored AS (
+  SELECT label, LEAST(999999, score * 1000000 // 200000) AS p_ppm
+  FROM base
+)
+SELECT COUNT(*)::BIGINT AS n_users,
+       CAST(SUM((p_ppm - label * 1000000)::HUGEINT * (p_ppm - label * 1000000))
+            // COUNT(*) AS BIGINT) AS brier_ppm2,
+       CAST(SUM(CASE WHEN label = 1 THEN 1000000 - p_ppm ELSE p_ppm END)
+            // COUNT(*) AS BIGINT) AS mae_ppm
+FROM scored
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared probability error) of the same capped
+    pseudo-probability ml_calibration_bins feeds — the PROPER scoring
+    rule that summarizes calibration and sharpness in one number, next
+    to the bin table's shape view; mean absolute error rides along.
+    Units: probabilities are integer ppm, so the Brier score is mean
+    squared ppm (divide by 1e12 for the textbook [0,1] value).
+
+    Exactness: every squared deviation is an exact integer carried in
+    DECIMAL(38,0)/HUGEINT (a wrong confident prediction contributes
+    ~1e12 per user; a billion users reach ~1e21), and both readouts are
+    integer-truncated means — no float anywhere.
+
+    Scale shape: one exchange to the per-user relation, one bounded
+    aggregation row.  Nothing else.
+    """
+    base = _user_label_score(spark, sf_dir)
+    scored = base.selectExpr(
+        "label", "LEAST(999999L, score * 1000000 div 200000) AS p_ppm"
+    )
+    return scored.agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr(
+            "SUM(CAST(p_ppm - label * 1000000 AS DECIMAL(38,0))"
+            " * (p_ppm - label * 1000000))"
+        ).alias("sq"),
+        F.expr(
+            "SUM(CASE WHEN label = 1 THEN 1000000 - p_ppm ELSE p_ppm END)"
+        ).alias("ab"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(sq div n AS BIGINT) AS brier_ppm2",
+        "CAST(ab div n AS BIGINT) AS mae_ppm",
+    )

@@ -202,6 +202,7 @@ _R08_NEW: tuple[str, ...] = (
     "sim_recall_at_k_curve",
     "pipeline_mixture_entropy",
     "events_runs_test",
+    "ml_brier_score",
 )
 
 @dataclass(frozen=True)
