@@ -130,6 +130,7 @@ EXTENDED = [
     "pipeline_mixture_entropy",
     "events_runs_test",
     "ml_brier_score",
+    "text_dup_ngram_coverage",
 ]
 
 

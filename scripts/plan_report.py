@@ -160,6 +160,7 @@ EXTRA = [
     "pipeline_mixture_entropy",
     "events_runs_test",
     "ml_brier_score",
+    "text_dup_ngram_coverage",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

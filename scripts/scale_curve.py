@@ -76,6 +76,7 @@ QUERIES = [
     "pipeline_mixture_entropy",      # map-only source sums -> 1-row entropy
     "events_runs_test",              # daily rollup -> calendar-bounded lag window
     "ml_brier_score",                # one exchange -> 1-row proper-score readout
+    "text_dup_ngram_coverage",       # gram-hash explode -> two exchanges -> 1 row
 ]
 ITERS = 3
 

@@ -2226,3 +2226,34 @@ def test_brier_score_matches_python_recompute(spark):
     assert 0 <= row["mae_ppm"] <= 10**6
     # Brier <= MAE in ppm^2 terms iff errors <= 1: mae^2 <= brier (Jensen)
     assert row["mae_ppm"] ** 2 <= row["brier_ppm2"] + n  # truncation slack
+
+
+def test_dup_ngram_coverage_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.text import DUPGRAM_K
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["text_dup_ngram_coverage"].fn(spark, SF_SMOKE).collect()[0]
+    per: dict[str, dict] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    ):
+        tk = (r["text"] or "").lower().split(" ")
+        grams = (
+            [" ".join(tk[i : i + DUPGRAM_K]) for i in range(len(tk) - DUPGRAM_K + 1)]
+            if len(tk) >= DUPGRAM_K
+            else [" ".join(tk)]
+        )
+        for g in grams:
+            d = per.setdefault(g, {})
+            d[r["doc_id"]] = d.get(r["doc_id"], 0) + 1
+    n_grams = len(per)
+    total = sum(sum(d.values()) for d in per.values())
+    dup = sum(sum(d.values()) for d in per.values() if len(d) >= 2)
+    crossdoc = sum(1 for d in per.values() if len(d) >= 2)
+    assert row["n_grams"] == n_grams
+    assert row["total_occurrences"] == total
+    assert row["dup_occurrences"] == dup
+    assert row["n_crossdoc_grams"] == crossdoc
+    assert row["dup_ppm"] == dup * 1_000_000 // total

@@ -1680,3 +1680,82 @@ def pipeline_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram coverage: corpus boilerplate mass
+
+DUPGRAM_K = 5
+
+_DUPGRAM_SP = portable.shingles("toks", DUPGRAM_K, "spark")
+_DUPGRAM_DU = portable.shingles("toks", DUPGRAM_K, "duck")
+_DUPGRAM_H_SP = portable.hash60("g", "spark")
+_DUPGRAM_H_DU = portable.hash60("g", "duck")
+
+
+@register(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DU_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, {_DUPGRAM_H_DU} AS gh
+  FROM (SELECT doc_id, unnest({_DUPGRAM_DU}) AS g FROM toks)
+),
+per AS (
+  SELECT gh, doc_id, COUNT(*)::BIGINT AS c FROM occ GROUP BY 1, 2
+),
+g AS (
+  SELECT gh, SUM(c)::BIGINT AS total_occ, COUNT(*)::BIGINT AS n_docs
+  FROM per GROUP BY gh
+)
+SELECT COUNT(*)::BIGINT AS n_grams,
+       SUM(total_occ)::BIGINT AS total_occurrences,
+       SUM(CASE WHEN n_docs >= 2 THEN total_occ ELSE 0 END)::BIGINT AS dup_occurrences,
+       SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_crossdoc_grams,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN total_occ ELSE 0 END) * 1000000
+            // SUM(total_occ) AS BIGINT) AS dup_ppm
+FROM g
+""",
+    tags=("text", "dedup", "quality", "north-star"),
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated {DUPGRAM_K}-gram coverage of the corpus — the share of
+    all {DUPGRAM_K}-gram occurrences whose gram appears in MORE THAN ONE
+    document: the boilerplate/template-mass audit (RefinedWeb-style)
+    that says how much of the token stream is cross-document repetition
+    BEFORE any dedup decision; text_repetition_stats measures
+    within-doc repetition, this measures across-doc.
+
+    Exactness: grams ride the 60-bit portable hash (collision odds
+    negligible at corpus scale and IDENTICAL in both engines, so the
+    readout still value-hash matches); all counts and the final ppm are
+    exact integers.
+
+    Scale shape: one explode of the corpus into gram hashes (no gram
+    strings ever shuffle — 8-byte hashes keyed by doc), one partial-agg
+    exchange on (gh, doc), one on gh, then a single bounded row.  The
+    same two-exchange shape as the inverted index, ending in O(1)
+    output.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
+    occ = docs.select(
+        "doc_id", F.explode(F.expr(_DUPGRAM_SP)).alias("g")
+    ).select("doc_id", F.expr(_DUPGRAM_H_SP).alias("gh"))
+    per = occ.groupBy("gh", "doc_id").agg(F.count("*").alias("c"))
+    g = per.groupBy("gh").agg(
+        F.sum("c").alias("total_occ"), F.count("*").alias("n_docs")
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("total_occ").cast("long").alias("total_occurrences"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("total_occ")).otherwise(0))
+        .cast("long")
+        .alias("dup_occurrences"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_crossdoc_grams"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_docs >= 2 THEN total_occ ELSE 0 END) * 1000000"
+            " div SUM(total_occ) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

@@ -203,6 +203,7 @@ _R08_NEW: tuple[str, ...] = (
     "pipeline_mixture_entropy",
     "events_runs_test",
     "ml_brier_score",
+    "text_dup_ngram_coverage",
 )
 
 @dataclass(frozen=True)
