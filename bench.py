@@ -131,6 +131,7 @@ EXTENDED = [
     "events_runs_test",
     "ml_brier_score",
     "text_dup_ngram_coverage",
+    "ml_mcc_ece",
 ]
 
 

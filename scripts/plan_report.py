@@ -161,6 +161,7 @@ EXTRA = [
     "events_runs_test",
     "ml_brier_score",
     "text_dup_ngram_coverage",
+    "ml_mcc_ece",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

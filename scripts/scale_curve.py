@@ -77,6 +77,7 @@ QUERIES = [
     "events_runs_test",              # daily rollup -> calendar-bounded lag window
     "ml_brier_score",                # one exchange -> 1-row proper-score readout
     "text_dup_ngram_coverage",       # gram-hash explode -> two exchanges -> 1 row
+    "ml_mcc_ece",                    # one per-user pass -> bounded dual summary
 ]
 ITERS = 3
 

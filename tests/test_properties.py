@@ -2257,3 +2257,35 @@ def test_dup_ngram_coverage_matches_python_recompute(spark):
     assert row["dup_occurrences"] == dup
     assert row["n_crossdoc_grams"] == crossdoc
     assert row["dup_ppm"] == dup * 1_000_000 // total
+
+
+def test_mcc_ece_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.evaluation import CONFUSION_THRESHOLD_CENTS, _user_label_score
+    from uda_spark.registry import all_specs
+
+    row = all_specs()["ml_mcc_ece"].fn(spark, SF_SMOKE).collect()[0]
+    base = [
+        (r["label"], r["score"]) for r in _user_label_score(spark, SF_SMOKE).collect()
+    ]
+    tp = sum(1 for y, s in base if s >= CONFUSION_THRESHOLD_CENTS and y == 1)
+    fp = sum(1 for y, s in base if s >= CONFUSION_THRESHOLD_CENTS and y == 0)
+    tn = sum(1 for y, s in base if s < CONFUSION_THRESHOLD_CENTS and y == 0)
+    fn = sum(1 for y, s in base if s < CONFUSION_THRESHOLD_CENTS and y == 1)
+    num = tp * tn - fp * fn
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    q = (num * num * 1_000_000) // den
+    expect_mcc2 = q if num >= 0 else -q
+    bins: dict[int, list[int]] = {}
+    for y, s in base:
+        p = min(999_999, s * 1_000_000 // 200_000)
+        b = bins.setdefault(p // 100_000, [0, 0, 0])
+        b[0] += 1
+        b[1] += p
+        b[2] += y
+    ece_num = sum(abs(sp - pos * 1_000_000) for _, sp, pos in bins.values())
+    assert row["n_users"] == len(base)
+    assert row["mcc2_signed_ppm"] == expect_mcc2
+    assert row["ece_ppm"] == ece_num // len(base)
+    assert -1_000_000 <= row["mcc2_signed_ppm"] <= 1_000_000
+    assert 0 <= row["ece_ppm"] <= 1_000_000

@@ -1502,3 +1502,104 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sq div n AS BIGINT) AS brier_ppm2",
         "CAST(ab div n AS BIGINT) AS mae_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation (signed square, exact) + expected calibration error
+
+
+@register(
+    "ml_mcc_ece",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+conf AS (
+  SELECT
+    SUM(CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} AND label = 1 THEN 1 ELSE 0 END)::HUGEINT AS tp,
+    SUM(CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} AND label = 0 THEN 1 ELSE 0 END)::HUGEINT AS fp,
+    SUM(CASE WHEN score <  {CONFUSION_THRESHOLD_CENTS} AND label = 0 THEN 1 ELSE 0 END)::HUGEINT AS tn,
+    SUM(CASE WHEN score <  {CONFUSION_THRESHOLD_CENTS} AND label = 1 THEN 1 ELSE 0 END)::HUGEINT AS fn,
+    COUNT(*)::HUGEINT AS n
+  FROM base
+),
+bins AS (
+  SELECT LEAST(999999, score * 1000000 // 200000) // 100000 AS bin,
+         COUNT(*)::HUGEINT AS nb,
+         SUM(LEAST(999999, score * 1000000 // 200000))::HUGEINT AS sp,
+         SUM(label)::HUGEINT AS pos
+  FROM base GROUP BY 1
+),
+ece AS (
+  SELECT SUM(ABS(sp - pos * 1000000))::HUGEINT AS ece_num, SUM(nb)::HUGEINT AS n
+  FROM bins
+)
+SELECT CAST(conf.n AS BIGINT) AS n_users,
+       CAST(CASE WHEN (tp * tn - fp * fn) >= 0
+                 THEN ((tp * tn - fp * fn) * (tp * tn - fp * fn) * 1000000)
+                      // NULLIF((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn), 0)
+                 ELSE -(((tp * tn - fp * fn) * (tp * tn - fp * fn) * 1000000)
+                      // NULLIF((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn), 0))
+            END AS BIGINT) AS mcc2_signed_ppm,
+       CAST(ece.ece_num // ece.n AS BIGINT) AS ece_ppm
+FROM conf, ece
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_mcc_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation (as the exactly-representable SIGNED SQUARE
+    — MCC itself needs a square root, so sign(num)·MCC² rides pure
+    integers: |value| ≤ 1e6 ppm, sign = better/worse than chance) at
+    the standard threshold, plus the Expected Calibration Error over the
+    same decile bins ml_calibration_bins reports — the two
+    single-number summaries dashboards track next to AUC/Brier.
+
+    Exactness: MCC²'s numerator (tp·tn − fp·fn)² and four-marginal
+    denominator are exact DECIMAL(38,0)/HUGEINT (each marginal ≤ n, so
+    the denominator ≤ n⁴·1e6 — within 38 digits up to ~40M users at the
+    ppm scale used here, stated as the contract bound; the oracle's
+    HUGEINT matches); ECE is Σ_b |Σp − pos·1e6| / n — exact integers end
+    to end since the per-bin mean never divides early.
+
+    Scale shape: ONE pass over the per-user relation computes both the
+    4-cell confusion row and the 10-bin calibration cells; everything
+    downstream is bounded arithmetic.
+    """
+    base = _user_label_score(spark, sf_dir)
+    conf = base.agg(
+        F.expr(
+            f"SUM(CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} AND label = 1 THEN 1 ELSE 0 END)"
+        ).cast("decimal(38,0)").alias("tp"),
+        F.expr(
+            f"SUM(CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} AND label = 0 THEN 1 ELSE 0 END)"
+        ).cast("decimal(38,0)").alias("fp"),
+        F.expr(
+            f"SUM(CASE WHEN score < {CONFUSION_THRESHOLD_CENTS} AND label = 0 THEN 1 ELSE 0 END)"
+        ).cast("decimal(38,0)").alias("tn"),
+        F.expr(
+            f"SUM(CASE WHEN score < {CONFUSION_THRESHOLD_CENTS} AND label = 1 THEN 1 ELSE 0 END)"
+        ).cast("decimal(38,0)").alias("fn"),
+        F.expr("COUNT(*)").alias("n"),
+    )
+    ece = (
+        base.selectExpr(
+            "label", "LEAST(999999L, score * 1000000 div 200000) AS p_ppm"
+        )
+        .groupBy(F.expr("p_ppm div 100000").alias("bin"))
+        .agg(
+            F.count("*").alias("nb"),
+            F.expr("SUM(CAST(p_ppm AS DECIMAL(38,0)))").alias("sp"),
+            F.expr("SUM(CAST(label AS DECIMAL(38,0)))").alias("pos"),
+        )
+        .agg(
+            F.expr("SUM(ABS(sp - pos * 1000000))").alias("ece_num"),
+            F.expr("SUM(nb)").alias("n2"),
+        )
+    )
+    num = "(tp * tn - fp * fn)"
+    den = "NULLIF((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn), 0)"
+    return conf.crossJoin(F.broadcast(ece)).selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        f"CAST(CASE WHEN {num} >= 0 THEN ({num} * {num} * 1000000) div {den}"
+        f" ELSE -(({num} * {num} * 1000000) div {den}) END AS BIGINT)"
+        " AS mcc2_signed_ppm",
+        "CAST(ece_num div n2 AS BIGINT) AS ece_ppm",
+    )

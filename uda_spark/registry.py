@@ -204,6 +204,7 @@ _R08_NEW: tuple[str, ...] = (
     "events_runs_test",
     "ml_brier_score",
     "text_dup_ngram_coverage",
+    "ml_mcc_ece",
 )
 
 @dataclass(frozen=True)
