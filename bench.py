@@ -132,6 +132,7 @@ EXTENDED = [
     "ml_brier_score",
     "text_dup_ngram_coverage",
     "ml_mcc_ece",
+    "sim_topk_diversity",
 ]
 
 

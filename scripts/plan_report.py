@@ -162,6 +162,7 @@ EXTRA = [
     "ml_brier_score",
     "text_dup_ngram_coverage",
     "ml_mcc_ece",
+    "sim_topk_diversity",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

@@ -78,6 +78,7 @@ QUERIES = [
     "ml_brier_score",                # one exchange -> 1-row proper-score readout
     "text_dup_ngram_coverage",       # gram-hash explode -> two exchanges -> 1 row
     "ml_mcc_ece",                    # one per-user pass -> bounded dual summary
+    "sim_topk_diversity",            # audited top-k self-join, (q x k^2) bounded
 ]
 ITERS = 3
 

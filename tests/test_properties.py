@@ -2289,3 +2289,16 @@ def test_mcc_ece_matches_python_recompute(spark):
     assert row["ece_ppm"] == ece_num // len(base)
     assert -1_000_000 <= row["mcc2_signed_ppm"] <= 1_000_000
     assert 0 <= row["ece_ppm"] <= 1_000_000
+
+
+def test_topk_diversity_bounds_and_pair_count(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.similarity import N_QUERIES, TOP_K
+    from uda_spark.registry import all_specs
+
+    rows = all_specs()["sim_topk_diversity"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["n_pairs"] == TOP_K * (TOP_K - 1) // 2
+        assert -1_000_000 <= r["min_pair_cos_ppm"] <= r["mean_pair_cos_ppm"]
+        assert r["mean_pair_cos_ppm"] <= r["max_pair_cos_ppm"] <= 1_000_000

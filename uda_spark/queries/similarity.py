@@ -1440,3 +1440,101 @@ def sim_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-list similarity (result-set redundancy) of the exact top-k
+
+
+@register(
+    "sim_topk_diversity",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+bf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored)
+  WHERE rnk <= {TOP_K}
+),
+pairs AS (
+  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j
+  FROM bf a JOIN bf b ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id
+),
+scored AS (
+  SELECT pairs.query_id,
+         CAST(ROUND({portable.cosine_from_ints(portable.int_dot('x.v', 'y.v', 'duck'), 'x.nsq', 'y.nsq')} * 1000000, 0) AS BIGINT)
+           AS cos_ppm
+  FROM pairs JOIN n x ON x.vec_id = pairs.i JOIN n y ON y.vec_id = pairs.j
+)
+SELECT query_id, COUNT(*)::BIGINT AS n_pairs,
+       CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT) AS mean_pair_cos_ppm,
+       MIN(cos_ppm)::BIGINT AS min_pair_cos_ppm,
+       MAX(cos_ppm)::BIGINT AS max_pair_cos_ppm
+FROM scored GROUP BY query_id
+""",
+    tags=("similarity", "evaluation"),
+)
+def sim_topk_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-list similarity of each query's exact top-k result set —
+    the redundancy metric retrieval tuning tracks against recall: a
+    result list whose members are all near-duplicates of each other
+    wastes its k slots (high mean pairwise cosine), which is what MMR /
+    diversity re-ranking then fixes.  Reported per query with the
+    min/max pair so pathological lists are visible.
+
+    Exactness: each pairwise cosine is a deterministic double from
+    exact integer vectors, rounded to integer ppm PER PAIR so the
+    per-query mean is an order-independent integer sum (the float-SUM
+    accumulation-order trap again).
+
+    Scale shape: the k(k−1)/2 pairs per query come from a self-join of
+    the already-audited (queries × k)-row top-k relation, re-joined to
+    the int-vector relation for scoring — all bounded by the SAMPLED
+    query count, never the corpus; the corpus cost is the one audited
+    brute-force pass.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    bf = SIM.knn_bruteforce(emb, queries, "vec_id", "embedding", top_k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    pairs = bf.alias("a").join(
+        bf.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.neighbor_id").alias("i"),
+        F.col("b.neighbor_id").alias("j"),
+    )
+    iv = portable.int_vec("embedding", "spark")
+    nsq = portable.int_dot("v", "v", "spark")
+    nvec = emb.selectExpr("vec_id", f"{iv} AS v").selectExpr(
+        "vec_id", "v", f"{nsq} AS nsq"
+    )
+    cos = portable.cosine_from_ints(
+        portable.int_dot("x.v", "y.v", "spark"), "x.nsq", "y.nsq"
+    )
+    scored = (
+        pairs.join(nvec.alias("x"), F.col("x.vec_id") == F.col("i"))
+        .join(nvec.alias("y"), F.col("y.vec_id") == F.col("j"))
+        .select(
+            "query_id",
+            F.expr(f"CAST(ROUND(({cos}) * 1000000, 0) AS BIGINT)").alias("cos_ppm"),
+        )
+    )
+    return scored.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("CAST(SUM(cos_ppm) div COUNT(*) AS BIGINT)").alias(
+            "mean_pair_cos_ppm"
+        ),
+        F.min("cos_ppm").cast("long").alias("min_pair_cos_ppm"),
+        F.max("cos_ppm").cast("long").alias("max_pair_cos_ppm"),
+    )

@@ -205,6 +205,7 @@ _R08_NEW: tuple[str, ...] = (
     "ml_brier_score",
     "text_dup_ngram_coverage",
     "ml_mcc_ece",
+    "sim_topk_diversity",
 )
 
 @dataclass(frozen=True)
