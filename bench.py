@@ -133,6 +133,8 @@ EXTENDED = [
     "text_dup_ngram_coverage",
     "ml_mcc_ece",
     "sim_topk_diversity",
+    "text_ttr_by_source",
+    "dedup_rate_by_source",
 ]
 
 

@@ -163,6 +163,8 @@ EXTRA = [
     "text_dup_ngram_coverage",
     "ml_mcc_ece",
     "sim_topk_diversity",
+    "text_ttr_by_source",
+    "dedup_rate_by_source",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

@@ -79,6 +79,8 @@ QUERIES = [
     "text_dup_ngram_coverage",       # gram-hash explode -> two exchanges -> 1 row
     "ml_mcc_ece",                    # one per-user pass -> bounded dual summary
     "sim_topk_diversity",            # audited top-k self-join, (q x k^2) bounded
+    "text_ttr_by_source",            # one explode + (source, term) partial agg
+    "dedup_rate_by_source",          # digest triples only; bounded source rollup
 ]
 ITERS = 3
 

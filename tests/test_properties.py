@@ -2302,3 +2302,58 @@ def test_topk_diversity_bounds_and_pair_count(spark):
         assert r["n_pairs"] == TOP_K * (TOP_K - 1) // 2
         assert -1_000_000 <= r["min_pair_cos_ppm"] <= r["mean_pair_cos_ppm"]
         assert r["mean_pair_cos_ppm"] <= r["max_pair_cos_ppm"] <= 1_000_000
+
+
+def test_ttr_and_dup_rate_match_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    docs = [
+        (r["source"], r["doc_id"], r["text"])
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("source", "doc_id", "text")
+        .collect()
+    ]
+    # TTR twin
+    ttr_rows = {
+        r["source"]: r
+        for r in all_specs()["text_ttr_by_source"].fn(spark, SF_SMOKE).collect()
+    }
+    per: dict[str, dict] = {}
+    for src, _, text in docs:
+        d = per.setdefault(src, {})
+        for term in (text or "").lower().split(" "):
+            d[term] = d.get(term, 0) + 1
+    assert set(ttr_rows) == set(per)
+    for src, terms in per.items():
+        r = ttr_rows[src]
+        n_types, n_tokens = len(terms), sum(terms.values())
+        hapax = sum(1 for c in terms.values() if c == 1)
+        assert r["n_types"] == n_types
+        assert r["n_tokens"] == n_tokens
+        assert r["ttr_ppm"] == n_types * 1_000_000 // n_tokens
+        assert r["n_hapax"] == hapax
+        assert r["hapax_ppm"] == hapax * 1_000_000 // n_types
+    # dup-rate twin
+    import hashlib
+
+    dup_rows = {
+        r["source"]: r
+        for r in all_specs()["dedup_rate_by_source"].fn(spark, SF_SMOKE).collect()
+    }
+    digests: dict[str, int] = {}
+    by_src: dict[str, list[str]] = {}
+    for src, _, text in docs:
+        if text is None:
+            continue
+        dg = hashlib.md5(text.encode()).hexdigest()
+        digests[dg] = digests.get(dg, 0) + 1
+        by_src.setdefault(src, []).append(dg)
+    for src, dgs in by_src.items():
+        r = dup_rows[src]
+        n_dup = sum(1 for dg in dgs if digests[dg] >= 2)
+        assert r["n_docs"] == len(dgs)
+        assert r["n_digests"] == len(set(dgs))
+        assert r["n_dup_docs"] == n_dup
+        assert r["dup_ppm"] == n_dup * 1_000_000 // len(dgs)

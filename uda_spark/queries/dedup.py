@@ -1298,3 +1298,70 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("degree").alias("max_degree"),
         F.sum("degree").cast("long").alias("sum_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate rate per source
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+WITH d AS (
+  SELECT source, doc_id, md5(text) AS dg FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT dg, source, COUNT(*)::BIGINT AS c FROM d GROUP BY 1, 2
+),
+tot AS (
+  SELECT dg, SUM(c)::BIGINT AS csize FROM per GROUP BY dg
+)
+SELECT per.source,
+       SUM(per.c)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_digests,
+       SUM(CASE WHEN tot.csize >= 2 THEN per.c ELSE 0 END)::BIGINT AS n_dup_docs,
+       CAST(SUM(CASE WHEN tot.csize >= 2 THEN per.c ELSE 0 END) * 1000000
+            // SUM(per.c) AS BIGINT) AS dup_ppm
+FROM per JOIN tot USING (dg)
+GROUP BY per.source
+""",
+    tags=("dedup", "quality", "north-star"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — which crawl sources are
+    re-serving identical content: a document counts as a duplicate for
+    ITS source whenever its content digest appears anywhere in the
+    corpus more than once (cross-source copies count for both sides).
+    This is the per-source attribution readout on top of dedup_exact's
+    corpus-wide verdicts — the number that decides which upstream feed
+    gets throttled.
+
+    Scale shape: only (digest, source, count) triples ever shuffle —
+    never document bodies (the md5 is computed map-side in one corpus
+    pass).  Cluster sizes are a second digest-keyed aggregate of that
+    already-reduced relation, joined back digest-to-digest — the same
+    shuffle class as dedup_exact itself; the final per-source rollup is
+    bounded by the source count.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", F.expr("md5(text)").alias("dg"))
+    )
+    per = d.groupBy("dg", "source").agg(F.count("*").alias("c"))
+    tot = per.groupBy("dg").agg(F.sum("c").alias("csize"))
+    return (
+        per.join(tot, on="dg")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_digests"),
+            F.sum(F.when(F.col("csize") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN csize >= 2 THEN c ELSE 0 END) * 1000000"
+                " div SUM(c) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -1759,3 +1759,59 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(total_occ) AS BIGINT)"
         ).alias("dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio) per source
+
+
+@register(
+    "text_ttr_by_source",
+    oracle=f"""
+WITH tk AS (
+  SELECT source, unnest({_DU_TOKS}) AS term FROM documents
+),
+per AS (
+  SELECT source, term, COUNT(*)::BIGINT AS c FROM tk GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_types,
+       SUM(c)::BIGINT AS n_tokens,
+       CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS hapax_ppm
+FROM per GROUP BY source
+""",
+    tags=("text", "quality", "north-star"),
+)
+def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio (distinct terms /
+    total terms) and the hapax-legomenon share (terms occurring exactly
+    once) — the vocabulary-richness screen next to the quality score:
+    template spam and boilerplate collapse TTR, OCR noise and
+    concatenated garbage inflate hapax share; both move BEFORE average
+    quality does.
+
+    Exactness: both ratios are integer ppm over exact counts.
+
+    Scale shape: one explode of the corpus into (source, term), one
+    partial-agg exchange on that pair (the same shape as the drift-TVD
+    rollup), then a bounded per-source aggregate — the vocabulary-sized
+    intermediate never routes through a single task and no second
+    corpus pass exists.
+    """
+    tk = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(_SP_TOKS)).alias("term")
+    )
+    per = tk.groupBy("source", "term").agg(F.count("*").alias("c"))
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.expr("CAST(COUNT(*) * 1000000 div SUM(c) AS BIGINT)").alias("ttr_ppm"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )

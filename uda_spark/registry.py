@@ -206,6 +206,8 @@ _R08_NEW: tuple[str, ...] = (
     "text_dup_ngram_coverage",
     "ml_mcc_ece",
     "sim_topk_diversity",
+    "text_ttr_by_source",
+    "dedup_rate_by_source",
 )
 
 @dataclass(frozen=True)
