@@ -135,6 +135,7 @@ EXTENDED = [
     "sim_topk_diversity",
     "text_ttr_by_source",
     "dedup_rate_by_source",
+    "text_js_divergence_sources",
 ]
 
 

@@ -165,6 +165,7 @@ EXTRA = [
     "sim_topk_diversity",
     "text_ttr_by_source",
     "dedup_rate_by_source",
+    "text_js_divergence_sources",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

@@ -81,6 +81,7 @@ QUERIES = [
     "sim_topk_diversity",            # audited top-k self-join, (q x k^2) bounded
     "text_ttr_by_source",            # one explode + (source, term) partial agg
     "dedup_rate_by_source",          # digest triples only; bounded source rollup
+    "text_js_divergence_sources",    # drift-TVD shape, per-term micro-nat integers
 ]
 ITERS = 3
 

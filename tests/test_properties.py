@@ -2357,3 +2357,56 @@ def test_ttr_and_dup_rate_match_python_recompute(spark):
         assert r["n_digests"] == len(set(dgs))
         assert r["n_dup_docs"] == n_dup
         assert r["dup_ppm"] == n_dup * 1_000_000 // len(dgs)
+
+
+def test_js_divergence_matches_python_recompute(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    rows = {
+        r["source"]: r
+        for r in all_specs()["text_js_divergence_sources"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    st: dict[tuple, int] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    ):
+        for tok in (r["text"] or "").lower().split(" "):
+            k = (r["source"], tok)
+            st[k] = st.get(k, 0) + 1
+    n_s: dict[str, int] = {}
+    n_t: dict[str, int] = {}
+    for (src, tok), c in st.items():
+        n_s[src] = n_s.get(src, 0) + c
+        n_t[tok] = n_t.get(tok, 0) + c
+    total = sum(n_t.values())
+
+    def half_up(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    for src in n_s:
+        js_obs = 0
+        obs_mass = 0
+        n_terms = 0
+        for (s2, tok), c in st.items():
+            if s2 != src:
+                continue
+            ps = c / float(n_s[src])
+            p = n_t[tok] / float(total)
+            m = (ps + p) / 2
+            js_obs += half_up((ps * math.log(ps / m) + p * math.log(p / m)) / 2 * 1e6)
+            obs_mass += n_t[tok]
+            n_terms += 1
+        unobs = half_up(math.log(2.0) / 2 * ((total - obs_mass) / float(total)) * 1e6)
+        r = rows[src]
+        assert r["n_tokens"] == n_s[src]
+        assert r["n_terms"] == n_terms
+        assert r["js_micronats"] == js_obs + unobs
+        # JS divergence is bounded by ln 2 (plus per-term rounding slack)
+        assert 0 <= r["js_micronats"] <= 693148 + n_terms

@@ -1815,3 +1815,103 @@ def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("hapax_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source (info-theoretic drift)
+
+# Per-term JS contribution in micro-nats — the same expression TEXT in
+# both dialects over exact-integer columns (n_st, n_s, n_t, total), so
+# the doubles agree bitwise; rounding PER TERM makes the per-source SUM
+# an order-independent integer sum.
+_JS_TERM = (
+    "CAST(ROUND(((n_st / CAST(n_s AS DOUBLE))"
+    " * ln((n_st / CAST(n_s AS DOUBLE))"
+    " / ((n_st / CAST(n_s AS DOUBLE) + n_t / CAST(total AS DOUBLE)) / 2))"
+    " + (n_t / CAST(total AS DOUBLE))"
+    " * ln((n_t / CAST(total AS DOUBLE))"
+    " / ((n_st / CAST(n_s AS DOUBLE) + n_t / CAST(total AS DOUBLE)) / 2)))"
+    " / 2 * 1000000, 0) AS BIGINT)"
+)
+# Unobserved corpus mass: for terms absent from the source, m = p/2, so
+# the KL(p||m) side contributes exactly p·ln(2)/2 — recovered in closed
+# form from (total − obs_mass), one rounding per source.
+_JS_UNOBS = (
+    "CAST(ROUND(ln(CAST(2 AS DOUBLE)) / 2"
+    " * ((total - obs_mass) / CAST(total AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+)
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle=f"""
+WITH st AS (
+  SELECT source, tok, COUNT(*)::BIGINT AS n_st
+  FROM (SELECT source, unnest({_DU_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+s AS (SELECT source, SUM(n_st)::BIGINT AS n_s FROM st GROUP BY source),
+tt AS (SELECT tok, SUM(n_st)::BIGINT AS n_t FROM st GROUP BY tok),
+n AS (SELECT SUM(n_t)::BIGINT AS total FROM tt),
+obs AS (
+  SELECT st.source,
+         SUM({_JS_TERM})::BIGINT AS js_obs,
+         SUM(tt.n_t)::BIGINT AS obs_mass,
+         COUNT(*)::BIGINT AS n_terms
+  FROM st JOIN s USING (source) JOIN tt USING (tok) CROSS JOIN n
+  GROUP BY st.source
+)
+SELECT obs.source, s.n_s AS n_tokens, obs.n_terms,
+       CAST(obs.js_obs + {_JS_UNOBS} AS BIGINT) AS js_micronats
+FROM obs JOIN s USING (source) CROSS JOIN n
+""",
+    tags=("text", "quality", "statistics", "north-star"),
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's token
+    distribution and the whole-corpus distribution — the
+    information-theoretic drift screen next to text_source_drift_tvd's
+    L1 view (JS is smoother: it weighs WHERE the distributions disagree,
+    not just how much mass moved, and is bounded by ln 2 ≈ 693147
+    micro-nats).
+
+    Exactness: each observed term's contribution is a deterministic
+    double from exact integers, rounded to micro-nats PER TERM so the
+    per-source sum is an order-independent integer SUM; the unobserved
+    corpus mass contributes exactly p·ln(2)/2 (for absent terms the
+    mixture m is p/2), recovered in closed form from the observed-mass
+    complement — no (sources × vocabulary) cross ever materializes.
+
+    Scale shape: identical to the TVD query — one (source, tok)
+    partial-agg exchange over the exploded corpus, vocabulary-sized
+    rollups broadcast back, bounded per-source output, no second corpus
+    pass.
+    """
+    tk = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(_SP_TOKS)).alias("tok")
+    )
+    st = tracked_persist(tk.groupBy("source", "tok").agg(F.count("*").alias("n_st")))
+    s = st.groupBy("source").agg(F.sum("n_st").cast("long").alias("n_s"))
+    tt = st.groupBy("tok").agg(F.sum("n_st").cast("long").alias("n_t"))
+    n = tt.agg(F.sum("n_t").cast("long").alias("total"))
+    obs = (
+        st.join(F.broadcast(s), on="source")
+        .join(F.broadcast(tt), on="tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.expr(f"SUM({_JS_TERM})").cast("long").alias("js_obs"),
+            F.sum("n_t").cast("long").alias("obs_mass"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        obs.join(F.broadcast(s), on="source")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "source",
+            "n_s AS n_tokens",
+            "n_terms",
+            f"CAST(js_obs + {_JS_UNOBS} AS BIGINT) AS js_micronats",
+        )
+    )

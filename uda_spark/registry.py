@@ -208,6 +208,7 @@ _R08_NEW: tuple[str, ...] = (
     "sim_topk_diversity",
     "text_ttr_by_source",
     "dedup_rate_by_source",
+    "text_js_divergence_sources",
 )
 
 @dataclass(frozen=True)
