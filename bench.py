@@ -136,6 +136,8 @@ EXTENDED = [
     "text_ttr_by_source",
     "dedup_rate_by_source",
     "text_js_divergence_sources",
+    "ml_log_loss",
+    "orders_pareto_8020",
 ]
 
 

@@ -166,6 +166,8 @@ EXTRA = [
     "text_ttr_by_source",
     "dedup_rate_by_source",
     "text_js_divergence_sources",
+    "ml_log_loss",
+    "orders_pareto_8020",
 ]
 
 # Everything at/after this marker in an existing PLANS.md is hand-written

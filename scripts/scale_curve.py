@@ -82,6 +82,8 @@ QUERIES = [
     "text_ttr_by_source",            # one explode + (source, term) partial agg
     "dedup_rate_by_source",          # digest triples only; bounded source rollup
     "text_js_divergence_sources",    # drift-TVD shape, per-term micro-nat integers
+    "ml_log_loss",                   # one exchange -> 1-row cross-entropy
+    "orders_pareto_8020",            # range-partitioned cumsum -> 1-row 80/20 point
 ]
 ITERS = 3
 

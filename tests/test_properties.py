@@ -2410,3 +2410,72 @@ def test_js_divergence_matches_python_recompute(spark):
         assert r["js_micronats"] == js_obs + unobs
         # JS divergence is bounded by ln 2 (plus per-term rounding slack)
         assert 0 <= r["js_micronats"] <= 693148 + n_terms
+
+
+def test_log_loss_matches_python_recompute(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.evaluation import _user_label_score
+    from uda_spark.registry import all_specs
+
+    row = all_specs()["ml_log_loss"].fn(spark, SF_SMOKE).collect()[0]
+    base = [
+        (r["label"], min(999_999, r["score"] * 1_000_000 // 200_000))
+        for r in _user_label_score(spark, SF_SMOKE).collect()
+    ]
+
+    def half_up(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    ll = sum(
+        half_up(
+            -math.log(
+                (max(p, 1) if y == 1 else 1_000_000 - min(p, 999_999)) / 1_000_000.0
+            )
+            * 1_000_000
+        )
+        for y, p in base
+    )
+    correct = sum(
+        1 for y, p in base if (y == 1 and p >= 500_000) or (y == 0 and p < 500_000)
+    )
+    assert row["n_users"] == len(base)
+    assert row["logloss_micronats"] == ll // len(base)
+    assert row["n_correct_at_half"] == correct
+    assert row["logloss_micronats"] >= 0
+
+
+def test_pareto_8020_matches_python_recompute(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["orders_pareto_8020"].fn(spark, SF_SMOKE).collect()[0]
+    rev: dict[int, int] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        cents = int(Decimal(r["o_totalprice"]).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        rev[r["o_custkey"]] = rev.get(r["o_custkey"], 0) + cents
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    cum = 0
+    m = None
+    c_at_m = None
+    for i, (_, cents) in enumerate(ordered, start=1):
+        cum += cents
+        if cum * 5 >= total * 4:
+            m, c_at_m = i, cum
+            break
+    assert row["n_customers"] == len(rev)
+    assert row["total_cents"] == total
+    assert row["m_customers"] == m
+    assert row["m_share_ppm"] == m * 1_000_000 // len(rev)
+    assert row["revenue_at_m_ppm"] == c_at_m * 1_000_000 // total
+    assert row["revenue_at_m_ppm"] >= 800_000

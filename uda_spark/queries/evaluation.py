@@ -1603,3 +1603,67 @@ def ml_mcc_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS mcc2_signed_ppm",
         "CAST(ece_num div n2 AS BIGINT) AS ece_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Log loss (cross-entropy) of the capped-ppm pseudo-probability
+
+# Per-user negative log-likelihood in integer micro-nats: the float
+# -ln(p) runs on an exact integer ppm probability (clamped to
+# [1, 999999] so it is always finite), identical expression text in
+# both engines, rounded PER USER so the mean is an integer sum.
+_LL_TERM = (
+    "CAST(ROUND(-ln((CASE WHEN label = 1 THEN GREATEST(p_ppm, 1)"
+    " ELSE 1000000 - LEAST(p_ppm, 999999) END) / CAST(1000000 AS DOUBLE))"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+
+@register(
+    "ml_log_loss",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+scored AS (
+  SELECT label, LEAST(999999, score * 1000000 // 200000) AS p_ppm
+  FROM base
+)
+SELECT COUNT(*)::BIGINT AS n_users,
+       CAST(SUM({_LL_TERM})::HUGEINT // COUNT(*) AS BIGINT) AS logloss_micronats,
+       SUM(CASE WHEN (label = 1 AND p_ppm >= 500000)
+                 OR (label = 0 AND p_ppm < 500000) THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct_at_half
+FROM scored
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log loss (cross-entropy) of the capped pseudo-probability — the
+    third proper-score face next to Brier and ECE: it punishes CONFIDENT
+    wrong predictions exponentially harder, which is exactly what the
+    quadratic Brier under-weighs; accuracy at the 0.5 cut rides along.
+
+    Exactness: each user's −ln(p) runs on an exact integer ppm
+    probability clamped into [1, 999999] (never −∞), with the identical
+    expression text in both engines, rounded to integer micro-nats PER
+    USER — the mean is then an integer-truncated ratio of exact
+    integers, immune to float accumulation order.
+
+    Scale shape: one exchange to the per-user relation, one bounded
+    aggregation row.
+    """
+    base = _user_label_score(spark, sf_dir)
+    scored = base.selectExpr(
+        "label", "LEAST(999999L, score * 1000000 div 200000) AS p_ppm"
+    )
+    return scored.agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr(f"SUM({_LL_TERM})").cast("decimal(38,0)").alias("ll"),
+        F.expr(
+            "SUM(CASE WHEN (label = 1 AND p_ppm >= 500000)"
+            " OR (label = 0 AND p_ppm < 500000) THEN 1 ELSE 0 END)"
+        ).cast("long").alias("n_correct_at_half"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(ll div n AS BIGINT) AS logloss_micronats",
+        "n_correct_at_half",
+    )

@@ -2870,3 +2870,97 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "max_us", "lag_us", "n_latest_day", "days_active")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: the 80/20 point
+
+
+@register(
+    "orders_pareto_8020",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+cum AS (
+  SELECT cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM rev
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(cents)::HUGEINT AS total FROM rev)
+SELECT tot.n AS n_customers,
+       CAST(tot.total AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN cum.c::HUGEINT * 5 < tot.total * 4 THEN 1 ELSE 0 END)
+            + 1 AS BIGINT) AS m_customers,
+       CAST((SUM(CASE WHEN cum.c::HUGEINT * 5 < tot.total * 4 THEN 1 ELSE 0 END) + 1)
+            * 1000000 // tot.n AS BIGINT) AS m_share_ppm,
+       CAST(MIN(CASE WHEN cum.c::HUGEINT * 5 >= tot.total * 4 THEN cum.c END)::HUGEINT
+            * 1000000 // tot.total AS BIGINT) AS revenue_at_m_ppm
+FROM cum, tot
+GROUP BY tot.n, tot.total
+""",
+    tags=("analytics", "quality", "aggregation"),
+)
+def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 point): the smallest number of
+    top customers whose cumulative revenue reaches 80% of the total,
+    with their population share and the exact revenue share at that cut
+    — the concentration readout procurement/risk dashboards track (and
+    the customer-side sibling of the token Gini/Lorenz pair).
+
+    Exactness: revenues are exact integer cents; the 80% test is the
+    cross-multiplied integer comparison cum·5 ≥ total·4 (no 0.8
+    literal); the threshold count is derived WITHOUT materializing a
+    rank — the count of strictly-below-threshold prefix rows plus one —
+    so ties need no tiebreak semantics beyond the deterministic
+    (revenue DESC, custkey) cumulative order.
+
+    Scale shape: one exchange to per-customer revenue, then round 8's
+    range-partitioned exclusive cumulative sum (no single-partition
+    window over customer cardinality), then ONE bounded aggregation
+    with the 1-row total broadcast.
+    """
+    from uda_spark.operators.sort import global_cumulative_sum
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+            ).alias("cents")
+        )
+        .withColumn("neg", -F.col("cents"))
+    )
+    cum = global_cumulative_sum(
+        rev, ["neg", "o_custkey"], "cents", "cum_before", result_cast=None
+    ).withColumn("c", F.col("cum_before") + F.col("cents"))
+    tot = rev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("SUM(CAST(cents AS DECIMAL(38,0)))").alias("total"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("total").alias("total"),
+            F.sum(
+                F.when(F.expr("CAST(c AS DECIMAL(38,0)) * 5 < total * 4"), 1).otherwise(0)
+            ).alias("below"),
+            F.min(
+                F.when(F.expr("CAST(c AS DECIMAL(38,0)) * 5 >= total * 4"), F.col("c"))
+            ).alias("c_at_m"),
+        )
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_customers",
+            "CAST(total AS BIGINT) AS total_cents",
+            "CAST(below + 1 AS BIGINT) AS m_customers",
+            "CAST((below + 1) * 1000000 div n AS BIGINT) AS m_share_ppm",
+            "CAST(CAST(c_at_m AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
+            " AS revenue_at_m_ppm",
+        )
+    )

@@ -209,6 +209,8 @@ _R08_NEW: tuple[str, ...] = (
     "text_ttr_by_source",
     "dedup_rate_by_source",
     "text_js_divergence_sources",
+    "ml_log_loss",
+    "orders_pareto_8020",
 )
 
 @dataclass(frozen=True)
