@@ -1034,6 +1034,56 @@ def test_rank_sum_ppm_past_int64_wrap(spark):
     assert row["auc_ppm"] == 1_000_000
 
 
+def test_lift_ppm_past_int64_wrap(spark):
+    """ml_lift_deciles' lift numerator n_pos * n_total * 1e6 exceeds
+    int64 once positives reach ~10M at corpus scale (round-8 ADVICE):
+    with 20M users, 10M positives all ranked first, decile 1 is pure
+    positives so lift = n_total/pos_total = 2.0 exactly — 2_000_000 ppm.
+    BIGINT arithmetic wraps (1e7 * 2e7 * 1e6 = 2e20 > 2^63) and returns
+    garbage; the DECIMAL(38,0) carry must return the exact value.
+    Cheap: feeds a 20-row pre-ranked relation via a run-length expand,
+    skipping global_rank."""
+    import pyspark.sql.functions as SF
+
+    from uda_spark.queries.evaluation import lift_from_ranked
+
+    n = 20_000_000
+    half = n // 2
+    # 20 compact (label, block) rows expand to n ranked rows lazily —
+    # rnk = block*1M + offset, labels: first half positive.
+    blocks = spark.range(20).select(
+        SF.col("id").alias("b"),
+        SF.when(SF.col("id") < 10, SF.lit(1)).otherwise(SF.lit(0)).alias("label"),
+    )
+    ranked = blocks.select(
+        "label",
+        SF.explode(
+            SF.sequence(SF.col("b") * 1_000_000 + 1, (SF.col("b") + 1) * 1_000_000)
+        ).alias("rnk"),
+    )
+    rows = {r["decile"]: r for r in lift_from_ranked(ranked).collect()}
+    assert rows[1]["n_users"] == n // 10 and rows[1]["n_pos"] == n // 10
+    assert rows[1]["lift_ppm"] == 2_000_000  # wraps to nonsense in BIGINT
+    assert rows[10]["lift_ppm"] == 0
+    assert rows[5]["cum_capture_ppm"] == 1_000_000
+    assert sum(r["n_pos"] for r in rows.values()) == half
+
+
+def test_ks_single_class_returns_null_not_error(spark):
+    """ml_ks_statistic with a single-class input: n_neg = 0 makes the
+    ppm denominator zero — the NULLIF guard must yield NULL ks_ppm in
+    Spark (and the oracle's NULLIF keeps DuckDB from erroring), matching
+    rank_sum_stats' contract for the same degenerate input."""
+    from uda_spark.queries.evaluation import ks_stats
+
+    grp = spark.createDataFrame(
+        [(1, 5, 5), (2, 3, 3)], "score LONG, c LONG, p LONG"
+    )
+    row = ks_stats(grp).collect()[0]
+    assert row["n_pos"] == 8 and row["n_neg"] == 0
+    assert row["ks_ppm"] is None
+
+
 class TestRound8QueryInvariants:
     """Cross-checks for the round-8 tier beyond oracle parity: recompute
     the statistic in plain Python from the same rows, or pin the

@@ -462,16 +462,25 @@ class TestPythonDataSourceStreamWriter:
             with open(os.path.join(d, name), "wb") as fh:
                 fh.write(encode_kv_records(pairs))
 
+        w = _KVStreamWriter({"path": d})
+        loser = f"_tmp-stream-{w._ns}-loser"
+        winner = f"_tmp-stream-{w._ns}-winner"
+        foreign = "_tmp-stream-feedbeefcafe-other"  # another query's in-flight temp
+
         seg("part-b000001-00000", [(b"old0", b"x")])  # prior attempt, pid 0
         seg("part-b000001-00001", [(b"old1", b"x")])  # prior attempt, pid 1 (stale)
         seg("part-b000000-00000", [(b"b0", b"x")])  # earlier batch — keep
-        seg("_tmp-stream-loser", [(b"spec", b"x")])  # speculative loser attempt
-        seg("_tmp-stream-winner", [(b"new0", b"y")])  # winning attempt temp
+        seg(loser, [(b"spec", b"x")])  # speculative loser attempt (ours)
+        seg(foreign, [(b"theirs", b"x")])  # NOT ours — must survive the sweep
+        seg(winner, [(b"new0", b"y")])  # winning attempt temp
 
-        w = _KVStreamWriter({"path": d})
-        w.commit([_Committed(os.path.join(d, "_tmp-stream-winner"), "00000", 1)], 1)
+        w.commit([_Committed(os.path.join(d, winner), "00000", 1)], 1)
 
-        assert sorted(os.listdir(d)) == ["part-b000000-00000", "part-b000001-00000"]
+        assert sorted(os.listdir(d)) == [
+            foreign,
+            "part-b000000-00000",
+            "part-b000001-00000",
+        ]
         with open(os.path.join(d, "part-b000001-00000"), "rb") as fh:
             assert list(decode_kv_stream(fh.read())) == [(b"new0", b"y")]
 
@@ -486,12 +495,15 @@ class TestPythonDataSourceStreamWriter:
 
         d = str(tmp_path / "dst")
         os.makedirs(d)
-        for name in ("_tmp-stream-a", "_tmp-stream-b"):
+        w = _KVStreamWriter({"path": d})
+        a = f"_tmp-stream-{w._ns}-a"
+        b = f"_tmp-stream-{w._ns}-b"
+        foreign = "_tmp-stream-feedbeefcafe-other"  # another query's — must survive
+        for name in (a, b, foreign):
             with open(os.path.join(d, name), "wb") as fh:
                 fh.write(encode_kv_records([(b"k", b"v")]))
         with open(os.path.join(d, "part-b000000-00000"), "wb") as fh:
             fh.write(encode_kv_records([(b"keep", b"v")]))
 
-        w = _KVStreamWriter({"path": d})
-        w.abort([_Committed(os.path.join(d, "_tmp-stream-a"), "00000", 1), None], 0)
-        assert sorted(os.listdir(d)) == ["part-b000000-00000"]
+        w.abort([_Committed(os.path.join(d, a), "00000", 1), None], 0)
+        assert sorted(os.listdir(d)) == [foreign, "part-b000000-00000"]

@@ -55,3 +55,41 @@ def revenue_expr():
     return F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-run scratch directories for queries that round-trip through storage.
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def run_scratch_dir(prefix: str, sf_dir: str) -> str:
+    """A scratch directory unique to THIS call — never shared between
+    concurrent runs.
+
+    Queries that write an intermediate artifact and read it back (the
+    persisted-sketch merge, the foreachBatch parquet sink, the shard
+    manifest) previously keyed the path only by the sf-dir basename, so
+    two concurrent runs at the same scale factor raced (one run's
+    overwrite clobbering the other's read-back).  Including the pid and
+    a fresh uuid component per call removes the race entirely; a
+    best-effort ``atexit`` sweep bounds accumulation within the process
+    lifetime.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}",
+    )
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(path)
+    return path

@@ -786,8 +786,8 @@ d AS (SELECT ((rnk - 1) * {LIFT_DECILES}) // m.n + 1 AS decile,
       FROM r, m GROUP BY 1)
 SELECT CAST(d.decile AS INT) AS decile, d.n_users, d.n_pos,
        CAST(d.n_pos * 1000000 // d.n_users AS BIGINT) AS pos_rate_ppm,
-       CAST(d.n_pos * m.n * 1000000 // (d.n_users * m.n_pos_total) AS BIGINT)
-         AS lift_ppm,
+       CAST(d.n_pos::HUGEINT * m.n * 1000000
+            // (d.n_users::HUGEINT * m.n_pos_total) AS BIGINT) AS lift_ppm,
        CAST(SUM(d.n_pos) OVER (ORDER BY d.decile) * 1000000
             // m.n_pos_total AS BIGINT) AS cum_capture_ppm
 FROM d, m ORDER BY decile
@@ -821,6 +821,14 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["neg_score", "user_id"],
         alias="rnk",
     )
+    return lift_from_ranked(ranked)
+
+
+def lift_from_ranked(ranked: DataFrame) -> DataFrame:
+    """Decile lift arithmetic over a ``(label, rnk)`` relation — split
+    out so the int64-wrap regression test can feed a synthetic ranked
+    relation at 10M+ users without materializing one through
+    global_rank."""
     # scalar totals read the checkpoint global_rank just materialized —
     # no second scan of events
     n_total, pos_total = ranked.agg(
@@ -846,10 +854,15 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_pos * 1000000 div n_users AS BIGINT)"),
         )
         .withColumn(
+            # n_pos * n_total * 1e6 exceeds int64 once positives reach
+            # ~10M users at corpus scale — carry the numerator (and the
+            # denominator, same class of product) in DECIMAL(38,0), the
+            # exact-integer convention rank_sum_stats/ml_mcc_ece set.
+            # The oracle mirrors with HUGEINT.
             "lift_ppm",
             F.expr(
-                f"CAST(n_pos * {n_total}L * 1000000 div"
-                f" (n_users * {pos_total}L) AS BIGINT)"
+                f"CAST(CAST(n_pos AS DECIMAL(38,0)) * {n_total}L * 1000000 div"
+                f" (CAST(n_users AS DECIMAL(38,0)) * {pos_total}L) AS BIGINT)"
             ),
         )
         .withColumn("cum_pos", F.sum("n_pos").over(w_cum))
@@ -885,7 +898,8 @@ d AS (
   FROM cum, m
 )
 SELECT m.n_pos, m.n_neg,
-       CAST(dd * 1000000 // (m.n_pos::HUGEINT * m.n_neg) AS BIGINT) AS ks_ppm,
+       CAST(dd * 1000000 // NULLIF(m.n_pos::HUGEINT * m.n_neg, 0) AS BIGINT)
+         AS ks_ppm,
        CAST(d.score AS BIGINT) AS ks_at_score
 FROM d, m ORDER BY dd DESC, d.score ASC LIMIT 1
 """,
@@ -916,6 +930,13 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("c"),
         F.sum("label").cast("long").alias("p"),
     )
+    return ks_stats(grp)
+
+
+def ks_stats(grp: DataFrame) -> DataFrame:
+    """KS computation over a grouped ``(score, c, p)`` relation — split
+    out (mirroring :func:`rank_sum_stats`) so the single-class
+    zero-denominator regression test can feed synthetic class counts."""
     cum = global_cumulative_sums(
         grp.withColumn("np", F.col("c") - F.col("p")),
         order_keys=["score"],
@@ -936,8 +957,12 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.lit(n_pos).cast("long").alias("n_pos"),
         F.lit(n_neg).cast("long").alias("n_neg"),
+        # NULLIF guard matches rank_sum_stats: a single-class input
+        # (n_pos or n_neg = 0) yields NULL in both engines instead of a
+        # DuckDB division-by-zero error vs a silent Spark NULL.
         F.expr(
-            f"CAST(dd * 1000000 div (CAST({n_pos}L AS DECIMAL(38,0)) * {n_neg}L)"
+            f"CAST(dd * 1000000 div"
+            f" NULLIF(CAST({n_pos}L AS DECIMAL(38,0)) * {n_neg}L, 0)"
             " AS BIGINT)"
         ).alias("ks_ppm"),
         F.col("score").alias("ks_at_score"),

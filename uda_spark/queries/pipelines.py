@@ -395,14 +395,11 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer → storage → scan → aggregate, checked against the batch
     oracle."""
     import os
-    import shutil
-    import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"uda_fb_sink_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.rmtree(path + "_ckpt", ignore_errors=True)
+    from uda_spark.queries.common import _SCRATCH_DIRS, run_scratch_dir
+
+    path = run_scratch_dir("uda_fb_sink", sf_dir)
+    _SCRATCH_DIRS.append(path + "_ckpt")
 
     ev = ST.events_file_stream(spark, sf_dir).select(
         "user_id",
@@ -1311,14 +1308,10 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories (asserted for this layout family in
     tests/test_operators.py zorder/partition suites).
     """
-    import os as _os
-    import tempfile as _tf
-
+    from uda_spark.queries.common import run_scratch_dir
     from uda_spark.sources.formats import write_parquet
 
-    path = _os.path.join(
-        _tf.gettempdir(), f"uda_shards_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = run_scratch_dir("uda_shards", sf_dir)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
@@ -1675,17 +1668,12 @@ def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     sketch relation.
     """
     import os
-    import shutil
-    import tempfile
 
+    from uda_spark.queries.common import _SCRATCH_DIRS, run_scratch_dir
     from uda_spark.queries.quality import histogram_lvl1, histogram_quantiles
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"uda_qhist_stream_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.rmtree(path + "_ckpt", ignore_errors=True)
+    path = run_scratch_dir("uda_qhist_stream", sf_dir)
+    _SCRATCH_DIRS.append(path + "_ckpt")
 
     ev = ST.events_file_stream(spark, sf_dir)
 

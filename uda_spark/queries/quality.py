@@ -2125,14 +2125,10 @@ def sketch_histogram_persisted_merge(spark: SparkSession, sf_dir: str) -> DataFr
     the full recompute — persisted-merge and recompute must agree
     exactly, integers end to end.
     """
-    import os
-    import tempfile
+    from uda_spark.queries.common import run_scratch_dir
 
     lvl1 = histogram_lvl1(t(spark, sf_dir, "events"))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"uda_qhist_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = run_scratch_dir("uda_qhist", sf_dir)
     lvl1.write.mode("overwrite").parquet(path)
     stored = spark.read.parquet(path)
     return histogram_quantiles(stored)

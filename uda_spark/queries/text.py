@@ -1883,9 +1883,12 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement — no (sources × vocabulary) cross ever materializes.
 
     Scale shape: identical to the TVD query — one (source, tok)
-    partial-agg exchange over the exploded corpus, vocabulary-sized
-    rollups broadcast back, bounded per-source output, no second corpus
-    pass.
+    partial-agg exchange over the exploded corpus; the BOUNDED rollups
+    (per-source totals ``s``, the 1-row grand total ``n``) broadcast
+    back, while the vocabulary-sized per-term totals ``tt`` join on
+    ``tok`` as a shuffle (``st`` is already partially aggregated on the
+    same key) — ``tt`` is unbounded at corpus scale and must never be a
+    broadcast.  Bounded per-source output, no second corpus pass.
     """
     tk = t(spark, sf_dir, "documents").select(
         "source", F.explode(F.expr(_SP_TOKS)).alias("tok")
@@ -1896,7 +1899,7 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = tt.agg(F.sum("n_t").cast("long").alias("total"))
     obs = (
         st.join(F.broadcast(s), on="source")
-        .join(F.broadcast(tt), on="tok")
+        .join(tt, on="tok")
         .crossJoin(F.broadcast(n))
         .groupBy("source")
         .agg(

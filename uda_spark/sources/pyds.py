@@ -145,18 +145,32 @@ class _KVStreamWriter(DataSourceStreamWriter):
     stream -> uda_kv -> stream.
 
     Hygiene: failed or speculative task attempts write uuid temps but
-    never reach commit/abort with a message, so both hooks sweep ALL
-    remaining ``_tmp-stream-*`` files (safe: micro-batches execute
-    serially per query, and commit/abort runs on the driver after every
-    task of the batch has finished — any temp still present is a loser
-    attempt).  Readers skip temps either way; the sweep just stops a
-    long-running stream from leaking directory entries forever.
+    never reach commit/abort with a message, so both hooks sweep the
+    remaining temp files OF THIS WRITER'S NAMESPACE (safe: micro-batches
+    execute serially per query, and commit/abort runs on the driver
+    after every task of the batch has finished — any namespaced temp
+    still present is a loser attempt).  The namespace is a per-writer
+    uuid fixed at query start and baked into every temp name
+    (``_tmp-stream-{ns}-...``), so if two streaming queries ever write
+    the same destination directory, one query's batch settle can no
+    longer delete the other's in-flight temp segments.  Final
+    ``part-b{batch}`` names remain a shared namespace — two queries
+    writing the same directory with colliding batch ids is a
+    single-writer-per-directory violation the sink does not arbitrate.
+    Readers skip temps either way; the sweep just stops a long-running
+    stream from leaking directory entries forever.
     """
 
     def __init__(self, options):
+        import uuid
+
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("uda_kv requires a path (use .start(path) or option)")
+        # Per-query-start namespace: pickled with the writer, so every
+        # task of every batch of THIS query shares it, and no other
+        # query can produce (or sweep) temps under it.
+        self._ns = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _Committed:
         import uuid
@@ -165,7 +179,9 @@ class _KVStreamWriter(DataSourceStreamWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self._dir, exist_ok=True)
-        tmp = os.path.join(self._dir, f"_tmp-stream-{uuid.uuid4().hex}")
+        tmp = os.path.join(
+            self._dir, f"_tmp-stream-{self._ns}-{uuid.uuid4().hex}"
+        )
         pairs = []
         for row in iterator:
             pairs.append((bytes(row[0]), bytes(row[1])))
@@ -203,7 +219,7 @@ class _KVStreamWriter(DataSourceStreamWriter):
                 and f.startswith(batch_prefix)
                 and f not in (keep or set())
             )
-            if stale_final or f.startswith("_tmp-stream-"):
+            if stale_final or f.startswith(f"_tmp-stream-{self._ns}-"):
                 try:
                     os.remove(os.path.join(self._dir, f))
                 except OSError:
