@@ -74,18 +74,48 @@ def test_query_matches_oracle(name, spark, duck_smoke):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-def test_driver_window_is_rotation_3():
-    """The external driver samples the first 50 exported queries; from
-    round 8 the window is "never-driver-sampled first (`_R08_UNSAMPLED`,
-    the 7 round-7 registrations that landed after slot 50), then this
-    round's registrations (`_R08_NEW`), then registration order".  Pin
-    the ordering so a refactor can't silently reshuffle it before the
-    driver runs, and check nothing was lost: the export is still all
-    registered queries exactly once."""
-    from uda_spark.registry import _R08_NEW, _R08_UNSAMPLED, get_queries
+def test_driver_window_is_lrs_rotation():
+    """Round 9+ contract: the export order is this round's new
+    registrations first, then the least-recently-sampled ordering — a
+    pure function of the committed CORRECTNESS_r01..r{LRS_THROUGH_ROUND}
+    key sets plus registration order (scripts/rotation.py).  Recompute
+    that ordering from the committed files and fail if the frozen
+    ``_LRS_ORDER`` tuple drifted (stale after new CORRECTNESS rounds
+    land, a hand-edit, or a registration reorder), so external rows can
+    never go permanently stale.  Also checks nothing was lost: the
+    export is all registered queries exactly once, and every
+    new-this-round name is genuinely new (no prior external row)."""
+    import sys
+
+    from uda_spark.registry import (
+        LRS_THROUGH_ROUND,
+        _LRS_ORDER,
+        _NEW_THIS_ROUND,
+        get_queries,
+    )
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from scripts.rotation import compute_lrs_order, last_sampled_rounds
+
+    # The frozen round is pinned (not "latest file present") so this test
+    # stays deterministic after this round's own CORRECTNESS file lands.
+    assert LRS_THROUGH_ROUND == 8
+    expected = compute_lrs_order(LRS_THROUGH_ROUND, exclude=_NEW_THIS_ROUND)
+    assert _LRS_ORDER == expected, "regenerate with: python scripts/rotation.py"
+
+    last = last_sampled_rounds(LRS_THROUGH_ROUND)
+    assert all(n not in last for n in _NEW_THIS_ROUND)
 
     names = list(get_queries())
-    assert len(_R08_UNSAMPLED) == 7
-    head = _R08_UNSAMPLED + _R08_NEW
+    head = _NEW_THIS_ROUND + _LRS_ORDER
     assert tuple(names[: len(head)]) == head
     assert len(names) == len(set(names)) == len(SPECS)
+
+    # Staleness bound: the post-new window slots go to the globally
+    # oldest external rows (sorted ascending by last-sampled round).
+    window = names[:50]
+    rounds = [last.get(n, 0) for n in window[len(_NEW_THIS_ROUND) :]]
+    assert rounds == sorted(rounds)
+    outside = [last.get(n, 0) for n in names[50:] if n not in _NEW_THIS_ROUND]
+    if rounds and outside:
+        assert max(rounds) <= min(outside)
