@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uda_spark.functions import portable
+from uda_spark.operators.sort import global_ntile
 from uda_spark.queries.common import t
 from uda_spark.registry import register
 
@@ -261,20 +262,26 @@ FROM ranked GROUP BY decile
 def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile assignment + per-decile totals.
 
-    NOTE: ntile over a global ORDER BY is a single-partition window —
-    acceptable for a decile *report* (output is 10 rows); the scale path
-    for per-row quantile tagging is width_bucket over approx quantile
-    boundaries (see global_rank for the same pattern applied to ranks).
-    """
+    Scale shape: NTILE over a global ORDER BY is Window-ntile semantics
+    but NOT a single-partition window here — round 8's
+    :func:`uda_spark.operators.sort.global_ntile` computes the exact
+    bucket from the two-pass range-partitioned global rank plus the
+    closed-form (rank, total) arithmetic, so every order flows through
+    range-balanced partitions (this query was the last corpus-
+    cardinality ``Window.orderBy`` left after the round-8 sweep — caught
+    by the round-9 plan linter, tests/test_plan_lint.py)."""
     orders = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        orders.withColumn("decile", F.ntile(10).over(w).cast("int"))
-        .groupBy("decile")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_value"),
-        )
+    deciled = global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+        alias="decile",
+    )
+    return deciled.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
     )
 
 
