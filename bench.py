@@ -342,29 +342,42 @@ def main() -> None:
     # set, so any failure nulls the total (per-query numbers remain).
     total = None if failed else round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "all_ok": not failed,
-                "unit": "sec",
-                # Each per-query number is already the MIN over this many
-                # full-pipeline executions inside this single process (the
-                # host has ±80% cold-run variance; min-of-N is the
-                # steady-state estimate even when the harness runs us once).
-                "iters_per_query": ITERS,
-                "queries": timings,
-                "query_iters": iters_log,
-                "extended_queries": ext_timings,
-                "extended_query_iters": ext_iters_log,
-                "ann_phases": ann_phases,
-                "pipeline_phases": pipeline_phases,
-                "failed_queries": failed,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "all_ok": not failed,
+        "unit": "sec",
+        # Each per-query number is already the MIN over this many
+        # full-pipeline executions inside this single process (the
+        # host has ±80% cold-run variance; min-of-N is the
+        # steady-state estimate even when the harness runs us once).
+        "iters_per_query": ITERS,
+        "queries": timings,
+        "query_iters": iters_log,
+        "extended_queries": ext_timings,
+        "extended_query_iters": ext_iters_log,
+        "ann_phases": ann_phases,
+        "pipeline_phases": pipeline_phases,
+        "failed_queries": failed,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(detail))
+    # The driver's ~2.2 kB stdout-tail capture keeps only the LAST compact
+    # line, so the extended tier + phase breakdowns above arrive front-
+    # truncated in BENCH_r0N.json and are externally unparseable.  Persist
+    # the full detailed record as a committed artifact (like
+    # SCALECURVE.json) so every round's extended record survives without
+    # builder-side prose.  Best-effort: bench must still report when the
+    # repo dir is read-only.
+    try:
+        ext_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "EXTBENCH.json")
+        with open(ext_path, "w") as fh:
+            json.dump({**detail, "wall_clock_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# EXTBENCH.json not written: {exc}", file=sys.stderr)
     # The external driver captures only the TAIL of stdout (~2.2 kB), and
     # round 6's detailed line (per-iteration arrays + ann_phases) grew past
     # that window, truncating away the headline total (BENCH_r06

@@ -1069,6 +1069,42 @@ def test_lift_ppm_past_int64_wrap(spark):
     assert sum(r["n_pos"] for r in rows.values()) == half
 
 
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_mode='reliable' routes the two-pass operators through
+    DataFrame.checkpoint() against a fault-tolerant checkpoint dir
+    (survives executor loss at cluster scale, unlike the default local
+    mode — see operators/sort.py's mode tradeoff note).  Run a full
+    order-statistic query under it and pin: same results as local mode,
+    checkpoint files actually written, and a clear error when no
+    checkpoint dir is configured."""
+    import pytest as _pt
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.operators import sort as S
+    from uda_spark.registry import all_specs
+
+    fn = all_specs()["window_ntile_deciles"].fn
+    baseline = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+
+    S.set_checkpoint_mode("reliable")
+    try:
+        # without a checkpoint dir: actionable failure, not a JVM error
+        with _pt.raises(RuntimeError, match="setCheckpointDir"):
+            fn(spark, SF_SMOKE).collect()
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        rows = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+        assert rows == baseline
+        written = list((tmp_path / "ckpt").rglob("*"))
+        assert written, "reliable mode wrote no checkpoint files"
+    finally:
+        S.set_checkpoint_mode("local")
+        spark.sparkContext.setCheckpointDir(None)
+
+    with _pt.raises(ValueError):
+        S.set_checkpoint_mode("bogus")
+
+
 def test_ks_single_class_returns_null_not_error(spark):
     """ml_ks_statistic with a single-class input: n_neg = 0 makes the
     ppm denominator zero — the NULLIF guard must yield NULL ks_ppm in

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from uda_spark.operators.sort import snapshot as _snapshot
+
 from uda_spark import cache
 from uda_spark.functions import portable
 from uda_spark.plans import partitioning as PART
@@ -361,7 +363,7 @@ def connected_components(
         # materialize once: every iteration joins the edge list, and the
         # upstream pair pipeline (LSH band join + verification) must not
         # re-execute per round
-        .localCheckpoint(eager=True)
+        .transform(_snapshot)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -387,7 +389,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.transform(_snapshot)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), on="node")
@@ -560,7 +562,7 @@ def connected_components_star(
         )
         .where(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_snapshot)
     )
     if hot_degree_threshold is not None:
         # degree readout on the CHECKPOINTED edges (the upstream pair
@@ -580,7 +582,7 @@ def connected_components_star(
     global LAST_STAR_ROUNDS
     prev_sig = None
     for rounds_used in range(1, max_iterations + 1):
-        edges = _star_round(edges, hot_degree_threshold).localCheckpoint(eager=True)
+        edges = _star_round(edges, hot_degree_threshold).transform(_snapshot)
         row = edges.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),

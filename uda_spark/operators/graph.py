@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from uda_spark.operators.sort import snapshot as _snapshot
+
 FP = 1_000_000_000  # fixed-point scale
 
 EDGES_PER_PARTITION = 50_000
@@ -60,7 +62,7 @@ def pagerank_fp(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_snapshot)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -83,7 +85,7 @@ def pagerank_fp(
                     f"{base_int}L + ({damping_pct} * coalesce(s, 0L)) div 100"
                 ).alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_snapshot)
         )
     return ranks.select("node", "rank_fp")
 

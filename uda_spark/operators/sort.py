@@ -20,6 +20,61 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# Checkpoint mode for the two-pass range-partitioned operators (and the
+# iterative dedup/graph loops that reuse snapshot()).
+#
+# "local" (default): localCheckpoint(eager=True) — executor-local blocks,
+# no configuration needed, the right choice on a single machine and for
+# short jobs.  Tradeoff at cluster scale: local checkpoint blocks die with
+# their executor, and because checkpointing TRUNCATES lineage there is no
+# recompute path — a lost executor fails the job instead of recovering.
+#
+# "reliable": DataFrame.checkpoint(eager=True) — partitions persist to the
+# fault-tolerant checkpoint directory (spark.sparkContext.setCheckpointDir,
+# typically HDFS/S3), so executor loss recovers by re-reading the
+# checkpoint files.  Costs a distributed-FS write+read round trip per
+# snapshot.  Both modes preserve physical partition ids across the
+# paired jobs, which is the property the two-pass operators require.
+# Cluster deployments that cannot tolerate job restarts should flip this
+# once at startup:  uda_spark.operators.sort.set_checkpoint_mode("reliable")
+_CHECKPOINT_MODE = "local"
+
+
+def set_checkpoint_mode(mode: str) -> None:
+    """Select how :func:`snapshot` materializes: ``"local"`` (default —
+    fast, dies with executors) or ``"reliable"`` (survives executor loss;
+    requires ``sparkContext.setCheckpointDir`` first)."""
+    global _CHECKPOINT_MODE
+    if mode not in ("local", "reliable"):
+        raise ValueError(f"checkpoint_mode must be 'local' or 'reliable', got {mode!r}")
+    _CHECKPOINT_MODE = mode
+
+
+def get_checkpoint_mode() -> str:
+    return _CHECKPOINT_MODE
+
+
+def snapshot(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` with stable physical partition ids and
+    truncated lineage, honoring :func:`set_checkpoint_mode`.  See the
+    mode comment above for the local-vs-reliable tradeoff."""
+    if _CHECKPOINT_MODE == "reliable":
+        sc = df.sparkSession.sparkContext
+        ckpt_dir = None
+        try:
+            ckpt_dir = sc.getCheckpointDir()
+        except AttributeError:  # very old pyspark
+            opt = sc._jsc.sc().getCheckpointDir()
+            ckpt_dir = opt.get() if opt.isDefined() else None
+        if not ckpt_dir:
+            raise RuntimeError(
+                "checkpoint_mode='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
 
 def total_order_sort(df: DataFrame, keys: Sequence[str], ascending: bool = True) -> DataFrame:
     """Globally sort ``df`` by ``keys`` (range partition + partition sort)."""
@@ -55,13 +110,14 @@ def global_rank(
     n = num_partitions or spark.sparkContext.defaultParallelism
     key_cols = [F.col(k) for k in keys]
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
-    # localCheckpoint (eager), not persist: the offsets job and the rank job
-    # must observe the SAME physical partition ids.  A persisted plan can
-    # still recompute (cache eviction / executor loss), and a re-evaluated
-    # range exchange may be coalesced differently by AQE per downstream
-    # plan, silently shifting ids between the two jobs.  Checkpointing
-    # truncates lineage so both jobs read the one materialized snapshot.
-    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # Eager checkpoint (snapshot), not persist: the offsets job and the
+    # rank job must observe the SAME physical partition ids.  A persisted
+    # plan can still recompute (cache eviction / executor loss), and a
+    # re-evaluated range exchange may be coalesced differently by AQE per
+    # downstream plan, silently shifting ids between the two jobs.
+    # Checkpointing truncates lineage so both jobs read the one
+    # materialized snapshot; local vs reliable is set_checkpoint_mode.
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
     w = Window.partitionBy("_pid").orderBy(*key_cols)
     ranked = snap.withColumn("_rn", F.row_number().over(w))
 
@@ -108,9 +164,9 @@ def global_cumulative_sum(
     n = num_partitions or spark.sparkContext.defaultParallelism
     key_cols = [F.col(k) for k in order_keys]
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
-    # localCheckpoint for the same reason as global_rank: the subtotal job
+    # snapshot() for the same reason as global_rank: the subtotal job
     # and the window job must observe identical physical partition ids.
-    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*key_cols)
@@ -167,9 +223,9 @@ def global_cumulative_extreme(
     key_cols = [F.col(k) for k in order_keys]
     dt = df.schema[value_col].dataType
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
-    # localCheckpoint for the same reason as global_rank: the extremes job
+    # snapshot() for the same reason as global_rank: the extremes job
     # and the window job must observe identical physical partition ids.
-    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*key_cols)
@@ -228,7 +284,7 @@ def grouped_global_cumulative_sum(
     parted = df.repartitionByRange(n, *gcols, *ocols).sortWithinPartitions(
         *gcols, *ocols
     )
-    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
     w = (
         Window.partitionBy("_pid", *group_keys)
         .orderBy(*ocols)
@@ -348,9 +404,9 @@ def global_cumulative_sums(
     n = num_partitions or spark.sparkContext.defaultParallelism
     key_cols = [F.col(k) for k in order_keys]
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
-    # localCheckpoint: the subtotal job and the window job must see the
+    # snapshot(): the subtotal job and the window job must see the
     # same physical partition ids (see global_rank)
-    snap = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*key_cols)
