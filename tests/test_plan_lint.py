@@ -59,6 +59,7 @@ SP_BOUNDED: dict[str, str] = {
     "graph_triangle_stats": "1-row wedge/triangle count relations (Project renames of scalar aggs)",
     "orders_open_backlog": "calendar-day-grained open/close delta relation (bounded by dataset day span)",
     "events_runs_test": "calendar-day-grained sign sequence (bounded by dataset day span)",
+    "events_peak_days": "calendar-day-grained lag/lead context (bounded by dataset day span)",
     "events_cusum_changepoint": "calendar-day-grained daily counts (bounded by dataset day span)",
     "events_survival_km": "duration-day-grained at-risk table (bounded by dataset day span)",
     "events_acf_daily": "calendar-day-grained series joined at small lags",
@@ -121,6 +122,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "pipeline_lorenz_deciles": "scalar corpus totals + 10-row deciles",
     "text_js_divergence_sources": "per-source totals (bounded) + 1-row grand total",
     "events_trend_mk": "calendar-day series self-paired (bounded day span)",
+    "events_peak_days": "1-row whole-series totals for the above-mean test",
     "dq_benford_firstdigit": "9-row digit table + scalar total",
     "dq_freshness_lag": "scalar now-watermark relation (1-row agg)",
     "orders_pareto_8020": "scalar revenue total + threshold row",

@@ -2097,3 +2097,204 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(((n_up + n_down) + 2 * n_up * n_down) * 1000"
         " div NULLIF(n_up + n_down, 0) AS BIGINT) AS expected_runs_milli",
     )
+
+
+@register(
+    "events_poisson_dispersion",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_DUCK_US} // {_DAY_US} AS day, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS d, SUM(x)::BIGINT AS s,
+         SUM(x::HUGEINT * x) AS sxx
+  FROM daily
+)
+SELECT d AS n_days, s AS n_events,
+       CAST(s * 1000 // d AS BIGINT) AS mean_milli,
+       CAST((d * sxx - s::HUGEINT * s) * 1000 // (d::HUGEINT * d)
+            AS BIGINT) AS var_milli,
+       CAST((d * sxx - s::HUGEINT * s) * 1000 // NULLIF(d::HUGEINT * s, 0)
+            AS BIGINT) AS dispersion_milli
+FROM m
+""",
+    tags=("events", "timeseries", "statistics"),
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of the daily event
+    counts — the first screen for whether arrivals are Poisson-like
+    (ratio ~ 1), clumped/bursty (>> 1, e.g. bot storms or batch
+    ingestion) or over-regular (<< 1, e.g. rate-limited pipelines);
+    companion to events_burstiness_fano's windowed view, here as a
+    single exact whole-series statistic.  Population variance and mean
+    come from the exact integer moments (D·Σx² − S²)/D² and S/D,
+    reported in milli-units via integer division; Σx² and the moment
+    products ride DECIMAL(38,0)/HUGEINT (daily counts at corpus scale
+    put D·Σx² past int64).
+
+    Scale shape: one partial-aggregated pass over the fact to the
+    O(days) daily rollup, then a 1-row exact-moments aggregate — no
+    window, no join, nothing driver-side.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    daily = ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    m = daily.agg(
+        F.count("*").cast("long").alias("d"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return m.selectExpr(
+        "d AS n_days",
+        "s AS n_events",
+        "CAST(s * 1000 div d AS BIGINT) AS mean_milli",
+        "CAST((d * sxx - CAST(s AS DECIMAL(38,0)) * s) * 1000"
+        " div (CAST(d AS DECIMAL(38,0)) * d) AS BIGINT) AS var_milli",
+        "CAST((d * sxx - CAST(s AS DECIMAL(38,0)) * s) * 1000"
+        " div NULLIF(CAST(d AS DECIMAL(38,0)) * s, 0) AS BIGINT)"
+        " AS dispersion_milli",
+    )
+
+
+@register(
+    "events_peak_days",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_DUCK_US} // {_DAY_US} AS day, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+tot AS (SELECT COUNT(*)::BIGINT AS d, SUM(x)::BIGINT AS s FROM daily),
+ctx AS (
+  SELECT day, x,
+         LAG(x)  OVER (ORDER BY day) AS prev_x,
+         LEAD(x) OVER (ORDER BY day) AS next_x
+  FROM daily
+)
+SELECT c.day, c.x AS n_events, c.prev_x, c.next_x
+FROM ctx c, tot
+WHERE c.prev_x IS NOT NULL AND c.next_x IS NOT NULL
+  AND c.x > c.prev_x AND c.x > c.next_x
+  AND c.x::HUGEINT * tot.d > tot.s
+""",
+    tags=("events", "timeseries"),
+)
+def events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-day detection on the daily series: strict local maxima
+    (above both calendar neighbors) that also exceed the whole-series
+    mean — the spike shortlist an on-call engineer or a capacity planner
+    reads first, and the discrete sibling of events_cusum_changepoint's
+    level-shift view.  The above-mean test is the exact integer cross
+    product x·D > S (no float mean), carried in DECIMAL/HUGEINT.
+
+    Scale shape: one pass to the O(days) daily rollup; lag/lead run in
+    one window over the calendar-bounded day sequence (the same
+    provably bounded window class as events_runs_test — 36k rows per
+    century, never data-volume-scaling), and the 1-row totals broadcast.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    from uda_spark.cache import tracked_persist
+
+    daily = tracked_persist(
+        ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day")).agg(
+            F.count("*").alias("x")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("d"), F.sum("x").cast("long").alias("s")
+    )
+    w = Window.orderBy("day")
+    ctx = daily.withColumn("prev_x", F.lag("x").over(w)).withColumn(
+        "next_x", F.lead("x").over(w)
+    )
+    return (
+        ctx.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("prev_x").isNotNull()
+            & F.col("next_x").isNotNull()
+            & (F.col("x") > F.col("prev_x"))
+            & (F.col("x") > F.col("next_x"))
+            & (F.expr("CAST(x AS DECIMAL(38,0)) * d > CAST(s AS DECIMAL(38,0))"))
+        )
+        .select(
+            "day",
+            F.col("x").cast("long").alias("n_events"),
+            F.col("prev_x").cast("long").alias("prev_x"),
+            F.col("next_x").cast("long").alias("next_x"),
+        )
+    )
+
+
+@register(
+    "events_entropy_rate",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS c
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+outdeg AS (SELECT prev_type, SUM(c)::BIGINT AS tot FROM pairs GROUP BY prev_type),
+n AS (SELECT SUM(c)::BIGINT AS total FROM pairs),
+cells AS (
+  SELECT CAST(round(p.c * ln(CAST(o.tot AS DOUBLE) / p.c) * 1000000) AS BIGINT)
+           AS cell_unorm
+  FROM pairs p JOIN outdeg o ON p.prev_type = o.prev_type
+)
+SELECT n.total AS n_transitions,
+       (SELECT COUNT(*) FROM pairs)::BIGINT AS n_cells,
+       CAST(SUM(cell_unorm) // n.total AS BIGINT) AS entropy_rate_micronats
+FROM cells, n GROUP BY n.total
+""",
+    tags=("events", "sequence", "statistics"),
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order user-behavior Markov chain:
+    H = Σ_st (c_st/N)·ln(tot_s/c_st) in micro-nats — one number for how
+    predictable the NEXT event is given the current one (0 = fully
+    deterministic flows, ln|types| = uniform chaos).  The sequencing
+    readout next to events_markov_transitions' full matrix and
+    events_user_entropy's per-user marginal view.
+
+    Exactness: each |types|²-bounded cell contributes
+    round(c·ln(tot/c)·1e6) — a deterministic double on exact integers
+    rounded PER CELL so the sum is an order-independent integer — and
+    the normalization by N is integer division at the end.
+
+    Scale shape: one per-user window pass emits transitions (same
+    exchange as events_markov_transitions), then everything is
+    |types|²-bounded: the cell relation, the broadcast out-degrees, and
+    the 1-row total.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (
+        ev.withColumn("ts_us", event_micros(ev))
+        .select("user_id", "event_type", "event_id", "ts_us")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    from uda_spark.cache import tracked_persist
+
+    pairs = tracked_persist(pairs)
+    outdeg = pairs.groupBy("prev_type").agg(F.sum("c").cast("long").alias("tot"))
+    n_cells, total = pairs.agg(F.count("*"), F.sum("c").cast("long")).first()
+    cells = pairs.join(F.broadcast(outdeg), on="prev_type").selectExpr(
+        "CAST(round(c * ln(CAST(tot AS DOUBLE) / c) * 1000000) AS BIGINT)"
+        " AS cell_unorm"
+    )
+    return cells.agg(F.sum("cell_unorm").alias("su")).selectExpr(
+        f"CAST({total}L AS BIGINT) AS n_transitions",
+        f"CAST({n_cells} AS BIGINT) AS n_cells",
+        f"CAST(su div {total}L AS BIGINT) AS entropy_rate_micronats",
+    )

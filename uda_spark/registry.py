@@ -238,7 +238,11 @@ _R08_NEW: tuple[str, ...] = (
 # from the committed files and fails if this frozen tuple drifts.
 LRS_THROUGH_ROUND = 8
 
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "events_poisson_dispersion",
+    "events_peak_days",
+    "events_entropy_rate",
+)
 
 _LRS_ORDER: tuple[str, ...] = (
     "wordcount_documents",
