@@ -2960,3 +2960,102 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS revenue_at_m_ppm",
         )
     )
+
+
+@register(
+    "dq_order_reconciliation",
+    oracle="""
+WITH charge AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+             * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS chg
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderstatus AS orderstatus,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(CASE WHEN c.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_missing_lineitems,
+       SUM(CASE WHEN c.l_orderkey IS NOT NULL
+                 AND c.chg = CAST(o.o_totalprice AS DECIMAL(14,2))
+                THEN 1 ELSE 0 END)::BIGINT AS n_reconciled,
+       SUM(CASE WHEN c.l_orderkey IS NOT NULL
+                 AND c.chg <> CAST(o.o_totalprice AS DECIMAL(14,2))
+                THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+       COALESCE(MAX(CASE WHEN c.l_orderkey IS NOT NULL THEN
+         CAST(abs((c.chg - CAST(o.o_totalprice AS DECIMAL(14,2))) * 1000000)
+              AS BIGINT) END), 0)::BIGINT AS max_abs_diff_micro
+FROM orders o LEFT JOIN charge c ON o.o_orderkey = c.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+    tags=("quality", "dq"),
+)
+def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table aggregate reconciliation — the classic financial DQ
+    audit: does each order header's o_totalprice equal the sum of its
+    line items' charge (extendedprice x (1-discount) x (1+tax))?
+    Reports, per order status, the reconciled / mismatched / headerless
+    counts and the worst absolute discrepancy — the audit that catches
+    partial loads, double-applied discounts, and truncated line files
+    that per-table checks (dq_referential_integrity) cannot see.
+
+    Exactness: the charge is an exact DECIMAL chain — (14,2) x (4,2) x
+    (4,2) stays within precision 38 with scale 6 in BOTH engines (the
+    wider (18,2) casts used for reporting sums would overflow Spark's
+    decimal-multiplication precision here and silently round) — so
+    equality and the micro-unit diff are exact integer facts.
+
+    Scale shape: one partial-aggregated groupBy on l_orderkey (the
+    corpus exchange), one co-keyed shuffle join against the header
+    table, bounded per-status output.  No broadcast of anything
+    unbounded, no window.
+    """
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.expr(
+            "SUM(CAST(l_extendedprice AS DECIMAL(14,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+            " * (1 + CAST(l_tax AS DECIMAL(4,2))))"
+        ).alias("chg")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return j.groupBy(F.col("o_orderstatus").alias("orderstatus")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_lineitems"),
+        F.sum(
+            F.when(
+                F.col("l_orderkey").isNotNull()
+                & (F.col("chg") == F.expr("CAST(o_totalprice AS DECIMAL(14,2))")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum(
+            F.when(
+                F.col("l_orderkey").isNotNull()
+                & (F.col("chg") != F.expr("CAST(o_totalprice AS DECIMAL(14,2))")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("l_orderkey").isNotNull(),
+                    F.expr(
+                        "CAST(abs((chg - CAST(o_totalprice AS DECIMAL(14,2)))"
+                        " * 1000000) AS BIGINT)"
+                    ),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_abs_diff_micro"),
+    )

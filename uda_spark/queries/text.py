@@ -1918,3 +1918,143 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(js_obs + {_JS_UNOBS} AS BIGINT) AS js_micronats",
         )
     )
+
+
+@register(
+    "text_simpson_diversity",
+    oracle=f"""
+WITH tk AS (
+  SELECT source, unnest({_DU_TOKS}) AS term FROM documents
+),
+per AS (
+  SELECT source, term, COUNT(*)::BIGINT AS c FROM tk GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_types,
+       SUM(c)::BIGINT AS n_tokens,
+       CAST(SUM(c::HUGEINT * (c - 1)) * 1000000
+            // NULLIF(SUM(c)::HUGEINT * (SUM(c) - 1), 0) AS BIGINT)
+         AS simpson_ppm,
+       CAST(SUM(c)::HUGEINT * (SUM(c) - 1) * 1000
+            // NULLIF(SUM(c::HUGEINT * (c - 1)), 0) AS BIGINT)
+         AS inv_simpson_milli
+FROM per GROUP BY source
+""",
+    tags=("text", "quality", "statistics"),
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration per source — the probability two randomly
+    drawn tokens are the same type, Σc(c−1)/N(N−1), plus its inverse
+    (the 'effective number of types') — the diversity readout that
+    weights COMMON types where TTR/hapax weight rare ones: template
+    spam with a fat head concentrates Simpson long before it moves the
+    type count.  Exact integer ppm/milli; the c(c−1) and N(N−1)
+    products ride DECIMAL(38,0)/HUGEINT (both exceed int64 at corpus
+    scale), with NULLIF guarding the degenerate single-token source.
+
+    Scale shape: identical to text_ttr_by_source — one corpus explode,
+    one (source, term) partial-agg exchange, bounded per-source output;
+    the vocabulary-sized intermediate never visits one task.
+    """
+    tk = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(_SP_TOKS)).alias("term")
+    )
+    per = tk.groupBy("source", "term").agg(F.count("*").cast("long").alias("c"))
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) * 1000000"
+            " div NULLIF(CAST(SUM(c) AS DECIMAL(38,0)) * (SUM(c) - 1), 0)"
+            " AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(c) AS DECIMAL(38,0)) * (SUM(c) - 1) * 1000"
+            " div NULLIF(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)), 0)"
+            " AS BIGINT)"
+        ).alias("inv_simpson_milli"),
+    )
+
+
+ZIPF_TOP_K = 1000
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+WITH tk AS (
+  SELECT unnest({_DU_TOKS}) AS term FROM documents
+),
+cnt AS (SELECT term, COUNT(*)::BIGINT AS c FROM tk GROUP BY term),
+top AS (
+  SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {ZIPF_TOP_K}
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS DOUBLE))
+              * 1000000) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+  FROM top
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(lx)::HUGEINT AS sx, SUM(ly)::HUGEINT AS sy,
+         SUM(lx::HUGEINT * ly) AS sxy, SUM(lx::HUGEINT * lx) AS sxx,
+         SUM(ly::HUGEINT * ly) AS syy
+  FROM xy
+)
+SELECT n AS n_terms,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM m
+""",
+    tags=("text", "statistics"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the head of the frequency table: OLS slope of
+    ln(freq) on ln(rank) for the top-1000 terms (natural corpora sit
+    near −1; templated or synthetic text flattens toward 0, and the R²
+    reports how law-like the head is) — a one-number corpus-naturalness
+    screen next to the drift and diversity views.
+
+    Exactness: ranks and counts become per-row micro-nat integers
+    (deterministic ln on exact integers, rounded PER ROW), the five OLS
+    moments are exact integer sums in DECIMAL(38,0)/HUGEINT, and the
+    final divisions are deterministic doubles on exact inputs —
+    identical text both engines.
+
+    Scale shape: one corpus explode + one term partial-agg exchange,
+    then TakeOrderedAndProject keeps only the top-K rows (every task
+    retains <= K); the rank window runs over that K-row bounded
+    relation.  K is a constant — nothing downstream scales with the
+    corpus.
+    """
+    tk = t(spark, sf_dir, "documents").select(
+        F.explode(F.expr(_SP_TOKS)).alias("term")
+    )
+    cnt = tk.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    top = cnt.orderBy(F.col("c").desc(), F.col("term")).limit(ZIPF_TOP_K)
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    xy = top.withColumn("rnk", F.row_number().over(w)).selectExpr(
+        "CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS lx",
+        "CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS ly",
+    )
+    m = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ly").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(19,0)) * ly")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(19,0)) * lx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(ly AS DECIMAL(19,0)) * ly")).cast("decimal(38,0)").alias("syy"),
+    )
+    return m.selectExpr(
+        "n AS n_terms",
+        "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope",
+        "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " * CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+        " * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2",
+    )

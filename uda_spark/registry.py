@@ -242,6 +242,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "events_poisson_dispersion",
     "events_peak_days",
     "events_entropy_rate",
+    "text_simpson_diversity",
+    "text_zipf_slope",
+    "dq_order_reconciliation",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
