@@ -753,6 +753,36 @@ def test_terasort_spill_stress():
 
 
 @pytest.mark.slow
+def test_cumulative_spill_skew_stress():
+    """Two-pass cumulative family under forced spill + key skew
+    (VERDICT r08 stretch): 20M-row closed-form cumsum over a
+    quadratically-densifying key space, 5M-row cummin vs the naive
+    global window, and a 50%-mass hot group through the grouped
+    variant — zero mismatches, hot group spread across many range
+    partitions with bounded per-task load.  Subprocess because the
+    memory-pressure confs must be set before the JVM starts."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "stress_cumulative.py",
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--rows", "20000000", "--cpus", "24"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["ok"], result
+
+
+@pytest.mark.slow
 def test_lsh_dedup_scale_stress(spark):
     """Banded MinHash LSH at 200k documents (~40x bench corpus scale):
     every planted near-dup pair must be recovered, the candidate set must
