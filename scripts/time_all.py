@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""One-iteration wall-time sweep over EVERY registered query at one sf dir.
+
+Used to find queries that deserve a SCALECURVE.json row (the tracking
+criterion is >=0.5s at sf0.1).  Writes TIMEALL.json at the repo root:
+{"sf_dir": ..., "sec": {name: sec, ...}}.
+
+Run:  python scripts/time_all.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uda_spark.cache import release_persisted  # noqa: E402
+from uda_spark.registry import all_specs  # noqa: E402
+from uda_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark(
+        "uda_spark_time_all", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    # Warm the session (JVM/codegen/first-scan costs land on a throwaway).
+    next(iter(specs.values())).fn(spark, sf).collect()
+    release_persisted()
+    out: dict = {"sf_dir": sf, "sec": {}}
+    for name, spec in specs.items():
+        t0 = time.monotonic()
+        try:
+            spec.fn(spark, sf).collect()
+            out["sec"][name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # record, keep sweeping
+            out["sec"][name] = None
+            print(f"# FAIL {name}: {exc}", file=sys.stderr)
+        release_persisted()
+        print(f"# {name}: {out['sec'][name]}", file=sys.stderr)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TIMEALL.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh)
+        fh.write("\n")
+    print(json.dumps({"n": len(out["sec"]), "sf_dir": sf}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

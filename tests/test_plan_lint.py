@@ -69,6 +69,7 @@ SP_BOUNDED: dict[str, str] = {
     "streaming_histogram_quantiles": "<=64 log2 histogram buckets (sketch contract)",
     "ml_lift_deciles": "10-row decile relation (cumulative-capture window input)",
     "pipeline_lorenz_deciles": "10-row decile relation (Lorenz-curve window input)",
+    "events_theil_sen_trend": "calendar-day pair relation (O(days^2), bounded by dataset day span)",
 }
 
 # BroadcastNestedLoopJoin: the reason the broadcast side is bounded, per
@@ -137,6 +138,9 @@ BNLJ_BOUNDED: dict[str, str] = {
     "ml_mcc_ece": "scalar confusion totals + 10-row calibration bins",
     "events_holt_forecast": "1-row final (level, trend) state + scalar span",
     "events_acf_daily": "calendar-day series at small fixed lags + scalar mean",
+    "events_theil_sen_trend": "1-row median-slope relation crossed onto the 1-row day count",
+    "dq_iqr_outlier_audit": "scalar row-count total + 1-row quartile fence relation",
+    "sim_knn_margin_audit": "fixed query set (vec_id < K pushed filter, <=64 rows)",
 }
 
 

@@ -1692,3 +1692,220 @@ def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(ll div n AS BIGINT) AS logloss_micronats",
         "n_correct_at_half",
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (two-pass global ranks, no single-task window)
+
+
+@register(
+    "ml_spearman_corr",
+    oracle="""
+WITH ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
+           AS rq,
+         ROW_NUMBER() OVER (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                            l_orderkey, l_linenumber) AS rp
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM((rq - rp)::HUGEINT * (rq - rp)) AS sd2
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(sd2 AS BIGINT) AS sum_d2,
+       CAST((n * (n * n - 1) - 6 * sd2) * 1000000 // (n * (n * n - 1))
+            AS BIGINT) AS spearman_rho_ppm
+FROM m
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line-item quantity and extended
+    price — the monotone-association screen feature pipelines run before
+    trusting a linear correlation (Pearson lives in
+    ml_correlation_matrix; Spearman is its outlier-robust sibling and
+    catches nonlinear-but-monotone relations Pearson understates).
+
+    Exactness: both rank columns are exact ROW_NUMBER positions under a
+    fully deterministic order (value, orderkey, linenumber — unique
+    tiebreak, the standard competition-free tie handling), so
+    Σd² is exact integer arithmetic; ρ = 1 − 6Σd²/(n(n²−1)) is emitted
+    as an integer ppm with the whole numerator/denominator carried in
+    DECIMAL(38,0)/HUGEINT (n³ at corpus scale is far past int64).
+
+    Scale shape: two range-partitioned two-pass global ranks
+    (operators/sort.py:95 — no single-partition window over the fact),
+    then one scalar aggregate.  Cites the reference's total-order
+    machinery (src/Merger — the same sample-sort shape terasort uses).
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    rq = global_rank(li, ["l_quantity", "l_orderkey", "l_linenumber"], alias="rq")
+    both = global_rank(rq, ["price_d", "l_orderkey", "l_linenumber"], alias="rp")
+    m = both.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.expr(
+            "SUM(CAST(rq - rp AS DECIMAL(38,0)) * (rq - rp))"
+        ).cast("decimal(38,0)").alias("sd2"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "CAST(sd2 AS BIGINT) AS sum_d2",
+        "CAST((n * (n * n - 1) - 6 * sd2) * 1000000 div (n * (n * n - 1))"
+        " AS BIGINT) AS spearman_rho_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired-classifier test
+
+
+@register(
+    "ml_mcnemar_paired",
+    oracle="""
+WITH scored AS (
+  SELECT (l_returnflag = 'R') AS y,
+         (CAST(l_discount AS DECIMAL(18,2)) >= 0.06) AS pred_a,
+         (l_quantity >= 30) AS pred_b
+  FROM lineitem
+),
+cells AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN (pred_a = y) AND (pred_b <> y) THEN 1 ELSE 0 END)::BIGINT AS b,
+         SUM(CASE WHEN (pred_a <> y) AND (pred_b = y) THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM scored
+)
+SELECT n AS n_rows, b AS n_a_only_correct, c AS n_b_only_correct,
+       CAST((ABS(b - c) - 1)::HUGEINT * (ABS(b - c) - 1) * 1000
+            // NULLIF(b + c, 0) AS BIGINT) AS mcnemar_chi2_milli
+FROM cells
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for comparing two classifiers on the SAME rows —
+    the paired-model promotion gate: accuracy deltas between model A and
+    model B are meaningless if the disagreement cells are tiny, and
+    McNemar's χ² (continuity-corrected, (|b−c|−1)²/(b+c)) is the
+    standard significance screen on exactly the discordant pairs.
+    Models here are two deterministic rules over line items (discount
+    rule vs quantity rule; truth = item was returned), the same
+    stand-in style the AUC/confusion tier uses.
+
+    Exactness: b and c are exact counts from one pass; the statistic is
+    integer milli-units with the squared numerator in DECIMAL(38,0)/
+    HUGEINT (b−c can be ~n at corpus scale, so (b−c)²·1000 passes
+    int64) and NULLIF guarding the all-agree corpus.
+
+    Scale shape: one map-side-combined scan to a 1-row cell relation —
+    no join, no window, nothing driver-side.
+    """
+    scored = t(spark, sf_dir, "lineitem").selectExpr(
+        "(l_returnflag = 'R') AS y",
+        "(CAST(l_discount AS DECIMAL(18,2)) >= 0.06) AS pred_a",
+        "(l_quantity >= 30) AS pred_b",
+    )
+    cells = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "SUM(CASE WHEN (pred_a = y) AND (pred_b <> y) THEN 1 ELSE 0 END)"
+        ).cast("long").alias("b"),
+        F.expr(
+            "SUM(CASE WHEN (pred_a <> y) AND (pred_b = y) THEN 1 ELSE 0 END)"
+        ).cast("long").alias("c"),
+    )
+    return cells.selectExpr(
+        "n AS n_rows",
+        "b AS n_a_only_correct",
+        "c AS n_b_only_correct",
+        "CAST(CAST(ABS(b - c) - 1 AS DECIMAL(38,0)) * (ABS(b - c) - 1) * 1000"
+        " div NULLIF(b + c, 0) AS BIGINT) AS mcnemar_chi2_milli",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss of a grouped baseline predictor
+
+
+@register(
+    "ml_quantile_loss",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_c
+  FROM orders
+),
+pred AS (
+  SELECT o_orderpriority,
+         SUM(y_c)::HUGEINT // COUNT(*) AS yhat_c
+  FROM cents GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(MIN(p.yhat_c) AS BIGINT) AS pred_cents,
+       CAST(SUM(CASE WHEN c.y_c >= p.yhat_c
+                     THEN 9 * (c.y_c - p.yhat_c)::HUGEINT
+                     ELSE (p.yhat_c - c.y_c)::HUGEINT END) AS BIGINT)
+         AS pinball_decicents,
+       CAST(SUM(CASE WHEN c.y_c >= p.yhat_c
+                     THEN 9 * (c.y_c - p.yhat_c)::HUGEINT
+                     ELSE (p.yhat_c - c.y_c)::HUGEINT END)
+            // (10 * COUNT(*)) AS BIGINT) AS pinball_cents_per_order
+FROM cents c JOIN pred p USING (o_orderpriority)
+GROUP BY c.o_orderpriority
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_quantile_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss at τ=0.9 of a per-priority baseline
+    predictor — the proper scoring rule for QUANTILE forecasts (demand
+    planning, latency SLO regressors): unlike squared error it is
+    asymmetric, charging τ per unit of under-prediction and 1−τ per
+    unit of over-prediction, so it is minimized by the true τ-quantile.
+    A mean predictor scored at τ=0.9 is the standard baseline a real
+    quantile model must beat.
+
+    Exactness: targets are integer cents; the predictor is the exact
+    integer-truncated per-group mean; with τ=0.9 the two loss branches
+    scale to integer DECI-cents (9·under vs 1·over), summed in
+    DECIMAL(38,0)/HUGEINT — no float anywhere.
+
+    Scale shape: one exchange to per-priority means (5 rows, BROADCAST
+    back onto the fact), one grouped aggregation — two shuffles total,
+    both on the tiny priority key.
+    """
+    cents = t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_c",
+    )
+    pred = cents.groupBy("o_orderpriority").agg(
+        F.expr("CAST(SUM(CAST(y_c AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)").alias(
+            "yhat_c"
+        )
+    )
+    loss = (
+        "CASE WHEN y_c >= yhat_c THEN 9 * CAST(y_c - yhat_c AS DECIMAL(38,0))"
+        " ELSE CAST(yhat_c - y_c AS DECIMAL(38,0)) END"
+    )
+    return (
+        cents.join(F.broadcast(pred), on="o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("yhat_c").cast("long").alias("pred_cents"),
+            F.expr(f"SUM({loss})").alias("pb"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n_orders",
+            "pred_cents",
+            "CAST(pb AS BIGINT) AS pinball_decicents",
+            "CAST(pb div (10 * n_orders) AS BIGINT) AS pinball_cents_per_order",
+        )
+    )

@@ -2298,3 +2298,83 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({n_cells} AS BIGINT) AS n_cells",
         f"CAST(su div {total}L AS BIGINT) AS entropy_rate_micronats",
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend slope over the daily series
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_DUCK_US} // {_DAY_US} AS day, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.day AS d1, b.day AS d2,
+         (b.x - a.x) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+ranked AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS rn,
+         COUNT(*) OVER () AS p
+  FROM pairs
+)
+SELECT (SELECT COUNT(*)::BIGINT FROM daily) AS n_days,
+       MAX(p)::BIGINT AS n_pairs,
+       CAST(floor(AVG(slope) * 1000000 + 0.5) AS BIGINT)
+         AS theil_sen_slope_micro
+FROM ranked
+WHERE rn IN ((p + 1) // 2, (p + 2) // 2)
+""",
+    tags=("events", "timeseries", "statistics"),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope of the daily event counts — the
+    magnitude companion to events_trend_mk (Mann-Kendall answers "is
+    there a monotone trend?"; Theil–Sen answers "how steep?") and the
+    estimator of choice when level shifts and outlier days would wreck
+    an OLS slope: it is the MEDIAN of all pairwise day-to-day slopes,
+    with a 29.3% breakdown point.
+
+    Exactness: each pairwise slope is ONE IEEE division of two exact
+    integers (bit-identical across engines); the median picks the
+    middle element(s) by exact rank (average of the two middles when
+    the pair count is even — one deterministic add/halve), then
+    quantizes once to integer micro-units with the repo's
+    floor(x·1e6 + 1/2) convention.  No float accumulation anywhere.
+
+    Scale shape: one partial-aggregated pass over the fact to the
+    O(days) daily rollup; the pair self-join and the rank window are
+    over the CALENDAR-bounded pair relation (a decade of days is ~6.6M
+    pairs — kilobytes per day of history, never data-scaling), the same
+    boundedness class as events_trend_mk's sign pairs.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    daily = ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    a = daily.selectExpr("day AS d1", "x AS x1")
+    b = daily.selectExpr("day AS d2", "x AS x2")
+    pairs = a.join(b, F.col("d2") > F.col("d1")).selectExpr(
+        "d1", "d2", "(x2 - x1) / CAST(d2 - d1 AS DOUBLE) AS slope"
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("p"),
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    mid = ranked.where(
+        F.expr("rn IN ((p + 1) div 2, (p + 2) div 2)")
+    ).agg(
+        F.max("p").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(floor(AVG(slope) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("theil_sen_slope_micro"),
+    )
+    return n_days.crossJoin(F.broadcast(mid)).select(
+        "n_days", "n_pairs", "theil_sen_slope_micro"
+    )

@@ -1913,3 +1913,80 @@ def pipeline_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(max_toks AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
         " AS max_share_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Token savings from exact dedup, attributed per source
+
+
+@register(
+    "pipeline_dedup_token_savings",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source, md5(text) AS h,
+         len(list_filter({portable.tokens('text', 'duck')}, x -> x <> ''))::BIGINT
+           AS n_tok
+  FROM documents
+),
+canon AS (SELECT h, MIN(doc_id) AS keep_id FROM docs GROUP BY h)
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(d.n_tok)::BIGINT AS total_tokens,
+       SUM(CASE WHEN d.doc_id <> c.keep_id THEN 1 ELSE 0 END)::BIGINT
+         AS dup_docs,
+       SUM(CASE WHEN d.doc_id <> c.keep_id THEN d.n_tok ELSE 0 END)::BIGINT
+         AS dup_tokens,
+       CAST(SUM(CASE WHEN d.doc_id <> c.keep_id THEN d.n_tok ELSE 0 END)
+            * 1000000 // NULLIF(SUM(d.n_tok), 0) AS BIGINT) AS savings_ppm
+FROM docs d JOIN canon c USING (h)
+GROUP BY d.source
+""",
+    tags=("pipeline", "dedup", "north-star"),
+)
+def pipeline_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token savings from exact dedup, attributed per source —
+    the number a curation team actually budgets with: dedup_exact says
+    HOW MANY documents collapse; this says how many TOKENS (≈ training
+    FLOPs) each source would shed, with duplicates charged to the
+    non-canonical copy's source (min-doc_id canonicalization, the
+    dedup_cluster_canonical convention) so cross-source duplication
+    shows up where it would be dropped.
+
+    Exactness: pure integer counts; the savings ratio is integer ppm
+    with a NULLIF guard for an all-empty source.
+
+    Scale shape: one map-only pass computes (digest, source, tokens)
+    triples — document BODIES never shuffle; the canonical relation
+    groups 16-byte digests and joins back on the digest key (both
+    exchanges carry hashes + two ints per row).  At 100 TB this is the
+    same audited shape as dedup_exact/dedup_rate_by_source with one
+    extra integer column.
+    """
+    docs = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        "md5(text) AS h",
+        f"CAST(size(filter({portable.tokens('text', 'spark')}, x -> x <> ''))"
+        " AS BIGINT) AS n_tok",
+    )
+    canon = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        docs.join(canon, on="h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keep_id"), F.col("n_tok")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup_tokens"),
+            F.expr(
+                "CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END)"
+                " * 1000000 div NULLIF(SUM(n_tok), 0) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+    )

@@ -3059,3 +3059,105 @@ def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_abs_diff_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IQR-fence outlier audit (exact Tukey fences, two-pass global rank)
+
+
+@register(
+    "dq_iqr_outlier_audit",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_c
+  FROM orders
+),
+ranked AS (
+  SELECT y_c, ROW_NUMBER() OVER (ORDER BY y_c, o_orderkey) AS rnk FROM cents
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM cents),
+f AS (
+  SELECT MIN(CASE WHEN rnk = (n + 3) // 4 THEN y_c END) AS q1,
+         MIN(CASE WHEN rnk = (3 * n + 3) // 4 THEN y_c END) AS q3
+  FROM ranked, tot
+)
+SELECT c.o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       MIN(f.q1)::BIGINT AS q1_cents,
+       MIN(f.q3)::BIGINT AS q3_cents,
+       SUM(CASE WHEN 4 * c.y_c < 4 * f.q1 - 6 * (f.q3 - f.q1)
+                THEN 1 ELSE 0 END)::BIGINT AS n_low,
+       SUM(CASE WHEN 4 * c.y_c > 4 * f.q3 + 6 * (f.q3 - f.q1)
+                THEN 1 ELSE 0 END)::BIGINT AS n_high,
+       CAST(SUM(CASE WHEN 4 * c.y_c < 4 * f.q1 - 6 * (f.q3 - f.q1)
+                      OR 4 * c.y_c > 4 * f.q3 + 6 * (f.q3 - f.q1)
+                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS outlier_ppm
+FROM cents c, f
+GROUP BY c.o_orderpriority
+""",
+    tags=("quality", "dq", "statistics"),
+)
+def dq_iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier audit of order values, attributed per
+    priority class — the distribution-free outlier screen DQ suites run
+    beside the z-score family (events_value_winsorize): values outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] are flagged without assuming
+    normality, and the per-class attribution shows WHERE the tail mass
+    lives.
+
+    Exactness: quartiles are exact order statistics — the value at rank
+    ⌈n/4⌉ / ⌈3n/4⌉ under a fully deterministic (value, key) order
+    (percentile_disc semantics, no interpolation) — and the 1.5×IQR
+    fences are cross-multiplied into quarter-cent integers (4y < 4·Q1 −
+    6·IQR), so the audit is pure integer comparison.
+
+    Scale shape: one range-partitioned two-pass global rank
+    (operators/sort.py:95 — no single-partition window over the fact),
+    a 2-row rank probe reduced to a 1-row broadcast fence relation, and
+    one grouped pass over the fact — the same shape the reference's
+    total-order machinery (src/Merger) serves.
+    """
+    from uda_spark.operators.sort import global_rank
+
+    cents = t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_c",
+    )
+    ranked = global_rank(
+        cents.select("y_c", "o_orderkey"), ["y_c", "o_orderkey"], alias="rnk"
+    )
+    tot = cents.agg(F.count("*").cast("long").alias("n"))
+    # materialize the 2 quartile rows with their target ranks, then fold
+    # them into the 1-row fence relation
+    probe = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(F.expr("rnk = (n + 3) div 4 OR rnk = (3 * n + 3) div 4"))
+        .selectExpr("y_c", "rnk", "n")
+    )
+    f = probe.agg(
+        F.expr("MIN(CASE WHEN rnk = (n + 3) div 4 THEN y_c END)").alias("q1"),
+        F.expr("MIN(CASE WHEN rnk = (3 * n + 3) div 4 THEN y_c END)").alias("q3"),
+    )
+    return (
+        cents.crossJoin(F.broadcast(f))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("q1").cast("long").alias("q1_cents"),
+            F.min("q3").cast("long").alias("q3_cents"),
+            F.expr(
+                "SUM(CASE WHEN 4 * y_c < 4 * q1 - 6 * (q3 - q1) THEN 1 ELSE 0 END)"
+            ).cast("long").alias("n_low"),
+            F.expr(
+                "SUM(CASE WHEN 4 * y_c > 4 * q3 + 6 * (q3 - q1) THEN 1 ELSE 0 END)"
+            ).cast("long").alias("n_high"),
+            F.expr(
+                "CAST(SUM(CASE WHEN 4 * y_c < 4 * q1 - 6 * (q3 - q1)"
+                " OR 4 * y_c > 4 * q3 + 6 * (q3 - q1) THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+    )

@@ -1538,3 +1538,79 @@ def sim_topk_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cos_ppm").cast("long").alias("min_pair_cos_ppm"),
         F.max("cos_ppm").cast("long").alias("max_pair_cos_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lowe-ratio / margin audit of the exact kNN top-2
+
+
+@register(
+    "sim_knn_margin_audit",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({portable.cosine_from_ints(portable.int_dot('q.v', 'c.v', 'duck'), 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+top2 AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id,
+       MAX(CASE WHEN rnk = 1 THEN neighbor_id END)::BIGINT AS top1_id,
+       MAX(CASE WHEN rnk = 1 THEN score END) AS top1_score,
+       MAX(CASE WHEN rnk = 2 THEN score END) AS top2_score,
+       round(MAX(CASE WHEN rnk = 1 THEN score END)
+             - MAX(CASE WHEN rnk = 2 THEN score END), 6) AS margin,
+       CAST(CASE WHEN MAX(CASE WHEN rnk = 1 THEN score END)
+                      - MAX(CASE WHEN rnk = 2 THEN score END) >= 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS confident
+FROM top2 WHERE rnk <= 2
+GROUP BY query_id
+""",
+    tags=("similarity", "evaluation"),
+)
+def sim_knn_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor margin (Lowe-ratio) audit: for each query, the
+    gap between the best and second-best exact cosine — the standard
+    match-confidence test retrieval systems run before trusting a
+    nearest neighbor (a top hit barely ahead of the runner-up is noise;
+    a wide margin is a real match).  Feeds ANN tuning too: corpora with
+    thin margins need higher-recall index settings.
+
+    Exactness: scores are the repo's fixed-point integer cosines
+    (order-independent dot products), rounded once to 6 dp; the margin
+    is ONE deterministic subtraction of those rounded doubles, and the
+    confidence flag is an exact threshold test on it.
+
+    Scale shape: the audited broadcast-queries × one-corpus-scan kNN
+    (operators/similarity.py) at k=2 — the corpus never shuffles;
+    per-query top-2 via partial-then-final top-k; output is O(queries).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    top2 = SIM.knn_bruteforce(emb, queries, "vec_id", "embedding", top_k=2)
+    return (
+        top2.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("neighbor_id")))
+            .cast("long")
+            .alias("top1_id"),
+            F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("top1_score"),
+            F.max(F.when(F.col("rank") == 2, F.col("score"))).alias("top2_score"),
+        )
+        .selectExpr(
+            "query_id",
+            "top1_id",
+            "top1_score",
+            "top2_score",
+            "round(top1_score - top2_score, 6) AS margin",
+            "CAST(CASE WHEN top1_score - top2_score >= 0.05 THEN 1 ELSE 0 END"
+            " AS BIGINT) AS confident",
+        )
+    )

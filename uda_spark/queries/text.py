@@ -2058,3 +2058,186 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n * sxx - sx * sx AS DOUBLE)"
         " * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch-style readability per source (integer milli-score)
+
+# Vowel-group (syllable-proxy) count without a sentinel character:
+# replacing each maximal vowel run with ONE char shortens the string by
+# (vowel_chars - n_runs), so n_runs falls out of two lengths — no
+# collision with any character the text might contain.  Spark's
+# regexp_replace is global by default; DuckDB needs the explicit 'g'
+# flag (first-match otherwise), so the two dialects differ in text.
+_SP_VGROUPS = (
+    "(length(regexp_replace(lower(text), '[aeiou]+', 'A'))"
+    " - length(regexp_replace(lower(text), '[aeiou]+', '')))"
+)
+_DU_VGROUPS = (
+    "(length(regexp_replace(lower(text), '[aeiou]+', 'A', 'g'))"
+    " - length(regexp_replace(lower(text), '[aeiou]+', '', 'g')))"
+)
+
+_SP_WORDS = f"size(filter({_SP_TOKS}, t -> t <> ''))"
+_DU_WORDS = f"len(list_filter({_DU_TOKS}, t -> t <> ''))"
+
+_SP_SENTS = "GREATEST(length(regexp_replace(text, '[^.!?]', '')), 1)"
+_DU_SENTS = "GREATEST(length(regexp_replace(text, '[^.!?]', '', 'g')), 1)"
+
+
+@register(
+    "text_readability_flesch",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         {_DU_WORDS}::BIGINT AS w,
+         {_DU_SENTS}::BIGINT AS s,
+         {_DU_VGROUPS}::BIGINT AS y
+  FROM documents
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(w)::BIGINT AS n_words,
+       SUM(s)::BIGINT AS n_sentences,
+       SUM(y)::BIGINT AS n_syllables,
+       CAST(206835 - SUM(w)::HUGEINT * 1015 // NULLIF(SUM(s), 0)
+                   - SUM(y)::HUGEINT * 84600 // NULLIF(SUM(w), 0)
+            AS BIGINT) AS flesch_milli
+FROM per_doc
+GROUP BY source
+""",
+    tags=("text", "quality", "north-star"),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — the classic readability quality
+    signal (206.835 − 1.015·words/sentence − 84.6·syllables/word)
+    pretraining curricula use to bucket corpora by difficulty and to
+    flag sources whose "text" is boilerplate or word salad (both score
+    far off the prose band).  Syllables are approximated by vowel-group
+    runs — the standard cheap proxy; sentences by terminal-punctuation
+    count with a per-doc floor of 1.
+
+    Exactness: words, sentences, and vowel groups are exact per-doc
+    integers (the vowel-run count falls out of two regexp_replace
+    lengths, so no sentinel character can collide with corpus text);
+    the score is integer milli-units with the division products carried
+    in DECIMAL(38,0)/HUGEINT (corpus token counts × 84600 pass int64).
+
+    Scale shape: one map-only pass per document feeding a
+    partial-aggregated per-source rollup — no explode, no join, no
+    window; shuffle is O(sources).
+    """
+    per_doc = t(spark, sf_dir, "documents").selectExpr(
+        "source",
+        f"CAST({_SP_WORDS} AS BIGINT) AS w",
+        f"CAST({_SP_SENTS} AS BIGINT) AS s",
+        f"CAST({_SP_VGROUPS} AS BIGINT) AS y",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("n_sentences"),
+            F.sum("y").cast("long").alias("n_syllables"),
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            "CAST(206835 - sw * 1015 div NULLIF(ss, 0)"
+            " - sy * 84600 div NULLIF(sw, 0) AS BIGINT) AS flesch_milli",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit across sources
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents, LATERAL unnest({_DU_TOKS}) AS t(term)
+  WHERE t.term <> ''
+),
+per_src AS (
+  SELECT source, COUNT(*)::BIGINT AS n, COUNT(DISTINCT term)::BIGINT AS v
+  FROM toks GROUP BY source
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+  FROM per_src
+),
+m AS (
+  SELECT COUNT(*)::HUGEINT AS k, SUM(lx)::HUGEINT AS sx, SUM(ly)::HUGEINT AS sy,
+         SUM(lx::HUGEINT * ly) AS sxy, SUM(lx::HUGEINT * lx) AS sxx,
+         SUM(ly::HUGEINT * ly) AS syy
+  FROM xy
+)
+SELECT CAST(k AS BIGINT) AS n_sources,
+       round(CAST(k * sxy - sx * sy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+       round(CAST(k * sxy - sx * sy AS DOUBLE)
+             * CAST(k * sxy - sx * sy AS DOUBLE)
+             / (CAST(k * sxx - sx * sx AS DOUBLE)
+             * CAST(k * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM m
+""",
+    tags=("text", "quality", "statistics"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·N^β of vocabulary size against token count
+    across sources — the vocabulary-growth sanity check dedup and
+    tokenizer teams run on corpus inventories: natural text lands at
+    β ≈ 0.4–0.6, while β near 1 flags template/ID-heavy sources (every
+    token new) and β near 0 flags heavily duplicated ones (vocabulary
+    saturated).  Companion to text_zipf_slope (rank-frequency) — the
+    two exponents are theoretically linked.
+
+    Exactness: per-source (N, V) are exact counts; ln is quantized ONCE
+    per source to integer micro-units (the zipf-slope convention), so
+    the OLS moments are exact integer arithmetic in DECIMAL(38,0)/
+    HUGEINT; slope and r² are then deterministic doubles from exact
+    integers.
+
+    Scale shape: one corpus explode partial-aggregated to (source,
+    term) then to the O(sources) points relation; the fit is one
+    scalar aggregate.
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(_SP_TOKS)).alias("term")
+    ).where(F.col("term") != "")
+    per_src = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("term").cast("long").alias("v"),
+    )
+    xy = per_src.selectExpr(
+        "CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS lx",
+        "CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS ly",
+    )
+    m = xy.agg(
+        F.count("*").cast("decimal(38,0)").alias("k"),
+        F.sum("lx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ly").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(19,0)) * ly")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(19,0)) * lx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(ly AS DECIMAL(19,0)) * ly")).cast("decimal(38,0)").alias("syy"),
+    )
+    return m.selectExpr(
+        "CAST(k AS BIGINT) AS n_sources",
+        "round(CAST(k * sxy - sx * sy AS DOUBLE)"
+        " / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta",
+        "round(CAST(k * sxy - sx * sy AS DOUBLE)"
+        " * CAST(k * sxy - sx * sy AS DOUBLE)"
+        " / (CAST(k * sxx - sx * sx AS DOUBLE)"
+        " * CAST(k * syy - sy * sy AS DOUBLE)), 6) AS r2",
+    )

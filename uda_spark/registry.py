@@ -245,6 +245,15 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_simpson_diversity",
     "text_zipf_slope",
     "dq_order_reconciliation",
+    "ml_spearman_corr",
+    "ml_mcnemar_paired",
+    "ml_quantile_loss",
+    "events_theil_sen_trend",
+    "text_readability_flesch",
+    "text_heaps_law_fit",
+    "sim_knn_margin_audit",
+    "dq_iqr_outlier_audit",
+    "pipeline_dedup_token_savings",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
