@@ -141,6 +141,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "events_theil_sen_trend": "1-row median-slope relation crossed onto the 1-row day count",
     "dq_iqr_outlier_audit": "scalar row-count total + 1-row quartile fence relation",
     "sim_knn_margin_audit": "fixed query set (vec_id < K pushed filter, <=64 rows)",
+    "sim_ivf_balance_audit": "k-row centroid table broadcast onto the corpus scan + 1-row totals",
 }
 
 

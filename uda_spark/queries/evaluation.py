@@ -1715,7 +1715,11 @@ m AS (
 )
 SELECT CAST(n AS BIGINT) AS n_rows,
        CAST(sd2 AS BIGINT) AS sum_d2,
-       CAST((n * (n * n - 1) - 6 * sd2) * 1000000 // (n * (n * n - 1))
+       CAST(CASE WHEN n * (n * n - 1) - 6 * sd2 >= 0
+                 THEN (n * (n * n - 1) - 6 * sd2) * 1000000
+                      // (n * (n * n - 1))
+                 ELSE -((6 * sd2 - n * (n * n - 1)) * 1000000
+                      // (n * (n * n - 1))) END
             AS BIGINT) AS spearman_rho_ppm
 FROM m
 """,
@@ -1754,10 +1758,16 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SUM(CAST(rq - rp AS DECIMAL(38,0)) * (rq - rp))"
         ).cast("decimal(38,0)").alias("sd2"),
     )
+    # negative-branch guard: DuckDB // floors while Spark div truncates,
+    # so a negative rho is divided on its absolute value on both sides
     return m.selectExpr(
         "CAST(n AS BIGINT) AS n_rows",
         "CAST(sd2 AS BIGINT) AS sum_d2",
-        "CAST((n * (n * n - 1) - 6 * sd2) * 1000000 div (n * (n * n - 1))"
+        "CAST(CASE WHEN n * (n * n - 1) - 6 * sd2 >= 0"
+        " THEN (n * (n * n - 1) - 6 * sd2) * 1000000"
+        " div (n * (n * n - 1))"
+        " ELSE -((6 * sd2 - n * (n * n - 1)) * 1000000"
+        " div (n * (n * n - 1))) END"
         " AS BIGINT) AS spearman_rho_ppm",
     )
 
@@ -1907,5 +1917,232 @@ def ml_quantile_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred_cents",
             "CAST(pb AS BIGINT) AS pinball_decicents",
             "CAST(pb div (10 * n_orders) AS BIGINT) AS pinball_cents_per_order",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test between deterministic user cohorts
+
+
+@register(
+    "ml_two_proportion_ztest",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+m AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         SUM(CASE WHEN user_id % 2 = 0 THEN label ELSE 0 END)::BIGINT AS c_a,
+         SUM(CASE WHEN user_id % 2 = 1 THEN label ELSE 0 END)::BIGINT AS c_b
+  FROM base
+)
+SELECT n_a, n_b, c_a, c_b,
+       CAST(c_a * 1000000 // n_a AS BIGINT) AS p_a_ppm,
+       CAST(c_b * 1000000 // n_b AS BIGINT) AS p_b_ppm,
+       round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+FROM m
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of the positive-label rate between the two
+    deterministic user cohorts (user_id parity — the events_ab_welch_test
+    split) — the conversion-rate A/B readout: Welch's t compares MEANS of
+    a continuous metric; this compares RATES of a binary one, the other
+    half of every experimentation dashboard.
+
+    Exactness: the four cells are exact counts from one conditional
+    aggregation; the rate columns are integer ppm; the z statistic is
+    deterministic double steps (identical expression text both engines)
+    on those exact integers, with a degenerate pooled rate (0 or 1)
+    yielding an IEEE Infinity/NaN identically on both sides.
+
+    Scale shape: one exchange to the per-user relation, then a single
+    map-side-combined scalar aggregate — 1 output row, no join.
+    """
+    base = _user_label_score(spark, sf_dir)
+    m = base.agg(
+        F.expr("SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)")
+        .cast("long")
+        .alias("n_a"),
+        F.expr("SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)")
+        .cast("long")
+        .alias("n_b"),
+        F.expr("SUM(CASE WHEN user_id % 2 = 0 THEN label ELSE 0 END)")
+        .cast("long")
+        .alias("c_a"),
+        F.expr("SUM(CASE WHEN user_id % 2 = 1 THEN label ELSE 0 END)")
+        .cast("long")
+        .alias("c_b"),
+    )
+    return m.selectExpr(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        "CAST(c_a * 1000000 div n_a AS BIGINT) AS p_a_ppm",
+        "CAST(c_b * 1000000 div n_b AS BIGINT) AS p_b_ppm",
+        "round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+        " * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paired bootstrap CI of the accuracy DELTA between two models
+
+_PB_SPARK_H = (
+    "CAST(conv(substring(md5(concat('pb|', CAST(l_orderkey AS STRING))), 1, 15),"
+    " 16, 10) AS BIGINT)"
+)
+_PB_DUCK_H = """list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 16),
+  i -> CAST(strpos('0123456789abcdef',
+       substr(md5('pb|' || l_orderkey::VARCHAR), i, 1)) - 1 AS BIGINT))),
+  (a, b) -> a * 16 + b)"""
+
+# d = +1 where only model A is correct, -1 where only model B is; the
+# replicate keeps a row iff bit r of the order-level hash is 0 (half-
+# sample), so paired rows enter/leave TOGETHER — the pairing is what a
+# naive per-model bootstrap destroys.
+_PB_SPARK_COLS = ",\n        ".join(
+    f"SUM(CASE WHEN shiftright(h, {r}) % 2 = 0 THEN d ELSE 0 END) AS d{r},\n"
+    f"        SUM(CASE WHEN shiftright(h, {r}) % 2 = 0 THEN 1 ELSE 0 END) AS n{r}"
+    for r in range(BOOTSTRAP_B)
+)
+_PB_DUCK_COLS = ",\n        ".join(
+    f"SUM(CASE WHEN (h >> {r}) % 2 = 0 THEN d ELSE 0 END)::BIGINT AS d{r},\n"
+    f"        SUM(CASE WHEN (h >> {r}) % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n{r}"
+    for r in range(BOOTSTRAP_B)
+)
+_PB_SPARK_STACK = "stack({b}, {args}) AS (r, dd, n)".format(
+    b=BOOTSTRAP_B,
+    args=", ".join(f"{r}, d{r}, n{r}" for r in range(BOOTSTRAP_B)),
+)
+_PB_DUCK_REPS = "\nUNION ALL ".join(
+    f"SELECT {r} AS r, d{r} AS dd, n{r} AS n FROM agg" for r in range(BOOTSTRAP_B)
+)
+
+# truncate-toward-zero signed ppm (DuckDB // floors, Spark div truncates)
+_PB_DELTA_DUCK = (
+    "CASE WHEN dd >= 0 THEN (dd::HUGEINT * 1000000) // n"
+    " ELSE -(((-dd)::HUGEINT * 1000000) // n) END"
+)
+_PB_DELTA_SPARK = (
+    "CASE WHEN dd >= 0 THEN (CAST(dd AS DECIMAL(38,0)) * 1000000) div n"
+    " ELSE -((CAST(-dd AS DECIMAL(38,0)) * 1000000) div n) END"
+)
+
+
+@register(
+    "ml_paired_bootstrap_delta",
+    oracle=f"""
+WITH scored AS (
+  SELECT l_orderkey,
+         CASE WHEN ((CAST(l_discount AS DECIMAL(18,2)) >= 0.06)
+                    = (l_returnflag = 'R'))
+               AND NOT ((l_quantity >= 30) = (l_returnflag = 'R')) THEN 1
+              WHEN NOT ((CAST(l_discount AS DECIMAL(18,2)) >= 0.06)
+                    = (l_returnflag = 'R'))
+               AND ((l_quantity >= 30) = (l_returnflag = 'R')) THEN -1
+              ELSE 0 END AS d
+  FROM lineitem
+),
+h AS (SELECT d, {_PB_DUCK_H} AS h FROM scored),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n_rows, SUM(d)::BIGINT AS d_all,
+        {_PB_DUCK_COLS}
+  FROM h
+),
+reps AS ({_PB_DUCK_REPS}),
+deltas AS (
+  SELECT r, CAST({_PB_DELTA_DUCK} AS BIGINT) AS dm,
+         ROW_NUMBER() OVER (ORDER BY {_PB_DELTA_DUCK}, r) AS rn
+  FROM reps
+)
+SELECT agg.n_rows,
+       CAST(CASE WHEN agg.d_all >= 0
+                 THEN (agg.d_all::HUGEINT * 1000000) // agg.n_rows
+                 ELSE -(((-agg.d_all)::HUGEINT * 1000000) // agg.n_rows) END
+            AS BIGINT) AS delta_ppm,
+       MIN(CASE WHEN rn = 2 THEN dm END)::BIGINT AS ci_lo_ppm,
+       MIN(CASE WHEN rn = {BOOTSTRAP_B - 1} THEN dm END)::BIGINT AS ci_hi_ppm,
+       {BOOTSTRAP_B} AS n_replicates
+FROM deltas, agg
+GROUP BY agg.n_rows, agg.d_all
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_paired_bootstrap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired bootstrap confidence interval for the ACCURACY DELTA
+    between two models scored on the same rows (the ml_mcnemar_paired
+    rule pair) — the model-promotion readout that answers "is A better
+    than B, and by a CI that excludes zero?"; the pairing (resampling
+    rows, not per-model samples) is what makes the delta's variance
+    honest, and McNemar's χ² is its hypothesis-test twin.
+
+    Exactness: the per-row paired score d ∈ {{+1, 0, −1}} (A-only-correct
+    minus B-only-correct) sums exactly; replicates are deterministic
+    half-samples keyed by bit r of a 60-bit portable order hash
+    (ml_bootstrap_ci_mean's convention — zero randomness); each
+    replicate delta is a signed integer ppm with the truncate-toward-
+    zero guard on both engines; the CI is the [2, B−1] order statistic
+    of the 32-row replicate relation.
+
+    Scale shape: ONE map-side-combined aggregation computes all 32
+    replicates as conditional-sum columns (no B× row blowup), then a
+    32-row bounded window — the ml_bootstrap_ci_mean shape on a paired
+    metric.
+    """
+    scored = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "CASE WHEN ((CAST(l_discount AS DECIMAL(18,2)) >= 0.06)"
+        " = (l_returnflag = 'R'))"
+        " AND NOT ((l_quantity >= 30) = (l_returnflag = 'R')) THEN 1"
+        " WHEN NOT ((CAST(l_discount AS DECIMAL(18,2)) >= 0.06)"
+        " = (l_returnflag = 'R'))"
+        " AND ((l_quantity >= 30) = (l_returnflag = 'R')) THEN -1"
+        " ELSE 0 END AS d",
+    )
+    agg = scored.selectExpr("d", f"{_PB_SPARK_H} AS h").selectExpr(
+        "COUNT(*) AS n_rows",
+        "SUM(d) AS d_all",
+        *(
+            e
+            for r in range(BOOTSTRAP_B)
+            for e in (
+                f"SUM(CASE WHEN shiftright(h, {r}) % 2 = 0 THEN d ELSE 0 END) AS d{r}",
+                f"SUM(CASE WHEN shiftright(h, {r}) % 2 = 0 THEN 1 ELSE 0 END) AS n{r}",
+            )
+        ),
+    )
+    reps = agg.selectExpr("n_rows", "d_all", _PB_SPARK_STACK)
+    w = Window.orderBy(F.expr(_PB_DELTA_SPARK), F.col("r"))
+    deltas = reps.select(
+        "n_rows",
+        "d_all",
+        F.expr(f"CAST({_PB_DELTA_SPARK} AS BIGINT)").alias("dm"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        deltas.groupBy("n_rows", "d_all")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("dm"))).cast("long").alias("ci_lo_ppm"),
+            F.min(F.when(F.col("rn") == BOOTSTRAP_B - 1, F.col("dm")))
+            .cast("long")
+            .alias("ci_hi_ppm"),
+        )
+        .selectExpr(
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "CAST(CASE WHEN d_all >= 0"
+            " THEN (CAST(d_all AS DECIMAL(38,0)) * 1000000) div n_rows"
+            " ELSE -((CAST(-d_all AS DECIMAL(38,0)) * 1000000) div n_rows) END"
+            " AS BIGINT) AS delta_ppm",
+            "ci_lo_ppm",
+            "ci_hi_ppm",
+            f"CAST({BOOTSTRAP_B} AS INT) AS n_replicates",
         )
     )

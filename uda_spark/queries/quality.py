@@ -3161,3 +3161,74 @@ def dq_iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table date-consistency audit (ship-vs-order timeline)
+
+
+@register(
+    "dq_ship_date_consistency",
+    oracle="""
+WITH joined AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END AS v_before,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+              THEN 1 ELSE 0 END AS v_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(v_before)::BIGINT AS n_ship_before_order,
+       SUM(v_late)::BIGINT AS n_ship_over_120d,
+       CAST(SUM(v_before) * 1000000 // COUNT(*) AS BIGINT)
+         AS before_ppm,
+       CAST(SUM(v_late) * 1000000 // COUNT(*) AS BIGINT)
+         AS late_ppm
+FROM joined
+GROUP BY o_orderpriority
+""",
+    tags=("quality", "dq", "join"),
+)
+def dq_ship_date_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table timeline-consistency audit: line items that shipped
+    BEFORE their order existed (a referential/time-travel violation —
+    ETL joins against the wrong snapshot, clock skew, or key collisions)
+    and items that shipped implausibly late (>120 days — stuck rows or
+    unit bugs), attributed per priority class.  The temporal sibling of
+    dq_order_reconciliation's amount check and dq_referential_integrity's
+    key check: the three cover value, key, and TIME consistency.
+
+    Exactness: pure timestamp comparisons and integer counts; the
+    120-day horizon is an exact INTERVAL on both engines (the events
+    tables' microsecond discipline isn't needed — these are date-grained
+    parquet timestamps read identically by both).
+
+    Scale shape: one fact-to-fact equi-join on the orderkey (both sides
+    pre-filtered to the two date columns via column pruning; at cluster
+    scale this is the bucketed-join case join_bucketed_colocated
+    demonstrates), then an O(priorities) rollup.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).selectExpr(
+        "o_orderpriority",
+        "CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END AS v_before",
+        "CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY"
+        " THEN 1 ELSE 0 END AS v_late",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("v_before").cast("long").alias("n_ship_before_order"),
+        F.sum("v_late").cast("long").alias("n_ship_over_120d"),
+        F.expr("CAST(SUM(v_before) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "before_ppm"
+        ),
+        F.expr("CAST(SUM(v_late) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "late_ppm"
+        ),
+    )

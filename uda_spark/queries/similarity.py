@@ -1614,3 +1614,129 @@ def sim_knn_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS confident",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF partition-balance audit (inverted-list health check)
+
+
+@register(
+    "sim_ivf_balance_audit",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+dims AS (
+  SELECT label, d, SUM(v[d + 1]) AS s, COUNT(*)::BIGINT AS n
+  FROM iv, range(0, 64) r(d) GROUP BY label, d
+),
+cent AS (
+  SELECT label AS cluster, list(CAST(s AS DOUBLE) / n ORDER BY d) AS centroid
+  FROM dims GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, label, cluster
+  FROM (
+    SELECT i.vec_id, i.label, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               k -> (i.v[k] - c.centroid[k]) * (i.v[k] - c.centroid[k]))),
+             c.cluster) AS rn
+    FROM iv i CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n_total, COUNT(DISTINCT cluster)::BIGINT AS k
+        FROM assigned)
+SELECT a.cluster,
+       COUNT(*)::BIGINT AS n_assigned,
+       SUM(CASE WHEN a.label = a.cluster THEN 1 ELSE 0 END)::BIGINT AS n_native,
+       CAST(SUM(CASE WHEN a.label = a.cluster THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS native_ppm,
+       CAST(COUNT(*)::HUGEINT * MIN(tot.k) * 1000000 // MIN(tot.n_total)
+            AS BIGINT) AS load_ppm_of_ideal
+FROM assigned a, tot
+GROUP BY a.cluster
+""",
+    tags=("similarity", "evaluation", "approx"),
+)
+def sim_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit: assign EVERY corpus vector to its
+    nearest coarse centroid and report per-list occupancy vs the ideal
+    n/k, plus how many members sit in their own label's list — the index
+    health check that predicts ANN latency (a hot list serves most
+    probes; at 100 TB a 10× overloaded list is a straggler task) and
+    recall (low native share means the coarse quantizer disagrees with
+    the labels the corpus was built from).
+
+    Exactness: centroids are exact integer sums divided once (the
+    sim_ivf_knn convention); assignment distances are deterministic
+    doubles evaluated in the same dimension order; occupancy ratios are
+    integer ppm with the count·k product carried in DECIMAL(38,0)/
+    HUGEINT.
+
+    Scale shape: one corpus scan against a BROADCAST k-row centroid
+    table (map-only assignment, per-vector bounded top-1 window keyed by
+    vec_id), then an O(k) rollup — the corpus never shuffles by data
+    volume, only the k-row result does.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    # exact per-dimension integer sums -> double means, the sim_ivf_knn shape
+    cent = (
+        iv.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("m")))
+            ).alias("cm")
+        )
+        .select(
+            F.col("label").alias("cluster"),
+            F.expr("transform(cm, e -> e.m)").alias("centroid"),
+        )
+    )
+    assigned = (
+        iv.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist2",
+            F.expr(
+                "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)), "
+                "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist2", "cluster")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "cluster")
+    )
+    from uda_spark.cache import tracked_persist
+
+    assigned = tracked_persist(assigned)
+    tot = assigned.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct("cluster").cast("long").alias("k"),
+    )
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.sum(F.when(F.col("label") == F.col("cluster"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_native"),
+            F.expr(
+                "CAST(SUM(CASE WHEN label = cluster THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("native_ppm"),
+            F.expr(
+                "CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * MIN(k) * 1000000"
+                " div MIN(n_total) AS BIGINT)"
+            ).alias("load_ppm_of_ideal"),
+        )
+    )

@@ -2241,3 +2241,86 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(k * sxx - sx * sx AS DOUBLE)"
         " * CAST(k * syy - sy * sy AS DOUBLE)), 6) AS r2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level entropy per source
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT source, substr(lower(text), i::INT, 1) AS ch
+  FROM documents, LATERAL unnest(range(1, length(text) + 1)) u(i)
+),
+cc AS (
+  SELECT source, ch, COUNT(*)::BIGINT AS c FROM chars GROUP BY source, ch
+),
+n AS (SELECT source, SUM(c)::BIGINT AS n_chars, COUNT(*)::BIGINT AS alphabet
+      FROM cc GROUP BY source),
+q AS (
+  SELECT cc.source, cc.c,
+         CAST(round(ln(CAST(cc.c AS DOUBLE) / n.n_chars) * 1000000) AS BIGINT)
+           AS lnp_micro
+  FROM cc JOIN n USING (source)
+)
+SELECT q.source,
+       MIN(n.n_chars)::BIGINT AS n_chars,
+       MIN(n.alphabet)::BIGINT AS alphabet,
+       CAST(SUM(q.c::HUGEINT * (-q.lnp_micro)) // MIN(n.n_chars) AS BIGINT)
+         AS entropy_micronats
+FROM q JOIN n USING (source)
+GROUP BY q.source
+""",
+    tags=("text", "quality", "statistics"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per source — the cheapest
+    encoding-damage / wrong-script detector in a curation stack: natural
+    language sits in a narrow entropy band (~4.2 nats for English
+    characters), while base64 blobs and binary-in-text score near the
+    alphabet maximum and repeated-template spam scores far below it.
+    Character-level, so it catches what token-level entropy
+    (pipeline_mixture_entropy, events_entropy_rate) cannot: damage
+    INSIDE tokens.
+
+    Exactness: per-(source, char) counts are exact; ln(p) is quantized
+    ONCE per distribution cell to integer micro-nats (the repo's
+    convention), so H = −Σ c·lnp/N is exact integer arithmetic in
+    DECIMAL(38,0)/HUGEINT (corpus char counts × micro-nats pass int64).
+
+    Scale shape: the char explode feeds an immediate map-side-combined
+    (source, char) aggregate — the shuffled relation is bounded by
+    sources × alphabet, not corpus size; everything downstream is O(that).
+    """
+    chars = t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(lower(text), i, 1))")
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("source", "ch").agg(F.count("*").alias("c"))
+    n = cc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("alphabet"),
+    )
+    q = cc.join(F.broadcast(n), on="source").select(
+        "source",
+        "c",
+        F.expr(
+            "CAST(round(ln(CAST(c AS DOUBLE) / n_chars) * 1000000) AS BIGINT)"
+        ).alias("lnp_micro"),
+    )
+    return (
+        q.join(F.broadcast(n), on="source")
+        .groupBy("source")
+        .agg(
+            F.min("n_chars").cast("long").alias("n_chars"),
+            F.min("alphabet").cast("long").alias("alphabet"),
+            F.expr(
+                "CAST(SUM(CAST(c AS DECIMAL(38,0)) * (-lnp_micro)) div MIN(n_chars)"
+                " AS BIGINT)"
+            ).alias("entropy_micronats"),
+        )
+    )

@@ -254,6 +254,11 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "sim_knn_margin_audit",
     "dq_iqr_outlier_audit",
     "pipeline_dedup_token_savings",
+    "ml_two_proportion_ztest",
+    "ml_paired_bootstrap_delta",
+    "sim_ivf_balance_audit",
+    "text_char_entropy",
+    "dq_ship_date_consistency",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
