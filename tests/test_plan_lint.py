@@ -70,6 +70,7 @@ SP_BOUNDED: dict[str, str] = {
     "ml_lift_deciles": "10-row decile relation (cumulative-capture window input)",
     "pipeline_lorenz_deciles": "10-row decile relation (Lorenz-curve window input)",
     "events_theil_sen_trend": "calendar-day pair relation (O(days^2), bounded by dataset day span)",
+    "text_heaps_law_fit": "16-row cumulative prefix-bucket relation (HEAPS_BUCKETS literal)",
 }
 
 # BroadcastNestedLoopJoin: the reason the broadcast side is bounded, per
@@ -142,6 +143,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "dq_iqr_outlier_audit": "scalar row-count total + 1-row quartile fence relation",
     "sim_knn_margin_audit": "fixed query set (vec_id < K pushed filter, <=64 rows)",
     "sim_ivf_balance_audit": "k-row centroid table broadcast onto the corpus scan + 1-row totals",
+    "text_heaps_law_fit": "1-row max-doc-id relation for prefix bucketing",
 }
 
 

@@ -2157,25 +2157,43 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Heaps'-law vocabulary-growth fit across sources
+# Heaps'-law vocabulary-growth fit over cumulative corpus prefixes
+
+HEAPS_BUCKETS = 16
+HEAPS_SHINGLE_K = 3
+
+_HEAPS_DU_SH = portable.shingles("toks", HEAPS_SHINGLE_K, "duck")
+_HEAPS_SP_SH = portable.shingles("toks", HEAPS_SHINGLE_K, "spark")
 
 
 @register(
     "text_heaps_law_fit",
     oracle=f"""
-WITH toks AS (
-  SELECT source, t.term
-  FROM documents, LATERAL unnest({_DU_TOKS}) AS t(term)
-  WHERE t.term <> ''
+WITH mx AS (SELECT MAX(doc_id)::BIGINT + 1 AS md FROM documents),
+base AS (
+  SELECT LEAST({HEAPS_BUCKETS - 1},
+               d.doc_id * {HEAPS_BUCKETS} // mx.md)::BIGINT AS b,
+         {_DU_TOKS} AS toks
+  FROM documents d, mx
 ),
-per_src AS (
-  SELECT source, COUNT(*)::BIGINT AS n, COUNT(DISTINCT term)::BIGINT AS v
-  FROM toks GROUP BY source
+sh AS (SELECT b, s.term FROM base, LATERAL unnest({_HEAPS_DU_SH}) AS s(term)),
+nb AS (SELECT b, COUNT(*)::BIGINT AS nt FROM sh GROUP BY b),
+fb AS (
+  SELECT fo, COUNT(*)::BIGINT AS nv
+  FROM (SELECT term, MIN(b) AS fo FROM sh GROUP BY term) GROUP BY fo
+),
+cum AS (
+  SELECT nb.b,
+         SUM(nb.nt) OVER (ORDER BY nb.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+         SUM(COALESCE(fb.nv, 0)) OVER (ORDER BY nb.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM nb LEFT JOIN fb ON nb.b = fb.fo
 ),
 xy AS (
   SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
          CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS ly
-  FROM per_src
+  FROM cum
 ),
 m AS (
   SELECT COUNT(*)::HUGEINT AS k, SUM(lx)::HUGEINT AS sx, SUM(ly)::HUGEINT AS sy,
@@ -2183,7 +2201,7 @@ m AS (
          SUM(ly::HUGEINT * ly) AS syy
   FROM xy
 )
-SELECT CAST(k AS BIGINT) AS n_sources,
+SELECT CAST(k AS BIGINT) AS n_points,
        round(CAST(k * sxy - sx * sy AS DOUBLE)
              / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
        round(CAST(k * sxy - sx * sy AS DOUBLE)
@@ -2195,32 +2213,67 @@ FROM m
     tags=("text", "quality", "statistics"),
 )
 def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps'-law fit V = K·N^β of vocabulary size against token count
-    across sources — the vocabulary-growth sanity check dedup and
-    tokenizer teams run on corpus inventories: natural text lands at
-    β ≈ 0.4–0.6, while β near 1 flags template/ID-heavy sources (every
-    token new) and β near 0 flags heavily duplicated ones (vocabulary
-    saturated).  Companion to text_zipf_slope (rank-frequency) — the
-    two exponents are theoretically linked.
+    """Heaps'-law fit V = K·N^β of CUMULATIVE distinct-shingle count
+    against cumulative shingle count over 16 doc-id-ordered corpus
+    prefixes — the vocabulary-growth sanity check dedup and tokenizer
+    teams run on corpus inventories: natural text lands β well below 1,
+    β ≈ 1 flags template/ID-heavy corpora (every shingle new) and β
+    near 0 flags heavily duplicated ones (vocabulary saturated — the
+    exact signal dedup removes).  Companion to text_zipf_slope
+    (rank-frequency); the growth unit is the MinHash family's 3-token
+    shingle, whose combinatorial vocabulary keeps growing where this
+    synthetic corpus's ~31-word token vocabulary saturates in the first
+    prefix (a degenerate, zero-variance fit — observed at every SF).
 
-    Exactness: per-source (N, V) are exact counts; ln is quantized ONCE
-    per source to integer micro-units (the zipf-slope convention), so
-    the OLS moments are exact integer arithmetic in DECIMAL(38,0)/
-    HUGEINT; slope and r² are then deterministic doubles from exact
-    integers.
+    Prefix points, not per-source points: per-source (N, V) pairs also
+    degenerate when sources are uniformly sized (identical N collapses
+    the OLS denominator).  Cumulative prefixes have strictly increasing
+    N by construction, so the fit is always well-posed.
 
-    Scale shape: one corpus explode partial-aggregated to (source,
-    term) then to the O(sources) points relation; the fit is one
-    scalar aggregate.
+    Exactness: bucket assignment is exact integer arithmetic off the
+    1-row max-doc-id relation; per-bucket shingle counts and per-shingle
+    first-occurrence buckets are exact; ln is quantized ONCE per prefix
+    point (the zipf-slope convention) so the OLS moments are exact
+    integers in DECIMAL(38,0)/HUGEINT; β and r² are deterministic
+    doubles from exact integers.
+
+    Scale shape: one corpus shingle explode feeds BOTH the O(buckets)
+    count rollup and the (shingle → min bucket) first-seen relation
+    (one shingle-keyed exchange — the same volume as the MinHash
+    signature build); the cumulative window runs over the 16-row bucket
+    relation, bounded by the literal.
     """
-    toks = t(spark, sf_dir, "documents").select(
-        "source", F.explode(F.expr(_SP_TOKS)).alias("term")
-    ).where(F.col("term") != "")
-    per_src = toks.groupBy("source").agg(
-        F.count("*").cast("long").alias("n"),
-        F.countDistinct("term").cast("long").alias("v"),
+    docs = t(spark, sf_dir, "documents")
+    mx = docs.agg(F.expr("MAX(doc_id) + 1").alias("md"))
+    base = docs.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            f"CAST(LEAST({HEAPS_BUCKETS - 1},"
+            f" doc_id * {HEAPS_BUCKETS} div md) AS BIGINT)"
+        ).alias("b"),
+        F.expr(_SP_TOKS).alias("toks"),
     )
-    xy = per_src.selectExpr(
+    sh = base.select("b", F.explode(F.expr(_HEAPS_SP_SH)).alias("term"))
+    from uda_spark.cache import tracked_persist
+
+    sh = tracked_persist(sh)
+    nb = sh.groupBy("b").agg(F.count("*").alias("nt"))
+    fb = (
+        sh.groupBy("term")
+        .agg(F.min("b").alias("fo"))
+        .groupBy("fo")
+        .agg(F.count("*").alias("nv"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        nb.join(fb, nb.b == fb.fo, "left")
+        .select("b", "nt", F.coalesce("nv", F.lit(0)).alias("nv"))
+        .select(
+            "b",
+            F.sum("nt").over(w).alias("n"),
+            F.sum("nv").over(w).alias("v"),
+        )
+    )
+    xy = cum.selectExpr(
         "CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS lx",
         "CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS ly",
     )
@@ -2233,7 +2286,7 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(ly AS DECIMAL(19,0)) * ly")).cast("decimal(38,0)").alias("syy"),
     )
     return m.selectExpr(
-        "CAST(k AS BIGINT) AS n_sources",
+        "CAST(k AS BIGINT) AS n_points",
         "round(CAST(k * sxy - sx * sy AS DOUBLE)"
         " / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta",
         "round(CAST(k * sxy - sx * sy AS DOUBLE)"
