@@ -85,6 +85,207 @@ QUERIES = [
     "ml_log_loss",                   # one exchange -> 1-row cross-entropy
     "orders_pareto_8020",            # range-partitioned cumsum -> 1-row 80/20 point
 ]
+
+# ---------------------------------------------------------------------------
+# Round-9 breadth extension (VERDICT r08 next #6): every registered query
+# measured >=0.5s at sf0.1 in the full-registry sweep (scripts/time_all.py,
+# TIMEALL.json) that the curated list above does not already track, plus
+# the queries registered after that sweep ran.  Names only; the curated
+# list keeps its per-query plan notes.
+EXTENDED = (
+    "agg_cube",
+    "agg_rollup",
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "array_order_profiles",
+    "basket_copurchase_pairs",
+    "dedup_cluster_canonical",
+    "dedup_cluster_canonical_star",
+    "dedup_cluster_size_histogram",
+    "dedup_cluster_survivor",
+    "dedup_containment_pairs",
+    "dedup_embedding_near_pairs",
+    "dedup_embedding_near_pairs_lsh",
+    "dedup_fingerprint",
+    "dedup_incremental_crawl",
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_calibration",
+    "dedup_minhash_signatures",
+    "dedup_simhash_near_pairs",
+    "dedup_simhash_signatures",
+    "dfsio_roundtrip",
+    "dq_constraint_report",
+    "dq_iqr_outlier_audit",
+    "dq_order_reconciliation",
+    "events_asof_forward",
+    "events_asof_nearest",
+    "events_asof_signup",
+    "events_asof_tolerance",
+    "events_attribution_touchpoints",
+    "events_bot_score",
+    "events_cohort_retention",
+    "events_concurrency_curve",
+    "events_entropy_rate",
+    "events_funnel_steps",
+    "events_gap_fill",
+    "events_hourly_anomalies_mad",
+    "events_interarrival_stats",
+    "events_key_skew_profile",
+    "events_markov_transitions",
+    "events_peak_days",
+    "events_poisson_dispersion",
+    "events_props_map_stats",
+    "events_props_variant",
+    "events_purchase_session_lookup",
+    "events_rolling_active_users",
+    "events_scd2_temporal_join",
+    "events_scd2_user_type",
+    "events_session_busy_overlap",
+    "events_theil_sen_trend",
+    "events_time_to_convert",
+    "events_top_trigrams",
+    "events_user_entropy",
+    "events_value_winsorize",
+    "features_target_encoding_oof",
+    "federated_mixed_format_scan",
+    "geo_grid_neighbor_pairs",
+    "graph_cluster_density",
+    "graph_pagerank_neardup",
+    "graph_triangle_stats",
+    "grouping_sets_sales",
+    "hll_sketch_persisted_rollup",
+    "join_bloom_prefilter",
+    "join_broadcast_dim",
+    "join_bucketed_colocated",
+    "join_dpp_partitioned_orders",
+    "join_outer_agg",
+    "kmeans_embeddings",
+    "kv_partition_merge",
+    "kv_pyds_roundtrip",
+    "kv_pyds_stream_ingest",
+    "kv_sequencefile_roundtrip",
+    "kv_vint_stream_roundtrip",
+    "layout_zorder_events",
+    "lineitem_abc_analysis",
+    "lineitem_ship_lag_histogram",
+    "merge_orders_refresh",
+    "ml_correlation_matrix",
+    "ml_linear_fit_price_qty",
+    "ml_ols_two_features",
+    "ml_quantile_loss",
+    "ml_spearman_corr",
+    "multimodal_audio_loudness",
+    "multimodal_decode_stats",
+    "multimodal_feature_knn",
+    "multimodal_phash_near_dup",
+    "multimodal_resize_stats",
+    "multimodal_scene_changes",
+    "orc_roundtrip_part",
+    "orders_argmax_latest",
+    "orders_cohort_ltv",
+    "orders_open_backlog",
+    "orders_rfm_segments",
+    "part_supplier_hhi",
+    "percentile_order_values",
+    "pipeline_corpus_refresh_e2e",
+    "pipeline_dedup_token_savings",
+    "pipeline_domain_balance",
+    "pipeline_leakage_safe_split",
+    "pipeline_shard_manifest",
+    "pipeline_training_data",
+    "pivot_priority_by_nation",
+    "profile_orders",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_parts",
+    "q18_large_volume_customers",
+    "q19_bracket_join",
+    "q20_promotion_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_value_buckets",
+    "recursive_cte_part_ancestors",
+    "schema_evolution_scan",
+    "setops_all_suppliers",
+    "setops_customers",
+    "sim_ann_recall_eval",
+    "sim_embedding_outliers",
+    "sim_filtered_knn",
+    "sim_hybrid_rrf",
+    "sim_ivf_knn",
+    "sim_ivfpq_knn",
+    "sim_knn_margin_audit",
+    "sim_label_centroid_dist",
+    "sim_lsh_knn",
+    "sim_matryoshka_knn",
+    "sim_pq_incremental_serve",
+    "sim_pq_knn",
+    "sim_quantized_knn",
+    "sim_radius_search",
+    "sketch_histogram_persisted_merge",
+    "sketch_kmv_intersection",
+    "sort_by_key",
+    "sql_api_supplier_balances",
+    "stats_scaled_moments",
+    "streaming_cms_user_sketch",
+    "streaming_dedup_watermarked",
+    "streaming_distinct_users",
+    "streaming_enrich_static",
+    "streaming_foreachbatch_sink",
+    "streaming_freshness_lag",
+    "streaming_histogram_quantiles",
+    "streaming_hourly_rollup",
+    "streaming_running_totals",
+    "streaming_sessionize",
+    "streaming_sliding_rollup",
+    "streaming_stream_stream_join",
+    "table_diff_orders",
+    "table_digest_orders",
+    "text_blocklist_filter",
+    "text_bpe_train_merges",
+    "text_cms_heavy_hitters",
+    "text_decontaminate",
+    "text_hashing_features",
+    "text_inverted_index",
+    "text_langid_confusion",
+    "text_ngram_jaccard_pairs",
+    "text_novelty_score",
+    "text_pmi_bigrams",
+    "text_quality_langid",
+    "text_readability_flesch",
+    "text_repetition_stats",
+    "text_simpson_diversity",
+    "text_source_drift_tvd",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "text_zipf_slope",
+    "udf_cogroup_order_lines",
+    "udf_grouped_zscore",
+    "udf_scalar_text_stats",
+    "udtf_order_metrics",
+    "window_ntile_deciles",
+    "window_order_gaps",
+    "window_range_30d_sum",
+    "window_rank_orders",
+    "window_running_sum",
+    "ml_two_proportion_ztest",
+    "ml_paired_bootstrap_delta",
+    "sim_ivf_balance_audit",
+    "text_char_entropy",
+    "dq_ship_date_consistency",
+    "text_heaps_law_fit",
+)
+
 ITERS = 3
 
 
@@ -92,8 +293,9 @@ def main() -> None:
     # Optional argv: query names to (re)measure; their rows MERGE into the
     # existing SCALECURVE.json so adding a query doesn't re-run the world.
     only = set(sys.argv[1:])
-    run_list = [q for q in QUERIES if not only or q in only]
-    unknown = only - set(QUERIES)
+    all_names = list(QUERIES) + [q for q in EXTENDED if q not in QUERIES]
+    run_list = [q for q in all_names if not only or q in only]
+    unknown = only - set(all_names)
     if unknown:
         sys.exit(f"not in QUERIES: {sorted(unknown)}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")

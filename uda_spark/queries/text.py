@@ -197,7 +197,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     if TFIDF_PERSIST_TF:
         tf = tracked_persist(tf)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), on="term").select(
+    # df is vocabulary-sized (unbounded at corpus scale) — no broadcast
+    # hint; AQE still picks a broadcast join at runtime whenever the
+    # materialized relation is actually small.
+    scored = tf.join(df, on="term").select(
         "doc_id",
         "term",
         (
@@ -574,8 +577,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(ln(c / CAST({n_total} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
         ).alias("micronats"),
     )
+    # lp is vocabulary-sized (unbounded at corpus scale) — no broadcast
+    # hint; the term-keyed shuffle join carries only (term, micronats)
+    # pairs, and AQE still broadcasts when the relation is actually small.
     return (
-        toks.join(F.broadcast(lp), on="term")
+        toks.join(lp, on="term")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -1157,8 +1163,11 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         top.withColumn("ta", F.expr("split(gram, ' ')[0]"))
         .withColumn("tb", F.expr("split(gram, ' ')[1]"))
-        .join(F.broadcast(a), on="ta")
-        .join(F.broadcast(b), on="tb")
+        # a/b are vocabulary-sized (unbounded at corpus scale) — no
+        # broadcast hints on them; the bounded PMI_TOP side is what AQE
+        # broadcasts at runtime.
+        .join(a, on="ta")
+        .join(b, on="tb")
         .crossJoin(F.broadcast(nn))
     )
     return joined.select(
@@ -1391,9 +1400,15 @@ def text_source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     tt = st.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
     total = int(tt.agg(F.sum("n_t")).collect()[0][0])
+    # tt is the per-term corpus-count relation — vocabulary-sized and
+    # unbounded, so it must NOT be broadcast (at 100 TB it OOMs the
+    # executors); st is already partially aggregated on tok, so the
+    # tok-keyed join shuffles only (source, tok, count) triples.  Only
+    # the bounded per-source relation s gets the hint.  (The same fix
+    # as text_js_divergence_sources, round-8 ADVICE.)
     obs = (
         st.join(F.broadcast(s), on="source")
-        .join(F.broadcast(tt), on="tok")
+        .join(tt, on="tok")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_terms"),
