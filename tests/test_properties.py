@@ -2565,3 +2565,214 @@ def test_pareto_8020_matches_python_recompute(spark):
     assert row["m_share_ppm"] == m * 1_000_000 // len(rev)
     assert row["revenue_at_m_ppm"] == c_at_m * 1_000_000 // total
     assert row["revenue_at_m_ppm"] >= 800_000
+
+
+def test_spearman_corr_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_spearman_corr"].fn(spark, SF_SMOKE).collect()[0]
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).collect()
+    items = [
+        (r["l_quantity"], round(r["l_extendedprice"] * 100), r["l_orderkey"], r["l_linenumber"])
+        for r in rows
+    ]
+    n = len(items)
+    by_q = sorted(range(n), key=lambda i: (items[i][0], items[i][2], items[i][3]))
+    by_p = sorted(range(n), key=lambda i: (items[i][1], items[i][2], items[i][3]))
+    rq = [0] * n
+    rp = [0] * n
+    for pos, i in enumerate(by_q):
+        rq[i] = pos + 1
+    for pos, i in enumerate(by_p):
+        rp[i] = pos + 1
+    sd2 = sum((a - b) ** 2 for a, b in zip(rq, rp))
+    den = n * (n * n - 1)
+    num = den - 6 * sd2
+    expect = (num * 1_000_000) // den if num >= 0 else -((-num * 1_000_000) // den)
+    assert row["n_rows"] == n
+    assert row["sum_d2"] == sd2
+    assert row["spearman_rho_ppm"] == expect
+    assert -1_000_000 <= row["spearman_rho_ppm"] <= 1_000_000
+
+
+def test_theil_sen_matches_python_recompute(spark):
+    import math
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.events import _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["events_theil_sen_trend"].fn(spark, SF_SMOKE).collect()[0]
+    day_us = 86400 * 1_000_000
+    daily: dict[int, int] = {}
+    for r in (
+        _with_us(load_table(spark, SF_SMOKE, "events")).select("ts_us").collect()
+    ):
+        d = r["ts_us"] // day_us
+        daily[d] = daily.get(d, 0) + 1
+    pts = sorted(daily.items())
+    slopes = sorted(
+        (x2 - x1) / float(d2 - d1)
+        for i, (d1, x1) in enumerate(pts)
+        for d2, x2 in pts[i + 1 :]
+    )
+    p = len(slopes)
+    med = (slopes[(p + 1) // 2 - 1] + slopes[(p + 2) // 2 - 1]) / 2
+    assert row["n_days"] == len(pts)
+    assert row["n_pairs"] == p
+    assert row["theil_sen_slope_micro"] == math.floor(med * 1_000_000 + 0.5)
+
+
+def test_quantile_loss_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    out = {
+        r["o_orderpriority"]: r
+        for r in all_specs()["ml_quantile_loss"].fn(spark, SF_SMOKE).collect()
+    }
+    groups: dict[str, list[int]] = {}
+    for r in load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        groups.setdefault(r["o_orderpriority"], []).append(
+            round(r["o_totalprice"] * 100)
+        )
+    assert set(out) == set(groups)
+    for prio, ys in groups.items():
+        yhat = sum(ys) // len(ys)
+        pb = sum(9 * (y - yhat) if y >= yhat else (yhat - y) for y in ys)
+        r = out[prio]
+        assert r["n_orders"] == len(ys)
+        assert r["pred_cents"] == yhat
+        assert r["pinball_decicents"] == pb
+        assert r["pinball_cents_per_order"] == pb // (10 * len(ys))
+
+
+def test_char_entropy_matches_python_recompute(spark):
+    import math
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    out = {
+        r["source"]: r
+        for r in all_specs()["text_char_entropy"].fn(spark, SF_SMOKE).collect()
+    }
+    counts: dict[str, dict[str, int]] = {}
+    for r in load_table(spark, SF_SMOKE, "documents").select(
+        "source", "text"
+    ).collect():
+        cc = counts.setdefault(r["source"], {})
+        for ch in (r["text"] or "").lower():
+            cc[ch] = cc.get(ch, 0) + 1
+    assert set(out) == set(counts)
+    for src, cc in counts.items():
+        n = sum(cc.values())
+        # SQL round() is half-away-from-zero; ln(p) here is negative, so
+        # match with floor(|x| + 0.5) on the magnitude
+        def q(x: float) -> int:
+            return int(math.floor(abs(x) * 1_000_000 + 0.5)) * (
+                -1 if x < 0 else 1
+            )
+
+        ent = sum(c * -q(math.log(c / n)) for c in cc.values()) // n
+        r = out[src]
+        assert r["n_chars"] == n
+        assert r["alphabet"] == len(cc)
+        assert r["entropy_micronats"] == ent
+        assert 0 <= r["entropy_micronats"] <= int(math.log(len(cc)) * 1e6) + 1
+
+
+def test_heaps_fit_matches_python_recompute(spark):
+    import math
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.text import HEAPS_BUCKETS, HEAPS_SHINGLE_K
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["text_heaps_law_fit"].fn(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    md = max(r["doc_id"] for r in docs) + 1
+    nt = [0] * HEAPS_BUCKETS
+    first: dict[str, int] = {}
+    for r in docs:
+        b = min(HEAPS_BUCKETS - 1, r["doc_id"] * HEAPS_BUCKETS // md)
+        toks = (r["text"] or "").lower().split(" ")
+        if len(toks) >= HEAPS_SHINGLE_K:
+            sh = [
+                " ".join(toks[i : i + HEAPS_SHINGLE_K])
+                for i in range(len(toks) - HEAPS_SHINGLE_K + 1)
+            ]
+        else:
+            sh = [" ".join(toks)]
+        nt[b] += len(sh)
+        for s in sh:
+            if s not in first or first[s] > b:
+                first[s] = b
+    nv = [0] * HEAPS_BUCKETS
+    for b in first.values():
+        nv[b] += 1
+    xs, ys, cn, cv = [], [], 0, 0
+    for b in range(HEAPS_BUCKETS):
+        cn += nt[b]
+        cv += nv[b]
+        xs.append(int(math.floor(math.log(cn) * 1_000_000 + 0.5)))
+        ys.append(int(math.floor(math.log(cv) * 1_000_000 + 0.5)))
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert row["n_points"] == k
+    assert abs(row["heaps_beta"] - beta) < 1e-6
+    assert 0.0 < row["r2"] <= 1.0
+
+
+def test_paired_bootstrap_delta_matches_python_recompute(spark):
+    import hashlib
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.evaluation import BOOTSTRAP_B
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_paired_bootstrap_delta"].fn(spark, SF_SMOKE).collect()[0]
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_discount", "l_quantity", "l_returnflag"
+    ).collect()
+    ds, hs = [], []
+    for r in rows:
+        y = r["l_returnflag"] == "R"
+        a = round(r["l_discount"] * 100) >= 6
+        b = r["l_quantity"] >= 30
+        d = (1 if (a == y) and (b != y) else -1 if (a != y) and (b == y) else 0)
+        ds.append(d)
+        hs.append(
+            int(hashlib.md5(f"pb|{r['l_orderkey']}".encode()).hexdigest()[:15], 16)
+        )
+    n = len(ds)
+    d_all = sum(ds)
+
+    def tz(num: int, den: int) -> int:
+        return (num * 1_000_000) // den if num >= 0 else -((-num * 1_000_000) // den)
+
+    deltas = []
+    for r in range(BOOTSTRAP_B):
+        dd = sum(d for d, h in zip(ds, hs) if (h >> r) % 2 == 0)
+        nn = sum(1 for h in hs if (h >> r) % 2 == 0)
+        deltas.append((tz(dd, nn), r))
+    deltas.sort()
+    assert row["n_rows"] == n
+    assert row["delta_ppm"] == tz(d_all, n)
+    assert row["ci_lo_ppm"] == deltas[1][0]
+    assert row["ci_hi_ppm"] == deltas[BOOTSTRAP_B - 2][0]
+    assert row["ci_lo_ppm"] <= row["delta_ppm"] <= row["ci_hi_ppm"]
