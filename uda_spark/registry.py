@@ -259,6 +259,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "sim_ivf_balance_audit",
     "text_char_entropy",
     "dq_ship_date_consistency",
+    "events_cuped_adjusted_ab",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
