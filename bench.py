@@ -138,6 +138,29 @@ EXTENDED = [
     "text_js_divergence_sources",
     "ml_log_loss",
     "orders_pareto_8020",
+    # round-9 additions (earlier session)
+    "events_poisson_dispersion",
+    "events_peak_days",
+    "events_entropy_rate",
+    "text_simpson_diversity",
+    "text_zipf_slope",
+    "dq_order_reconciliation",
+    # round-9 additions (this session)
+    "ml_spearman_corr",
+    "ml_mcnemar_paired",
+    "ml_quantile_loss",
+    "events_theil_sen_trend",
+    "text_readability_flesch",
+    "text_heaps_law_fit",
+    "sim_knn_margin_audit",
+    "dq_iqr_outlier_audit",
+    "pipeline_dedup_token_savings",
+    "ml_two_proportion_ztest",
+    "ml_paired_bootstrap_delta",
+    "sim_ivf_balance_audit",
+    "text_char_entropy",
+    "dq_ship_date_consistency",
+    "events_cuped_adjusted_ab",
 ]
 
 
