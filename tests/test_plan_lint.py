@@ -145,6 +145,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "sim_ivf_balance_audit": "k-row centroid table broadcast onto the corpus scan + 1-row totals",
     "text_heaps_law_fit": "1-row max-doc-id relation for prefix bucketing",
     "events_cuped_adjusted_ab": "1-row time-span relation for the period split",
+    "sim_recall_vs_nprobe": "fixed query set + (queries x k) probe table + 4-row nprobe grid",
 }
 
 

@@ -1740,3 +1740,229 @@ def sim_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("load_ppm_of_ideal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall-vs-nprobe tuning curve for the IVF coarse quantizer
+
+NPROBES = (1, 2, 3, 5)
+
+_NP_QDOT = portable.int_dot("q_vec", "c_vec", "spark")
+_NP_DUCK_QDOT = portable.int_dot("q.v", "c.v", "duck")
+
+
+@register(
+    "sim_recall_vs_nprobe",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {portable.int_dot('v', 'v', 'duck')} AS nsq FROM iv),
+dims AS (
+  SELECT label, d, SUM(v[d + 1]) AS s, COUNT(*)::BIGINT AS cnt
+  FROM iv, range(0, 64) r(d) GROUP BY label, d
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / cnt ORDER BY d) AS centroid
+  FROM dims GROUP BY label
+),
+q AS (SELECT vec_id, v FROM iv WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT vec_id AS q_id, label AS plabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, label) AS pr
+  FROM (
+    SELECT q.vec_id, c.label,
+           list_sum(list_transform(range(1, 65),
+             i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS dist2
+    FROM q CROSS JOIN cent c
+  )
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+         round({portable.cosine_from_ints(_NP_DUCK_QDOT, 'q.nsq', 'c.nsq')}, 6)
+           AS score
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rnk FROM scored)
+  WHERE rnk <= {TOP_K}
+),
+nps AS (SELECT * FROM (VALUES {', '.join(f'({np})' for np in NPROBES)}) v(np)),
+ann AS (
+  SELECT np, query_id, neighbor_id
+  FROM (
+    SELECT nps.np, s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY nps.np, s.query_id
+             ORDER BY s.score DESC, s.neighbor_id) AS rnk
+    FROM scored s
+    JOIN probes p ON p.q_id = s.query_id AND p.plabel = s.nlabel
+    JOIN nps ON p.pr <= nps.np
+  ) WHERE rnk <= {TOP_K}
+),
+sizes AS (SELECT label, COUNT(*)::BIGINT AS n_l FROM iv GROUP BY label),
+tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM iv),
+scan AS (
+  SELECT nps.np, SUM(sizes.n_l)::BIGINT AS n_scanned
+  FROM probes JOIN sizes ON sizes.label = probes.plabel
+  JOIN nps ON probes.pr <= nps.np
+  GROUP BY nps.np
+),
+hits AS (
+  SELECT ann.np, COUNT(*)::BIGINT AS n_hits
+  FROM ann JOIN truth ON ann.query_id = truth.query_id
+                     AND ann.neighbor_id = truth.neighbor_id
+  GROUP BY ann.np
+)
+SELECT CAST(nps.np AS INT) AS np,
+       COALESCE(hits.n_hits, 0)::BIGINT AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) * 1000000 // ({N_QUERIES} * {TOP_K})
+            AS BIGINT) AS recall_ppm,
+       CAST(scan.n_scanned * 1000000 // ({N_QUERIES} * tot.n_total)
+            AS BIGINT) AS scanned_ppm
+FROM nps LEFT JOIN hits ON hits.np = nps.np
+         JOIN scan ON scan.np = nps.np, tot
+""",
+    tags=("similarity", "evaluation", "approx", "north-star"),
+)
+def sim_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} versus nprobe for the IVF coarse quantizer, with
+    the corpus share each setting scans — THE tuning curve an IVF
+    deployment reads before picking nprobe (recall_at_k_curve profiles
+    the LSH arm; this profiles the partition-probing arm): each extra
+    probed list buys recall at a linear scan-cost price, and the knee
+    of this curve is the production setting.
+
+    Exactness: both tiers are the audited deterministic operators —
+    exact fixed-point cosines, exact integer-sum centroids, identical
+    tie-breaks — so hit counts, recall, and the scanned share are exact
+    integers on both engines.
+
+    Scale shape: ONE broadcast-queries corpus scan produces the scored
+    relation; the probe assignment is a (queries × k)-row bounded
+    relation; each nprobe's top-{TOP_K} uses the partial-then-final
+    two-stage window (partition-local top-k first — no single task ever
+    sees a query's full score stream); the scanned-share arithmetic is
+    O(k) metadata.  Cites the reference's LPQ/RPQ hierarchical merge
+    (src/Merger/MergeManager.cc:240-288) for the two-stage shape.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    nsq = iv.select(
+        "vec_id", "label", "v",
+        F.expr(portable.int_dot("v", "v", "spark")).alias("nsq"),
+    )
+    cent = (
+        iv.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", (F.col("s") / F.col("cnt")).alias("m")))
+            ).alias("cm")
+        )
+        .select("label", F.expr("transform(cm, e -> e.m)").alias("centroid"))
+    )
+    q = nsq.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_vec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    probes = (
+        q.select("q_id", "q_vec")
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist2",
+            F.expr(
+                "aggregate(zip_with(q_vec, centroid, (x, c) -> (x - c) * (x - c)), "
+                "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            ),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(Window.partitionBy("q_id").orderBy("dist2", "label")),
+        )
+        .select("q_id", F.col("label").alias("plabel"), "pr")
+    )
+    score = portable.cosine_from_ints(_NP_QDOT, "q_nsq", "c_nsq")
+    scored = (
+        nsq.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("label").alias("nlabel"),
+            F.col("v").alias("c_vec"),
+            F.col("nsq").alias("c_nsq"),
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "nlabel",
+            F.round(F.expr(score), 6).alias("score"),
+            F.spark_partition_id().alias("_part"),
+        )
+    )
+    order = (F.col("score").desc(), F.col("neighbor_id"))
+    tw = Window.partitionBy("query_id", "_part").orderBy(*order)
+    truth = (
+        scored.withColumn("_pr", F.row_number().over(tw))
+        .where(F.col("_pr") <= TOP_K)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(*order)),
+        )
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    nps = spark.range(1).selectExpr(
+        f"explode(array({', '.join(str(np) for np in NPROBES)})) AS np"
+    )
+    cand = (
+        scored.join(
+            F.broadcast(probes),
+            (F.col("q_id") == F.col("query_id"))
+            & (F.col("plabel") == F.col("nlabel")),
+        )
+        .crossJoin(F.broadcast(nps))
+        .where(F.col("pr") <= F.col("np"))
+    )
+    aw = Window.partitionBy("np", "query_id", "_part").orderBy(*order)
+    ann = (
+        cand.withColumn("_pr2", F.row_number().over(aw))
+        .where(F.col("_pr2") <= TOP_K)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("np", "query_id").orderBy(*order)),
+        )
+        .where(F.col("rnk") <= TOP_K)
+        .select("np", "query_id", "neighbor_id")
+    )
+    sizes = iv.groupBy("label").agg(F.count("*").alias("n_l"))
+    tot = iv.agg(F.count("*").cast("long").alias("n_total"))
+    scan = (
+        probes.join(F.broadcast(sizes), probes.plabel == sizes.label)
+        .crossJoin(F.broadcast(nps.selectExpr("np AS np2")))
+        .where(F.col("pr") <= F.col("np2"))
+        .groupBy("np2")
+        .agg(F.sum("n_l").cast("long").alias("n_scanned"))
+    )
+    hits = (
+        ann.join(truth, on=["query_id", "neighbor_id"])
+        .groupBy("np")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        nps.join(hits, on="np", how="left")
+        .join(scan, nps.np == scan.np2)
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(np AS INT) AS np",
+            "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits",
+            f"CAST(COALESCE(n_hits, 0) * 1000000 div ({N_QUERIES} * {TOP_K})"
+            " AS BIGINT) AS recall_ppm",
+            f"CAST(n_scanned * 1000000 div ({N_QUERIES} * n_total)"
+            " AS BIGINT) AS scanned_ppm",
+        )
+    )

@@ -260,6 +260,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_char_entropy",
     "dq_ship_date_consistency",
     "events_cuped_adjusted_ab",
+    "sim_recall_vs_nprobe",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
