@@ -161,6 +161,7 @@ EXTENDED = [
     "text_char_entropy",
     "dq_ship_date_consistency",
     "events_cuped_adjusted_ab",
+    "sim_recall_vs_nprobe",
 ]
 
 

@@ -284,6 +284,8 @@ EXTENDED = (
     "text_char_entropy",
     "dq_ship_date_consistency",
     "text_heaps_law_fit",
+    "events_cuped_adjusted_ab",
+    "sim_recall_vs_nprobe",
 )
 
 ITERS = 3
