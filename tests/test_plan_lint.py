@@ -146,6 +146,10 @@ BNLJ_BOUNDED: dict[str, str] = {
     "text_heaps_law_fit": "1-row max-doc-id relation for prefix bucketing",
     "events_cuped_adjusted_ab": "1-row time-span relation for the period split",
     "sim_recall_vs_nprobe": "fixed query set + (queries x k) probe table + 4-row nprobe grid",
+    "ml_mrr_at_k": "fixed query set (vec_id < K pushed filter, <=64 rows)",
+    "ml_average_precision_at_k": "fixed query set + bounded per-label counts",
+    "ml_cramers_v": "bounded (source x lang) marginals + scalar n (chi-square sibling)",
+    "ml_kruskal_wallis": "1-row tie/total/term aggregates for the H arithmetic",
 }
 
 

@@ -2146,3 +2146,475 @@ def ml_paired_bootstrap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST({BOOTSTRAP_B} AS INT) AS n_replicates",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 session-2 additions: operating-point selection (Youden), effect
+# size (Cramér's V), retrieval-ranking MRR / MAP, and the rank-based
+# multi-group Kruskal-Wallis test.
+
+
+@register(
+    "ml_youden_j_threshold",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+grp AS (
+  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY score
+),
+cum AS (
+  SELECT score,
+         SUM(p) OVER (ORDER BY score DESC) AS tp,
+         SUM(c - p) OVER (ORDER BY score DESC) AS fp
+  FROM grp
+),
+m AS (SELECT SUM(p)::BIGINT AS n_pos, SUM(c - p)::BIGINT AS n_neg FROM grp),
+j AS (
+  SELECT score, tp, fp,
+         tp * 1000000 // NULLIF(m.n_pos, 0) AS tpr_ppm,
+         fp * 1000000 // NULLIF(m.n_neg, 0) AS fpr_ppm
+  FROM cum, m
+)
+SELECT CAST(j.score AS BIGINT) AS threshold_cents,
+       CAST(j.tp AS BIGINT) AS tp, CAST(j.fp AS BIGINT) AS fp,
+       m.n_pos, m.n_neg,
+       CAST(j.tpr_ppm AS BIGINT) AS tpr_ppm,
+       CAST(j.fpr_ppm AS BIGINT) AS fpr_ppm,
+       CAST(j.tpr_ppm - j.fpr_ppm AS BIGINT) AS j_ppm
+FROM j, m
+ORDER BY j.tpr_ppm - j.fpr_ppm DESC, j.score DESC LIMIT 1
+""",
+    tags=("ml", "evaluation"),
+)
+def ml_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal operating point by Youden's J = TPR - FPR — the standard
+    threshold-selection readout after AUC says the ranking is good:
+    scan every distinct-score cut "predict positive iff score >= t",
+    report the cut maximizing J (ties resolve to the HIGHEST threshold
+    in both engines — prefer the more conservative classifier).  TPR
+    and FPR are integer ppm (tp * 1e6 // n_pos — exact to ~9e12 users
+    before the int64 numerator wraps; stated contract bound), so J is a
+    difference of two already-floored non-negative integers.
+
+    Scale shape: the sibling of :func:`ml_ks_statistic` — one
+    groupBy(score) to distinct-score class counts, ONE multi-column
+    range-partitioned cumulative pass (descending score order via a
+    negated key: no single-partition window), class totals as O(1)
+    collected scalars off the same checkpoint, and a 1-row
+    TakeOrderedAndProject argmax.
+    """
+    base = _user_label_score(spark, sf_dir)
+    grp = base.groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("label").cast("long").alias("p"),
+    )
+    cum = global_cumulative_sums(
+        grp.withColumn("np", F.col("c") - F.col("p")).withColumn(
+            "nscore", -F.col("score")
+        ),
+        order_keys=["nscore"],
+        value_cols=["p", "np"],
+        aliases=["tp_before", "fp_before"],
+    )
+    n_pos, n_neg = cum.agg(
+        F.sum("p").cast("long"), F.sum("np").cast("long")
+    ).first()
+    j = cum.select(
+        "score",
+        (F.col("tp_before") + F.col("p")).alias("tp"),
+        (F.col("fp_before") + F.col("np")).alias("fp"),
+    ).selectExpr(
+        "score",
+        "tp",
+        "fp",
+        f"tp * 1000000L div NULLIF({n_pos}L, 0) AS tpr_ppm",
+        f"fp * 1000000L div NULLIF({n_neg}L, 0) AS fpr_ppm",
+    )
+    top = j.orderBy(
+        (F.col("tpr_ppm") - F.col("fpr_ppm")).desc(), F.col("score").desc()
+    ).limit(1)
+    return top.select(
+        F.col("score").cast("long").alias("threshold_cents"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        F.col("tpr_ppm").cast("long").alias("tpr_ppm"),
+        F.col("fpr_ppm").cast("long").alias("fpr_ppm"),
+        (F.col("tpr_ppm") - F.col("fpr_ppm")).cast("long").alias("j_ppm"),
+    )
+
+
+@register(
+    "ml_cramers_v",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, COUNT(*)::HUGEINT AS o
+  FROM documents GROUP BY source, lang
+),
+rm AS (SELECT source, SUM(o)::HUGEINT AS r FROM cells GROUP BY source),
+cm AS (SELECT lang, SUM(o)::HUGEINT AS cc FROM cells GROUP BY lang),
+tot AS (SELECT SUM(o)::HUGEINT AS n FROM cells),
+terms AS (
+  SELECT ((cells.o * tot.n - rm.r * cm.cc) * (cells.o * tot.n - rm.r * cm.cc)
+          * 1000) // (rm.r * cm.cc * tot.n) AS term_milli
+  FROM cells JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN tot
+),
+chi AS (SELECT SUM(term_milli)::HUGEINT AS chi2_milli FROM terms),
+dims AS (
+  SELECT (SELECT COUNT(*)::HUGEINT FROM rm) - 1 AS r1,
+         (SELECT COUNT(*)::HUGEINT FROM cm) - 1 AS c1
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_obs,
+       CAST(dims.r1 + 1 AS INT) AS n_sources,
+       CAST(dims.c1 + 1 AS INT) AS n_langs,
+       CAST(chi.chi2_milli AS BIGINT) AS chi2_milli,
+       CAST(chi.chi2_milli * 1000 // (SELECT n FROM tot) AS BIGINT) AS phi2_ppm,
+       CAST(chi.chi2_milli * 1000
+            // ((SELECT n FROM tot) * LEAST(dims.r1, dims.c1)) AS BIGINT)
+         AS v2_ppm
+FROM chi, dims
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the source × language association in
+    the document corpus — chi-square says the skew is significant;
+    V says whether it is LARGE (the curation-relevant question: a
+    pipeline rebalances sources whose language mix diverges).  To stay
+    float-free, the squared statistic is reported: phi² = chi²/N and
+    V² = chi²/(N·min(r-1, c-1)), both integer ppm with the chi² term
+    carried in DECIMAL(38,0)/HUGEINT exactly like
+    :func:`ml_chi_square_independence`.
+
+    Scale shape: ONE corpus-sized groupBy builds the bounded
+    (source × lang) contingency cells; marginals, totals, and the V
+    arithmetic all operate on that bounded relation.
+    """
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_cv_documents")
+    return spark.sql(
+        """
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+  FROM _cv_documents GROUP BY source, lang
+),
+rm AS (SELECT source, SUM(o) AS r FROM cells GROUP BY source),
+cm AS (SELECT lang, SUM(o) AS cc FROM cells GROUP BY lang),
+tot AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT ((cells.o * tot.n - rm.r * cm.cc) * (cells.o * tot.n - rm.r * cm.cc)
+          * 1000) div (rm.r * cm.cc * tot.n) AS term_milli
+  FROM cells JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN tot
+),
+chi AS (SELECT CAST(SUM(term_milli) AS DECIMAL(38,0)) AS chi2_milli FROM terms),
+dims AS (
+  SELECT (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) FROM rm) - 1 AS r1,
+         (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) FROM cm) - 1 AS c1
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_obs,
+       CAST(dims.r1 + 1 AS INT) AS n_sources,
+       CAST(dims.c1 + 1 AS INT) AS n_langs,
+       CAST(chi.chi2_milli AS BIGINT) AS chi2_milli,
+       CAST(chi.chi2_milli * 1000 div (SELECT n FROM tot) AS BIGINT) AS phi2_ppm,
+       CAST(chi.chi2_milli * 1000
+            div ((SELECT n FROM tot) * LEAST(dims.r1, dims.c1)) AS BIGINT)
+         AS v2_ppm
+FROM chi, dims
+"""
+    )
+
+
+# Shared oracle CTE prefix for the ranked-retrieval metrics (MRR / MAP):
+# exact-cosine top ranking of the fixed query set, identical to ml_ndcg_at_k.
+_RANKED_ORACLE_PREFIX = f"""
+WITH iv AS (SELECT vec_id, label, {_NDCG_IV} AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {_NDCG_NSQ} AS nsq FROM iv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.label AS qlabel, c.label AS clabel,
+         round({_NDCG_COS}, 6) AS score
+  FROM n q JOIN n c ON q.vec_id < {NDCG_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+),
+q AS (SELECT vec_id AS query_id, label AS qlabel FROM iv
+      WHERE vec_id < {NDCG_QUERIES})
+"""
+
+
+def _labeled_topk(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side ranked top-k with relevance flags: broadcast
+    query set × one corpus scan (knn_bruteforce's partial-then-final
+    top-k), labels joined via two bounded broadcasts.  Returns
+    (labeled knn DataFrame, bounded query-label DataFrame)."""
+    from uda_spark.operators import similarity as SIM_OPS
+
+    emb = t(spark, sf_dir, "embeddings")
+    lbl = emb.select("vec_id", "label")
+    queries = emb.where(F.col("vec_id") < NDCG_QUERIES)
+    knn = SIM_OPS.knn_bruteforce(emb, queries, "vec_id", "embedding", top_k=NDCG_K)
+    qlbl = lbl.where(F.col("vec_id") < NDCG_QUERIES).withColumnsRenamed(
+        {"vec_id": "query_id", "label": "qlabel"}
+    )
+    labeled = knn.join(
+        F.broadcast(
+            lbl.withColumnsRenamed({"vec_id": "neighbor_id", "label": "clabel"})
+        ),
+        on="neighbor_id",
+    ).join(F.broadcast(qlbl), on="query_id")
+    return labeled, qlbl
+
+
+@register(
+    "ml_mrr_at_k",
+    oracle=f"""{_RANKED_ORACLE_PREFIX},
+fr AS (
+  SELECT query_id, MIN(rnk)::BIGINT AS first_rel_rank
+  FROM ranked WHERE clabel = qlabel AND rnk <= {NDCG_K}
+  GROUP BY query_id
+)
+SELECT q.query_id,
+       COALESCE(fr.first_rel_rank, 0) AS first_rel_rank,
+       COALESCE(1000000 // fr.first_rel_rank, 0)::BIGINT AS rr_ppm
+FROM q LEFT JOIN fr USING (query_id)
+""",
+    tags=("ml", "evaluation", "similarity"),
+)
+def ml_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank @10 of the exact-cosine retriever per query —
+    MRR's per-query rows (the mean is one trivial reduction the
+    consumer applies; per-query rows are what an eval harness joins
+    back onto query metadata).  Relevance = shares the query's label;
+    rr = 1/rank of the FIRST relevant hit as exact integer ppm
+    (1e6 // rank), 0 when no relevant hit lands in the top k.
+
+    Scale shape: identical to :func:`ml_ndcg_at_k` — broadcast query
+    set × one corpus scan with partial-then-final top-k (the corpus
+    never shuffles), then a groupBy over |queries| × k rows.
+    """
+    labeled, qlbl = _labeled_topk(spark, sf_dir)
+    fr = (
+        labeled.where(F.col("clabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("long").alias("first_rel_rank"))
+    )
+    return qlbl.select("query_id").join(fr, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce(F.col("first_rel_rank"), F.lit(0)).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.coalesce(
+            F.expr("1000000L div first_rel_rank"), F.lit(0)
+        ).cast("long").alias("rr_ppm"),
+    )
+
+
+@register(
+    "ml_average_precision_at_k",
+    oracle=f"""{_RANKED_ORACLE_PREFIX},
+flags AS (
+  SELECT query_id, rnk,
+         CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rnk <= {NDCG_K}
+),
+cum AS (
+  SELECT query_id, rnk, rel,
+         SUM(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS cum_rel
+  FROM flags
+),
+ap AS (
+  SELECT query_id,
+         SUM(CASE WHEN rel = 1 THEN cum_rel * 1000000 // rnk ELSE 0 END)::BIGINT
+           AS sum_prec_ppm,
+         MAX(cum_rel)::BIGINT AS hits
+  FROM cum GROUP BY query_id
+),
+nrel AS (
+  SELECT q.query_id, COUNT(c.vec_id)::BIGINT AS n_rel
+  FROM q LEFT JOIN iv c ON c.vec_id <> q.query_id AND c.label = q.qlabel
+  GROUP BY q.query_id
+)
+SELECT q.query_id, nrel.n_rel, COALESCE(ap.hits, 0) AS hits,
+       COALESCE(ap.sum_prec_ppm // NULLIF(LEAST(nrel.n_rel, {NDCG_K}), 0), 0)
+         ::BIGINT AS ap_ppm
+FROM q JOIN nrel USING (query_id) LEFT JOIN ap USING (query_id)
+""",
+    tags=("ml", "evaluation", "similarity"),
+)
+def ml_average_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @10 per query (the per-query rows of MAP@10):
+    AP = (Σ over relevant ranks i of precision@i) / min(n_relevant, k),
+    with precision@i = hits_up_to_i / i floored to integer ppm in both
+    engines before the sum, so the whole readout is exact integer
+    arithmetic.  n_relevant is the corpus count of same-label vectors
+    (minus self), the same normalization ml_ndcg_at_k's IDCG uses.
+
+    Scale shape: the ranking reuses knn_bruteforce (broadcast queries ×
+    corpus scan, partial-then-final top-k); the running hit count is a
+    window PARTITIONED BY query_id over ≤k rows per query (never a
+    single-partition exchange); per-label corpus counts are one bounded
+    aggregation broadcast back.
+    """
+    labeled, qlbl = _labeled_topk(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    cum = labeled.select(
+        "query_id",
+        "rank",
+        F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+    ).withColumn("cum_rel", F.sum("rel").over(w))
+    ap = cum.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("cum_rel * 1000000L div rank"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_prec_ppm"),
+        F.max("cum_rel").cast("long").alias("hits"),
+    )
+    by_label = emb.groupBy("label").agg(F.count("*").alias("n_label"))
+    nrel = qlbl.join(F.broadcast(by_label), F.col("qlabel") == F.col("label")).select(
+        "query_id", (F.col("n_label") - 1).cast("long").alias("n_rel")
+    )
+    return (
+        nrel.join(ap, on="query_id", how="left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.coalesce(
+                F.expr(
+                    f"sum_prec_ppm div NULLIF(LEAST(n_rel, {NDCG_K}), 0)"
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ap_ppm"),
+        )
+    )
+
+
+@register(
+    "ml_kruskal_wallis",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v, o_orderpriority AS g
+  FROM orders
+),
+vg AS (SELECT v, g, COUNT(*)::BIGINT AS cnt FROM vals GROUP BY v, g),
+vt AS (SELECT v, SUM(cnt)::BIGINT AS c FROM vg GROUP BY v),
+rk AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM vt
+),
+gs AS (
+  SELECT vg.g, SUM(vg.cnt)::HUGEINT AS n_g,
+         SUM(vg.cnt::HUGEINT * (2 * rk.cum_before + rk.c + 1))::HUGEINT AS s2
+  FROM vg JOIN rk USING (v) GROUP BY vg.g
+),
+ties AS (SELECT SUM(c::HUGEINT * c * c - c)::HUGEINT AS tie FROM vt),
+tot AS (SELECT SUM(n_g)::HUGEINT AS n FROM gs),
+terms AS (SELECT SUM((s2 * s2 * 250000) // n_g)::HUGEINT AS st FROM gs),
+h AS (
+  SELECT (12 * terms.st) // (tot.n * (tot.n + 1)) - 3000000 * (tot.n + 1)
+           AS h_micro
+  FROM terms, tot
+)
+SELECT CAST(tot.n AS BIGINT) AS n_obs,
+       (SELECT COUNT(*)::INT FROM gs) AS n_groups,
+       CAST(ties.tie AS BIGINT) AS tie_cubed_sum,
+       CAST(h.h_micro AS BIGINT) AS h_micro,
+       CAST(CASE WHEN h.h_micro >= 0
+            THEN (h.h_micro * (tot.n * tot.n * tot.n - tot.n))
+                 // NULLIF(tot.n * tot.n * tot.n - tot.n - ties.tie, 0)
+            ELSE -((-h.h_micro * (tot.n * tot.n * tot.n - tot.n))
+                 // NULLIF(tot.n * tot.n * tot.n - tot.n - ties.tie, 0)) END
+         AS BIGINT) AS h_tie_corrected_micro
+FROM h, tot, ties
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kruskal-Wallis H test: does order value differ across the
+    five order-priority groups?  The rank-based one-way ANOVA — the
+    nonparametric multi-group sibling of the Mann-Whitney AUC, with the
+    same average-rank tie treatment carried as 2×rank (a tie group of
+    size c starting after cum_before contributes 2·cum_before + c + 1
+    per member, always integral).  H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1)
+    in integer micro units; the standard tie correction divides by
+    1 − Σ(t³−t)/(N³−N), applied as exact integer cross-multiplication.
+    Both engines floor identically at the two stated division points.
+    Contract bound (documented like ml_mcc_ece): S2_j²·250000 stays
+    inside DECIMAL(38,0) for N ≲ 5e7 observations; beyond that,
+    quantize the value column first.
+
+    Scale shape: one groupBy to (value, group) counts, one bounded
+    re-aggregation to distinct values, the range-partitioned two-pass
+    cumulative count (:func:`global_cumulative_sum` — no
+    single-partition window even with order-cardinality distinct
+    values), a value-keyed shuffle join of the two, and a per-group
+    reduction over |groups| rows.  Totals are 1-row aggregates.
+    """
+    orders = t(spark, sf_dir, "orders")
+    vg = (
+        orders.selectExpr(
+            "CAST(o_totalprice * 100 AS BIGINT) AS v", "o_orderpriority AS g"
+        )
+        .groupBy("v", "g")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    vt = vg.groupBy("v").agg(F.sum("cnt").cast("long").alias("c"))
+    rk = global_cumulative_sum(vt, ["v"], "c", "cum_before")
+    gs = (
+        vg.join(rk, on="v")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("decimal(38,0)").alias("n_g"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (2 * F.col("cum_before") + F.col("c") + 1)
+            ).alias("s2"),
+        )
+    )
+    gs.createOrReplaceTempView("_kw_gs")
+    rk.selectExpr("CAST(c AS DECIMAL(38,0)) AS c").createOrReplaceTempView("_kw_vt")
+    return spark.sql(
+        """
+WITH ties AS (SELECT CAST(SUM(c * c * c - c) AS DECIMAL(38,0)) AS tie FROM _kw_vt),
+tot AS (SELECT CAST(SUM(n_g) AS DECIMAL(38,0)) AS n FROM _kw_gs),
+terms AS (
+  -- exact decimal floor division (a - a%b)/b: Spark's `div` returns
+  -- BIGINT and would wrap once a quotient passes 2^63 (~1e8 obs in a
+  -- group); the mod-subtract quotient is exactly integral, so the
+  -- decimal divide introduces no rounding.
+  SELECT CAST(SUM(CAST((s2 * s2 * 250000 - (s2 * s2 * 250000) % n_g) / n_g
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st
+  FROM _kw_gs
+),
+h AS (
+  SELECT (12 * terms.st) div (tot.n * (tot.n + 1)) - 3000000 * (tot.n + 1)
+           AS h_micro
+  FROM terms, tot
+)
+SELECT CAST(tot.n AS BIGINT) AS n_obs,
+       (SELECT CAST(COUNT(*) AS INT) FROM _kw_gs) AS n_groups,
+       CAST(ties.tie AS BIGINT) AS tie_cubed_sum,
+       CAST(h.h_micro AS BIGINT) AS h_micro,
+       CAST(CASE WHEN h.h_micro >= 0
+            THEN (h.h_micro * (tot.n * tot.n * tot.n - tot.n))
+                 div NULLIF(tot.n * tot.n * tot.n - tot.n - ties.tie, 0)
+            ELSE -((-h.h_micro * (tot.n * tot.n * tot.n - tot.n))
+                 div NULLIF(tot.n * tot.n * tot.n - tot.n - ties.tie, 0)) END
+         AS BIGINT) AS h_tie_corrected_micro
+FROM h, tot, ties
+"""
+    )

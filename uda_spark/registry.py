@@ -261,6 +261,11 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dq_ship_date_consistency",
     "events_cuped_adjusted_ab",
     "sim_recall_vs_nprobe",
+    "ml_youden_j_threshold",
+    "ml_cramers_v",
+    "ml_mrr_at_k",
+    "ml_average_precision_at_k",
+    "ml_kruskal_wallis",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
