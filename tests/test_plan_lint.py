@@ -150,6 +150,9 @@ BNLJ_BOUNDED: dict[str, str] = {
     "ml_average_precision_at_k": "fixed query set + bounded per-label counts",
     "ml_cramers_v": "bounded (source x lang) marginals + scalar n (chi-square sibling)",
     "ml_kruskal_wallis": "1-row tie/total/term aggregates for the H arithmetic",
+    "text_perplexity_filter": "1-row max-rank total (global_ntile closed-form bucket)",
+    "sim_centroid_drift": "1-row corpus total crossed onto bounded (label x dim) sums",
+    "pipeline_epoch_repetition": "1-row budget/weight scalars x bounded per-source table",
 }
 
 

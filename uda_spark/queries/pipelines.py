@@ -1990,3 +1990,119 @@ def pipeline_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("savings_ppm"),
         )
     )
+
+
+EPOCH_CAP_MILLI = 4000  # max 4 epochs of any single source
+EPOCH_BUDGET_X = 2  # token budget = 2x the corpus
+
+
+@register(
+    "pipeline_epoch_repetition",
+    oracle=f"""
+WITH cnt AS (
+  SELECT source, SUM(len({portable.tokens('text', 'duck')}))::HUGEINT AS t
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(t)::HUGEINT AS st, {EPOCH_BUDGET_X} * SUM(t)::HUGEINT AS b FROM cnt),
+w AS (
+  SELECT source, t,
+         CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000000) AS HUGEINT) AS wfp
+  FROM cnt
+),
+sw AS (SELECT SUM(wfp)::HUGEINT AS sumw FROM w),
+p1 AS (
+  SELECT w.source, w.t, w.wfp,
+         (tot.b * w.wfp) // sw.sumw AS target,
+         LEAST((tot.b * w.wfp) // sw.sumw, {EPOCH_CAP_MILLI} * w.t // 1000) AS alloc1
+  FROM w, tot, sw
+),
+surplus AS (
+  SELECT (SELECT b FROM tot) - SUM(alloc1)::HUGEINT AS sp,
+         SUM(CASE WHEN target > alloc1 THEN 0 ELSE wfp END)::HUGEINT AS sumw_u
+  FROM p1
+),
+p2 AS (
+  SELECT p1.source, p1.t,
+         p1.alloc1 + CASE WHEN p1.target > p1.alloc1 THEN 0
+           ELSE COALESCE((surplus.sp * p1.wfp) // NULLIF(surplus.sumw_u, 0), 0) END
+           AS alloc2
+  FROM p1, surplus
+)
+SELECT source, CAST(t AS BIGINT) AS n_tokens,
+       CAST(LEAST(alloc2 * 1000 // t, {EPOCH_CAP_MILLI}) AS BIGINT) AS epochs_milli,
+       CAST(LEAST(alloc2 * 1000 // t, {EPOCH_CAP_MILLI}) * t // 1000 AS BIGINT)
+         AS alloc_tokens
+FROM p2
+""",
+    tags=("pipeline", "north-star", "curation"),
+)
+def pipeline_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/repetition plan under a fixed token budget — the
+    LLaMA-style mixing table: budget = 2× the corpus, target share ∝
+    sqrt(tokens) (temperature 0.5 upweights small sources), but no
+    source may repeat more than 4 epochs; surplus from capped sources
+    is redistributed to uncapped ones proportional to weight in ONE
+    round (the standard single-round water-fill; any residual from
+    newly-binding caps is deliberately left unallocated and visible as
+    Σ alloc_tokens < budget).  The only float is sqrt of an integer —
+    IEEE-exact in both engines, quantized once to fp micro-units; every
+    rate and allocation after that is exact integer floor arithmetic in
+    DECIMAL(38,0)/HUGEINT (budget × weight products pass int64 at
+    ~1e8 tokens).
+
+    Scale shape: one map-only token-count pass over the corpus into a
+    bounded per-source aggregate; ALL mixing arithmetic runs on
+    O(#sources) rows (cross joins are 1-row scalars).  The corpus is
+    scanned once and never shuffled.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source",
+            F.size(F.expr(portable.tokens("text", "spark"))).alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("decimal(38,0)").alias("t"))
+    )
+    cnt.createOrReplaceTempView("_er_cnt")
+    return spark.sql(
+        f"""
+WITH tot AS (
+  SELECT CAST(SUM(t) AS DECIMAL(38,0)) AS st,
+         CAST({EPOCH_BUDGET_X} * SUM(t) AS DECIMAL(38,0)) AS b
+  FROM _er_cnt
+),
+w AS (
+  SELECT source, t,
+         CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000000) AS DECIMAL(38,0)) AS wfp
+  FROM _er_cnt
+),
+sw AS (SELECT CAST(SUM(wfp) AS DECIMAL(38,0)) AS sumw FROM w),
+p1 AS (
+  SELECT w.source, w.t, w.wfp,
+         (tot.b * w.wfp) div sw.sumw AS target,
+         LEAST((tot.b * w.wfp) div sw.sumw,
+               ({EPOCH_CAP_MILLI} * w.t) div 1000) AS alloc1
+  FROM w CROSS JOIN tot CROSS JOIN sw
+),
+surplus AS (
+  SELECT (SELECT b FROM tot) - CAST(SUM(alloc1) AS DECIMAL(38,0)) AS sp,
+         CAST(SUM(CASE WHEN target > alloc1 THEN 0 ELSE wfp END)
+              AS DECIMAL(38,0)) AS sumw_u
+  FROM p1
+),
+p2 AS (
+  SELECT p1.source, p1.t,
+         p1.alloc1 + CASE WHEN p1.target > p1.alloc1 THEN 0
+           ELSE COALESCE((surplus.sp * p1.wfp) div NULLIF(surplus.sumw_u, 0), 0) END
+           AS alloc2
+  FROM p1 CROSS JOIN surplus
+)
+SELECT source, CAST(t AS BIGINT) AS n_tokens,
+       CAST(LEAST((alloc2 * 1000) div t, {EPOCH_CAP_MILLI}) AS BIGINT)
+         AS epochs_milli,
+       CAST((LEAST((alloc2 * 1000) div t, {EPOCH_CAP_MILLI}) * t) div 1000
+         AS BIGINT) AS alloc_tokens
+FROM p2
+"""
+    )

@@ -1966,3 +1966,79 @@ def sim_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS scanned_ppm",
         )
     )
+
+
+@register(
+    "sim_centroid_drift",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_IV} AS v FROM embeddings),
+dims AS (
+  SELECT iv.label, u.i AS dim, SUM(iv.v[u.i])::HUGEINT AS s
+  FROM iv, LATERAL unnest(range(1, len(iv.v) + 1)) u(i)
+  GROUP BY iv.label, u.i
+),
+cnt AS (SELECT label, COUNT(*)::HUGEINT AS n_l FROM iv GROUP BY label),
+gdim AS (SELECT dim, SUM(s)::HUGEINT AS gs FROM dims GROUP BY dim),
+tot AS (SELECT SUM(n_l)::HUGEINT AS n FROM cnt),
+num AS (
+  SELECT dims.label,
+         SUM((dims.s * tot.n - gdim.gs * cnt.n_l)
+             * (dims.s * tot.n - gdim.gs * cnt.n_l))::HUGEINT AS d2_num
+  FROM dims JOIN gdim USING (dim) JOIN cnt USING (label) CROSS JOIN tot
+  GROUP BY dims.label
+)
+SELECT num.label, CAST(cnt.n_l AS BIGINT) AS n_vecs,
+       CAST(num.d2_num // (cnt.n_l * cnt.n_l * tot.n * tot.n) AS BIGINT)
+         AS centroid_dist2_fp2
+FROM num JOIN cnt USING (label) CROSS JOIN tot
+""",
+    tags=("similarity", "evaluation", "drift"),
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: squared L2 distance between each
+    label's centroid and the global corpus centroid, in exact
+    fixed-point² units — the readout a pipeline tracks across snapshots
+    to catch a source/class whose embedding distribution is moving
+    (upstream model change, crawl contamination) before any downstream
+    metric shifts.  Per-dim means never materialize as floats: the
+    difference is the cross-multiplied integer s_ld·N − S_d·n_l, squared
+    and summed in DECIMAL(38,0)/HUGEINT, then floor-divided by
+    (n_l·N)² — both engines floor the same non-negative quotient.
+    Contract bound: the squared term stays inside 38 digits for
+    n·|v|_fp ≲ 1e18 (≈1e12 vectors at this fixed-point scale).
+
+    Scale shape: ONE posexplode pass over the corpus feeds a
+    (label × 64-dim) bounded aggregation; global sums, counts, and the
+    distance arithmetic all operate on bounded relations (|labels|·64
+    rows).  The corpus is scanned once and never shuffled — the
+    explode's groupBy is map-side combinable on the bounded key.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    dims = (
+        iv.select("label", F.posexplode("v").alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(F.sum("x").cast("decimal(38,0)").alias("s"))
+    )
+    cnt = iv.groupBy("label").agg(F.count("*").cast("decimal(38,0)").alias("n_l"))
+    dims.createOrReplaceTempView("_cd_dims")
+    cnt.createOrReplaceTempView("_cd_cnt")
+    return t(spark, sf_dir, "embeddings").sparkSession.sql(
+        """
+WITH gdim AS (SELECT dim0, CAST(SUM(s) AS DECIMAL(38,0)) AS gs FROM _cd_dims GROUP BY dim0),
+tot AS (SELECT CAST(SUM(n_l) AS DECIMAL(38,0)) AS n FROM _cd_cnt),
+num AS (
+  SELECT d.label,
+         CAST(SUM((d.s * tot.n - gdim.gs * c.n_l)
+                  * (d.s * tot.n - gdim.gs * c.n_l)) AS DECIMAL(38,0)) AS d2_num
+  FROM _cd_dims d JOIN gdim USING (dim0) JOIN _cd_cnt c USING (label) CROSS JOIN tot
+  GROUP BY d.label
+)
+SELECT num.label, CAST(c.n_l AS BIGINT) AS n_vecs,
+       CAST(num.d2_num div (c.n_l * c.n_l * tot.n * tot.n) AS BIGINT)
+         AS centroid_dist2_fp2
+FROM num JOIN _cd_cnt c USING (label) CROSS JOIN tot
+"""
+    )

@@ -2392,3 +2392,99 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_micronats"),
         )
     )
+
+
+@register(
+    "text_perplexity_filter",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_DU_TOKS}) AS term FROM documents
+),
+vocab AS (SELECT term, COUNT(*)::BIGINT AS c FROM tk GROUP BY term),
+tot AS (SELECT SUM(c)::BIGINT AS s FROM vocab),
+lp AS (
+  SELECT term,
+         CAST(floor(ln(c / CAST((SELECT s FROM tot) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS micronats
+  FROM vocab
+),
+doc AS (
+  SELECT tk.doc_id, COUNT(*)::BIGINT AS n_tokens,
+         SUM(lp.micronats)::BIGINT AS sum_micronats
+  FROM tk JOIN lp USING (term) GROUP BY tk.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         ((-sum_micronats) * 1000) // n_tokens AS nll_milli
+  FROM doc
+),
+nt AS (
+  SELECT doc_id, n_tokens, nll_milli,
+         NTILE(4) OVER (ORDER BY nll_milli, doc_id) AS ppl_quartile
+  FROM keyed
+)
+SELECT d.source, nt.ppl_quartile,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(nt.n_tokens)::BIGINT AS n_tokens,
+       CAST(SUM(nt.nll_milli) // COUNT(*) AS BIGINT) AS mean_nll_milli
+FROM nt JOIN documents d USING (doc_id)
+GROUP BY d.source, nt.ppl_quartile
+""",
+    tags=("text", "north-star", "quality"),
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality partition: score every document
+    by its per-token negative log-likelihood under the corpus unigram
+    LM, cut the corpus into exact global perplexity quartiles, and
+    report each source's document/token mass per quartile — the table a
+    curation pipeline reads to decide "drop the worst quartile, keep
+    head+middle" (CCNet's head/middle/tail buckets) and to see WHICH
+    sources the cut hits.  The per-doc key is integer milli-micronats
+    per token ((-sum_micronats)·1000 // n_tokens — negated first so
+    floor and truncate agree; int64-safe to ~9e12 tokens per document).
+
+    Scale shape: one corpus explode feeds the vocabulary count and the
+    scoring join (term-keyed shuffle of (term, micronats) pairs — no
+    vocabulary broadcast, same as text_unigram_logprob); quartiles come
+    from :func:`uda_spark.operators.sort.global_ntile`'s two-pass
+    range-partitioned rank (no single-partition window over the
+    doc-cardinality key); the final rollup is a bounded
+    (source × 4) aggregation.
+    """
+    from uda_spark.operators.sort import global_ntile
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_SP_TOKS)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    n_total = vocab.agg(F.sum("c")).collect()[0][0]
+    lp = vocab.select(
+        "term",
+        F.expr(
+            f"CAST(floor(ln(c / CAST({n_total} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("micronats"),
+    )
+    doc = (
+        toks.join(lp, on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("micronats").cast("long").alias("sum_micronats"),
+        )
+    )
+    keyed = doc.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "((-sum_micronats) * 1000L) div n_tokens AS nll_milli",
+    )
+    nt = global_ntile(keyed, ["nll_milli", "doc_id"], 4, alias="ppl_quartile")
+    return (
+        nt.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source", "ppl_quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("CAST(SUM(nll_milli) div COUNT(*) AS BIGINT)").alias(
+                "mean_nll_milli"
+            ),
+        )
+    )

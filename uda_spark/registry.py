@@ -266,6 +266,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ml_mrr_at_k",
     "ml_average_precision_at_k",
     "ml_kruskal_wallis",
+    "text_perplexity_filter",
+    "sim_centroid_drift",
+    "pipeline_epoch_repetition",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
