@@ -153,6 +153,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     "text_perplexity_filter": "1-row max-rank total (global_ntile closed-form bucket)",
     "sim_centroid_drift": "1-row corpus total crossed onto bounded (label x dim) sums",
     "pipeline_epoch_repetition": "1-row budget/weight scalars x bounded per-source table",
+    "ml_brier_decomposition": "10-row calibration bins x 1-row totals",
+    "events_seasonal_strength": "calendar-day daily relation x 1-row totals (7-row dow groups)",
 }
 
 

@@ -2618,3 +2618,107 @@ SELECT CAST(tot.n AS BIGINT) AS n_obs,
 FROM h, tot, ties
 """
     )
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+scored AS (
+  SELECT label, LEAST(999999, score * 1000000 // 200000) AS p_ppm
+  FROM base
+),
+bins AS (
+  SELECT p_ppm // 100000 AS bin,
+         COUNT(*)::HUGEINT AS n_k,
+         SUM(p_ppm)::HUGEINT AS sum_p,
+         SUM(label)::HUGEINT AS sum_y
+  FROM scored GROUP BY p_ppm // 100000
+),
+tot AS (SELECT SUM(n_k)::HUGEINT AS n, SUM(sum_y)::HUGEINT AS y FROM bins),
+rel AS (
+  SELECT SUM(((sum_p - 1000000 * sum_y) * (sum_p - 1000000 * sum_y)) // n_k)
+           ::HUGEINT AS rel_num
+  FROM bins
+),
+res AS (
+  SELECT SUM(((bins.sum_y * tot.n - tot.y * bins.n_k)
+              * (bins.sum_y * tot.n - tot.y * bins.n_k)) // bins.n_k)
+           ::HUGEINT AS res_num
+  FROM bins, tot
+)
+SELECT CAST(tot.n AS BIGINT) AS n_users,
+       CAST((SELECT COUNT(*) FROM bins) AS INT) AS n_bins,
+       CAST(tot.y * 1000000 // tot.n AS BIGINT) AS ybar_ppm,
+       CAST(rel.rel_num // tot.n AS BIGINT) AS reliability_ppm2,
+       CAST((1000000 * res.res_num) // (tot.n * tot.n * tot.n) AS BIGINT)
+         AS resolution_ppm2,
+       CAST((tot.y * 1000000 // tot.n)
+            * (1000000 - tot.y * 1000000 // tot.n) AS BIGINT)
+         AS uncertainty_ppm2
+FROM tot, rel, res
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over the same decile bins
+    ml_calibration_bins reports: reliability (how far each bin's mean
+    prediction sits from its observed rate — lower is better),
+    resolution (how much the bins' observed rates spread around the
+    base rate — higher is better), and uncertainty (base-rate variance,
+    the model-independent floor).  Answers WHY the Brier score is what
+    it is.  All three terms are exact cross-multiplied integer ppm²:
+    per-bin means never materialize as floats — reliability's numerator
+    is (Σp − 1e6·Σy)² // n_k, resolution's is (Σy_k·N − Y·n_k)² // n_k
+    with the 1e12 ppm² scaling split to keep everything inside
+    DECIMAL(38,0)/HUGEINT (exact to ~1e8 users; stated contract bound).
+
+    Scale shape: ONE aggregation over the per-user relation into 10
+    bounded bins; every decomposition term operates on that 10-row
+    relation crossed with 1-row totals.
+    """
+    base = _user_label_score(spark, sf_dir)
+    base.selectExpr(
+        "label", "LEAST(999999L, score * 1000000L div 200000) AS p_ppm"
+    ).createOrReplaceTempView("_bd_scored")
+    return spark.sql(
+        """
+WITH bins AS (
+  SELECT p_ppm div 100000 AS bin,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n_k,
+         CAST(SUM(p_ppm) AS DECIMAL(38,0)) AS sum_p,
+         CAST(SUM(label) AS DECIMAL(38,0)) AS sum_y
+  FROM _bd_scored GROUP BY p_ppm div 100000
+),
+tot AS (SELECT CAST(SUM(n_k) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(sum_y) AS DECIMAL(38,0)) AS y FROM bins),
+rel AS (
+  -- (a - a%b)/b: exact decimal floor division — Spark's `div` returns
+  -- BIGINT and would wrap once a per-bin quotient passes 2^63
+  SELECT CAST(SUM(CAST((
+           (sum_p - 1000000 * sum_y) * (sum_p - 1000000 * sum_y)
+           - ((sum_p - 1000000 * sum_y) * (sum_p - 1000000 * sum_y)) % n_k
+         ) / n_k AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rel_num
+  FROM bins
+),
+res AS (
+  SELECT CAST(SUM(CAST((
+           (bins.sum_y * tot.n - tot.y * bins.n_k)
+           * (bins.sum_y * tot.n - tot.y * bins.n_k)
+           - ((bins.sum_y * tot.n - tot.y * bins.n_k)
+              * (bins.sum_y * tot.n - tot.y * bins.n_k)) % bins.n_k
+         ) / bins.n_k AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS res_num
+  FROM bins CROSS JOIN tot
+)
+SELECT CAST(tot.n AS BIGINT) AS n_users,
+       CAST((SELECT COUNT(*) FROM bins) AS INT) AS n_bins,
+       CAST(tot.y * 1000000 div tot.n AS BIGINT) AS ybar_ppm,
+       CAST(rel.rel_num div tot.n AS BIGINT) AS reliability_ppm2,
+       CAST((1000000 * res.res_num) div (tot.n * tot.n * tot.n) AS BIGINT)
+         AS resolution_ppm2,
+       CAST((tot.y * 1000000 div tot.n)
+            * (1000000 - tot.y * 1000000 div tot.n) AS BIGINT)
+         AS uncertainty_ppm2
+FROM tot, rel, res
+"""
+    )

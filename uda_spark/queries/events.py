@@ -2378,3 +2378,88 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_days.crossJoin(F.broadcast(mid)).select(
         "n_days", "n_pairs", "theil_sen_slope_micro"
     )
+
+
+@register(
+    "events_seasonal_strength",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_DUCK_US} // {_DAY_US} AS day, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+tot AS (SELECT COUNT(*)::HUGEINT AS d, SUM(x)::HUGEINT AS t FROM daily),
+grp AS (
+  SELECT day % 7 AS dow, COUNT(*)::HUGEINT AS n_g, SUM(x)::HUGEINT AS s_g
+  FROM daily GROUP BY day % 7
+),
+ssb AS (
+  SELECT SUM(((grp.s_g * tot.d - tot.t * grp.n_g)
+              * (grp.s_g * tot.d - tot.t * grp.n_g)) // grp.n_g)::HUGEINT AS b
+  FROM grp, tot
+),
+sst AS (
+  SELECT SUM((daily.x * tot.d - tot.t) * (daily.x * tot.d - tot.t))::HUGEINT AS s
+  FROM daily, tot
+)
+SELECT CAST(tot.d AS BIGINT) AS n_days,
+       CAST(tot.t AS BIGINT) AS n_events,
+       CAST(ssb.b AS BIGINT) AS ssb_scaled,
+       CAST(sst.s AS BIGINT) AS sst_scaled,
+       CAST(ssb.b * 1000000 // NULLIF(sst.s, 0) AS BIGINT) AS eta2_ppm
+FROM tot, ssb, sst
+""",
+    tags=("events", "timeseries", "statistics"),
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality STRENGTH as the one-way variance
+    decomposition eta² = SS_between / SS_total over the daily count
+    series — the scalar that says how much of daily traffic variance
+    the weekly cycle explains (the chi-square sibling tests
+    significance; this measures magnitude, the forecasting-relevant
+    number).  Exact integers via cross-multiplication by the day count
+    D: SST_scaled = Σ(x_i·D − T)² and SSB_scaled =
+    Σ_g (S_g·D − T·n_g)² // n_g share the same D² scale, so eta²_ppm is
+    their direct integer ratio.
+
+    Scale shape: one pass over the fact to the calendar-bounded daily
+    relation; the 7-row day-of-week aggregate, totals, and the ratio
+    all operate on bounded relations (1-row cross joins are scalar).
+    """
+    daily = (
+        _with_us(t(spark, sf_dir, "events"))
+        .selectExpr(f"ts_us div {_DAY_US} AS day")
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    daily.createOrReplaceTempView("_ss_daily")
+    return spark.sql(
+        """
+WITH tot AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS d,
+                    CAST(SUM(x) AS DECIMAL(38,0)) AS t FROM _ss_daily),
+grp AS (
+  SELECT day % 7 AS dow, CAST(COUNT(*) AS DECIMAL(38,0)) AS n_g,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS s_g
+  FROM _ss_daily GROUP BY day % 7
+),
+ssb AS (
+  SELECT CAST(SUM(CAST((
+           (grp.s_g * tot.d - tot.t * grp.n_g)
+           * (grp.s_g * tot.d - tot.t * grp.n_g)
+           - ((grp.s_g * tot.d - tot.t * grp.n_g)
+              * (grp.s_g * tot.d - tot.t * grp.n_g)) % grp.n_g
+         ) / grp.n_g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS b
+  FROM grp CROSS JOIN tot
+),
+sst AS (
+  SELECT CAST(SUM((d2.x * tot.d - tot.t) * (d2.x * tot.d - tot.t))
+              AS DECIMAL(38,0)) AS s
+  FROM _ss_daily d2 CROSS JOIN tot
+)
+SELECT CAST(tot.d AS BIGINT) AS n_days,
+       CAST(tot.t AS BIGINT) AS n_events,
+       CAST(ssb.b AS BIGINT) AS ssb_scaled,
+       CAST(sst.s AS BIGINT) AS sst_scaled,
+       CAST(ssb.b * 1000000 div NULLIF(sst.s, 0) AS BIGINT) AS eta2_ppm
+FROM tot, ssb, sst
+"""
+    )

@@ -269,6 +269,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_perplexity_filter",
     "sim_centroid_drift",
     "pipeline_epoch_repetition",
+    "ml_brier_decomposition",
+    "events_seasonal_strength",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
