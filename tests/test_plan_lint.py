@@ -155,6 +155,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "pipeline_epoch_repetition": "1-row budget/weight scalars x bounded per-source table",
     "ml_brier_decomposition": "10-row calibration bins x 1-row totals",
     "events_seasonal_strength": "calendar-day daily relation x 1-row totals (7-row dow groups)",
+    "ml_fairness_equalized_odds": "1-row parity-gap aggregate crossed onto bounded per-segment rates",
 }
 
 

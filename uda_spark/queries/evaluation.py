@@ -2722,3 +2722,199 @@ SELECT CAST(tot.n AS BIGINT) AS n_users,
 FROM tot, rel, res
 """
     )
+
+
+@register(
+    "ml_fairness_equalized_odds",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+seg AS (
+  SELECT user_id % {N_SEGMENTS} AS segment, label,
+         CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} THEN 1 ELSE 0 END AS pred
+  FROM base
+),
+conf AS (
+  SELECT segment,
+         COUNT(*)::BIGINT AS n_users,
+         SUM(label)::BIGINT AS n_pos,
+         SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS fp
+  FROM seg GROUP BY segment
+),
+rates AS (
+  SELECT segment, n_users, n_pos,
+         tp * 1000000 // NULLIF(n_pos, 0) AS tpr_ppm,
+         fp * 1000000 // NULLIF(n_users - n_pos, 0) AS fpr_ppm
+  FROM conf
+),
+gaps AS (
+  SELECT MAX(tpr_ppm) - MIN(tpr_ppm) AS tpr_gap_ppm,
+         MAX(fpr_ppm) - MIN(fpr_ppm) AS fpr_gap_ppm
+  FROM rates
+)
+SELECT rates.segment, rates.n_users, rates.n_pos,
+       CAST(rates.tpr_ppm AS BIGINT) AS tpr_ppm,
+       CAST(rates.fpr_ppm AS BIGINT) AS fpr_ppm,
+       CAST(gaps.tpr_gap_ppm AS BIGINT) AS tpr_gap_ppm,
+       CAST(gaps.fpr_gap_ppm AS BIGINT) AS fpr_gap_ppm
+FROM rates, gaps
+""",
+    tags=("ml", "evaluation", "fairness"),
+)
+def ml_fairness_equalized_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalized-odds fairness audit at the deployed threshold: per user
+    cohort (the same {N_SEGMENTS} synthetic segments ml_auc_by_segment
+    slices — a demographic stand-in), the TPR and FPR of the
+    thresholded classifier, plus the max-minus-min parity gaps repeated
+    on every row — the two numbers an equalized-odds check gates on
+    (a model can have equal AUC per segment and still fail this).
+    Rates are integer ppm with NULLIF single-class guards.
+
+    Scale shape: ONE aggregation over the per-user relation into the
+    bounded per-segment confusion table; the gap relation is a 1-row
+    aggregate of that bounded table crossed back (scalar broadcast).
+    """
+    base = _user_label_score(spark, sf_dir)
+    conf = (
+        base.selectExpr(
+            f"user_id % {N_SEGMENTS} AS segment",
+            "label",
+            f"CASE WHEN score >= {CONFUSION_THRESHOLD_CENTS} THEN 1 ELSE 0 END AS pred",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum(F.expr("CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.expr("CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    rates = conf.selectExpr(
+        "segment",
+        "n_users",
+        "n_pos",
+        "tp * 1000000L div NULLIF(n_pos, 0) AS tpr_ppm",
+        "fp * 1000000L div NULLIF(n_users - n_pos, 0) AS fpr_ppm",
+    )
+    gaps = rates.agg(
+        (F.max("tpr_ppm") - F.min("tpr_ppm")).alias("tpr_gap_ppm"),
+        (F.max("fpr_ppm") - F.min("fpr_ppm")).alias("fpr_gap_ppm"),
+    )
+    return rates.crossJoin(F.broadcast(gaps)).select(
+        "segment",
+        "n_users",
+        "n_pos",
+        F.col("tpr_ppm").cast("long").alias("tpr_ppm"),
+        F.col("fpr_ppm").cast("long").alias("fpr_ppm"),
+        F.col("tpr_gap_ppm").cast("long").alias("tpr_gap_ppm"),
+        F.col("fpr_gap_ppm").cast("long").alias("fpr_gap_ppm"),
+    )
+
+
+# Wilcoxon signed-rank: per-user paired difference = second-half minus
+# first-half purchase value (cents), split at the midpoint of the event
+# time span.  Engine-identical SQL body (events exposed as epoch
+# microseconds both sides).
+_WSR_PAIRS = """
+WITH span AS (
+  SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM {ev}
+),
+pairs AS (
+  SELECT user_id,
+         SUM(CASE WHEN ts_us >= (span.lo + span.hi) / 2
+                  THEN val_cents ELSE 0 END)
+         - SUM(CASE WHEN ts_us < (span.lo + span.hi) / 2
+                  THEN val_cents ELSE 0 END) AS d
+  FROM (SELECT user_id, ts_us,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100
+                              AS BIGINT)
+                    ELSE 0 END AS val_cents
+        FROM {ev}) e, span
+  GROUP BY user_id
+),
+grp AS (
+  SELECT ABS(d) AS absd, COUNT(*) AS c,
+         SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS p
+  FROM pairs WHERE d <> 0 GROUP BY ABS(d)
+)
+"""
+
+
+@register(
+    "ml_wilcoxon_signed_rank",
+    oracle=f"""
+{_WSR_PAIRS.format(ev="(SELECT user_id, event_type, value, epoch_us(ts) AS ts_us FROM events)")},
+rk AS (
+  SELECT absd, c, p,
+         COALESCE(SUM(c) OVER (ORDER BY absd
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM grp
+),
+s AS (
+  SELECT SUM(c)::BIGINT AS n_pairs,
+         SUM(p::HUGEINT * (2 * cum_before + c + 1))::HUGEINT AS w2_plus,
+         SUM((c - p)::HUGEINT * (2 * cum_before + c + 1))::HUGEINT AS w2_minus
+  FROM rk
+)
+SELECT n_pairs,
+       CAST(w2_plus AS BIGINT) AS w2_plus,
+       CAST(w2_minus AS BIGINT) AS w2_minus,
+       CAST(w2_plus * 1000000 // NULLIF(w2_plus + w2_minus, 0) AS BIGINT)
+         AS wplus_share_ppm
+FROM s
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wilcoxon signed-rank statistics for the paired
+    first-half-vs-second-half purchase-value comparison per user — the
+    nonparametric paired test (did per-user spend shift between the two
+    halves of the observation window?) completing the rank-test family:
+    rank-sum/Mann-Whitney (two independent groups, ml_auc_rank_sum),
+    Kruskal-Wallis (k groups), and now matched pairs.  Standard
+    treatment: zero differences dropped, |d| ranked with average-rank
+    ties carried as 2×rank integers (exactly rank_sum_stats' identity),
+    W⁺/W⁻ reported in 2× units plus the scale-free W⁺ share in ppm.
+
+    Scale shape: one per-user aggregation (the time-span midpoint is a
+    1-row scalar), one groupBy(|d|) to distinct-difference counts, the
+    range-partitioned two-pass cumulative count over those groups (no
+    single-partition window at user-cardinality |d|), and a 1-row
+    reduction.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts_us", event_micros(ev)).createOrReplaceTempView("_wsr_events")
+    grp = spark.sql(
+        _WSR_PAIRS.format(ev="_wsr_events") + "SELECT * FROM grp"
+    )
+    rk = global_cumulative_sum(
+        grp.selectExpr("absd", "CAST(c AS BIGINT) AS c", "CAST(p AS BIGINT) AS p"),
+        ["absd"],
+        "c",
+        "cum_before",
+    )
+    s = rk.agg(
+        F.sum("c").cast("long").alias("n_pairs"),
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("w2_plus"),
+        F.sum(
+            (F.col("c") - F.col("p")).cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("w2_minus"),
+    )
+    return s.selectExpr(
+        "n_pairs",
+        "CAST(w2_plus AS BIGINT) AS w2_plus",
+        "CAST(w2_minus AS BIGINT) AS w2_minus",
+        "CAST(w2_plus * 1000000 div NULLIF(w2_plus + w2_minus, 0) AS BIGINT)"
+        " AS wplus_share_ppm",
+    )

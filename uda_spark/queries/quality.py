@@ -3360,3 +3360,52 @@ def events_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b), 6)"
         " AS cuped_diff_cents",
     )
+
+
+def _uniq_audit_sql(tbl: str, key_expr: str, key_name: str) -> str:
+    """One key-uniqueness audit block — engine-identical SQL over a
+    per-key count relation."""
+    return f"""
+SELECT '{key_name}' AS audited_key,
+       CAST(SUM(kc) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(kc) - COUNT(*) AS BIGINT) AS dup_rows,
+       CAST(MAX(kc) AS BIGINT) AS max_dup
+FROM (SELECT {key_expr} AS k, COUNT(*) AS kc FROM {tbl} GROUP BY {key_expr})
+"""
+
+
+_UNIQ_AUDITS = (
+    ("orders", "o_orderkey", "orders.o_orderkey"),
+    ("lineitem", "l_orderkey * 10 + l_linenumber", "lineitem.(l_orderkey,l_linenumber)"),
+    ("customer", "c_custkey", "customer.c_custkey"),
+    ("documents", "doc_id", "documents.doc_id"),
+)
+
+
+@register(
+    "dq_uniqueness_audit",
+    oracle=" UNION ALL ".join(
+        _uniq_audit_sql(tbl, expr, name) for tbl, expr, name in _UNIQ_AUDITS
+    ),
+    tags=("dq", "quality"),
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit — the DQ dimension the existing
+    suite doesn't isolate (dq_referential_integrity checks FKs point
+    somewhere; this checks the keys they point AT are unique): for each
+    declared key, total rows, distinct keys, duplicate-row count, and
+    the worst key's multiplicity.  The lineitem compound key is folded
+    to one integer (l_orderkey·10 + l_linenumber — linenumber ≤ 7 by
+    TPC-H contract) so all audits share one exact shape.
+
+    Scale shape: per key, ONE map-side-combinable groupBy(key) to per-
+    key counts and a 1-row reduction — the same two-job shape as
+    dedup_exact; the four audits union bounded 1-row relations.  At
+    100 TB each audit is one shuffle of (key, count) pairs.
+    """
+    parts = []
+    for tbl, expr, name in _UNIQ_AUDITS:
+        t(spark, sf_dir, tbl).createOrReplaceTempView(f"_uq_{tbl}")
+        parts.append(_uniq_audit_sql(f"_uq_{tbl}", expr, name))
+    return spark.sql(" UNION ALL ".join(parts))

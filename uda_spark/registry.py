@@ -271,6 +271,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "pipeline_epoch_repetition",
     "ml_brier_decomposition",
     "events_seasonal_strength",
+    "ml_fairness_equalized_odds",
+    "ml_wilcoxon_signed_rank",
+    "dq_uniqueness_audit",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
