@@ -2776,3 +2776,211 @@ def test_paired_bootstrap_delta_matches_python_recompute(spark):
     assert row["ci_lo_ppm"] == deltas[1][0]
     assert row["ci_hi_ppm"] == deltas[BOOTSTRAP_B - 2][0]
     assert row["ci_lo_ppm"] <= row["delta_ppm"] <= row["ci_hi_ppm"]
+
+
+def test_kruskal_wallis_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_kruskal_wallis"].fn(spark, SF_SMOKE).collect()[0]
+    vals = [
+        (round(r["o_totalprice"] * 100), r["o_orderpriority"])
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_totalprice", "o_orderpriority")
+        .collect()
+    ]
+    n = len(vals)
+    # exact 2x average ranks per distinct value
+    from collections import Counter, defaultdict
+
+    cnt = Counter(v for v, _ in vals)
+    cum = 0
+    rank2 = {}
+    for v in sorted(cnt):
+        rank2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    s2 = defaultdict(int)
+    ng = defaultdict(int)
+    for v, g in vals:
+        s2[g] += rank2[v]
+        ng[g] += 1
+    st_sum = sum((s2[g] ** 2 * 250_000) // ng[g] for g in s2)
+    h_micro = (12 * st_sum) // (n * (n + 1)) - 3_000_000 * (n + 1)
+    tie = sum(c**3 - c for c in cnt.values())
+    n3 = n**3 - n
+    if h_micro >= 0:
+        h_corr = (h_micro * n3) // (n3 - tie)
+    else:
+        h_corr = -((-h_micro * n3) // (n3 - tie))
+    assert row["n_obs"] == n
+    assert row["n_groups"] == len(s2)
+    assert row["tie_cubed_sum"] == tie
+    assert row["h_micro"] == h_micro
+    assert row["h_tie_corrected_micro"] == h_corr
+    # H is non-negative up to floor slack and bounded by N-1 (its max)
+    assert -12 <= h_micro <= 1_000_000 * (n - 1)
+
+
+def test_wilcoxon_signed_rank_matches_python_recompute(spark):
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.events import _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_wilcoxon_signed_rank"].fn(spark, SF_SMOKE).collect()[0]
+    ev = [
+        (r["user_id"], r["ts_us"], r["event_type"], r["value"])
+        for r in _with_us(load_table(spark, SF_SMOKE, "events"))
+        .select("user_id", "ts_us", "event_type", "value")
+        .collect()
+    ]
+    lo = min(ts for _, ts, _, _ in ev)
+    hi = max(ts for _, ts, _, _ in ev)
+    mid = (lo + hi) / 2
+    d = defaultdict(int)
+    for u, ts, et, val in ev:
+        cents = (
+            int(round(float(val) * 100)) if (et == "purchase" and val is not None) else 0
+        )
+        if ts >= mid:
+            d[u] += cents
+        else:
+            d[u] -= cents
+    diffs = [x for x in d.values() if x != 0]
+    cnt = Counter(abs(x) for x in diffs)
+    pos = Counter(abs(x) for x in diffs if x > 0)
+    cum = 0
+    w2p = w2m = 0
+    for a in sorted(cnt):
+        r2 = 2 * cum + cnt[a] + 1
+        w2p += pos.get(a, 0) * r2
+        w2m += (cnt[a] - pos.get(a, 0)) * r2
+        cum += cnt[a]
+    assert row["n_pairs"] == len(diffs)
+    assert row["w2_plus"] == w2p
+    assert row["w2_minus"] == w2m
+    # identity: W+ + W- = n(n+1) in 2x units
+    n = len(diffs)
+    assert w2p + w2m == n * (n + 1)
+    assert row["wplus_share_ppm"] == w2p * 1_000_000 // (w2p + w2m)
+
+
+def test_youden_threshold_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.evaluation import _user_label_score
+    from uda_spark.registry import all_specs
+
+    row = all_specs()["ml_youden_j_threshold"].fn(spark, SF_SMOKE).collect()[0]
+    base = [
+        (r["label"], r["score"]) for r in _user_label_score(spark, SF_SMOKE).collect()
+    ]
+    n_pos = sum(y for y, _ in base)
+    n_neg = len(base) - n_pos
+    best = None
+    for thr in sorted({s for _, s in base}, reverse=True):
+        tp = sum(1 for y, s in base if y == 1 and s >= thr)
+        fp = sum(1 for y, s in base if y == 0 and s >= thr)
+        j = tp * 1_000_000 // n_pos - fp * 1_000_000 // n_neg
+        # ties resolve to the HIGHEST threshold: strict improvement only
+        if best is None or j > best[0] or (j == best[0] and thr > best[1]):
+            best = (j, thr, tp, fp)
+    assert row["j_ppm"] == best[0]
+    assert row["threshold_cents"] == best[1]
+    assert row["tp"] == best[2]
+    assert row["fp"] == best[3]
+    assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
+    # J bounded by [-1e6, 1e6]; at the optimum J >= 0 (threshold above max has J=0)
+    assert 0 <= row["j_ppm"] <= 1_000_000
+
+
+def test_brier_decomposition_matches_python_recompute(spark):
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.evaluation import _user_label_score
+    from uda_spark.registry import all_specs
+
+    row = all_specs()["ml_brier_decomposition"].fn(spark, SF_SMOKE).collect()[0]
+    base = [
+        (r["label"], min(999_999, r["score"] * 1_000_000 // 200_000))
+        for r in _user_label_score(spark, SF_SMOKE).collect()
+    ]
+    bins = defaultdict(lambda: [0, 0, 0])  # n, sum_p, sum_y
+    for y, p in base:
+        b = bins[p // 100_000]
+        b[0] += 1
+        b[1] += p
+        b[2] += y
+    n = sum(b[0] for b in bins.values())
+    y_tot = sum(b[2] for b in bins.values())
+    rel = sum((b[1] - 1_000_000 * b[2]) ** 2 // b[0] for b in bins.values()) // n
+    res = (
+        1_000_000
+        * sum((b[2] * n - y_tot * b[0]) ** 2 // b[0] for b in bins.values())
+    ) // n**3
+    ybar = y_tot * 1_000_000 // n
+    assert row["n_users"] == n
+    assert row["n_bins"] == len(bins)
+    assert row["ybar_ppm"] == ybar
+    assert row["reliability_ppm2"] == rel
+    assert row["resolution_ppm2"] == res
+    assert row["uncertainty_ppm2"] == ybar * (1_000_000 - ybar)
+    # resolution can never exceed uncertainty (variance decomposition)
+    assert res <= ybar * (1_000_000 - ybar) + n  # truncation slack
+
+
+def test_equalized_odds_matches_python_recompute(spark):
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.evaluation import (
+        CONFUSION_THRESHOLD_CENTS,
+        N_SEGMENTS,
+        _user_label_score,
+    )
+    from uda_spark.registry import all_specs
+
+    rows = {
+        r["segment"]: r
+        for r in all_specs()["ml_fairness_equalized_odds"].fn(spark, SF_SMOKE).collect()
+    }
+    seg = defaultdict(lambda: [0, 0, 0, 0])  # n, n_pos, tp, fp
+    for r in _user_label_score(spark, SF_SMOKE).collect():
+        s = seg[r["user_id"] % N_SEGMENTS]
+        pred = 1 if r["score"] >= CONFUSION_THRESHOLD_CENTS else 0
+        s[0] += 1
+        s[1] += r["label"]
+        if r["label"] == 1 and pred == 1:
+            s[2] += 1
+        if r["label"] == 0 and pred == 1:
+            s[3] += 1
+    tprs, fprs = [], []
+    for k, (n, npos, tp, fp) in seg.items():
+        tpr = tp * 1_000_000 // npos if npos else None
+        fpr = fp * 1_000_000 // (n - npos) if n - npos else None
+        assert rows[k]["n_users"] == n and rows[k]["n_pos"] == npos
+        assert rows[k]["tpr_ppm"] == tpr and rows[k]["fpr_ppm"] == fpr
+        tprs.append(tpr)
+        fprs.append(fpr)
+    gap_t = max(tprs) - min(tprs)
+    gap_f = max(fprs) - min(fprs)
+    for r in rows.values():
+        assert r["tpr_gap_ppm"] == gap_t and r["fpr_gap_ppm"] == gap_f
+
+
+def test_assortativity_consistent_with_degree_histogram(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+
+    row = all_specs()["graph_assortativity"].fn(spark, SF_SMOKE).collect()[0]
+    hist = all_specs()["graph_degree_histogram"].fn(spark, SF_SMOKE).collect()
+    # sum of degrees across the histogram = 2 x edge count
+    assert sum(h["sum_degree"] for h in hist) == 2 * row["n_edges"]
+    # Pearson r bounded; denominator-zero case yields NULL, not a bogus value
+    if row["assortativity_milli"] is not None:
+        assert -1000 <= row["assortativity_milli"] <= 1000
+    # sum_deg over symmetrized edges = sum of squared degrees >= 2m
+    assert row["sum_deg"] >= 2 * row["n_edges"]

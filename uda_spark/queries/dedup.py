@@ -1365,3 +1365,96 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS degree FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL
+    SELECT doc_b AS node FROM pairs
+  ) GROUP BY node
+),
+e AS (
+  SELECT da.degree AS x, db.degree AS y
+  FROM pairs JOIN deg da ON da.node = pairs.doc_a
+             JOIN deg db ON db.node = pairs.doc_b
+),
+s AS (
+  SELECT 2 * COUNT(*)::HUGEINT AS n,
+         SUM(x + y)::HUGEINT AS sx,
+         SUM(x::HUGEINT * x + y::HUGEINT * y)::HUGEINT AS sxx,
+         2 * SUM(x::HUGEINT * y)::HUGEINT AS sxy
+  FROM e
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       CAST(sx AS BIGINT) AS sum_deg,
+       CAST(sxx AS BIGINT) AS sum_deg_sq,
+       CAST(sxy AS BIGINT) AS sum_deg_prod,
+       CAST(CASE WHEN n * sxy - sx * sx >= 0
+            THEN ((n * sxy - sx * sx) * 1000)
+                 // NULLIF(n * sxx - sx * sx, 0)
+            ELSE -(((sx * sx - n * sxy) * 1000)
+                 // NULLIF(n * sxx - sx * sx, 0)) END AS BIGINT)
+         AS assortativity_milli
+FROM s
+""",
+    tags=("dedup", "graph"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph — the Pearson
+    correlation of endpoint degrees over all (symmetrized) edges:
+    positive means hubs link to hubs (dup clusters snowball — CC will
+    produce giant components), negative means hub-leaf structure
+    (template pages linking many singletons).  The next graph-shape
+    diagnostic after the degree histogram.  Both marginals of the
+    symmetrized edge list are identical, so r = (n·Sxy − Sx²)/(n·Sxx −
+    Sx²) — all four sums exact DECIMAL(38,0)/HUGEINT integers, the
+    ratio floored to milli with the explicit sign split (floor vs
+    truncate differ on negatives).
+
+    Scale shape: the banded-LSH pair relation (bucket caps, never
+    all-pairs) feeds one groupBy(node) for degrees; the two edge-keyed
+    degree joins shuffle (node, degree) pairs only; the correlation is
+    a 1-row reduction.  No step exceeds the CC pass this diagnostic
+    precedes.
+    """
+    pairs = D.minhash_near_dup_pairs(
+        _corpus_near(spark, sf_dir), "text", "doc_id",
+        n_hashes=N_HASHES, bands=BANDS, k=3, jaccard_threshold=JACCARD_T,
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e = (
+        pairs.join(deg.withColumnsRenamed({"node": "doc_a", "degree": "x"}), on="doc_a")
+        .join(deg.withColumnsRenamed({"node": "doc_b", "degree": "y"}), on="doc_b")
+        .select("x", "y")
+    )
+    s = e.agg(
+        (2 * F.count("*")).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x") + F.col("y")).cast("decimal(38,0)").alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x")
+            + F.col("y").cast("decimal(38,0)") * F.col("y")
+        ).alias("sxx"),
+        (2 * F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))).alias("sxy"),
+    )
+    return s.selectExpr(
+        "CAST(n / 2 AS BIGINT) AS n_edges",
+        "CAST(sx AS BIGINT) AS sum_deg",
+        "CAST(sxx AS BIGINT) AS sum_deg_sq",
+        "CAST(sxy AS BIGINT) AS sum_deg_prod",
+        "CAST(CASE WHEN n * sxy - sx * sx >= 0"
+        " THEN ((n * sxy - sx * sx) * 1000)"
+        " div NULLIF(n * sxx - sx * sx, 0)"
+        " ELSE -(((sx * sx - n * sxy) * 1000)"
+        " div NULLIF(n * sxx - sx * sx, 0)) END AS BIGINT)"
+        " AS assortativity_milli",
+    )

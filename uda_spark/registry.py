@@ -274,6 +274,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ml_fairness_equalized_odds",
     "ml_wilcoxon_signed_rank",
     "dq_uniqueness_audit",
+    "graph_assortativity",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
