@@ -162,6 +162,21 @@ EXTENDED = [
     "dq_ship_date_consistency",
     "events_cuped_adjusted_ab",
     "sim_recall_vs_nprobe",
+    # round-9 additions (second session)
+    "ml_youden_j_threshold",
+    "ml_cramers_v",
+    "ml_mrr_at_k",
+    "ml_average_precision_at_k",
+    "ml_kruskal_wallis",
+    "text_perplexity_filter",
+    "sim_centroid_drift",
+    "pipeline_epoch_repetition",
+    "ml_brier_decomposition",
+    "events_seasonal_strength",
+    "ml_fairness_equalized_odds",
+    "ml_wilcoxon_signed_rank",
+    "dq_uniqueness_audit",
+    "graph_assortativity",
 ]
 
 
