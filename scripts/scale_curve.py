@@ -286,6 +286,21 @@ EXTENDED = (
     "text_heaps_law_fit",
     "events_cuped_adjusted_ab",
     "sim_recall_vs_nprobe",
+    # round-9 second-session additions
+    "ml_youden_j_threshold",
+    "ml_cramers_v",
+    "ml_mrr_at_k",
+    "ml_average_precision_at_k",
+    "ml_kruskal_wallis",
+    "text_perplexity_filter",
+    "sim_centroid_drift",
+    "pipeline_epoch_repetition",
+    "ml_brier_decomposition",
+    "events_seasonal_strength",
+    "ml_fairness_equalized_odds",
+    "ml_wilcoxon_signed_rank",
+    "dq_uniqueness_audit",
+    "graph_assortativity",
 )
 
 ITERS = 3
