@@ -156,6 +156,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "ml_brier_decomposition": "10-row calibration bins x 1-row totals",
     "events_seasonal_strength": "calendar-day daily relation x 1-row totals (7-row dow groups)",
     "ml_fairness_equalized_odds": "1-row parity-gap aggregate crossed onto bounded per-segment rates",
+    "ml_friedman_test": "calendar-day x |types| grid cross product + 1-row dims",
 }
 
 

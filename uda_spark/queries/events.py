@@ -2463,3 +2463,105 @@ SELECT CAST(tot.d AS BIGINT) AS n_days,
 FROM tot, ssb, sst
 """
     )
+
+
+@register(
+    "ml_friedman_test",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_DUCK_US} // {_DAY_US} AS day, event_type AS typ, COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, t.typ, COALESCE(daily.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT typ FROM daily) t
+  LEFT JOIN daily ON daily.day = d.day AND daily.typ = t.typ
+),
+tie AS (
+  SELECT day, cnt, COUNT(*)::BIGINT AS c FROM grid GROUP BY day, cnt
+),
+rk AS (
+  SELECT day, cnt, c,
+         COALESCE(SUM(c) OVER (PARTITION BY day ORDER BY cnt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM tie
+),
+r2 AS (
+  SELECT grid.typ, SUM(2 * rk.cum_before + rk.c + 1)::HUGEINT AS r2_sum
+  FROM grid JOIN rk ON rk.day = grid.day AND rk.cnt = grid.cnt
+  GROUP BY grid.typ
+),
+dims AS (
+  SELECT (SELECT COUNT(DISTINCT day)::HUGEINT FROM daily) AS n,
+         (SELECT COUNT(DISTINCT typ)::HUGEINT FROM daily) AS k
+),
+s AS (SELECT SUM(r2_sum * r2_sum)::HUGEINT AS sr2 FROM r2)
+SELECT CAST(dims.n AS BIGINT) AS n_blocks,
+       CAST(dims.k AS INT) AS k_treatments,
+       CAST(dims.k - 1 AS INT) AS dof,
+       CAST((3000000 * s.sr2) // (dims.n * dims.k * (dims.k + 1))
+            - 3000000 * dims.n * (dims.k + 1) AS BIGINT) AS chi2_micro
+FROM dims, s
+""",
+    tags=("ml", "events", "statistics"),
+)
+def ml_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the event types' daily volumes carry a
+    consistent ordering across days?  The repeated-measures member of
+    the rank-test family (rank-sum = 2 independent groups,
+    Kruskal-Wallis = k independent, signed-rank = 2 paired, Friedman =
+    k paired): treatments are event types, blocks are calendar days
+    (absent cells filled with 0 on the bounded day × type grid), ranks
+    are within-block with the 2×rank average-tie identity, and
+    χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) is exact integer micro via
+    3e6·ΣR2² = 12e6·ΣR²  (R2 = 2R).
+
+    Scale shape: one fact pass to the calendar-bounded (day, type)
+    relation; the within-block tie window partitions by day over ≤k
+    rows each; rank sums reduce to |types| rows; all remaining
+    arithmetic is 1-row.
+    """
+    daily = (
+        _with_us(t(spark, sf_dir, "events"))
+        .selectExpr(f"ts_us div {_DAY_US} AS day", "event_type AS typ")
+        .groupBy("day", "typ")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    daily.createOrReplaceTempView("_fr_daily")
+    return spark.sql(
+        """
+WITH grid AS (
+  SELECT d.day, t.typ, COALESCE(dl.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT day FROM _fr_daily) d
+  CROSS JOIN (SELECT DISTINCT typ FROM _fr_daily) t
+  LEFT JOIN _fr_daily dl ON dl.day = d.day AND dl.typ = t.typ
+),
+tie AS (
+  SELECT day, cnt, CAST(COUNT(*) AS BIGINT) AS c FROM grid GROUP BY day, cnt
+),
+rk AS (
+  SELECT day, cnt, c,
+         COALESCE(SUM(c) OVER (PARTITION BY day ORDER BY cnt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM tie
+),
+r2 AS (
+  SELECT grid.typ,
+         CAST(SUM(2 * rk.cum_before + rk.c + 1) AS DECIMAL(38,0)) AS r2_sum
+  FROM grid JOIN rk ON rk.day = grid.day AND rk.cnt = grid.cnt
+  GROUP BY grid.typ
+),
+dims AS (
+  SELECT (SELECT CAST(COUNT(DISTINCT day) AS DECIMAL(38,0)) FROM _fr_daily) AS n,
+         (SELECT CAST(COUNT(DISTINCT typ) AS DECIMAL(38,0)) FROM _fr_daily) AS k
+),
+s AS (SELECT CAST(SUM(r2_sum * r2_sum) AS DECIMAL(38,0)) AS sr2 FROM r2)
+SELECT CAST(dims.n AS BIGINT) AS n_blocks,
+       CAST(dims.k AS INT) AS k_treatments,
+       CAST(dims.k - 1 AS INT) AS dof,
+       CAST((3000000 * s.sr2) div (dims.n * dims.k * (dims.k + 1))
+            - 3000000 * dims.n * (dims.k + 1) AS BIGINT) AS chi2_micro
+FROM dims, s
+"""
+    )

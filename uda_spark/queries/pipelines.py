@@ -2106,3 +2106,125 @@ SELECT source, CAST(t AS BIGINT) AS n_tokens,
 FROM p2
 """
     )
+
+
+NOSPLIT_CONTEXT = 256  # whitespace tokens per bin
+NOSPLIT_SHARDS = 8
+
+_NSP_DUCK_SHARD = portable.hash60("'nsp|' || doc_id::VARCHAR", "duck")
+_NSP_SPARK_SHARD = portable.hash60("concat('nsp|', CAST(doc_id AS STRING))", "spark")
+
+
+@register(
+    "pipeline_greedy_pack_nosplit",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         {_NSP_DUCK_SHARD} % {NOSPLIT_SHARDS} AS shard,
+         len({portable.tokens('text', 'duck')}) AS n_tokens
+  FROM documents
+),
+tk AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         LEAST(n_tokens, {NOSPLIT_CONTEXT}) AS take,
+         ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+  FROM base
+),
+walk AS (
+  SELECT lang, shard, rn, 1::BIGINT AS n_bins, take AS fill, take AS packed
+  FROM tk WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.shard, t.rn,
+         CASE WHEN w.fill + t.take <= {NOSPLIT_CONTEXT}
+              THEN w.n_bins ELSE w.n_bins + 1 END,
+         CASE WHEN w.fill + t.take <= {NOSPLIT_CONTEXT}
+              THEN w.fill + t.take ELSE t.take END,
+         w.packed + t.take
+  FROM walk w JOIN tk t
+    ON t.lang = w.lang AND t.shard = w.shard AND t.rn = w.rn + 1
+),
+fin AS (
+  SELECT lang, shard, rn AS n_docs, n_bins, packed,
+         ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY rn DESC) AS rr
+  FROM walk
+),
+tot AS (SELECT lang, shard, SUM(n_tokens)::BIGINT AS sum_tokens FROM tk GROUP BY lang, shard)
+SELECT fin.lang, CAST(fin.shard AS INT) AS shard,
+       CAST(fin.n_docs AS BIGINT) AS n_docs,
+       tot.sum_tokens,
+       CAST(fin.packed AS BIGINT) AS packed_tokens,
+       CAST(fin.n_bins AS BIGINT) AS n_bins,
+       CAST((fin.n_bins * {NOSPLIT_CONTEXT} - fin.packed) * 1000000
+            // (fin.n_bins * {NOSPLIT_CONTEXT}) AS BIGINT) AS waste_ppm
+FROM fin JOIN tot ON tot.lang = fin.lang AND tot.shard = fin.shard
+WHERE fin.rr = 1
+""",
+    tags=("pipeline", "text", "stateful"),
+)
+def pipeline_greedy_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy sequence packing — the OTHER packing discipline
+    next to `pipeline_sequence_packing`'s offset scheme: a document
+    never straddles bins (attention masking stays trivial), so a doc
+    that doesn't fit the current {NOSPLIT_CONTEXT}-token bin opens a new
+    one and overlong docs are truncated to one bin.  Packing is a
+    genuine per-stream RECURRENCE (bin fill depends on every prior
+    doc), expressed Spark-side as an Arrow-batched ``applyInPandas``
+    over (lang, shard) streams — the stateful-operator escape hatch the
+    built-in window algebra cannot cover — and oracle-side as a DuckDB
+    RECURSIVE CTE stepping the identical transition, so even the
+    sequential state machine is value-hash checked.  The readout is the
+    per-stream padding-waste table a pipeline uses to pick its context
+    length.
+
+    Scale shape: parallelism is sharding, exactly like
+    pipeline_sequence_packing — {NOSPLIT_SHARDS} deterministic
+    hash-shards per language, each stream's recurrence runs inside one
+    Arrow batch while 1000 executors pack 1000 streams concurrently;
+    the exchange carries (doc_id, lang, shard, n_tokens) only, never
+    text.
+    """
+    import pandas as pd
+
+    toks = portable.tokens("text", "spark")
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(pmod({_NSP_SPARK_SHARD}, {NOSPLIT_SHARDS}) AS INT)").alias(
+            "shard"
+        ),
+        F.size(F.expr(toks)).cast("long").alias("n_tokens"),
+    )
+
+    size = NOSPLIT_CONTEXT
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fill = bins = packed = 0
+        for n in pdf["n_tokens"]:
+            take = min(int(n), size)
+            if bins == 0 or fill + take > size:
+                bins += 1
+                fill = take
+            else:
+                fill += take
+            packed += take
+        waste = (bins * size - packed) * 1_000_000 // (bins * size)
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_docs": [len(pdf)],
+                "sum_tokens": [int(pdf["n_tokens"].sum())],
+                "packed_tokens": [packed],
+                "n_bins": [bins],
+                "waste_ppm": [waste],
+            }
+        )
+
+    return tk.groupBy("lang", "shard").applyInPandas(
+        pack,
+        schema=(
+            "lang string, shard int, n_docs long, sum_tokens long, "
+            "packed_tokens long, n_bins long, waste_ppm long"
+        ),
+    )

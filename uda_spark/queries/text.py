@@ -2488,3 +2488,65 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+WITH tk AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe,
+         len({_DU_TOKS}) AS ws,
+         n_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(bpe)::BIGINT AS bpe_tokens,
+       SUM(ws)::BIGINT AS ws_tokens,
+       CAST(SUM(bpe) * 1000000 // NULLIF(SUM(ws), 0) AS BIGINT) AS fertility_ppm,
+       CAST(SUM(n_chars) * 1000 // NULLIF(SUM(bpe), 0) AS BIGINT)
+         AS chars_per_bpe_milli
+FROM tk GROUP BY source
+""",
+    tags=("text", "quality"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source — BPE-ish subword tokens per
+    whitespace word (and characters per subword token): the
+    tokenizer-health metric a multilingual pipeline watches, since a
+    source whose fertility spikes (script mismatch, encoding damage,
+    digit-heavy boilerplate) silently consumes context budget.  Ratios
+    are integer ppm/milli over the per-source sums (never per-doc
+    floats averaged).
+
+    Scale shape: pure map-side regexp + split on one corpus pass, then
+    one bounded per-source rollup — the same two-job shape as
+    text_quality_by_source.
+    """
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias(
+                "bpe"
+            ),
+            F.size(F.expr(_SP_TOKS)).alias("ws"),
+            "n_chars",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.expr(
+                "CAST(SUM(bpe) * 1000000L div NULLIF(SUM(ws), 0) AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(SUM(n_chars) * 1000L div NULLIF(SUM(bpe), 0) AS BIGINT)"
+            ).alias("chars_per_bpe_milli"),
+        )
+    )

@@ -275,6 +275,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ml_wilcoxon_signed_rank",
     "dq_uniqueness_audit",
     "graph_assortativity",
+    "text_tokenizer_fertility",
+    "ml_friedman_test",
+    "pipeline_greedy_pack_nosplit",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
