@@ -177,6 +177,9 @@ EXTENDED = [
     "ml_wilcoxon_signed_rank",
     "dq_uniqueness_audit",
     "graph_assortativity",
+    "text_tokenizer_fertility",
+    "ml_friedman_test",
+    "pipeline_greedy_pack_nosplit",
 ]
 
 
