@@ -2984,3 +2984,62 @@ def test_assortativity_consistent_with_degree_histogram(spark):
         assert -1000 <= row["assortativity_milli"] <= 1000
     # sum_deg over symmetrized edges = sum of squared degrees >= 2m
     assert row["sum_deg"] >= 2 * row["n_edges"]
+
+
+def test_friedman_matches_python_recompute(spark):
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.events import _DAY_US, _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_friedman_test"].fn(spark, SF_SMOKE).collect()[0]
+    daily = Counter()
+    for r in (
+        _with_us(load_table(spark, SF_SMOKE, "events"))
+        .select("ts_us", "event_type")
+        .collect()
+    ):
+        daily[(r["ts_us"] // _DAY_US, r["event_type"])] += 1
+    days = sorted({d for d, _ in daily})
+    types = sorted({t for _, t in daily})
+    n, k = len(days), len(types)
+    r2 = defaultdict(int)
+    for d in days:
+        cnts = Counter(daily.get((d, t), 0) for t in types)
+        cum = 0
+        rank2 = {}
+        for v in sorted(cnts):
+            rank2[v] = 2 * cum + cnts[v] + 1
+            cum += cnts[v]
+        for t in types:
+            r2[t] += rank2[daily.get((d, t), 0)]
+    sr2 = sum(v * v for v in r2.values())
+    chi = (3_000_000 * sr2) // (n * k * (k + 1)) - 3_000_000 * n * (k + 1)
+    assert row["n_blocks"] == n
+    assert row["k_treatments"] == k
+    assert row["dof"] == k - 1
+    assert row["chi2_micro"] == chi
+    # chi2_F is bounded by n(k-1) and non-negative up to floor slack
+    assert -12 <= chi <= 1_000_000 * n * (k - 1)
+    # identity: per-block 2x rank sums total n*k*(k+1)
+    assert sum(r2.values()) == n * k * (k + 1)
+
+
+def test_nosplit_packing_invariants(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.pipelines import NOSPLIT_CONTEXT
+    from uda_spark.registry import all_specs
+
+    rows = all_specs()["pipeline_greedy_pack_nosplit"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # packed tokens never exceed bin capacity, never exceed raw tokens
+        assert r["packed_tokens"] <= r["n_bins"] * NOSPLIT_CONTEXT
+        assert r["packed_tokens"] <= r["sum_tokens"]
+        # no-split lower bound: at least ceil(packed / context) bins
+        assert r["n_bins"] >= -(-r["packed_tokens"] // NOSPLIT_CONTEXT)
+        # and at most one bin per doc
+        assert r["n_bins"] <= r["n_docs"]
+        assert 0 <= r["waste_ppm"] < 1_000_000
