@@ -157,6 +157,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "events_seasonal_strength": "calendar-day daily relation x 1-row totals (7-row dow groups)",
     "ml_fairness_equalized_odds": "1-row parity-gap aggregate crossed onto bounded per-segment rates",
     "ml_friedman_test": "calendar-day x |types| grid cross product + 1-row dims",
+    "sim_pq_distortion": "m*k-row codebook broadcast onto one corpus scan (PQ family shape)",
 }
 
 

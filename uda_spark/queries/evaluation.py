@@ -2918,3 +2918,81 @@ def ml_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(w2_plus * 1000000 div NULLIF(w2_plus + w2_minus, 0) AS BIGINT)"
         " AS wplus_share_ppm",
     )
+
+
+# Cochran's Q: per-user binary outcomes under three "treatments"
+# (bought anything / hit an error / was active on a weekend day) —
+# engine-identical SQL over an epoch-microsecond event view.
+_CQ_BODY = """
+WITH blocks AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t1,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS t2,
+         MAX(CASE WHEN day % 7 >= 5 THEN 1 ELSE 0 END) AS t3
+  FROM {ev} GROUP BY user_id
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(t1) AS c1, SUM(t2) AS c2, SUM(t3) AS c3,
+         SUM(t1 + t2 + t3) AS sr,
+         SUM((t1 + t2 + t3) * (t1 + t2 + t3)) AS sr2
+  FROM blocks
+)
+"""
+
+
+@register(
+    "ml_cochran_q",
+    oracle=f"""
+{_CQ_BODY.format(ev="(SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events)")}
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(3 AS INT) AS k_treatments,
+       CAST(2 AS INT) AS dof,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST(c3 AS BIGINT) AS c3,
+       CAST((1000000::HUGEINT * 2
+             * (3 * (c1::HUGEINT * c1 + c2::HUGEINT * c2 + c3::HUGEINT * c3)
+                - sr::HUGEINT * sr))
+            // NULLIF(3 * sr::HUGEINT - sr2, 0) AS BIGINT) AS q_micro
+FROM s
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test — the k-paired-BINARY member that completes the
+    nonparametric family (rank-sum: 2 independent; Kruskal-Wallis: k
+    independent; signed-rank: 2 paired; Friedman: k paired ordinal;
+    Cochran's Q: k paired binary): do the three per-user behaviors
+    (purchased / errored / weekend-active) have the same incidence
+    across the user blocks?  Q = (k−1)[kΣC_j² − S²] / (kΣR_i − ΣR_i²)
+    is an exact integer rational — no ranks, no floats — reported in
+    micro units with the HUGEINT/DECIMAL(38,0) numerator (1e6·2·3·C²
+    passes int64 at ~40M positive users).
+
+    Scale shape: ONE per-user aggregation (map-side combinable MAXes),
+    then a 1-row reduction of four integer sums.  Nothing else moves.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts_us", event_micros(ev)).selectExpr(
+        "user_id", "event_type", "ts_us div 86400000000 AS day"
+    ).createOrReplaceTempView("_cq_events")
+    return spark.sql(
+        _CQ_BODY.format(ev="_cq_events")
+        + """
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(3 AS INT) AS k_treatments,
+       CAST(2 AS INT) AS dof,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST(c3 AS BIGINT) AS c3,
+       CAST((CAST(1000000 AS DECIMAL(38,0)) * 2
+             * (3 * (CAST(c1 AS DECIMAL(38,0)) * c1
+                     + CAST(c2 AS DECIMAL(38,0)) * c2
+                     + CAST(c3 AS DECIMAL(38,0)) * c3)
+                - CAST(sr AS DECIMAL(38,0)) * sr))
+            div NULLIF(3 * CAST(sr AS DECIMAL(38,0)) - sr2, 0) AS BIGINT)
+         AS q_micro
+FROM s
+"""
+    )

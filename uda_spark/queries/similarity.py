@@ -2042,3 +2042,74 @@ SELECT num.label, CAST(c.n_l AS BIGINT) AS n_vecs,
 FROM num JOIN _cd_cnt c USING (label) CROSS JOIN tot
 """
     )
+
+
+@register(
+    "sim_pq_distortion",
+    oracle=f"""
+WITH {_pq_oracle_ctes()},
+mins AS (
+  SELECT s.vec_id, s.m, MIN({_PQ_D2}) AS d2
+  FROM subs s JOIN c1 c ON s.m = c.m
+  GROUP BY s.vec_id, s.m
+)
+SELECT m,
+       COUNT(*)::BIGINT AS n_vecs,
+       CAST(SUM(CAST(floor(d2 + 0.5) AS HUGEINT)) AS BIGINT) AS sum_d2_fp2,
+       CAST(SUM(CAST(floor(d2 + 0.5) AS HUGEINT)) // COUNT(*) AS BIGINT)
+         AS mean_d2_fp2
+FROM mins GROUP BY m
+""",
+    tags=("similarity", "evaluation"),
+)
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion — the index-quality
+    audit behind every ADC recall number: mean squared distance from
+    each vector's subvector to its assigned (nearest) centroid, per
+    subspace.  A subspace with outsized distortion is where the
+    codebook is starving (needs more centroids or a rotation) and
+    where ADC ranking error concentrates — the tuning readout next to
+    `sim_ivf_balance_audit`'s cluster-balance view.  Per-(vector,
+    subspace) min-distances are deterministic doubles from exact
+    fixed-point integers and codebook means, quantized ONCE via
+    floor(d2 + 0.5) (the repo's rounding convention) so the per-m sums
+    are order-independent exact integers in DECIMAL(38,0)/HUGEINT.
+
+    Scale shape: the trained codebook (m·k tiny rows, one corpus
+    training pass shared via tracked_persist) broadcasts onto ONE
+    corpus scan; the min-distance is a codegen'd HOF projection (no
+    join, no explode of the corpus) and the readout is a bounded
+    groupBy(m) over m rows' worth of partial sums.
+    """
+    from uda_spark.operators.similarity import (
+        _pq_codebook_row,
+        _pq_dists_expr,
+        pq_train_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = pq_train_codebooks(emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, dim=EMB_DIM)
+    civ = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.expr(portable.int_vec("embedding", "spark")).alias("_v"),
+    )
+    mins = (
+        civ.crossJoin(F.broadcast(_pq_codebook_row(cb)))
+        .withColumn("_ds", F.expr(_pq_dists_expr(PQ_M, PQ_SUB)))
+        .select(
+            F.posexplode(F.expr("transform(_ds, a -> array_min(a))")).alias(
+                "m", "d2"
+            )
+        )
+    )
+    return (
+        mins.select(
+            "m", F.expr("CAST(floor(d2 + 0.5) AS DECIMAL(38,0))").alias("dq")
+        )
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("CAST(SUM(dq) AS BIGINT)").alias("sum_d2_fp2"),
+            F.expr("CAST(SUM(dq) div COUNT(*) AS BIGINT)").alias("mean_d2_fp2"),
+        )
+    )

@@ -278,6 +278,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_tokenizer_fertility",
     "ml_friedman_test",
     "pipeline_greedy_pack_nosplit",
+    "ml_cochran_q",
+    "sim_pq_distortion",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
