@@ -3043,3 +3043,59 @@ def test_nosplit_packing_invariants(spark):
         # and at most one bin per doc
         assert r["n_bins"] <= r["n_docs"]
         assert 0 <= r["waste_ppm"] < 1_000_000
+
+
+def test_cochran_q_matches_python_recompute(spark):
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.events import _DAY_US, _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_cochran_q"].fn(spark, SF_SMOKE).collect()[0]
+    blocks = defaultdict(lambda: [0, 0, 0])
+    for r in (
+        _with_us(load_table(spark, SF_SMOKE, "events"))
+        .select("user_id", "event_type", "ts_us")
+        .collect()
+    ):
+        b = blocks[r["user_id"]]
+        in_window = (r["ts_us"] // _DAY_US) % 28 < 2
+        if r["event_type"] == "purchase" and in_window:
+            b[0] = 1
+        if r["event_type"] == "error" and in_window:
+            b[1] = 1
+        if r["event_type"] == "click" and in_window:
+            b[2] = 1
+    n = len(blocks)
+    c = [sum(b[j] for b in blocks.values()) for j in range(3)]
+    sr = sum(sum(b) for b in blocks.values())
+    sr2 = sum(sum(b) ** 2 for b in blocks.values())
+    den = 3 * sr - sr2
+    assert row["n_blocks"] == n
+    assert (row["c1"], row["c2"], row["c3"]) == tuple(c)
+    if den == 0:
+        # all-identical rows (every R_i in {0, k}) — Q undefined, NULLIF
+        # yields NULL in both engines
+        assert row["q_micro"] is None
+    else:
+        q = (1_000_000 * 2 * (3 * sum(x * x for x in c) - sr * sr)) // den
+        assert row["q_micro"] == q
+        assert q >= 0
+
+
+def test_pq_distortion_bounds(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.similarity import PQ_M
+    from uda_spark.registry import all_specs
+
+    rows = all_specs()["sim_pq_distortion"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == PQ_M
+    n0 = rows[0]["n_vecs"]
+    for r in rows:
+        # every subspace scores every vector
+        assert r["n_vecs"] == n0
+        assert 0 <= r["mean_d2_fp2"] <= r["sum_d2_fp2"]
+        # mean is the floored ratio of the exact sums
+        assert r["mean_d2_fp2"] == r["sum_d2_fp2"] // r["n_vecs"]

@@ -2926,9 +2926,12 @@ def ml_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CQ_BODY = """
 WITH blocks AS (
   SELECT user_id,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t1,
-         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS t2,
-         MAX(CASE WHEN day % 7 >= 5 THEN 1 ELSE 0 END) AS t3
+         MAX(CASE WHEN event_type = 'purchase' AND day % 28 < 2
+                  THEN 1 ELSE 0 END) AS t1,
+         MAX(CASE WHEN event_type = 'error' AND day % 28 < 2
+                  THEN 1 ELSE 0 END) AS t2,
+         MAX(CASE WHEN event_type = 'click' AND day % 28 < 2
+                  THEN 1 ELSE 0 END) AS t3
   FROM {ev} GROUP BY user_id
 ),
 s AS (
@@ -2963,7 +2966,9 @@ def ml_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonparametric family (rank-sum: 2 independent; Kruskal-Wallis: k
     independent; signed-rank: 2 paired; Friedman: k paired ordinal;
     Cochran's Q: k paired binary): do the three per-user behaviors
-    (purchased / errored / weekend-active) have the same incidence
+    inside the 2-day-per-28-day audit window (purchased / errored /
+    clicked — windowed so each indicator sits mid-range instead of
+    saturating at 1 for every active user) have the same incidence
     across the user blocks?  Q = (k−1)[kΣC_j² − S²] / (kΣR_i − ΣR_i²)
     is an exact integer rational — no ranks, no floats — reported in
     micro units with the HUGEINT/DECIMAL(38,0) numerator (1e6·2·3·C²
