@@ -180,6 +180,8 @@ EXTENDED = [
     "text_tokenizer_fertility",
     "ml_friedman_test",
     "pipeline_greedy_pack_nosplit",
+    "ml_cochran_q",
+    "sim_pq_distortion",
 ]
 
 
