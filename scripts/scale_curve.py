@@ -306,6 +306,25 @@ EXTENDED = (
     "pipeline_greedy_pack_nosplit",
     "ml_cochran_q",
     "sim_pq_distortion",
+    # round-9 TIMEALL refresh: newly >=0.5s at sf0.1
+    "events_ab_welch_test",
+    "events_daily_from_hourly",
+    "events_ewma_value",
+    "events_hourly_anomalies",
+    "events_lateness_profile",
+    "events_user_activity",
+    "hll_sketch_two_level",
+    "join_null_safe_types",
+    "join_semi",
+    "lateral_top_orders",
+    "multimodal_frame_sample",
+    "orders_seasonality_index",
+    "pipeline_sequence_packing",
+    "pipeline_stratified_sample",
+    "q22_sales_opportunity",
+    "text_chunk_dedup",
+    "text_pii_redact",
+    "udf_grouped_agg_median",
 )
 
 ITERS = 3
