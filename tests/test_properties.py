@@ -2918,7 +2918,7 @@ def test_brier_decomposition_matches_python_recompute(spark):
     y_tot = sum(b[2] for b in bins.values())
     rel = sum((b[1] - 1_000_000 * b[2]) ** 2 // b[0] for b in bins.values()) // n
     res = (
-        1_000_000
+        1_000_000_000_000
         * sum((b[2] * n - y_tot * b[0]) ** 2 // b[0] for b in bins.values())
     ) // n**3
     ybar = y_tot * 1_000_000 // n

@@ -2651,7 +2651,7 @@ SELECT CAST(tot.n AS BIGINT) AS n_users,
        CAST((SELECT COUNT(*) FROM bins) AS INT) AS n_bins,
        CAST(tot.y * 1000000 // tot.n AS BIGINT) AS ybar_ppm,
        CAST(rel.rel_num // tot.n AS BIGINT) AS reliability_ppm2,
-       CAST((1000000 * res.res_num) // (tot.n * tot.n * tot.n) AS BIGINT)
+       CAST((1000000000000 * res.res_num) // (tot.n * tot.n * tot.n) AS BIGINT)
          AS resolution_ppm2,
        CAST((tot.y * 1000000 // tot.n)
             * (1000000 - tot.y * 1000000 // tot.n) AS BIGINT)
@@ -2670,8 +2670,10 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is.  All three terms are exact cross-multiplied integer ppm²:
     per-bin means never materialize as floats — reliability's numerator
     is (Σp − 1e6·Σy)² // n_k, resolution's is (Σy_k·N − Y·n_k)² // n_k
-    with the 1e12 ppm² scaling split to keep everything inside
-    DECIMAL(38,0)/HUGEINT (exact to ~1e8 users; stated contract bound).
+    scaled by the full 1e12 before the N³ division so all three columns
+    share true ppm² units and the Murphy identity Brier = REL − RES +
+    UNC holds (res_num ≤ N³, so 1e12·res_num stays inside
+    DECIMAL(38,0)/HUGEINT up to ~4e8 users; stated contract bound).
 
     Scale shape: ONE aggregation over the per-user relation into 10
     bounded bins; every decomposition term operates on that 10-row
@@ -2714,7 +2716,7 @@ SELECT CAST(tot.n AS BIGINT) AS n_users,
        CAST((SELECT COUNT(*) FROM bins) AS INT) AS n_bins,
        CAST(tot.y * 1000000 div tot.n AS BIGINT) AS ybar_ppm,
        CAST(rel.rel_num div tot.n AS BIGINT) AS reliability_ppm2,
-       CAST((1000000 * res.res_num) div (tot.n * tot.n * tot.n) AS BIGINT)
+       CAST((1000000000000 * res.res_num) div (tot.n * tot.n * tot.n) AS BIGINT)
          AS resolution_ppm2,
        CAST((tot.y * 1000000 div tot.n)
             * (1000000 - tot.y * 1000000 div tot.n) AS BIGINT)
@@ -2921,8 +2923,9 @@ def ml_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Cochran's Q: per-user binary outcomes under three "treatments"
-# (bought anything / hit an error / was active on a weekend day) —
-# engine-identical SQL over an epoch-microsecond event view.
+# (made a purchase / hit an error / clicked, each within the first two
+# days of every 28-day audit window, day % 28 < 2) — engine-identical
+# SQL over an epoch-microsecond event view.
 _CQ_BODY = """
 WITH blocks AS (
   SELECT user_id,

@@ -2490,7 +2490,18 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+# BPE-ish pre-tokenizer: letter runs, digit runs, then single punctuation
+# marks.  The catch-all class is EXPLICIT printable-ASCII punctuation
+# (ranges !-/ :-@ Z-` {-~ ; the Z-` range spans Z[\]^_` by code point and
+# uppercase cannot occur after lower()) rather than a negated class like
+# [^a-z0-9 ] so the count is engine-stable on arbitrary text: a negated
+# class counts a non-BMP character (e.g. emoji) as TWO matches under
+# Java's UTF-16-unit regex (Spark) but ONE under RE2's codepoint regex
+# (DuckDB oracle).  With the explicit class, non-ASCII simply never
+# matches in either engine.  On the pure-printable-ASCII test corpus
+# (verified: 0 docs match '[^ -~]' at every SF) the two forms count
+# identically, so this is value-neutral there.
+_BPE_RE = "[a-z]+|[0-9]+|[!-/:-@Z-`{-~]"
 
 
 @register(
