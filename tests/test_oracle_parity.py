@@ -99,7 +99,7 @@ def test_driver_window_is_lrs_rotation():
 
     # The frozen round is pinned (not "latest file present") so this test
     # stays deterministic after this round's own CORRECTNESS file lands.
-    assert LRS_THROUGH_ROUND == 8
+    assert LRS_THROUGH_ROUND == 9
     expected = compute_lrs_order(LRS_THROUGH_ROUND, exclude=_NEW_THIS_ROUND)
     assert _LRS_ORDER == expected, "regenerate with: python scripts/rotation.py"
 

@@ -158,6 +158,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     "ml_fairness_equalized_odds": "1-row parity-gap aggregate crossed onto bounded per-segment rates",
     "ml_friedman_test": "calendar-day x |types| grid cross product + 1-row dims",
     "sim_pq_distortion": "m*k-row codebook broadcast onto one corpus scan (PQ family shape)",
+    "ml_delong_auc_variance": "1-row (n_pos, n_neg) totals crossed onto the distinct-score groups",
+    "events_diff_in_diff": "1-row time-span relation for the period split",
 }
 
 

@@ -3004,3 +3004,221 @@ SELECT CAST(n AS BIGINT) AS n_blocks,
 FROM s
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — full-ranking PR quality and AUC uncertainty.
+
+
+@register(
+    "ml_auprc",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+grp AS (
+  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY score
+),
+ranked AS (
+  SELECT c, p,
+         COALESCE(SUM(c) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_c_before,
+         COALESCE(SUM(p) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_p_before
+  FROM grp
+),
+s AS (
+  SELECT SUM(c)::BIGINT AS n, SUM(p)::BIGINT AS n_pos,
+         COUNT(*)::BIGINT AS n_groups,
+         SUM((1000000 * p::HUGEINT * (cum_p_before + p))
+             // (cum_c_before + c))::HUGEINT AS ap_sum
+  FROM ranked
+)
+SELECT n, n_pos, CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_pos * 1000000 // n AS BIGINT) AS prevalence_ppm,
+       CAST(ap_sum // NULLIF(n_pos, 0) AS BIGINT) AS auprc_ppm
+FROM s
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area under the precision-recall curve over the FULL ranking — the
+    threshold-free twin of ml_average_precision_at_k (which grades a
+    retrieval top-k) and the metric that dominates ROC-AUC whenever the
+    positive class is rare (class-imbalanced quality filters, toxicity
+    flags, dedup triage).  Tie-aware step formulation over distinct
+    score groups, descending: AP = Σ_k (p_k / P) · (TP_k / N_k), where
+    TP_k / N_k are the positive / total counts at-or-above group k —
+    exactly sklearn's threshold-stepped average precision.  The random-
+    classifier baseline (prevalence) rides along, since AUPRC is only
+    meaningful against it.
+
+    Exactness: per-group terms are (1e6·p_k·TP_k) // N_k on
+    DECIMAL(38,0)/HUGEINT numerators (TP_k·p_k·1e6 ≤ 1e6·N² — inside
+    38 digits to ~1e9 users), floor-truncated identically in both
+    engines (cumulative truncation ≤ n_groups/P ppm, stated contract);
+    each per-group quotient is ≤ 1e6·p_k so the BIGINT sums are exact.
+
+    Scale shape: groupBy(score) over the per-user relation, then the
+    range-partitioned two-pass cumulative sums over distinct-score
+    groups (:func:`uda_spark.operators.sort.global_cumulative_sums`
+    — ONE range exchange cumulates both c and p; no single-partition
+    window anywhere), then a scalar reduction.  Same shape as
+    ml_auc_rank_sum, viable on a billion-user holdout.
+    """
+    base = _user_label_score(spark, sf_dir)
+    grp = (
+        base.groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("label").cast("long").alias("p"),
+        )
+        .withColumn("neg_score", -F.col("score"))
+    )
+    ranked = global_cumulative_sums(
+        grp, ["neg_score"], ["c", "p"], ["cum_c_before", "cum_p_before"]
+    )
+    s = ranked.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(
+            F.expr(
+                "(1000000 * CAST(p AS DECIMAL(38,0)) * (cum_p_before + p))"
+                " div (cum_c_before + c)"
+            )
+        ).alias("ap_sum"),
+    )
+    return s.selectExpr(
+        "n",
+        "n_pos",
+        "n_groups",
+        "CAST(n_pos * 1000000 div n AS BIGINT) AS prevalence_ppm",
+        "CAST(ap_sum div NULLIF(n_pos, 0) AS BIGINT) AS auprc_ppm",
+    )
+
+
+@register(
+    "ml_delong_auc_variance",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+grp AS (
+  SELECT score, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+  FROM base GROUP BY score
+),
+ranked AS (
+  SELECT c, p,
+         COALESCE(SUM(c) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_c_before,
+         COALESCE(SUM(p) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_p_before
+  FROM grp
+),
+tot AS (SELECT SUM(p)::BIGINT AS n_pos, SUM(c - p)::BIGINT AS n_neg FROM grp),
+place AS (
+  SELECT p, c - p AS q,
+         2 * (cum_c_before - cum_p_before) + (c - p) AS v2,
+         2 * (tot.n_pos - cum_p_before - p) + p AS w2
+  FROM ranked, tot
+),
+m AS (
+  SELECT SUM(p::HUGEINT * v2)::HUGEINT AS sv,
+         SUM(p::HUGEINT * v2 * v2)::HUGEINT AS svv,
+         SUM(q::HUGEINT * w2)::HUGEINT AS sw,
+         SUM(q::HUGEINT * w2 * w2)::HUGEINT AS sww
+  FROM place
+)
+SELECT tot.n_pos, tot.n_neg,
+       CAST(sv * 1000000 // NULLIF(2 * tot.n_pos::HUGEINT * tot.n_neg, 0)
+         AS BIGINT) AS auc_ppm,
+       CAST(tot.n_pos::HUGEINT * svv - sv * sv AS HUGEINT) AS var10_num,
+       CAST(tot.n_neg::HUGEINT * sww - sw * sw AS HUGEINT) AS var01_num,
+       round(1e12 * (CAST(tot.n_pos::HUGEINT * svv - sv * sv AS DOUBLE)
+               / NULLIF(CAST(tot.n_pos AS DOUBLE) * (tot.n_pos - 1) * 4
+                        * tot.n_neg * tot.n_neg * tot.n_pos, 0)
+             + CAST(tot.n_neg::HUGEINT * sww - sw * sw AS DOUBLE)
+               / NULLIF(CAST(tot.n_neg AS DOUBLE) * (tot.n_neg - 1) * 4
+                        * tot.n_pos * tot.n_pos * tot.n_neg, 0)), 4)
+         AS var_auc_ppm2,
+       round(1000000 * sqrt(CAST(tot.n_pos::HUGEINT * svv - sv * sv AS DOUBLE)
+               / NULLIF(CAST(tot.n_pos AS DOUBLE) * (tot.n_pos - 1) * 4
+                        * tot.n_neg * tot.n_neg * tot.n_pos, 0)
+             + CAST(tot.n_neg::HUGEINT * sww - sw * sw AS DOUBLE)
+               / NULLIF(CAST(tot.n_neg AS DOUBLE) * (tot.n_neg - 1) * 4
+                        * tot.n_pos * tot.n_pos * tot.n_neg, 0)), 3)
+         AS se_auc_ppm
+FROM m, tot
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_delong_auc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong variance of the ROC-AUC — the standard error every AUC
+    comparison needs before calling a model "better" (DeLong, DeLong &
+    Clarke-Pearson 1988): per-positive placement V10 = (#neg below +
+    ½·#neg tied)/n_neg and per-negative V01 symmetric; Var(AUC) =
+    S10/n_pos + S01/n_neg from their sample variances.  Placements are
+    carried as integers doubled (v2 = 2·neg_below + neg_tied ∈
+    [0, 2·n_neg]) and every moment (Σp·v2, Σp·v2², and the negative-side
+    twins) is exact DECIMAL(38,0)/HUGEINT — var10_num = n_pos·Σp·v2² −
+    (Σp·v2)² stays within 38 digits to ~1e9 users (n_pos·svv ≤ n⁴/4).
+    auc_ppm rides along as the exact cross-check (Σp·v2 = 2U, the same
+    u2 ml_auc_rank_sum reports).  Only the final variance/SE are
+    deterministic double steps on those exact integer moments
+    (identical expression text both engines, the CUPED precedent),
+    with single-class and n=1 denominators NULLIF-guarded.
+
+    Scale shape: groupBy(score), then ONE range-partitioned two-pass
+    cumulative over the distinct-score groups cumulating c and p
+    together, a 1-row totals relation crossJoined back (scalar
+    broadcast), and a scalar moment reduction — no per-user rank ever
+    materializes, so exact DeLong on a billion-user holdout is one
+    extra agg over the ml_auc_rank_sum plan.
+    """
+    base = _user_label_score(spark, sf_dir)
+    grp = base.groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("label").cast("long").alias("p"),
+    )
+    ranked = global_cumulative_sums(
+        grp, ["score"], ["c", "p"], ["cum_c_before", "cum_p_before"]
+    )
+    tot = grp.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
+    )
+    place = ranked.crossJoin(F.broadcast(tot)).selectExpr(
+        "p",
+        "c - p AS q",
+        "2 * (cum_c_before - cum_p_before) + (c - p) AS v2",
+        "2 * (n_pos - cum_p_before - p) + p AS w2",
+        "n_pos",
+        "n_neg",
+    )
+    m = place.groupBy("n_pos", "n_neg").agg(
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * v2")).alias("sv"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * v2 * v2")).alias("svv"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * w2")).alias("sw"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * w2 * w2")).alias("sww"),
+    )
+    return m.selectExpr(
+        "n_pos",
+        "n_neg",
+        "CAST(sv * 1000000 div NULLIF(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0)"
+        " AS BIGINT) AS auc_ppm",
+        "CAST(CAST(n_pos AS DECIMAL(38,0)) * svv - sv * sv AS DECIMAL(38,0))"
+        " AS var10_num",
+        "CAST(CAST(n_neg AS DECIMAL(38,0)) * sww - sw * sw AS DECIMAL(38,0))"
+        " AS var01_num",
+        "round(1e12 * (CAST(CAST(n_pos AS DECIMAL(38,0)) * svv - sv * sv AS DOUBLE)"
+        " / NULLIF(CAST(n_pos AS DOUBLE) * (n_pos - 1) * 4"
+        " * n_neg * n_neg * n_pos, 0)"
+        " + CAST(CAST(n_neg AS DECIMAL(38,0)) * sww - sw * sw AS DOUBLE)"
+        " / NULLIF(CAST(n_neg AS DOUBLE) * (n_neg - 1) * 4"
+        " * n_pos * n_pos * n_neg, 0)), 4) AS var_auc_ppm2",
+        "round(1000000 * sqrt(CAST(CAST(n_pos AS DECIMAL(38,0)) * svv - sv * sv"
+        " AS DOUBLE)"
+        " / NULLIF(CAST(n_pos AS DOUBLE) * (n_pos - 1) * 4"
+        " * n_neg * n_neg * n_pos, 0)"
+        " + CAST(CAST(n_neg AS DECIMAL(38,0)) * sww - sw * sw AS DOUBLE)"
+        " / NULLIF(CAST(n_neg AS DOUBLE) * (n_neg - 1) * 4"
+        " * n_pos * n_pos * n_neg, 0)), 3) AS se_auc_ppm",
+    )

@@ -3409,3 +3409,126 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, tbl).createOrReplaceTempView(f"_uq_{tbl}")
         parts.append(_uniq_audit_sql(f"_uq_{tbl}", expr, name))
     return spark.sql(" UNION ALL ".join(parts))
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — difference-in-differences A/B readout (CUPED's causal sibling).
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+WITH span AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS cohort,
+         SUM(CASE WHEN epoch_us(ts) * 2 < span.lo + span.hi
+                  THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100
+                            AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN epoch_us(ts) * 2 >= span.lo + span.hi
+                  THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100
+                            AS BIGINT) ELSE 0 END) AS y
+  FROM events, span GROUP BY user_id, span.lo, span.hi
+),
+m AS (
+  SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         SUM(CASE WHEN cohort = 0 THEN x ELSE 0 END)::HUGEINT AS sx_c,
+         SUM(CASE WHEN cohort = 1 THEN x ELSE 0 END)::HUGEINT AS sx_t,
+         SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)::HUGEINT AS sy_c,
+         SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)::HUGEINT AS sy_t
+  FROM per_user
+),
+d AS (
+  SELECT m.*,
+         1000000 * ((sy_t - sx_t) * n_c - (sy_c - sx_c) * n_t) AS num,
+         n_t::HUGEINT * n_c AS den
+  FROM m
+)
+SELECT n_c AS n_ctrl, n_t AS n_treat,
+       CAST(1000000 * sx_c // NULLIF(n_c, 0) AS BIGINT) AS pre_ctrl_micro,
+       CAST(1000000 * sx_t // NULLIF(n_t, 0) AS BIGINT) AS pre_treat_micro,
+       CAST(1000000 * sy_c // NULLIF(n_c, 0) AS BIGINT) AS post_ctrl_micro,
+       CAST(1000000 * sy_t // NULLIF(n_t, 0) AS BIGINT) AS post_treat_micro,
+       CAST(CASE WHEN num >= 0 THEN num // NULLIF(den, 0)
+                 ELSE -((-num) // NULLIF(den, 0)) END AS BIGINT) AS did_micro
+FROM d
+""",
+    tags=("quality", "events", "ml", "statistics"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences A/B readout — the named causal
+    estimator practitioners reach for when randomization is imperfect:
+    the treated cohort's pre→post change minus the control cohort's,
+    cancelling any shared time trend.  Same pre/post midpoint split and
+    user-parity cohorts as events_cuped_adjusted_ab (DiD is CUPED at
+    θ=1 algebraically, but the deliverable differs: the full 2×2 cell
+    means plus the exact DiD estimate, not a θ-adjusted diff).
+
+    Exactness: per-user period sums are exact integer cents; the four
+    cell means are 1e6·Σ // n micro-cents; did_micro is ONE exact
+    division on the cross-multiplied raw sums — 1e6·((Δ_T)·n_C −
+    (Δ_C)·n_T) // (n_T·n_C) — carried in DECIMAL(38,0)/HUGEINT (1e6 ×
+    cent-sums × user-count ≈ 1e31 at 1e9 users, inside 38 digits), with
+    the sign handled by an explicit CASE so both engines truncate the
+    magnitude identically (the Kruskal-Wallis precedent).  did_micro is
+    exact from the raw sums, not a difference of the truncated cells.
+
+    Scale shape: the 1-row span relation broadcasts onto one fact scan;
+    one exchange to the per-user relation; ONE scalar aggregate carries
+    all six sums — the CUPED plan minus the covariance moments.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_micros(ev))
+    span = ev.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(MAX(user_id % 2) AS INT)").alias("cohort"),
+            F.expr(
+                "SUM(CASE WHEN ts_us * 2 < lo + hi"
+                " THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100"
+                " AS BIGINT) ELSE 0 END)"
+            ).alias("x"),
+            F.expr(
+                "SUM(CASE WHEN ts_us * 2 >= lo + hi"
+                " THEN CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100"
+                " AS BIGINT) ELSE 0 END)"
+            ).alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.expr("SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)").cast("long").alias("n_c"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)").cast("long").alias("n_t"),
+        F.expr("SUM(CASE WHEN cohort = 0 THEN x ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sx_c"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN x ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sx_t"),
+        F.expr("SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sy_c"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sy_t"),
+    )
+    d = m.selectExpr(
+        "*",
+        "1000000 * ((sy_t - sx_t) * n_c - (sy_c - sx_c) * n_t) AS num",
+        "CAST(n_t AS DECIMAL(38,0)) * n_c AS den",
+    )
+    return d.selectExpr(
+        "n_c AS n_ctrl",
+        "n_t AS n_treat",
+        "CAST(1000000 * sx_c div NULLIF(n_c, 0) AS BIGINT) AS pre_ctrl_micro",
+        "CAST(1000000 * sx_t div NULLIF(n_t, 0) AS BIGINT) AS pre_treat_micro",
+        "CAST(1000000 * sy_c div NULLIF(n_c, 0) AS BIGINT) AS post_ctrl_micro",
+        "CAST(1000000 * sy_t div NULLIF(n_t, 0) AS BIGINT) AS post_treat_micro",
+        "CAST(CASE WHEN num >= 0 THEN num div NULLIF(den, 0)"
+        " ELSE -((-num) div NULLIF(den, 0)) END AS BIGINT) AS did_micro",
+    )

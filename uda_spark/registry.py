@@ -236,62 +236,15 @@ _R08_NEW: tuple[str, ...] = (
 # This bounds maximum external-row staleness at ~ceil(N / (50 - new)) rounds
 # permanently; test_driver_window_is_lrs_rotation recomputes the ordering
 # from the committed files and fails if this frozen tuple drifts.
-LRS_THROUGH_ROUND = 8
+LRS_THROUGH_ROUND = 9
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "events_poisson_dispersion",
-    "events_peak_days",
-    "events_entropy_rate",
-    "text_simpson_diversity",
-    "text_zipf_slope",
-    "dq_order_reconciliation",
-    "ml_spearman_corr",
-    "ml_mcnemar_paired",
-    "ml_quantile_loss",
-    "events_theil_sen_trend",
-    "text_readability_flesch",
-    "text_heaps_law_fit",
-    "sim_knn_margin_audit",
-    "dq_iqr_outlier_audit",
-    "pipeline_dedup_token_savings",
-    "ml_two_proportion_ztest",
-    "ml_paired_bootstrap_delta",
-    "sim_ivf_balance_audit",
-    "text_char_entropy",
-    "dq_ship_date_consistency",
-    "events_cuped_adjusted_ab",
-    "sim_recall_vs_nprobe",
-    "ml_youden_j_threshold",
-    "ml_cramers_v",
-    "ml_mrr_at_k",
-    "ml_average_precision_at_k",
-    "ml_kruskal_wallis",
-    "text_perplexity_filter",
-    "sim_centroid_drift",
-    "pipeline_epoch_repetition",
-    "ml_brier_decomposition",
-    "events_seasonal_strength",
-    "ml_fairness_equalized_odds",
-    "ml_wilcoxon_signed_rank",
-    "dq_uniqueness_audit",
-    "graph_assortativity",
-    "text_tokenizer_fertility",
-    "ml_friedman_test",
-    "pipeline_greedy_pack_nosplit",
-    "ml_cochran_q",
-    "sim_pq_distortion",
+    "ml_auprc",
+    "ml_delong_auc_variance",
+    "events_diff_in_diff",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
-    "wordcount_documents",
-    "kv_partition_merge",
-    "kv_reduce_by_key",
-    "pi_estimate",
-    "q4_order_priority",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q17_small_quantity_parts",
-    "q18_large_volume_customers",
     "q19_bracket_join",
     "in_subquery_segments",
     "grouping_sets_sales",
@@ -567,6 +520,56 @@ _LRS_ORDER: tuple[str, ...] = (
     "ml_brier_score",
     "ml_mcc_ece",
     "ml_log_loss",
+    "wordcount_documents",
+    "kv_partition_merge",
+    "kv_reduce_by_key",
+    "pi_estimate",
+    "q4_order_priority",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q17_small_quantity_parts",
+    "q18_large_volume_customers",
+    "graph_assortativity",
+    "sim_knn_margin_audit",
+    "sim_ivf_balance_audit",
+    "sim_recall_vs_nprobe",
+    "sim_centroid_drift",
+    "sim_pq_distortion",
+    "text_simpson_diversity",
+    "text_zipf_slope",
+    "text_readability_flesch",
+    "text_heaps_law_fit",
+    "text_char_entropy",
+    "text_perplexity_filter",
+    "text_tokenizer_fertility",
+    "events_poisson_dispersion",
+    "events_peak_days",
+    "events_entropy_rate",
+    "events_theil_sen_trend",
+    "events_seasonal_strength",
+    "ml_friedman_test",
+    "dq_order_reconciliation",
+    "dq_iqr_outlier_audit",
+    "dq_ship_date_consistency",
+    "events_cuped_adjusted_ab",
+    "dq_uniqueness_audit",
+    "pipeline_dedup_token_savings",
+    "pipeline_epoch_repetition",
+    "pipeline_greedy_pack_nosplit",
+    "ml_spearman_corr",
+    "ml_mcnemar_paired",
+    "ml_quantile_loss",
+    "ml_two_proportion_ztest",
+    "ml_paired_bootstrap_delta",
+    "ml_youden_j_threshold",
+    "ml_cramers_v",
+    "ml_mrr_at_k",
+    "ml_average_precision_at_k",
+    "ml_kruskal_wallis",
+    "ml_brier_decomposition",
+    "ml_fairness_equalized_odds",
+    "ml_wilcoxon_signed_rank",
+    "ml_cochran_q",
 )  # generated by scripts/rotation.py (round 9, through r08)
 
 
