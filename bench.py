@@ -185,9 +185,27 @@ EXTENDED = [
 ]
 
 
+def _calibration_probe() -> float:
+    """Fixed single-thread CPU probe (~1 s on an idle core): the same
+    pure-python work every run, so round-over-round probe deltas measure
+    HOST contention, not code.  A probe 2x its historical value explains
+    a 2x-slower headline without blaming the queries."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(12_000_000):
+        acc += i * i
+    _ = acc
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Host-conditions stamp (VERDICT r09 #3): load average + a fixed
+    # calibration probe, before and after, so a contended run is
+    # attributable from the record alone.
+    loadavg_before = [round(x, 2) for x in os.getloadavg()]
+    calib_before = _calibration_probe()
     spark = get_spark("uda_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
@@ -404,6 +422,9 @@ def main() -> None:
         "pipeline_phases": pipeline_phases,
         "failed_queries": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_before": loadavg_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "calib_probe_sec": {"before": calib_before, "after": _calibration_probe()},
     }
     print(json.dumps(detail))
     # The driver's ~2.2 kB stdout-tail capture keeps only the LAST compact
@@ -413,9 +434,18 @@ def main() -> None:
     # SCALECURVE.json) so every round's extended record survives without
     # builder-side prose.  Best-effort: bench must still report when the
     # repo dir is read-only.
+    #
+    # VERDICT r09 #3: an ad-hoc (driver/judge/contended) invocation must
+    # NOT clobber the committed clean-host record in the working tree —
+    # that happened in round 9.  Default target is the uncommitted
+    # EXTBENCH_last.json; the curated EXTBENCH.json is refreshed only
+    # under an explicit opt-in (--record flag or SPARK_GRAFT_RECORD=1).
+    record = "--record" in sys.argv or os.environ.get("SPARK_GRAFT_RECORD") == "1"
     try:
-        ext_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "EXTBENCH.json")
+        ext_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "EXTBENCH.json" if record else "EXTBENCH_last.json",
+        )
         with open(ext_path, "w") as fh:
             json.dump({**detail, "wall_clock_utc": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, fh, indent=1)
@@ -441,6 +471,10 @@ def main() -> None:
                 "queries": timings,
                 "failed_queries": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-conditions stamp: ~60 bytes, still far under the
+                # ~2.2 kB driver tail window
+                "loadavg": detail["loadavg_before"] + detail["loadavg_after"],
+                "calib_sec": detail["calib_probe_sec"],
             }
         )
     )
