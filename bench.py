@@ -182,6 +182,10 @@ EXTENDED = [
     "pipeline_greedy_pack_nosplit",
     "ml_cochran_q",
     "sim_pq_distortion",
+    # round-10 additions
+    "ml_auprc",
+    "ml_delong_auc_variance",
+    "events_diff_in_diff",
 ]
 
 
