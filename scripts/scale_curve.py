@@ -325,6 +325,12 @@ EXTENDED = (
     "text_chunk_dedup",
     "text_pii_redact",
     "udf_grouped_agg_median",
+    # round-10 TIMEALL refresh: newly >=0.5s at sf0.1
+    "dedup_exact",
+    "in_subquery_segments",
+    "like_name_patterns",
+    "ml_mcnemar_paired",
+    "q14_promo_revenue",
     # round-10 additions
     "ml_auprc",
     "ml_delong_auc_variance",
@@ -343,45 +349,40 @@ EXTENDED = (
 # overhead, not data scaling.  If a later sweep lifts a query past the
 # floor, move it to EXTENDED and re-run this script for just that name.
 EXCLUDED: dict[str, str] = {
-    "csv_roundtrip_supplier": "overhead floor: 0.439s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "date_functions": "overhead floor: 0.292s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "dedup_exact": "overhead floor: 0.379s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "distinct_pairs": "overhead floor: 0.286s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "events_dow_hour_heatmap": "overhead floor: 0.446s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "events_holt_forecast": "overhead floor: 0.496s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "events_hourly_rollup": "overhead floor: 0.489s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "events_props_extract": "overhead floor: 0.377s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "filter_project": "overhead floor: 0.341s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "in_subquery_segments": "overhead floor: 0.372s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "join_anti": "overhead floor: 0.408s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "json_roundtrip_nation": "overhead floor: 0.303s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "kv_reduce_by_key": "overhead floor: 0.431s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "like_name_patterns": "overhead floor: 0.312s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "ml_calibration_bins": "overhead floor: 0.314s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "ml_confusion_report": "overhead floor: 0.420s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "ml_mcnemar_paired": "overhead floor: 0.489s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "pi_estimate": "overhead floor: 0.197s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "pipeline_compaction_plan": "overhead floor: 0.481s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "pipeline_train_val_test_split": "overhead floor: 0.403s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "pipeline_weighted_sample": "overhead floor: 0.294s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "q14_promo_revenue": "overhead floor: 0.431s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "q6_forecast_revenue": "overhead floor: 0.386s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "sample_stratified_hash": "overhead floor: 0.323s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "scalar_functions": "overhead floor: 0.475s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "sim_embedding_norms": "overhead floor: 0.254s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "skew_salted_agg": "overhead floor: 0.431s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "string_agg_nations": "overhead floor: 0.396s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "text_bpe_token_hist": "overhead floor: 0.345s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "text_chunk_windows": "overhead floor: 0.381s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "text_fuzzy_part_pairs": "overhead floor: 0.498s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "text_quality_by_source": "overhead floor: 0.464s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "text_roundtrip_documents": "overhead floor: 0.424s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "topk_orders": "overhead floor: 0.263s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "unpivot_order_metrics": "overhead floor: 0.295s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "window_percent_rank_balances": "overhead floor: 0.354s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "window_share_of_total_balances": "overhead floor: 0.348s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "wordcount_documents": "overhead floor: 0.288s at sf0.1 (TIMEALL r09 full-registry sweep)",
-    "xml_roundtrip_region": "overhead floor: 0.478s at sf0.1 (TIMEALL r09 full-registry sweep)",
+    "csv_roundtrip_supplier": "overhead floor: 0.477s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "date_functions": "overhead floor: 0.240s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "distinct_pairs": "overhead floor: 0.226s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "events_dow_hour_heatmap": "overhead floor: 0.351s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "events_holt_forecast": "overhead floor: 0.483s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "events_hourly_rollup": "overhead floor: 0.426s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "events_props_extract": "overhead floor: 0.299s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "filter_project": "overhead floor: 0.339s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "join_anti": "overhead floor: 0.318s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "json_roundtrip_nation": "overhead floor: 0.328s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "kv_reduce_by_key": "overhead floor: 0.454s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "ml_calibration_bins": "overhead floor: 0.384s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "ml_confusion_report": "overhead floor: 0.499s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "pi_estimate": "overhead floor: 0.333s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "pipeline_compaction_plan": "overhead floor: 0.394s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "pipeline_train_val_test_split": "overhead floor: 0.303s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "pipeline_weighted_sample": "overhead floor: 0.328s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "q6_forecast_revenue": "overhead floor: 0.321s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "sample_stratified_hash": "overhead floor: 0.373s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "scalar_functions": "overhead floor: 0.328s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "sim_embedding_norms": "overhead floor: 0.280s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "skew_salted_agg": "overhead floor: 0.462s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "string_agg_nations": "overhead floor: 0.319s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "text_bpe_token_hist": "overhead floor: 0.335s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "text_chunk_windows": "overhead floor: 0.297s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "text_fuzzy_part_pairs": "overhead floor: 0.421s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "text_quality_by_source": "overhead floor: 0.399s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "text_roundtrip_documents": "overhead floor: 0.436s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "topk_orders": "overhead floor: 0.209s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "unpivot_order_metrics": "overhead floor: 0.197s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "window_percent_rank_balances": "overhead floor: 0.276s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "window_share_of_total_balances": "overhead floor: 0.344s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "wordcount_documents": "overhead floor: 0.311s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "xml_roundtrip_region": "overhead floor: 0.399s at sf0.1 (TIMEALL r10 full-registry sweep)",
 }
 
 ITERS = 3
