@@ -3181,7 +3181,10 @@ def ml_delong_auc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_cumulative_sums(
         grp, ["score"], ["c", "p"], ["cum_c_before", "cum_p_before"]
     )
-    tot = grp.agg(
+    # totals from the CHECKPOINTED cumulative snapshot, not from grp:
+    # deriving them upstream would re-scan and re-aggregate the per-user
+    # relation a second time (one extra full exchange in the plan)
+    tot = ranked.agg(
         F.sum("p").cast("long").alias("n_pos"),
         F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
     )
