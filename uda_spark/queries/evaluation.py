@@ -3130,8 +3130,6 @@ m AS (
 SELECT tot.n_pos, tot.n_neg,
        CAST(sv * 1000000 // NULLIF(2 * tot.n_pos::HUGEINT * tot.n_neg, 0)
          AS BIGINT) AS auc_ppm,
-       CAST(tot.n_pos::HUGEINT * svv - sv * sv AS HUGEINT) AS var10_num,
-       CAST(tot.n_neg::HUGEINT * sww - sw * sw AS HUGEINT) AS var01_num,
        round(1e12 * (CAST(tot.n_pos::HUGEINT * svv - sv * sv AS DOUBLE)
                / NULLIF(CAST(tot.n_pos AS DOUBLE) * (tot.n_pos - 1) * 4
                         * tot.n_neg * tot.n_neg * tot.n_pos, 0)
@@ -3164,7 +3162,10 @@ def ml_delong_auc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 ml_auc_rank_sum reports).  Only the final variance/SE are
     deterministic double steps on those exact integer moments
     (identical expression text both engines, the CUPED precedent),
-    with single-class and n=1 denominators NULLIF-guarded.
+    with single-class and n=1 denominators NULLIF-guarded.  The raw
+    int128-class numerators stay INTERNAL: HUGEINT/DECIMAL(38,0)
+    output columns are not hasher-safe driver results (the pinned
+    round-2 lesson, tests/test_oracle_types.py).
 
     Scale shape: groupBy(score), then ONE range-partitioned two-pass
     cumulative over the distinct-score groups cumulating c and p
@@ -3207,10 +3208,6 @@ def ml_delong_auc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         "CAST(sv * 1000000 div NULLIF(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0)"
         " AS BIGINT) AS auc_ppm",
-        "CAST(CAST(n_pos AS DECIMAL(38,0)) * svv - sv * sv AS DECIMAL(38,0))"
-        " AS var10_num",
-        "CAST(CAST(n_neg AS DECIMAL(38,0)) * sww - sw * sw AS DECIMAL(38,0))"
-        " AS var01_num",
         "round(1e12 * (CAST(CAST(n_pos AS DECIMAL(38,0)) * svv - sv * sv AS DOUBLE)"
         " / NULLIF(CAST(n_pos AS DOUBLE) * (n_pos - 1) * 4"
         " * n_neg * n_neg * n_pos, 0)"
