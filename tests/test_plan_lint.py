@@ -71,6 +71,7 @@ SP_BOUNDED: dict[str, str] = {
     "pipeline_lorenz_deciles": "10-row decile relation (Lorenz-curve window input)",
     "events_theil_sen_trend": "calendar-day pair relation (O(days^2), bounded by dataset day span)",
     "text_heaps_law_fit": "16-row cumulative prefix-bucket relation (HEAPS_BUCKETS literal)",
+    "ml_fdr_bh_segments": "25-row nation relation (BH rank/step-up over the bounded segment set)",
 }
 
 # BroadcastNestedLoopJoin: the reason the broadcast side is bounded, per
@@ -160,6 +161,8 @@ BNLJ_BOUNDED: dict[str, str] = {
     "sim_pq_distortion": "m*k-row codebook broadcast onto one corpus scan (PQ family shape)",
     "ml_delong_auc_variance": "1-row (n_pos, n_neg) totals crossed onto the distinct-score groups",
     "events_diff_in_diff": "1-row time-span relation for the period split",
+    "ml_anova_oneway": "1-row total/term aggregates for the F arithmetic (kruskal sibling)",
+    "ml_fdr_bh_segments": "25-row nation relation x 1-row totals + 1-row BH k* scalar",
 }
 
 

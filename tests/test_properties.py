@@ -3099,3 +3099,155 @@ def test_pq_distortion_bounds(spark):
         assert 0 <= r["mean_d2_fp2"] <= r["sum_d2_fp2"]
         # mean is the floored ratio of the exact sums
         assert r["mean_d2_fp2"] == r["sum_d2_fp2"] // r["n_vecs"]
+
+
+def test_anova_oneway_matches_python_recompute(spark):
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_anova_oneway"].fn(spark, SF_SMOKE).collect()[0]
+    vals = [
+        (round(r["o_totalprice"] * 100), r["o_orderpriority"])
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_totalprice", "o_orderpriority")
+        .collect()
+    ]
+    n_g = defaultdict(int)
+    s_g = defaultdict(int)
+    q = 0
+    s = 0
+    for v, g in vals:
+        n_g[g] += 1
+        s_g[g] += v
+        q += v * v
+        s += v
+    n, k = len(vals), len(n_g)
+    bterm = sum((s_g[g] ** 2 * 1000) // n_g[g] for g in n_g)
+    ssb = bterm - (s * s * 1000) // n
+    ssw = q * 1000 - bterm
+    assert row["n_obs"] == n
+    assert row["n_groups"] == k
+
+    def tz(a, b):  # truncate-toward-zero with floor building block
+        return (a - a % b) // b if a >= 0 else -((-a - (-a) % b) // b)
+
+    f = tz(ssb * (n - k) * 1000, ssw * (k - 1)) if ssw * (k - 1) else None
+    eta = tz(ssb * 1_000_000, ssb + ssw) if ssb + ssw else None
+    assert row["f_stat_milli"] == f
+    assert row["eta2_ppm"] == eta
+    # SSB/SSW are true sums of squares up to floor slack
+    assert ssw >= 0 and ssb >= -1000 * k
+    assert eta is None or -1 <= eta <= 1_000_000
+
+
+def test_srm_check_matches_python_recompute(spark):
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_srm_check"].fn(spark, SF_SMOKE).collect()[0]
+    users = {
+        r["user_id"]
+        for r in load_table(spark, SF_SMOKE, "events").select("user_id").collect()
+    }
+    n_a = sum(1 for u in users if u % 2 == 0)
+    n_b = len(users) - n_a
+    assert row["n_a"] == n_a
+    assert row["n_b"] == n_b
+    assert row["share_a_ppm"] == n_a * 1_000_000 // len(users)
+    chi2 = (n_a - n_b) ** 2 * 1_000_000 // len(users)
+    assert row["srm_chi2_micro"] == chi2
+    assert row["srm_flag"] == int(chi2 > 3_841_459)
+    # the parity split is healthy by construction: no SRM at smoke SF
+    assert row["srm_flag"] == 0
+
+
+def test_fdr_bh_segments_matches_python_recompute(spark):
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    rows = {
+        r["nation"]: r
+        for r in all_specs()["ml_fdr_bh_segments"].fn(spark, SF_SMOKE).collect()
+    }
+    cust = [
+        (r["c_nationkey"], 1 if r["c_acctbal"] < 0 else 0)
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_nationkey", "c_acctbal")
+        .collect()
+    ]
+    n_g = defaultdict(int)
+    c_g = defaultdict(int)
+    for nation, d in cust:
+        n_g[nation] += 1
+        c_g[nation] += d
+    n, c, m = len(cust), sum(c_g.values()), len(n_g)
+    assert len(rows) == m
+    pb = {}
+    for g in n_g:
+        diff = c_g[g] * n - c * n_g[g]
+        t1 = (diff * diff) // n_g[g]
+        den = c * (n - c)
+        z2 = (t1 * 1_000_000) // den if den else None
+        p = 1_000_000 if z2 is None or z2 <= 1_000_000 else 10**12 // z2
+        assert rows[g]["z2_micro"] == z2
+        assert rows[g]["p_bound_ppm"] == p
+        pb[g] = p
+    order = sorted(pb, key=lambda g: (pb[g], g))
+    kstar = 0
+    for i, g in enumerate(order, start=1):
+        thr = i * 50_000 // m
+        assert rows[g]["bh_rank"] == i
+        assert rows[g]["bh_threshold_ppm"] == thr
+        if pb[g] <= thr:
+            kstar = i
+    for i, g in enumerate(order, start=1):
+        assert rows[g]["bh_rejected"] == int(i <= kstar)
+    # step-up property: the rejection set is a prefix of the p-ordering
+    rejected = [g for g in order if rows[g]["bh_rejected"]]
+    assert rejected == order[: len(rejected)]
+
+
+def test_ab_power_mde_matches_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_ab_power_mde"].fn(spark, SF_SMOKE).collect()[0]
+    per_user = defaultdict(int)
+    for r in (
+        load_table(spark, SF_SMOKE, "events").select("user_id", "value").collect()
+    ):
+        cents = 0 if r["value"] is None else round(
+            float(round(r["value"], 2)) * 100
+        )
+        per_user[r["user_id"]] += cents
+    a = [y for u, y in per_user.items() if u % 2 == 0]
+    b = [y for u, y in per_user.items() if u % 2 == 1]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    var_num_a = len(a) * sum(y * y for y in a) - sum(a) ** 2
+    var_num_b = len(b) * sum(y * y for y in b) - sum(b) ** 2
+    s2p = (var_num_a / len(a) + var_num_b / len(b)) / (len(a) + len(b) - 2)
+    zs = 2.801585
+    mde = zs * math.sqrt(s2p * (1.0 / len(a) + 1.0 / len(b)))
+    assert abs(row["mean_a_cents"] - sum(a) / len(a)) <= 1e-4
+    assert abs(row["pooled_sd_cents"] - math.sqrt(s2p)) <= 1e-4 * max(
+        1.0, math.sqrt(s2p)
+    )
+    assert abs(row["mde_cents"] - mde) <= 1e-4 * max(1.0, mde)
+    delta = 0.05 * sum(a) / len(a)
+    n_req = math.ceil(2 * zs * zs * s2p / delta / delta)
+    # ceil on a double can land one off across recompute orders only if
+    # the quotient sits exactly on an integer — assert within 1
+    assert abs(row["n_per_arm_5pct"] - n_req) <= 1
+    # the MDE must be detectable with the planned sample: monotone sanity
+    assert row["mde_cents"] > 0 and row["n_per_arm_5pct"] > 0

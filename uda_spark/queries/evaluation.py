@@ -3222,3 +3222,504 @@ def ml_delong_auc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / NULLIF(CAST(n_neg AS DOUBLE) * (n_neg - 1) * 4"
         " * n_pos * n_pos * n_neg, 0)), 3) AS se_auc_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F test (parametric sibling of ml_kruskal_wallis)
+
+
+@register(
+    "ml_anova_oneway",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v, o_orderpriority AS g
+  FROM orders
+),
+gs AS (
+  SELECT g, COUNT(*)::HUGEINT AS n_g, SUM(v)::HUGEINT AS s_g,
+         SUM(v::HUGEINT * v)::HUGEINT AS q_g
+  FROM vals GROUP BY g
+),
+tot AS (
+  SELECT SUM(n_g)::HUGEINT AS n, SUM(s_g)::HUGEINT AS s,
+         SUM(q_g)::HUGEINT AS q, COUNT(*)::HUGEINT AS k
+  FROM gs
+),
+terms AS (
+  SELECT SUM((s_g * s_g * 1000 - (s_g * s_g * 1000) % n_g) // n_g)::HUGEINT
+           AS bterm
+  FROM gs
+),
+parts AS (
+  SELECT tot.n, tot.k,
+         terms.bterm
+           - (tot.s * tot.s * 1000 - (tot.s * tot.s * 1000) % tot.n) // tot.n
+           AS ssb,
+         tot.q * 1000 - terms.bterm AS ssw
+  FROM tot, terms
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       CAST(k AS INT) AS n_groups,
+       CAST(CASE WHEN ssb >= 0 THEN
+              (ssb * (n - k) * 1000 - (ssb * (n - k) * 1000)
+                 % NULLIF(ssw * (k - 1), 0)) // NULLIF(ssw * (k - 1), 0)
+            ELSE -(((-ssb) * (n - k) * 1000 - ((-ssb) * (n - k) * 1000)
+                 % NULLIF(ssw * (k - 1), 0)) // NULLIF(ssw * (k - 1), 0)) END
+            AS BIGINT) AS f_stat_milli,
+       CAST(CASE WHEN ssb >= 0
+                 THEN ssb * 1000000 // NULLIF(ssb + ssw, 0)
+                 ELSE -((-ssb) * 1000000 // NULLIF(ssb + ssw, 0)) END
+            AS BIGINT) AS eta2_ppm
+FROM parts
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test: does mean order value differ across the five
+    order-priority groups?  The parametric sibling of ml_kruskal_wallis
+    on the SAME grouping — an experimentation platform runs both and
+    compares (F trusts normal-ish tails, H doesn't), so the pair shares
+    one grouping to make the comparison meaningful.  Also emits eta²
+    (SSB/SST), the effect-size readout that tells a reviewer whether a
+    significant F is practically meaningful.
+
+    Exactness: per-group n, Σv, Σv² are exact integer cents moments in
+    DECIMAL(38,0)/HUGEINT; SSB/SSW are carried in milli-cents² with two
+    stated floor points (the per-group S_g²·1000/n_g term and the grand
+    S²·1000/N term), each applied as the exactly-integral mod-subtract
+    quotient so neither engine's integer-division width can wrap
+    (ml_kruskal_wallis precedent); F is integer milli and eta² integer
+    ppm with sign-guarded truncation.  The raw SSB/SSW intermediates
+    exceed int64 even at test SFs, so — the ml_delong_auc_variance
+    lesson — only the int64-safe F and eta² readouts are emitted, never
+    the int128-typed diagnostics.  Contract bound: the F numerator
+    SSB·(N−k)·1000 stays inside DECIMAL(38,0) for N ≲ 1.7e8 orders at
+    TPC-H price magnitudes; beyond that, quantize the value column
+    first.
+
+    Scale shape: one map-side-combined groupBy to the 5-row
+    (group, n, Σv, Σv²) relation, then 1-row total/term aggregates for
+    the F arithmetic — no window, no join by data volume, nothing
+    driver-side.
+    """
+    orders = t(spark, sf_dir, "orders")
+    gs = (
+        orders.selectExpr(
+            "CAST(o_totalprice * 100 AS BIGINT) AS v", "o_orderpriority AS g"
+        )
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n_g"),
+            F.sum("v").cast("decimal(38,0)").alias("s_g"),
+            F.sum(F.expr("CAST(v AS DECIMAL(19,0)) * v"))
+            .cast("decimal(38,0)")
+            .alias("q_g"),
+        )
+    )
+    gs.createOrReplaceTempView("_anova_gs")
+    return spark.sql(
+        """
+WITH tot AS (
+  SELECT CAST(SUM(n_g) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(q_g) AS DECIMAL(38,0)) AS q,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS k
+  FROM _anova_gs
+),
+terms AS (
+  -- exact decimal floor division (a - a%b)/b: the quotient passes 2^63
+  -- well inside the stated N bound, so BIGINT `div` would wrap
+  SELECT CAST(SUM(CAST((s_g * s_g * 1000 - (s_g * s_g * 1000) % n_g) / n_g
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS bterm
+  FROM _anova_gs
+),
+parts AS (
+  SELECT tot.n, tot.k,
+         terms.bterm
+           - CAST((tot.s * tot.s * 1000 - (tot.s * tot.s * 1000) % tot.n)
+                  / tot.n AS DECIMAL(38,0)) AS ssb,
+         tot.q * 1000 - terms.bterm AS ssw
+  FROM tot, terms
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       CAST(k AS INT) AS n_groups,
+       CAST(CASE WHEN ssb >= 0 THEN
+              CAST((ssb * (n - k) * 1000 - (ssb * (n - k) * 1000)
+                 % NULLIF(ssw * (k - 1), 0)) / NULLIF(ssw * (k - 1), 0)
+                 AS DECIMAL(38,0))
+            ELSE -CAST(((-ssb) * (n - k) * 1000 - ((-ssb) * (n - k) * 1000)
+                 % NULLIF(ssw * (k - 1), 0)) / NULLIF(ssw * (k - 1), 0)
+                 AS DECIMAL(38,0)) END
+            AS BIGINT) AS f_stat_milli,
+       CAST(CASE WHEN ssb >= 0
+                 THEN ssb * 1000000 div NULLIF(ssb + ssw, 0)
+                 ELSE -((-ssb) * 1000000 div NULLIF(ssb + ssw, 0)) END
+            AS BIGINT) AS eta2_ppm
+FROM parts
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) gate for the user-parity experiment
+
+
+@register(
+    "ml_srm_check",
+    oracle="""
+WITH pu AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS cohort
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::HUGEINT AS n_a,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::HUGEINT AS n_b
+  FROM pu
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a * 1000000 // NULLIF(n_a + n_b, 0) AS BIGINT) AS share_a_ppm,
+       CAST((n_a - n_b) * (n_a - n_b) * 1000000 // NULLIF(n_a + n_b, 0)
+            AS BIGINT) AS srm_chi2_micro,
+       CAST((n_a - n_b) * (n_a - n_b) * 1000000 // NULLIF(n_a + n_b, 0)
+            > 3841459 AS INT) AS srm_flag
+FROM m
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the data-quality gate every
+    experimentation platform runs BEFORE reading any metric: if the
+    observed assignment split deviates from the designed 50/50 beyond
+    chance, the experiment is corrupted (broken bucketing, bot
+    filtering, logging loss) and the Welch/z/CUPED readouts on the same
+    split are meaningless.  Kohavi's guardrail: χ² against the design
+    ratio on the ASSIGNMENT UNIT (distinct users, not events — event
+    counts differ across cohorts by treatment effect, assignments must
+    not).  For a 50/50 design the two-cell χ² collapses exactly to
+    (n_a − n_b)²/N, emitted in integer micro units with the 1-df 95%
+    critical value (3.841459) as an integer threshold flag.
+
+    Exactness: cohort counts are exact integers from one pass over the
+    per-user relation; (n_a−n_b)²·1e6 stays inside DECIMAL(38,0)/
+    HUGEINT to ~1e16 users (non-negative numerator, so DuckDB's floor
+    and Spark's truncating div agree with no sign guard).
+
+    Scale shape: one exchange to the per-user relation (the
+    ml_two_proportion_ztest shape), then a single map-side-combined
+    scalar aggregate — 1 output row, no join, no window.
+    """
+    pu = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.expr("CAST(MAX(user_id % 2) AS INT)").alias("cohort"))
+    )
+    m = pu.agg(
+        F.expr("SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("n_a"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("n_b"),
+    )
+    return m.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(n_a * 1000000 div NULLIF(n_a + n_b, 0) AS BIGINT) AS share_a_ppm",
+        "CAST((n_a - n_b) * (n_a - n_b) * 1000000 div NULLIF(n_a + n_b, 0)"
+        " AS BIGINT) AS srm_chi2_micro",
+        "CAST((n_a - n_b) * (n_a - n_b) * 1000000 div NULLIF(n_a + n_b, 0)"
+        " > 3841459 AS INT) AS srm_flag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR step-up across bounded segments
+
+
+@register(
+    "ml_fdr_bh_segments",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey AS nation, COUNT(*)::HUGEINT AS n_g,
+         SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::HUGEINT AS c_g
+  FROM customer GROUP BY c_nationkey
+),
+tot AS (
+  SELECT SUM(n_g)::HUGEINT AS n, SUM(c_g)::HUGEINT AS c,
+         COUNT(*)::HUGEINT AS m
+  FROM cells
+),
+z AS (
+  SELECT nation, n_g, c_g, tot.m,
+         ((c_g * tot.n - tot.c * n_g) * (c_g * tot.n - tot.c * n_g)
+            - ((c_g * tot.n - tot.c * n_g) * (c_g * tot.n - tot.c * n_g))
+              % n_g) // n_g AS t1,
+         tot.c * (tot.n - tot.c) AS den
+  FROM cells, tot
+),
+p AS (
+  SELECT nation, n_g, c_g, m,
+         (t1 * 1000000 - (t1 * 1000000) % NULLIF(den, 0)) // NULLIF(den, 0)
+           AS z2_micro
+  FROM z
+),
+pb AS (
+  SELECT nation, n_g, c_g, m, z2_micro,
+         CASE WHEN z2_micro IS NULL OR z2_micro <= 1000000 THEN 1000000
+              ELSE 1000000000000 // z2_micro END AS p_bound_ppm
+  FROM p
+),
+rk AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_bound_ppm, nation) AS HUGEINT)
+              AS bh_rank
+  FROM pb
+),
+thr AS (
+  SELECT *, bh_rank * 50000 // m AS bh_threshold_ppm,
+         CASE WHEN p_bound_ppm <= bh_rank * 50000 // m
+              THEN bh_rank ELSE 0 END AS pass_rank
+  FROM rk
+),
+kstar AS (SELECT MAX(pass_rank) AS k FROM thr)
+SELECT CAST(nation AS INT) AS nation,
+       CAST(n_g AS BIGINT) AS n_customers,
+       CAST(c_g AS BIGINT) AS n_delinquent,
+       CAST(z2_micro AS BIGINT) AS z2_micro,
+       CAST(p_bound_ppm AS BIGINT) AS p_bound_ppm,
+       CAST(bh_rank AS INT) AS bh_rank,
+       CAST(bh_threshold_ppm AS BIGINT) AS bh_threshold_ppm,
+       CAST(bh_rank <= kstar.k AS INT) AS bh_rejected
+FROM thr, kstar
+ORDER BY bh_rank
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up across per-segment hypothesis
+    tests — the multiple-testing control a platform MUST apply before
+    reading 25 per-nation readouts off one experiment (at α=0.05, 25
+    uncorrected tests yield ~1.2 false positives by design; BH bounds
+    the FALSE DISCOVERY RATE at α while keeping far more power than
+    Bonferroni).  Per nation: a one-sample proportion z² of that
+    nation's customer-delinquency rate (acctbal < 0) against the global
+    rate; then the step-up — order p ascending, find the largest rank k
+    with p_(k) ≤ k·α/m, reject ranks 1..k.
+
+    Exactness: cell counts are exact; z² = (c_g·N − c·n_g)²/(n_g·c·(N−c))
+    is carried in integer micro units with two stated floor points (the
+    /n_g and /den divisions, each as the exactly-integral mod-subtract
+    quotient — the intermediate passes 2^63 inside the stated bound);
+    the p-value is the CHEBYSHEV bound p ≤ 1/z² in integer ppm —
+    conservative but distribution-free and exactly integral, so the
+    step-up decisions are engine-exact (a calibrated normal p would
+    need erfc, which the two engines don't share bit-for-bit; any
+    monotone p transform preserves the BH ordering, only the absolute
+    α-scale is conservative).  Rank ties broken by nation key — fully
+    deterministic.  Contract bound: (c_g·N − c·n_g)² stays inside
+    DECIMAL(38,0)/HUGEINT for N ≲ 1e9 customers.
+
+    Scale shape: one map-side-combined groupBy to the 25-row nation
+    relation, a 1-row totals aggregate broadcast back onto it, and the
+    BH rank/step-up windows over the bounded 25-row relation (declared
+    in SP_BOUNDED/BNLJ_BOUNDED: |nations| is a schema constant, never
+    data-sized).  The fact table is scanned exactly once.
+    """
+    cells = (
+        t(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_nationkey AS nation",
+            "CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS delinq",
+        )
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n_g"),
+            F.sum("delinq").cast("decimal(38,0)").alias("c_g"),
+        )
+    )
+    cells.createOrReplaceTempView("_bh_cells")
+    return spark.sql(
+        """
+WITH tot AS (
+  SELECT CAST(SUM(n_g) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(c_g) AS DECIMAL(38,0)) AS c,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS m
+  FROM _bh_cells
+),
+z AS (
+  -- exact decimal floor division (a - a%b)/b: the diff² intermediate
+  -- passes 2^63 inside the stated bound, so BIGINT `div` would wrap
+  SELECT nation, n_g, c_g, tot.m,
+         CAST(((c_g * tot.n - tot.c * n_g) * (c_g * tot.n - tot.c * n_g)
+            - ((c_g * tot.n - tot.c * n_g) * (c_g * tot.n - tot.c * n_g))
+              % n_g) / n_g AS DECIMAL(38,0)) AS t1,
+         tot.c * (tot.n - tot.c) AS den
+  FROM _bh_cells, tot
+),
+p AS (
+  SELECT nation, n_g, c_g, m,
+         CAST((t1 * 1000000 - (t1 * 1000000) % NULLIF(den, 0))
+              / NULLIF(den, 0) AS DECIMAL(38,0)) AS z2_micro
+  FROM z
+),
+pb AS (
+  SELECT nation, n_g, c_g, m, z2_micro,
+         CASE WHEN z2_micro IS NULL OR z2_micro <= 1000000 THEN 1000000
+              ELSE 1000000000000 div z2_micro END AS p_bound_ppm
+  FROM p
+),
+rk AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_bound_ppm, nation)
+                 AS DECIMAL(38,0)) AS bh_rank
+  FROM pb
+),
+thr AS (
+  SELECT *, bh_rank * 50000 div m AS bh_threshold_ppm,
+         CASE WHEN p_bound_ppm <= bh_rank * 50000 div m
+              THEN bh_rank ELSE CAST(0 AS DECIMAL(38,0)) END AS pass_rank
+  FROM rk
+),
+kstar AS (SELECT MAX(pass_rank) AS k FROM thr)
+SELECT CAST(nation AS INT) AS nation,
+       CAST(n_g AS BIGINT) AS n_customers,
+       CAST(c_g AS BIGINT) AS n_delinquent,
+       CAST(z2_micro AS BIGINT) AS z2_micro,
+       CAST(p_bound_ppm AS BIGINT) AS p_bound_ppm,
+       CAST(bh_rank AS INT) AS bh_rank,
+       CAST(bh_threshold_ppm AS BIGINT) AS bh_threshold_ppm,
+       CAST(bh_rank <= kstar.k AS INT) AS bh_rejected
+FROM thr, kstar
+ORDER BY bh_rank
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect + required sample size
+
+# z_{alpha/2} at 5% two-sided + z_{power} at 80% — the industry-default
+# planning point (Kohavi's "80% power at alpha=.05").  Fixed rational
+# literals so both engines evaluate the identical double expression.
+_POWER_Z_SUM = "2.801585"  # 1.959964 + 0.841621
+
+
+@register(
+    "ml_ab_power_mde",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS cohort,
+         SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT))
+           AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::HUGEINT AS n_a,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::HUGEINT AS n_b,
+         SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)::HUGEINT AS sy_a,
+         SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)::HUGEINT AS sy_b,
+         SUM(CASE WHEN cohort = 0 THEN y::HUGEINT * y ELSE 0 END)::HUGEINT
+           AS syy_a,
+         SUM(CASE WHEN cohort = 1 THEN y::HUGEINT * y ELSE 0 END)::HUGEINT
+           AS syy_b
+  FROM pu
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(CAST(sy_a AS DOUBLE) / n_a, 6) AS mean_a_cents,
+       round(sqrt((CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   + CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / CAST(n_a + n_b - 2 AS DOUBLE)), 6) AS pooled_sd_cents,
+       round({_POWER_Z_SUM}
+             * sqrt(((CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      + CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / CAST(n_a + n_b - 2 AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS mde_cents,
+       CAST(ceil(2.0 * {_POWER_Z_SUM} * {_POWER_Z_SUM}
+                 * ((CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     + CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    / CAST(n_a + n_b - 2 AS DOUBLE))
+                 / NULLIF(0.05 * CAST(sy_a AS DOUBLE) / n_a, 0.0)
+                 / NULLIF(0.05 * CAST(sy_a AS DOUBLE) / n_a, 0.0))
+            AS BIGINT) AS n_per_arm_5pct
+FROM m
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis over the user-parity experiment: the minimum
+    detectable effect (MDE) the CURRENT sample can resolve at 80% power
+    / α=5% two-sided, and the per-arm sample size a 5%-of-control-mean
+    lift would need — the two numbers a platform surfaces BEFORE an
+    experiment reads out (an underpowered test that "found nothing" is
+    a design failure, not a result; Kohavi's planning identity
+    MDE = (z_{{α/2}}+z_{{power}})·SE with the z-sum fixed at 2.801585).
+    Metric: per-user total event value in cents (the Welch/CUPED
+    metric), pooled variance across the two cohorts.
+
+    Exactness: per-user sums and the per-cohort moments (n, Σy, Σy²)
+    are exact integers in DECIMAL(38,0)/HUGEINT; the variance numerators
+    n·Σy² − (Σy)² are exact integer cross-multiplications; only the
+    final SD/MDE/sample-size steps are deterministic double arithmetic
+    on those exact integers (identical expression text both engines —
+    IEEE sqrt is correctly rounded, the CUPED/DeLong precedent), with
+    a zero control mean NULLIF-guarded and degenerate single-user
+    cohorts yielding IEEE Infinity/NaN identically on both sides.
+
+    Scale shape: one exchange to the per-user relation, then a single
+    map-side-combined scalar aggregate carrying all six moments —
+    1 output row, no join, no window (events_cuped_adjusted_ab minus
+    the covariance pass).
+    """
+    pu = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(MAX(user_id % 2) AS INT)").alias("cohort"),
+            F.expr(
+                "SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100"
+                " AS BIGINT))"
+            ).alias("y"),
+        )
+    )
+    m = pu.agg(
+        F.expr("SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("n_a"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("n_b"),
+        F.expr("SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sy_a"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sy_b"),
+        F.expr(
+            "SUM(CASE WHEN cohort = 0 THEN CAST(y AS DECIMAL(19,0)) * y"
+            " ELSE 0 END)"
+        )
+        .cast("decimal(38,0)")
+        .alias("syy_a"),
+        F.expr(
+            "SUM(CASE WHEN cohort = 1 THEN CAST(y AS DECIMAL(19,0)) * y"
+            " ELSE 0 END)"
+        )
+        .cast("decimal(38,0)")
+        .alias("syy_b"),
+    )
+    zs = _POWER_Z_SUM
+    s2p = (
+        "((CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " + CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / CAST(n_a + n_b - 2 AS DOUBLE))"
+    )
+    return m.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "round(CAST(sy_a AS DOUBLE) / n_a, 6) AS mean_a_cents",
+        f"round(sqrt({s2p}), 6) AS pooled_sd_cents",
+        f"round({zs} * sqrt({s2p} * (1.0 / n_a + 1.0 / n_b)), 6) AS mde_cents",
+        f"CAST(ceil(2.0 * {zs} * {zs} * {s2p}"
+        " / NULLIF(0.05 * CAST(sy_a AS DOUBLE) / n_a, 0.0)"
+        " / NULLIF(0.05 * CAST(sy_a AS DOUBLE) / n_a, 0.0))"
+        " AS BIGINT) AS n_per_arm_5pct",
+    )

@@ -242,6 +242,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ml_auprc",
     "ml_delong_auc_variance",
     "events_diff_in_diff",
+    "ml_anova_oneway",
+    "ml_srm_check",
+    "ml_fdr_bh_segments",
+    "ml_ab_power_mde",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
