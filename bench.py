@@ -186,6 +186,10 @@ EXTENDED = [
     "ml_auprc",
     "ml_delong_auc_variance",
     "events_diff_in_diff",
+    "ml_anova_oneway",
+    "ml_srm_check",
+    "ml_fdr_bh_segments",
+    "ml_ab_power_mde",
 ]
 
 

@@ -337,6 +337,8 @@ EXTENDED = (
     "events_diff_in_diff",
     "ml_anova_oneway",
     "ml_fdr_bh_segments",
+    "ml_srm_check",
+    "ml_ab_power_mde",
 )
 
 
@@ -362,10 +364,8 @@ EXCLUDED: dict[str, str] = {
     "join_anti": "overhead floor: 0.318s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "json_roundtrip_nation": "overhead floor: 0.328s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "kv_reduce_by_key": "overhead floor: 0.454s at sf0.1 (TIMEALL r10 full-registry sweep)",
-    "ml_ab_power_mde": "overhead floor: 0.353s at sf0.1 (round-10 session-2 3-iter min)",
     "ml_calibration_bins": "overhead floor: 0.384s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "ml_confusion_report": "overhead floor: 0.499s at sf0.1 (TIMEALL r10 full-registry sweep)",
-    "ml_srm_check": "overhead floor: 0.317s at sf0.1 (round-10 session-2 3-iter min)",
     "pi_estimate": "overhead floor: 0.333s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "pipeline_compaction_plan": "overhead floor: 0.394s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "pipeline_train_val_test_split": "overhead floor: 0.303s at sf0.1 (TIMEALL r10 full-registry sweep)",
