@@ -190,6 +190,8 @@ EXTENDED = [
     "ml_srm_check",
     "ml_fdr_bh_segments",
     "ml_ab_power_mde",
+    "ml_tost_equivalence",
+    "events_msprt_always_valid",
 ]
 
 

@@ -339,6 +339,8 @@ EXTENDED = (
     "ml_fdr_bh_segments",
     "ml_srm_check",
     "ml_ab_power_mde",
+    "ml_tost_equivalence",
+    "events_msprt_always_valid",
 )
 
 

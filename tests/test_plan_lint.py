@@ -72,6 +72,7 @@ SP_BOUNDED: dict[str, str] = {
     "events_theil_sen_trend": "calendar-day pair relation (O(days^2), bounded by dataset day span)",
     "text_heaps_law_fit": "16-row cumulative prefix-bucket relation (HEAPS_BUCKETS literal)",
     "ml_fdr_bh_segments": "25-row nation relation (BH rank/step-up over the bounded segment set)",
+    "events_msprt_always_valid": "calendar-day-grained cumulative/running-max windows (bounded by dataset day span)",
 }
 
 # BroadcastNestedLoopJoin: the reason the broadcast side is bounded, per
@@ -163,6 +164,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "events_diff_in_diff": "1-row time-span relation for the period split",
     "ml_anova_oneway": "1-row total/term aggregates for the F arithmetic (kruskal sibling)",
     "ml_fdr_bh_segments": "25-row nation relation x 1-row totals + 1-row BH k* scalar",
+    "events_msprt_always_valid": "calendar-day relation x 1-row pooled-variance scalar",
 }
 
 

@@ -3251,3 +3251,105 @@ def test_ab_power_mde_matches_python_recompute(spark):
     assert abs(row["n_per_arm_5pct"] - n_req) <= 1
     # the MDE must be detectable with the planned sample: monotone sanity
     assert row["mde_cents"] > 0 and row["n_per_arm_5pct"] > 0
+
+
+def test_tost_equivalence_matches_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    row = all_specs()["ml_tost_equivalence"].fn(spark, SF_SMOKE).collect()[0]
+    per_user = defaultdict(int)
+    for r in (
+        load_table(spark, SF_SMOKE, "events").select("user_id", "value").collect()
+    ):
+        cents = 0 if r["value"] is None else round(
+            float(round(r["value"], 2)) * 100
+        )
+        per_user[r["user_id"]] += cents
+    a = [y for u, y in per_user.items() if u % 2 == 0]
+    b = [y for u, y in per_user.items() if u % 2 == 1]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    diff = sum(a) / len(a) - sum(b) / len(b)
+    margin = 0.05 * sum(a) / len(a)
+    var_num_a = len(a) * sum(y * y for y in a) - sum(a) ** 2
+    var_num_b = len(b) * sum(y * y for y in b) - sum(b) ** 2
+    se = math.sqrt(
+        var_num_a / (len(a) ** 2 * (len(a) - 1))
+        + var_num_b / (len(b) ** 2 * (len(b) - 1))
+    )
+    assert abs(row["diff_cents"] - diff) <= 1e-4 * max(1.0, abs(diff))
+    assert abs(row["margin_cents"] - margin) <= 1e-4 * max(1.0, margin)
+    t_lo, t_up = (diff + margin) / se, (diff - margin) / se
+    assert abs(row["t_lower"] - t_lo) <= 1e-4 * max(1.0, abs(t_lo))
+    assert abs(row["t_upper"] - t_up) <= 1e-4 * max(1.0, abs(t_up))
+    assert row["equivalent"] == int(t_lo > 1.644854 and t_up < -1.644854)
+    # TOST internal consistency: t_lower > t_upper always (margin > 0)
+    assert row["t_lower"] > row["t_upper"]
+
+
+def test_msprt_always_valid_matches_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.queries.events import _with_us
+    from uda_spark.registry import all_specs
+    from uda_spark.sources.tables import load_table
+
+    rows = (
+        all_specs()["events_msprt_always_valid"].fn(spark, SF_SMOKE).collect()
+    )
+    ev = [
+        (
+            r["ts_us"] // 86_400_000_000,
+            r["user_id"] % 2,
+            0 if r["value"] is None else round(float(round(r["value"], 2)) * 100),
+        )
+        for r in _with_us(load_table(spark, SF_SMOKE, "events"))
+        .select("ts_us", "user_id", "value")
+        .collect()
+    ]
+    n = len(ev)
+    s = sum(v for _, _, v in ev)
+    q = sum(v * v for _, _, v in ev)
+    s2 = (n * q - s * s) / (n * n)
+    daily = defaultdict(lambda: [0, 0, 0, 0])
+    for day, cohort, v in ev:
+        d = daily[day]
+        if cohort == 0:
+            d[0] += 1
+            d[2] += v
+        else:
+            d[1] += 1
+            d[3] += v
+    na = nb = sa = sb = 0
+    pmax = 0.0
+    assert len(rows) == len(daily)
+    assert [r["day"] for r in rows] == sorted(daily)
+    for r, day in zip(rows, sorted(daily)):
+        na += daily[day][0]
+        nb += daily[day][1]
+        sa += daily[day][2]
+        sb += daily[day][3]
+        assert (r["n_a_cum"], r["n_b_cum"]) == (na, nb)
+        if na > 0 and nb > 0:
+            diff = sa / na - sb / nb
+            kk = 1.0 / na + 1.0 / nb
+            lnl = 0.5 * math.log(kk / (kk + 1.0)) + diff * diff / (
+                2.0 * s2 * kk * (kk + 1.0)
+            )
+        else:
+            diff, lnl = 0.0, 0.0
+        pmax = max(pmax, max(lnl, 0.0))
+        assert abs(r["mean_diff_cents"] - diff) <= 1e-4 * max(1.0, abs(diff))
+        assert abs(r["ln_lambda"] - lnl) <= 1e-4 * max(1.0, abs(lnl))
+        p = math.exp(-pmax)
+        assert abs(r["p_always_valid"] - p) <= 1e-4
+        # always-valid property: p is non-increasing and in (0, 1]
+        assert 0.0 <= r["p_always_valid"] <= 1.0
+    p_seq = [r["p_always_valid"] for r in rows]
+    assert all(x >= y for x, y in zip(p_seq, p_seq[1:]))

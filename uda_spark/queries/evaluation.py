@@ -3723,3 +3723,303 @@ def ml_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / NULLIF(0.05 * CAST(sy_a AS DOUBLE) / n_a, 0.0))"
         " AS BIGINT) AS n_per_arm_5pct",
     )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence / non-inferiority test
+
+# one-sided z critical at 5% — TOST runs TWO one-sided tests, so no
+# alpha halving (Schuirmann 1987); fixed literal, identical both engines
+_TOST_Z_CRIT = "1.644854"
+
+
+@register(
+    "ml_tost_equivalence",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS cohort,
+         SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT))
+           AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::HUGEINT AS n_a,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::HUGEINT AS n_b,
+         SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)::HUGEINT AS sy_a,
+         SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)::HUGEINT AS sy_b,
+         SUM(CASE WHEN cohort = 0 THEN y::HUGEINT * y ELSE 0 END)::HUGEINT
+           AS syy_a,
+         SUM(CASE WHEN cohort = 1 THEN y::HUGEINT * y ELSE 0 END)::HUGEINT
+           AS syy_b
+  FROM pu
+),
+d AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b AS diff,
+         0.05 * CAST(sy_a AS DOUBLE) / n_a AS margin,
+         sqrt(CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+              + CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)
+                / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))) AS se
+  FROM m
+)
+SELECT n_a, n_b,
+       round(diff, 6) AS diff_cents,
+       round(margin, 6) AS margin_cents,
+       round((diff + margin) / se, 6) AS t_lower,
+       round((diff - margin) / se, 6) AS t_upper,
+       CAST((diff + margin) / se > {_TOST_Z_CRIT}
+            AND (diff - margin) / se < -{_TOST_Z_CRIT} AS INT) AS equivalent
+FROM d
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987) —
+    the NON-INFERIORITY gate: a significance test can only ever reject
+    "no difference", it cannot certify "as good as"; launches framed as
+    "the cheap variant is no worse than control by more than δ" need
+    TOST, which declares equivalence iff the difference is
+    significantly above −δ AND significantly below +δ simultaneously.
+    Margin δ = 5% of the control mean (the ml_ab_power_mde planning
+    point), metric = per-user total event value in cents, cohorts =
+    the user-parity split of the Welch/z/CUPED family.
+
+    Exactness: per-cohort moments (n, Σy, Σy²) are exact integers in
+    DECIMAL(38,0)/HUGEINT; the Welch standard error, both one-sided t
+    statistics, and the equivalence verdict are deterministic double
+    steps on those exact integers (identical expression text both
+    engines — the verdict compares identical IEEE doubles, so it cannot
+    diverge), with single-user cohorts yielding IEEE Infinity/NaN
+    identically on both sides.
+
+    Scale shape: one exchange to the per-user relation, then a single
+    map-side-combined scalar aggregate — 1 output row, no join, no
+    window (the ml_ab_power_mde plan).
+    """
+    pu = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(MAX(user_id % 2) AS INT)").alias("cohort"),
+            F.expr(
+                "SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100"
+                " AS BIGINT))"
+            ).alias("y"),
+        )
+    )
+    m = pu.agg(
+        F.expr("SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("n_a"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("n_b"),
+        F.expr("SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sy_a"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sy_b"),
+        F.expr(
+            "SUM(CASE WHEN cohort = 0 THEN CAST(y AS DECIMAL(19,0)) * y"
+            " ELSE 0 END)"
+        )
+        .cast("decimal(38,0)")
+        .alias("syy_a"),
+        F.expr(
+            "SUM(CASE WHEN cohort = 1 THEN CAST(y AS DECIMAL(19,0)) * y"
+            " ELSE 0 END)"
+        )
+        .cast("decimal(38,0)")
+        .alias("syy_b"),
+    )
+    zc = _TOST_Z_CRIT
+    d = m.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b AS diff",
+        "0.05 * CAST(sy_a AS DOUBLE) / n_a AS margin",
+        "sqrt(CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))"
+        " + CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)"
+        " / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))) AS se",
+    )
+    return d.selectExpr(
+        "n_a",
+        "n_b",
+        "round(diff, 6) AS diff_cents",
+        "round(margin, 6) AS margin_cents",
+        "round((diff + margin) / se, 6) AS t_lower",
+        "round((diff - margin) / se, 6) AS t_upper",
+        f"CAST((diff + margin) / se > {zc}"
+        f" AND (diff - margin) / se < -{zc} AS INT) AS equivalent",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mSPRT always-valid p-value timeline (sequential A/B monitoring)
+
+
+@register(
+    "events_msprt_always_valid",
+    oracle="""
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(user_id % 2 AS INT) AS cohort,
+         CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT) AS v
+  FROM events
+),
+daily AS (
+  SELECT day,
+         SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::BIGINT AS na_d,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::BIGINT AS nb_d,
+         SUM(CASE WHEN cohort = 0 THEN v ELSE 0 END)::HUGEINT AS sa_d,
+         SUM(CASE WHEN cohort = 1 THEN v ELSE 0 END)::HUGEINT AS sb_d
+  FROM ev GROUP BY day
+),
+tot AS (
+  SELECT COUNT(*)::HUGEINT AS n, SUM(v)::HUGEINT AS s,
+         SUM(v::HUGEINT * v)::HUGEINT AS q
+  FROM ev
+),
+cum AS (
+  SELECT day,
+         SUM(na_d) OVER (ORDER BY day)::BIGINT AS na,
+         SUM(nb_d) OVER (ORDER BY day)::BIGINT AS nb,
+         SUM(sa_d) OVER (ORDER BY day) AS sa,
+         SUM(sb_d) OVER (ORDER BY day) AS sb
+  FROM daily
+),
+scored AS (
+  SELECT day, na, nb,
+         CASE WHEN na > 0 AND nb > 0
+              THEN CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb
+              ELSE 0.0 END AS diff,
+         1.0 / na + 1.0 / nb AS kk,
+         CAST(tot.n * tot.q - tot.s * tot.s AS DOUBLE)
+           / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS s2
+  FROM cum, tot
+),
+lam AS (
+  SELECT day, na, nb, diff,
+         CASE WHEN na > 0 AND nb > 0
+              THEN 0.5 * ln(kk / (kk + 1.0))
+                   + diff * diff / (2.0 * s2 * kk * (kk + 1.0))
+              ELSE 0.0 END AS lnl
+  FROM scored
+),
+av AS (
+  SELECT day, na, nb, diff, lnl,
+         MAX(CASE WHEN lnl > 0.0 THEN lnl ELSE 0.0 END)
+           OVER (ORDER BY day) AS pmax
+  FROM lam
+)
+SELECT CAST(day AS BIGINT) AS day,
+       na AS n_a_cum, nb AS n_b_cum,
+       round(diff, 6) AS mean_diff_cents,
+       round(lnl, 6) AS ln_lambda,
+       round(exp(-pmax), 6) AS p_always_valid
+FROM av
+ORDER BY day
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def events_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid p-value timeline via the mixture SPRT (Johari,
+    Koomen, Pekelis, Walsh 2017) — the sequential-testing machinery
+    that makes "peeking" safe: a fixed-horizon p-value read daily
+    inflates false positives several-fold, while the mSPRT's
+    p_n = min(1, min_{s<=n} 1/Λ_s) is valid at EVERY look, which is how
+    modern experimentation platforms let owners monitor continuously.
+    Observations are per-event values (cents) in the two user-parity
+    cohorts at calendar-day grain; the mixing variance is set to the
+    pooled variance (τ² = σ̂², the scale-free default), collapsing the
+    mixture likelihood ratio to
+    ln Λ_n = ½·ln(k/(k+1)) + δ̂²/(2σ̂²·k·(k+1)) with k = 1/n_A + 1/n_B.
+
+    Exactness: the day-cumulative cohort counts/sums and the global
+    moments (n, Σv, Σv²) are exact integers in DECIMAL(38,0)/HUGEINT;
+    δ̂, σ̂², ln Λ, and the running-min p are deterministic double steps
+    on those exact integers (identical expression text both engines —
+    the ln/exp-on-exact-integers precedent of the TF-IDF/logprob
+    family), with empty-cohort prefixes pinned to ln Λ = 0 via explicit
+    CASE (no NULL propagation through GREATEST, whose NULL semantics
+    the engines don't share).  A diverging Λ underflows exp(−pmax) to
+    +0.0 identically on both sides.
+
+    Scale shape: one corpus-sized groupBy(day) plus one scalar moment
+    aggregate; the cumulative/running-max windows run over the bounded
+    daily relation only (|days| rows — the events_cusum_changepoint
+    shape, declared in SP_BOUNDED/BNLJ_BOUNDED).  The fact table is
+    scanned twice (daily cells + global moments), each a single
+    map-side-combined pass.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_micros(ev)).selectExpr(
+        "ts_us div 86400000000 AS day",
+        "CAST(user_id % 2 AS INT) AS cohort",
+        "CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT) AS v",
+    )
+    ev.createOrReplaceTempView("_msprt_ev")
+    return spark.sql(
+        """
+WITH daily AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+         CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_d,
+         CAST(SUM(CASE WHEN cohort = 0 THEN v ELSE 0 END)
+              AS DECIMAL(38,0)) AS sa_d,
+         CAST(SUM(CASE WHEN cohort = 1 THEN v ELSE 0 END)
+              AS DECIMAL(38,0)) AS sb_d
+  FROM _msprt_ev GROUP BY day
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(v) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(v AS DECIMAL(19,0)) * v) AS DECIMAL(38,0)) AS q
+  FROM _msprt_ev
+),
+cum AS (
+  SELECT day,
+         CAST(SUM(na_d) OVER (ORDER BY day) AS BIGINT) AS na,
+         CAST(SUM(nb_d) OVER (ORDER BY day) AS BIGINT) AS nb,
+         SUM(sa_d) OVER (ORDER BY day) AS sa,
+         SUM(sb_d) OVER (ORDER BY day) AS sb
+  FROM daily
+),
+scored AS (
+  SELECT day, na, nb,
+         CASE WHEN na > 0 AND nb > 0
+              THEN CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb
+              ELSE 0.0 END AS diff,
+         1.0 / na + 1.0 / nb AS kk,
+         CAST(tot.n * tot.q - tot.s * tot.s AS DOUBLE)
+           / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS s2
+  FROM cum, tot
+),
+lam AS (
+  SELECT day, na, nb, diff,
+         CASE WHEN na > 0 AND nb > 0
+              THEN 0.5 * ln(kk / (kk + 1.0))
+                   + diff * diff / (2.0 * s2 * kk * (kk + 1.0))
+              ELSE 0.0 END AS lnl
+  FROM scored
+),
+av AS (
+  SELECT day, na, nb, diff, lnl,
+         MAX(CASE WHEN lnl > 0.0 THEN lnl ELSE 0.0 END)
+           OVER (ORDER BY day) AS pmax
+  FROM lam
+)
+SELECT CAST(day AS BIGINT) AS day,
+       na AS n_a_cum, nb AS n_b_cum,
+       round(diff, 6) AS mean_diff_cents,
+       round(lnl, 6) AS ln_lambda,
+       round(exp(-pmax), 6) AS p_always_valid
+FROM av
+ORDER BY day
+"""
+    )

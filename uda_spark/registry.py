@@ -246,6 +246,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ml_srm_check",
     "ml_fdr_bh_segments",
     "ml_ab_power_mde",
+    "ml_tost_equivalence",
+    "events_msprt_always_valid",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
