@@ -3214,23 +3214,38 @@ def test_fdr_bh_segments_matches_python_recompute(spark):
     assert rejected == order[: len(rejected)]
 
 
-def test_ab_power_mde_matches_python_recompute(spark):
-    import math
+def _per_user_value_cents(spark):
+    """Per-user total event value in exact integer cents, mirroring the
+    queries' CAST(value AS DECIMAL(18,2)) * 100 with the suite's
+    ROUND_HALF_UP idiom (python round() is banker's and would diverge
+    at exact half-cent boundaries)."""
     from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
 
     from tests.conftest import SF_SMOKE
-    from uda_spark.registry import all_specs
     from uda_spark.sources.tables import load_table
 
-    row = all_specs()["ml_ab_power_mde"].fn(spark, SF_SMOKE).collect()[0]
     per_user = defaultdict(int)
     for r in (
         load_table(spark, SF_SMOKE, "events").select("user_id", "value").collect()
     ):
-        cents = 0 if r["value"] is None else round(
-            float(round(r["value"], 2)) * 100
+        cents = (
+            0
+            if r["value"] is None
+            else int(Decimal(r["value"]).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
         )
         per_user[r["user_id"]] += cents
+    return per_user
+
+
+def test_ab_power_mde_matches_python_recompute(spark):
+    import math
+
+    from tests.conftest import SF_SMOKE
+    from uda_spark.registry import all_specs
+
+    row = all_specs()["ml_ab_power_mde"].fn(spark, SF_SMOKE).collect()[0]
+    per_user = _per_user_value_cents(spark)
     a = [y for u, y in per_user.items() if u % 2 == 0]
     b = [y for u, y in per_user.items() if u % 2 == 1]
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
@@ -3255,21 +3270,12 @@ def test_ab_power_mde_matches_python_recompute(spark):
 
 def test_tost_equivalence_matches_python_recompute(spark):
     import math
-    from collections import defaultdict
 
     from tests.conftest import SF_SMOKE
     from uda_spark.registry import all_specs
-    from uda_spark.sources.tables import load_table
 
     row = all_specs()["ml_tost_equivalence"].fn(spark, SF_SMOKE).collect()[0]
-    per_user = defaultdict(int)
-    for r in (
-        load_table(spark, SF_SMOKE, "events").select("user_id", "value").collect()
-    ):
-        cents = 0 if r["value"] is None else round(
-            float(round(r["value"], 2)) * 100
-        )
-        per_user[r["user_id"]] += cents
+    per_user = _per_user_value_cents(spark)
     a = [y for u, y in per_user.items() if u % 2 == 0]
     b = [y for u, y in per_user.items() if u % 2 == 1]
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
@@ -3303,11 +3309,17 @@ def test_msprt_always_valid_matches_python_recompute(spark):
     rows = (
         all_specs()["events_msprt_always_valid"].fn(spark, SF_SMOKE).collect()
     )
+    from decimal import ROUND_HALF_UP, Decimal
+
     ev = [
         (
             r["ts_us"] // 86_400_000_000,
             r["user_id"] % 2,
-            0 if r["value"] is None else round(float(round(r["value"], 2)) * 100),
+            0
+            if r["value"] is None
+            else int(
+                Decimal(r["value"]).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+            ),
         )
         for r in _with_us(load_table(spark, SF_SMOKE, "events"))
         .select("ts_us", "user_id", "value")

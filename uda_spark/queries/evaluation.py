@@ -3602,17 +3602,19 @@ ORDER BY bh_rank
 # literals so both engines evaluate the identical double expression.
 _POWER_Z_SUM = "2.801585"  # 1.959964 + 0.841621
 
-
-@register(
-    "ml_ab_power_mde",
-    oracle=f"""
-WITH pu AS (
+# Shared per-user experiment relation (assignment cohort = user parity,
+# metric = per-user total event value in exact integer cents) and its
+# exact per-cohort moments — the inputs the power/MDE and TOST readouts
+# both consume.  ONE definition each, in both dialects, so a metric or
+# cohort change cannot silently diverge between the siblings.
+_PU_COHORT_VALUE_DUCK = """
   SELECT user_id, CAST(user_id % 2 AS INT) AS cohort,
          SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT))
            AS y
   FROM events GROUP BY user_id
-),
-m AS (
+"""
+
+_COHORT_MOMENTS_DUCK = """
   SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::HUGEINT AS n_a,
          SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::HUGEINT AS n_b,
          SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)::HUGEINT AS sy_a,
@@ -3622,7 +3624,61 @@ m AS (
          SUM(CASE WHEN cohort = 1 THEN y::HUGEINT * y ELSE 0 END)::HUGEINT
            AS syy_b
   FROM pu
-)
+"""
+
+
+def _per_user_value_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_PU_COHORT_VALUE_DUCK``: one exchange to the
+    per-user (cohort, value-cents) relation."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(MAX(user_id % 2) AS INT)").alias("cohort"),
+            F.expr(
+                "SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100"
+                " AS BIGINT))"
+            ).alias("y"),
+        )
+    )
+
+
+def _cohort_value_moments(pu: DataFrame) -> DataFrame:
+    """Spark twin of ``_COHORT_MOMENTS_DUCK``: one map-side-combined
+    scalar aggregate carrying the six exact DECIMAL(38,0) moments."""
+    return pu.agg(
+        F.expr("SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("n_a"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("n_b"),
+        F.expr("SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sy_a"),
+        F.expr("SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)")
+        .cast("decimal(38,0)")
+        .alias("sy_b"),
+        F.expr(
+            "SUM(CASE WHEN cohort = 0 THEN CAST(y AS DECIMAL(19,0)) * y"
+            " ELSE 0 END)"
+        )
+        .cast("decimal(38,0)")
+        .alias("syy_a"),
+        F.expr(
+            "SUM(CASE WHEN cohort = 1 THEN CAST(y AS DECIMAL(19,0)) * y"
+            " ELSE 0 END)"
+        )
+        .cast("decimal(38,0)")
+        .alias("syy_b"),
+    )
+
+
+@register(
+    "ml_ab_power_mde",
+    oracle=f"""
+WITH pu AS ({_PU_COHORT_VALUE_DUCK}),
+m AS ({_COHORT_MOMENTS_DUCK})
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(CAST(sy_a AS DOUBLE) / n_a, 6) AS mean_a_cents,
        round(sqrt((CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
@@ -3669,43 +3725,7 @@ def ml_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 output row, no join, no window (events_cuped_adjusted_ab minus
     the covariance pass).
     """
-    pu = (
-        t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.expr("CAST(MAX(user_id % 2) AS INT)").alias("cohort"),
-            F.expr(
-                "SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100"
-                " AS BIGINT))"
-            ).alias("y"),
-        )
-    )
-    m = pu.agg(
-        F.expr("SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)")
-        .cast("decimal(38,0)")
-        .alias("n_a"),
-        F.expr("SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)")
-        .cast("decimal(38,0)")
-        .alias("n_b"),
-        F.expr("SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)")
-        .cast("decimal(38,0)")
-        .alias("sy_a"),
-        F.expr("SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)")
-        .cast("decimal(38,0)")
-        .alias("sy_b"),
-        F.expr(
-            "SUM(CASE WHEN cohort = 0 THEN CAST(y AS DECIMAL(19,0)) * y"
-            " ELSE 0 END)"
-        )
-        .cast("decimal(38,0)")
-        .alias("syy_a"),
-        F.expr(
-            "SUM(CASE WHEN cohort = 1 THEN CAST(y AS DECIMAL(19,0)) * y"
-            " ELSE 0 END)"
-        )
-        .cast("decimal(38,0)")
-        .alias("syy_b"),
-    )
+    m = _cohort_value_moments(_per_user_value_cohort(spark, sf_dir))
     zs = _POWER_Z_SUM
     s2p = (
         "((CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
@@ -3736,23 +3756,8 @@ _TOST_Z_CRIT = "1.644854"
 @register(
     "ml_tost_equivalence",
     oracle=f"""
-WITH pu AS (
-  SELECT user_id, CAST(user_id % 2 AS INT) AS cohort,
-         SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT))
-           AS y
-  FROM events GROUP BY user_id
-),
-m AS (
-  SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::HUGEINT AS n_a,
-         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::HUGEINT AS n_b,
-         SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)::HUGEINT AS sy_a,
-         SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)::HUGEINT AS sy_b,
-         SUM(CASE WHEN cohort = 0 THEN y::HUGEINT * y ELSE 0 END)::HUGEINT
-           AS syy_a,
-         SUM(CASE WHEN cohort = 1 THEN y::HUGEINT * y ELSE 0 END)::HUGEINT
-           AS syy_b
-  FROM pu
-),
+WITH pu AS ({_PU_COHORT_VALUE_DUCK}),
+m AS ({_COHORT_MOMENTS_DUCK}),
 d AS (
   SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
          CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b AS diff,
@@ -3797,43 +3802,7 @@ def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined scalar aggregate — 1 output row, no join, no
     window (the ml_ab_power_mde plan).
     """
-    pu = (
-        t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.expr("CAST(MAX(user_id % 2) AS INT)").alias("cohort"),
-            F.expr(
-                "SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100"
-                " AS BIGINT))"
-            ).alias("y"),
-        )
-    )
-    m = pu.agg(
-        F.expr("SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)")
-        .cast("decimal(38,0)")
-        .alias("n_a"),
-        F.expr("SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)")
-        .cast("decimal(38,0)")
-        .alias("n_b"),
-        F.expr("SUM(CASE WHEN cohort = 0 THEN y ELSE 0 END)")
-        .cast("decimal(38,0)")
-        .alias("sy_a"),
-        F.expr("SUM(CASE WHEN cohort = 1 THEN y ELSE 0 END)")
-        .cast("decimal(38,0)")
-        .alias("sy_b"),
-        F.expr(
-            "SUM(CASE WHEN cohort = 0 THEN CAST(y AS DECIMAL(19,0)) * y"
-            " ELSE 0 END)"
-        )
-        .cast("decimal(38,0)")
-        .alias("syy_a"),
-        F.expr(
-            "SUM(CASE WHEN cohort = 1 THEN CAST(y AS DECIMAL(19,0)) * y"
-            " ELSE 0 END)"
-        )
-        .cast("decimal(38,0)")
-        .alias("syy_b"),
-    )
+    m = _cohort_value_moments(_per_user_value_cohort(spark, sf_dir))
     zc = _TOST_Z_CRIT
     d = m.selectExpr(
         "CAST(n_a AS BIGINT) AS n_a",
