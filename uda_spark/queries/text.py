@@ -2361,36 +2361,44 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the char explode feeds an immediate map-side-combined
     (source, char) aggregate — the shuffled relation is bounded by
     sources × alphabet, not corpus size; everything downstream is O(that).
+    The per-source totals come from a source-partitioned window over that
+    bounded relation rather than broadcast self-joins: the join
+    formulation made Spark recompute the corpus-sized explode subtree
+    THREE times (once per join consumer).  The char fan-out itself is
+    split(lower(text), '') — O(len) per document and codepoint-aware
+    (Java zero-width split advances by code point, so a non-BMP char
+    stays one element, matching the oracle's substr loop); the previous
+    per-index transform re-evaluated lower(text) inside the lambda and
+    scanned substring(·, i, 1) from the string head, O(len²) per
+    document — together ~10x slower at sf0.1 (4.6s -> 0.45s).
+    split('', '') yields one empty-string element, hence the ch filter.
     """
-    chars = t(spark, sf_dir, "documents").select(
-        "source",
-        F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(lower(text), i, 1))")
-        ).alias("ch"),
+    chars = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), "")).alias("ch"),
+        )
+        .where(F.col("ch") != "")
     )
     cc = chars.groupBy("source", "ch").agg(F.count("*").alias("c"))
-    n = cc.groupBy("source").agg(
-        F.sum("c").cast("long").alias("n_chars"),
-        F.count("*").cast("long").alias("alphabet"),
-    )
-    q = cc.join(F.broadcast(n), on="source").select(
+    w = Window.partitionBy("source")
+    q = cc.select(
         "source",
         "c",
-        F.expr(
-            "CAST(round(ln(CAST(c AS DOUBLE) / n_chars) * 1000000) AS BIGINT)"
-        ).alias("lnp_micro"),
+        F.sum("c").over(w).cast("long").alias("n_chars"),
+        F.count("*").over(w).cast("long").alias("alphabet"),
+    ).withColumn(
+        "lnp_micro",
+        F.expr("CAST(round(ln(CAST(c AS DOUBLE) / n_chars) * 1000000) AS BIGINT)"),
     )
-    return (
-        q.join(F.broadcast(n), on="source")
-        .groupBy("source")
-        .agg(
-            F.min("n_chars").cast("long").alias("n_chars"),
-            F.min("alphabet").cast("long").alias("alphabet"),
-            F.expr(
-                "CAST(SUM(CAST(c AS DECIMAL(38,0)) * (-lnp_micro)) div MIN(n_chars)"
-                " AS BIGINT)"
-            ).alias("entropy_micronats"),
-        )
+    return q.groupBy("source").agg(
+        F.min("n_chars").cast("long").alias("n_chars"),
+        F.min("alphabet").cast("long").alias("alphabet"),
+        F.expr(
+            "CAST(SUM(CAST(c AS DECIMAL(38,0)) * (-lnp_micro)) div MIN(n_chars)"
+            " AS BIGINT)"
+        ).alias("entropy_micronats"),
     )
 
 
