@@ -444,6 +444,128 @@ def lsh_knn(
 
 EXACT_PAIRS_ROW_CAP = 100_000
 
+# Largest dot-matrix (left-chunk × right-block) a single GEMM task
+# materializes before filtering — 10M int64 cells ≈ 80 MB, well inside an
+# executor's working memory even with the Arrow input batches resident.
+_GEMM_CHUNK_CELLS = 10_000_000
+
+
+def _exact_pair_dots_blocked(
+    iv: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """All-pairs exact int64 dot products as a BLOCKED integer GEMM.
+
+    The naive formulation (self-join on ``id_a < id_b`` + a per-pair
+    ``aggregate(zip_with(...))``) evaluates an interpreted lambda per
+    vector element per pair — O(n²·d) Catalyst-interpreter calls.  This
+    operator keeps the identical exact-integer semantics but does the
+    O(n²·d) multiply-adds inside numpy's int64 matrix product:
+
+      1. every row is hashed into one of ``n_blocks`` blocks;
+      2. each row is replicated to every block-pair it participates in
+         (row in block b joins pairs (b, j>=b) on the left and (i<=b, b)
+         on the right — each unordered row pair meets in EXACTLY one
+         block-pair task);
+      3. a cogrouped Arrow task stacks each side into an (n×d) int64
+         matrix and emits ``A @ B.T`` entries (chunked so no task ever
+         materializes more than ~80 MB of dot cells);
+      4. a CONSERVATIVE candidate filter (``dot >= (t - 2e-6)·√(na·nb)``)
+         drops the hopeless pairs inside the task, so the task output is
+         ~|matches|, not n²/blocks² — the exact threshold decision is
+         re-made downstream in Spark SQL with the bit-stable
+         ``cosine_from_ints`` expression, so the numpy prefilter can
+         never change the result, only shrink the exchange.
+
+    Scale: replication factor is ~n_blocks/2 per side, per-task pair
+    count is (n/n_blocks)² — pick n_blocks ≈ n/√(cells-per-task) so each
+    GEMM fits in memory; int64 dots are exact for d·1e12 < 2^63
+    (d ≤ ~9·10⁶ at the ×1e6 fixed-point scale).
+
+    Input: the ``_prep`` frame (a_id, a_vec, a_norm).  Output:
+    (id_a, id_b, dot, norm_a, norm_b) with id_a < id_b.
+    """
+    import pandas as pd
+
+    nb = n_blocks
+    base = iv.select(
+        F.col("a_id").alias("id"),
+        F.col("a_vec").alias("vec"),
+        F.col("a_norm").alias("nrm"),
+        F.pmod(F.xxhash64(F.col("a_id")), F.lit(nb)).alias("blk"),
+    )
+    left = (
+        base.withColumn("bj", F.explode(F.expr(f"sequence(blk, {nb - 1})")))
+        .withColumnRenamed("blk", "bi")
+    )
+    # The right side MUST re-alias its data columns: both sides of this
+    # self-cogroup descend from the same plan, so without fresh aliases
+    # the right child's (id, vec, nrm) carry the left's attribute IDs and
+    # Spark prunes them out of the right Arrow batch entirely (the UDF
+    # would receive only the grouping keys).
+    right = (
+        base.select(
+            F.col("id").alias("rid"),
+            F.col("vec").alias("rvec"),
+            F.col("nrm").alias("rnrm"),
+            F.col("blk"),
+        )
+        .withColumn("bi", F.explode(F.expr("sequence(0, blk)")))
+        .withColumnRenamed("blk", "bj")
+    )
+    out_schema = "id_a long, id_b long, dot long, norm_a long, norm_b long"
+    thr = float(threshold)
+
+    def gemm(key: tuple, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("id_a", "id_b", "dot", "norm_a", "norm_b")}
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        A = np.vstack(l["vec"].to_numpy()).astype(np.int64, copy=False)
+        Bm = np.vstack(r["rvec"].to_numpy()).astype(np.int64, copy=False)
+        ia = l["id"].to_numpy()
+        ib = r["rid"].to_numpy()
+        na = l["nrm"].to_numpy()
+        nbm = r["rnrm"].to_numpy()
+        same_block = key[0] == key[1]
+        rdenom = np.sqrt(nbm.astype(np.float64))
+        ldenom = np.sqrt(na.astype(np.float64))
+        chunk = max(1, _GEMM_CHUNK_CELLS // max(1, len(ib)))
+        outs = []
+        for s in range(0, len(ia), chunk):
+            e = min(s + chunk, len(ia))
+            dots = A[s:e] @ Bm.T
+            keep = dots >= (thr - 2e-6) * (ldenom[s:e, None] * rdenom[None, :])
+            if same_block:
+                keep &= ia[s:e, None] < ib[None, :]
+            rows, cols = np.nonzero(keep)
+            if rows.size == 0:
+                continue
+            id_a = ia[s:e][rows]
+            id_b = ib[cols]
+            swap = id_a > id_b
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.where(swap, id_b, id_a),
+                        "id_b": np.where(swap, id_a, id_b),
+                        "dot": dots[rows, cols],
+                        "norm_a": np.where(swap, nbm[cols], na[s:e][rows]),
+                        "norm_b": np.where(swap, na[s:e][rows], nbm[cols]),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm, out_schema)
+    )
+
 
 def embedding_near_dup_pairs(
     df: DataFrame,
@@ -471,7 +593,6 @@ def embedding_near_dup_pairs(
     to accept the quadratic cost on a deliberately blocked subset.
     """
     a = _prep(df, id_col, vec_col, "a")
-    b = _prep(df, id_col, vec_col, "b")
     if not use_lsh:
         n = df.count()
         if n > max_exact_rows:
@@ -481,20 +602,26 @@ def embedding_near_dup_pairs(
                 f"use_lsh=True for the scale path, or raise max_exact_rows "
                 f"for a deliberately blocked subset"
             )
-    if use_lsh:
-        buckets = srp_buckets(df, id_col, vec_col, n_planes, n_tables)
-        x = buckets.withColumnRenamed(id_col, "a_id")
-        y = buckets.withColumnRenamed(id_col, "b_id")
-        pairs = (
-            x.join(y, on=["table", "bucket"])
-            .where(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-            .distinct()
-            .join(a, on="a_id")
-            .join(b, on="b_id")
+        dots = _exact_pair_dots_blocked(a, threshold)
+        score = portable.cosine_from_ints("dot", "norm_a", "norm_b")
+        return (
+            dots.select(
+                "id_a", "id_b", F.round(F.expr(score), 6).alias("score")
+            )
+            .where(F.col("score") >= threshold)
         )
-    else:
-        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    b = _prep(df, id_col, vec_col, "b")
+    buckets = srp_buckets(df, id_col, vec_col, n_planes, n_tables)
+    x = buckets.withColumnRenamed(id_col, "a_id")
+    y = buckets.withColumnRenamed(id_col, "b_id")
+    pairs = (
+        x.join(y, on=["table", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .join(a, on="a_id")
+        .join(b, on="b_id")
+    )
     dot = portable.int_dot("a_vec", "b_vec", "spark")
     score = portable.cosine_from_ints(dot, "a_norm", "b_norm")
     return (

@@ -96,49 +96,91 @@ GROUP BY o.o_orderkey, o.o_totalprice
     tags=("udf", "cogroup", "join"),
 )
 def udf_cogroup_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped pandas transform: orders and lineitem cogrouped on
-    orderkey, each group pair handed to one Python function — the
-    arbitrary two-sided grouped-map surface (custom join logic, per-key
-    reconciliation) that a plain join can't express in general.
+    """Cogrouped pandas transform: orders and lineitem cogrouped on a
+    BUCKET of orderkey, each bucket pair handed to one Python function —
+    the arbitrary two-sided grouped-map surface (custom join logic,
+    per-key reconciliation) that a plain join can't express in general.
 
-    Here the pandas fn computes per-order line counts/quantity so the
-    LEFT JOIN aggregate oracle can check it exactly: counts are ints and
+    Cogrouping on the raw key would make one Python invocation per
+    order: correct, but the per-call interpreter + pandas-construction
+    overhead (~1 ms) dominates when groups are tiny — at sf0.1 that is
+    7.5k calls doing microseconds of real work each, and at 100 TB it is
+    hundreds of millions.  Bucketing the key space (xxhash64 % 512)
+    amortizes the overhead: one call per bucket, and the per-key
+    reconciliation runs VECTORIZED inside pandas (groupby + merge), so
+    the Python-call count is a constant knob while per-call work scales
+    with rows.  Raise ``n_buckets`` with corpus size so a bucket's two
+    sides stay executor-memory-resident.
+
+    The pandas fn computes per-order line counts/quantity so the LEFT
+    JOIN aggregate oracle can check it exactly: counts are ints and
     quantities are integral-valued doubles, so pandas' sum order cannot
-    change the result.  Scale shape: one shuffle per side on the key,
+    change the result.  Scale shape: one shuffle per side on the bucket,
     Arrow-batched group hand-off, output is one row per order.
     """
     import pandas as pd
 
+    n_buckets = 512
+
     def fill(key, orders_pdf, lines_pdf):
-        (orderkey,) = key
         if not len(orders_pdf):
-            # line-only group (no matching order) contributes nothing —
+            # line-only bucket (no matching orders) contributes nothing —
             # the cogroup surface hands us both dangling sides
             return pd.DataFrame(
-                columns=["o_orderkey", "n_lines", "total_qty", "o_totalprice"]
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "n_lines": pd.Series(dtype="int64"),
+                    "total_qty": pd.Series(dtype="float64"),
+                    "o_totalprice": pd.Series(dtype="float64"),
+                }
             )
+        if len(lines_pdf):
+            agg = (
+                lines_pdf.groupby("l_orderkey")["l_quantity"]
+                .agg(n_lines="count", total_qty="sum")
+                .reset_index()
+            )
+        else:
+            agg = pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "n_lines": pd.Series(dtype="int64"),
+                    "total_qty": pd.Series(dtype="float64"),
+                }
+            )
+        out = orders_pdf.merge(
+            agg, left_on="o_orderkey", right_on="l_orderkey", how="left"
+        )
         return pd.DataFrame(
             {
-                "o_orderkey": [orderkey],
-                "n_lines": [len(lines_pdf)],
-                "total_qty": [float(lines_pdf["l_quantity"].sum()) if len(lines_pdf) else 0.0],
-                "o_totalprice": [float(orders_pdf["o_totalprice"].iloc[0])],
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "n_lines": out["n_lines"].fillna(0).astype("int64"),
+                "total_qty": out["total_qty"].fillna(0.0).astype("float64"),
+                "o_totalprice": out["o_totalprice"].astype("float64"),
             }
         )
 
     orders = (
         t(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 20 == 0)
-        .select("o_orderkey", "o_totalprice")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)).alias("bkt"),
+        )
     )
     lines = (
         t(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_quantity")
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets)).alias("bkt"),
+        )
     )
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(lines.groupBy("l_orderkey"))
+        orders.groupBy("bkt")
+        .cogroup(lines.groupBy("bkt"))
         .applyInPandas(
             fill,
             schema="o_orderkey long, n_lines long, total_qty double, o_totalprice double",
