@@ -192,6 +192,7 @@ EXTENDED = [
     "ml_ab_power_mde",
     "ml_tost_equivalence",
     "events_msprt_always_valid",
+    "dedup_semdedup_clusters",
 ]
 
 

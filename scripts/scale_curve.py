@@ -106,6 +106,7 @@ EXTENDED = (
     "dedup_containment_pairs",
     "dedup_embedding_near_pairs",
     "dedup_embedding_near_pairs_lsh",
+    "dedup_semdedup_clusters",
     "dedup_fingerprint",
     "dedup_incremental_crawl",
     "dedup_lsh_recall_eval",

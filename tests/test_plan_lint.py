@@ -145,6 +145,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "dq_iqr_outlier_audit": "scalar row-count total + 1-row quartile fence relation",
     "sim_knn_margin_audit": "fixed query set (vec_id < K pushed filter, <=64 rows)",
     "sim_ivf_balance_audit": "k-row centroid table broadcast onto the corpus scan + 1-row totals",
+    "dedup_semdedup_clusters": "k-row centroid table broadcast onto the corpus scan (SemDeDup coarse assignment)",
     "text_heaps_law_fit": "1-row max-doc-id relation for prefix bucketing",
     "events_cuped_adjusted_ab": "1-row time-span relation for the period split",
     "sim_recall_vs_nprobe": "fixed query set + (queries x k) probe table + 4-row nprobe grid",

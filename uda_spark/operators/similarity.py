@@ -567,6 +567,86 @@ def _exact_pair_dots_blocked(
     )
 
 
+def within_group_pair_dots(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact int64 dot products for every WITHIN-GROUP pair — the
+    SemDeDup inner loop (all-pairs comparison restricted to a cluster).
+
+    One grouped-Arrow task per group runs the upper-triangle GEMM in
+    numpy int64 (row-chunked so no task materializes more than
+    ~80 MB of dot cells) with the same conservative prefilter /
+    exact-decision-downstream contract as
+    :func:`_exact_pair_dots_blocked`.  Output: (group, id_a, id_b, dot,
+    norm_a, norm_b) with id_a < id_b, both ids in the same group.
+
+    Scale: per-group work is O(c²·d) — inherent to within-cluster exact
+    dedup — so the clustering that feeds this must keep groups bounded
+    (SemDeDup uses k ≈ n/target_cluster_size; the IVF balance audit
+    measures exactly that).  Groups are independent tasks, so 1000
+    executors process 1000 clusters concurrently.
+    """
+    import pandas as pd
+
+    norm = portable.int_dot("_wv", "_wv", "spark")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_wv"),
+    ).withColumn("nrm", F.expr(norm))
+    out_schema = (
+        "grp long, id_a long, id_b long, dot long, norm_a long, norm_b long"
+    )
+    thr = float(threshold)
+
+    def gemm(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("grp", "id_a", "id_b", "dot", "norm_a", "norm_b")}
+        )
+        if len(g) < 2:
+            return empty
+        A = np.vstack(g["_wv"].to_numpy()).astype(np.int64, copy=False)
+        ids = g["id"].to_numpy()
+        nrm = g["nrm"].to_numpy()
+        denom = np.sqrt(nrm.astype(np.float64))
+        chunk = max(1, _GEMM_CHUNK_CELLS // max(1, len(ids)))
+        outs = []
+        for s in range(0, len(ids), chunk):
+            e = min(s + chunk, len(ids))
+            dots = A[s:e] @ A.T
+            keep = dots >= (thr - 2e-6) * (denom[s:e, None] * denom[None, :])
+            keep &= ids[s:e, None] < ids[None, :]
+            rows, cols = np.nonzero(keep)
+            if rows.size == 0:
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "grp": np.full(rows.size, key[0], dtype="int64"),
+                        "id_a": ids[s:e][rows],
+                        "id_b": ids[cols],
+                        "dot": dots[rows, cols],
+                        "norm_a": nrm[s:e][rows],
+                        "norm_b": nrm[cols],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        base.groupBy("grp")
+        .applyInPandas(gemm, out_schema)
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

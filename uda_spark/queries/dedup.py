@@ -1458,3 +1458,155 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div NULLIF(n * sxx - sx * sx, 0)) END AS BIGINT)"
         " AS assortativity_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup in embedding space (Abbas et al. 2023):
+# cluster the corpus with a cheap coarse quantizer, then compare pairs
+# ONLY within a cluster and greedily keep the lowest id of every
+# near-duplicate pair relation.  The global O(n²) disappears — pair work
+# is sum over clusters of c², bounded by the clustering granularity.
+
+SEMDEDUP_T = "CAST(0.30 AS DOUBLE)"
+
+_SEM_IV = portable.int_vec("embedding", "duck")
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle=f"""
+WITH iv AS (SELECT vec_id, label, {_SEM_IV} AS v FROM embeddings),
+dims AS (
+  SELECT label, d, SUM(v[d + 1]) AS s, COUNT(*)::BIGINT AS n
+  FROM iv, range(0, 64) r(d) GROUP BY label, d
+),
+cent AS (
+  SELECT label AS cluster, list(CAST(s AS DOUBLE) / n ORDER BY d) AS centroid
+  FROM dims GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT i.vec_id, i.v, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               k -> (i.v[k] - c.centroid[k]) * (i.v[k] - c.centroid[k]))),
+             c.cluster) AS rn
+    FROM iv i CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+nn AS (SELECT vec_id, v, cluster, {portable.int_dot('v', 'v', 'duck')} AS nrm
+       FROM assigned),
+pairs AS (
+  SELECT a.cluster, b.vec_id AS id_b
+  FROM nn a JOIN nn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND({portable.cosine_from_ints(portable.int_dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}, 6) >= {SEMDEDUP_T}
+),
+dropped AS (SELECT DISTINCT cluster, id_b AS vec_id FROM pairs),
+kept AS (
+  SELECT s.cluster, s.vec_id FROM assigned s
+  LEFT JOIN dropped d ON s.cluster = d.cluster AND s.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+),
+agg_a AS (SELECT cluster, COUNT(*)::BIGINT AS n_assigned FROM assigned GROUP BY cluster),
+agg_d AS (SELECT cluster, COUNT(*)::BIGINT AS nd FROM dropped GROUP BY cluster),
+agg_k AS (SELECT cluster,
+                 bit_xor({portable.hash60("'s|' || vec_id::VARCHAR", 'duck')}) AS kept_fp
+          FROM kept GROUP BY cluster)
+SELECT a.cluster::INT AS cluster, a.n_assigned,
+       COALESCE(d.nd, 0)::BIGINT AS n_dropped,
+       ((a.n_assigned - COALESCE(d.nd, 0)) * 1000000 // a.n_assigned)::BIGINT AS keep_ppm,
+       k.kept_fp
+FROM agg_a a LEFT JOIN agg_d d ON a.cluster = d.cluster
+JOIN agg_k k ON a.cluster = k.cluster
+""",
+    tags=("dedup", "similarity", "north-star"),
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: per-cluster semantic dedup audit — (cluster, n_assigned,
+    n_dropped, keep_ppm, kept_fp) where an item is DROPPED iff a
+    lower-id item in the SAME cluster has cosine >= 0.30 with it (the
+    paper's keep-one-exemplar rule made deterministic by id order; a
+    kept-set xor fingerprint pins exact membership in the oracle).
+
+    Pipeline: label-centroid coarse quantizer (exact integer sums ->
+    double means, the sim_ivf_knn convention) -> broadcast-centroid
+    map-side assignment (argmin dist2, ties to lower cluster) ->
+    within-cluster upper-triangle int64 GEMM
+    (operators/similarity.within_group_pair_dots) -> greedy min-id
+    survivor rule in Spark SQL.
+
+    Scale: the corpus never all-pairs joins — pair work is Σ c² over
+    clusters, so the clustering granularity k is the knob (SemDeDup
+    runs k ≈ n / target_cluster_size; sim_ivf_balance_audit measures
+    exactly the imbalance that would break this).  Assignment is one
+    broadcast + map-only pass; the GEMM tasks are independent per
+    cluster; everything after the pair stage is id-only (ids + 60-bit
+    fingerprints shuffle, never vectors).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id", "label", F.expr(portable.int_vec("embedding", "spark")).alias("v")
+    )
+    cent = (
+        iv.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("m")))
+            ).alias("cm")
+        )
+        .select(
+            F.col("label").alias("cluster"),
+            F.expr("transform(cm, e -> e.m)").alias("centroid"),
+        )
+    )
+    assigned = tracked_persist(
+        iv.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist2",
+            F.expr(
+                "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)), "
+                "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist2", "cluster")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster")
+    )
+    score = portable.cosine_from_ints("dot", "norm_a", "norm_b")
+    dropped = (
+        SIM_OP.within_group_pair_dots(assigned, "cluster", "vec_id", "v", 0.30)
+        .where(F.round(F.expr(score), 6) >= F.expr(SEMDEDUP_T))
+        .select("cluster", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = assigned.select("cluster", "vec_id").join(
+        dropped, on=["cluster", "vec_id"], how="left_anti"
+    )
+    fp = portable.hash60("concat('s|', CAST(vec_id AS STRING))", "spark")
+    agg_a = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_assigned")
+    )
+    agg_d = dropped.groupBy("cluster").agg(F.count("*").cast("long").alias("nd"))
+    agg_k = kept.groupBy("cluster").agg(F.expr(f"bit_xor({fp})").alias("kept_fp"))
+    return (
+        agg_a.join(agg_d, on="cluster", how="left")
+        .join(agg_k, on="cluster")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_assigned",
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_dropped"),
+            F.expr(
+                "CAST((n_assigned - COALESCE(nd, 0)) * 1000000"
+                " div n_assigned AS BIGINT)"
+            ).alias("keep_ppm"),
+            "kept_fp",
+        )
+    )

@@ -248,6 +248,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ml_ab_power_mde",
     "ml_tost_equivalence",
     "events_msprt_always_valid",
+    "dedup_semdedup_clusters",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
