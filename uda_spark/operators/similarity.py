@@ -690,26 +690,29 @@ def embedding_near_dup_pairs(
             )
             .where(F.col("score") >= threshold)
         )
-    b = _prep(df, id_col, vec_col, "b")
+    # LSH path: score candidates with the SAME per-group GEMM the
+    # SemDeDup inner loop uses, one group per (table, bucket) — work is
+    # exactly Σ bucket² (the LSH candidate count), each bucket is an
+    # independent vectorized task, and the interpreted per-pair
+    # zip_with/aggregate dot is gone (was ~3s of the 4.7s at sf0.1 with
+    # 810k candidates).  A pair sharing buckets in several tables is
+    # scored once per table and deduped on the (identical) dot row.
+    # Ids must be integral for the GEMM schema (every caller uses the
+    # long vec_id).
     buckets = srp_buckets(df, id_col, vec_col, n_planes, n_tables)
-    x = buckets.withColumnRenamed(id_col, "a_id")
-    y = buckets.withColumnRenamed(id_col, "b_id")
-    pairs = (
-        x.join(y, on=["table", "bucket"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-        .join(a, on="a_id")
-        .join(b, on="b_id")
+    grouped = buckets.join(a.withColumnRenamed("a_id", id_col), on=id_col).select(
+        (F.col("table") * (1 << n_planes) + F.col("bucket")).alias("gkey"),
+        F.col(id_col),
+        F.col("a_vec"),
     )
-    dot = portable.int_dot("a_vec", "b_vec", "spark")
-    score = portable.cosine_from_ints(dot, "a_norm", "b_norm")
+    dots = (
+        within_group_pair_dots(grouped, "gkey", id_col, "a_vec", threshold)
+        .select("id_a", "id_b", "dot", "norm_a", "norm_b")
+        .distinct()
+    )
+    score = portable.cosine_from_ints("dot", "norm_a", "norm_b")
     return (
-        pairs.select(
-            F.col("a_id").alias("id_a"),
-            F.col("b_id").alias("id_b"),
-            F.round(F.expr(score), 6).alias("score"),
-        )
+        dots.select("id_a", "id_b", F.round(F.expr(score), 6).alias("score"))
         .where(F.col("score") >= threshold)
     )
 
