@@ -45,7 +45,12 @@ def with_shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
 
 
 def _minhash_grouped(
-    df: DataFrame, text_col: str, id_col: str, n_hashes: int, k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    k: int,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, h0..h{n-1}, sset): per-doc MinHash values as COLUMNS plus the
     distinct shingle set — the whole-stage-codegen formulation.
@@ -70,12 +75,23 @@ def _minhash_grouped(
     # Repartition BEFORE shingle construction: the input is a handful of
     # scan splits locally, and the shingle HOF (interpreted lambdas) is
     # the most expensive per-row step — it must run on all cores.
-    sh = with_shingles(
-        PART.ensure_min_partitions(df.where(F.col(text_col).isNotNull())), text_col, k
-    )
-    ex = sh.select(
-        F.col(id_col).alias("doc"), F.explode(F.array_distinct("shingles")).alias("s")
-    )
+    # ``shingle_rows`` (columns: doc, s — one row per distinct per-doc
+    # shingle, built with the same tokenizer/k) lets a caller that also
+    # feeds another shingle consumer (e.g. the exact ssjoin in
+    # dedup_lsh_recall_eval) pay the corpus shingle pass ONCE; persist
+    # responsibility stays with that caller.
+    if shingle_rows is not None:
+        ex = shingle_rows.select("doc", "s")
+    else:
+        sh = with_shingles(
+            PART.ensure_min_partitions(df.where(F.col(text_col).isNotNull())),
+            text_col,
+            k,
+        )
+        ex = sh.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct("shingles")).alias("s"),
+        )
     with_md5 = ex.select(
         "doc",
         "s",
@@ -155,6 +171,7 @@ def minhash_near_dup_pairs(
     k: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature become
     candidate pairs; candidates are verified with exact shingle-set Jaccard.
@@ -164,13 +181,17 @@ def minhash_near_dup_pairs(
     two shingle arrays for verification.  Document bodies never shuffle.
     ``max_bucket_size`` (None = unlimited, the oracle-matched default)
     enables the :func:`cap_buckets` skew guard for corpora with massive
-    boilerplate-duplicate groups.
+    boilerplate-duplicate groups.  ``shingle_rows`` (doc, s) substitutes
+    a caller-computed distinct shingle relation for the internal corpus
+    shingle pass (see :func:`_minhash_grouped`).
     """
     # Tracked persist: the signature relation feeds the band explode AND
     # both sides of the candidate-verification join — without it the
     # (md5-heavy) shingle/signature subtree is recomputed three times.
     # Long-lived callers release via uda_spark.cache.release_persisted().
-    sh = cache.tracked_persist(_minhash_grouped(df, text_col, id_col, n_hashes, k))
+    sh = cache.tracked_persist(
+        _minhash_grouped(df, text_col, id_col, n_hashes, k, shingle_rows)
+    )
     banded = _banded(sh, n_hashes, bands)
     if max_bucket_size is not None:
         banded = cap_buckets(banded, max_bucket_size)
@@ -723,6 +744,7 @@ def prefix_filter_similarity_pairs(
     threshold_den: int = 5,
     prefix_cap: int = 1000,
     shingle_k: int = 3,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (PPJoin-style
     candidate generation; see queries/dedup.py::dedup_prefix_filter_pairs
@@ -750,12 +772,21 @@ def prefix_filter_similarity_pairs(
     from pyspark.sql import Window
 
     num, den = threshold_num, threshold_den
-    sh = portable.shingles(portable.tokens(text_col, "spark"), shingle_k, "spark")
-    tk = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.expr(sh))).alias("tok"),
-    ).distinct()
-    tk = cache.tracked_persist(tk)
+    if shingle_rows is not None:
+        # caller-shared distinct (doc, s) relation — same tokenizer/k
+        # contract as _minhash_grouped's shingle_rows; persist stays the
+        # caller's responsibility
+        tk = shingle_rows.select(
+            F.col("doc").alias("doc_id"), F.col("s").alias("tok")
+        )
+    else:
+        sh = portable.shingles(portable.tokens(text_col, "spark"), shingle_k, "spark")
+        tk = cache.tracked_persist(
+            corpus.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.array_distinct(F.expr(sh))).alias("tok"),
+            ).distinct()
+        )
     dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (

@@ -1216,16 +1216,33 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes the component queries already do.
     """
     corpus = _corpus_near(spark, sf_dir)
+    # ONE corpus shingle pass feeds both pair generators (the exact
+    # ssjoin and the MinHash signatures consume the identical distinct
+    # (doc, shingle) relation — recomputing it was the single biggest
+    # cost of this query): tokenize/shingle once, persist, share.
+    from uda_spark.plans import partitioning as PART
+
+    shingle_rows = tracked_persist(
+        D.with_shingles(
+            PART.ensure_min_partitions(corpus.where(F.col("text").isNotNull())),
+            "text",
+            3,
+        ).select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.array_distinct("shingles")).alias("s"),
+        )
+    )
     truth = D.prefix_filter_similarity_pairs(
         corpus, "text", "doc_id",
         threshold_num=PFX_NUM, threshold_den=PFX_DEN,
-        prefix_cap=PFX_CAP, shingle_k=3,
+        prefix_cap=PFX_CAP, shingle_k=3, shingle_rows=shingle_rows,
     ).select("doc_a", "doc_b")
     lsh = (
         D.minhash_near_dup_pairs(
             corpus, "text", "doc_id",
             n_hashes=N_HASHES, bands=BANDS, k=3,
             jaccard_threshold=PFX_NUM / PFX_DEN,
+            shingle_rows=shingle_rows,
         )
         .select("doc_a", "doc_b")
     )
