@@ -3365,3 +3365,59 @@ def test_msprt_always_valid_matches_python_recompute(spark):
         assert 0.0 <= r["p_always_valid"] <= 1.0
     p_seq = [r["p_always_valid"] for r in rows]
     assert all(x >= y for x, y in zip(p_seq, p_seq[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Blocked-GEMM pair dots: the numpy fast path must be value-identical to
+# the naive fixed-point definition for ARBITRARY vector sets — fuzzed
+# dims, signs, duplicate vectors, and thresholds (including <= -1, where
+# the prefilter must keep everything).
+
+gemm_corpus = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@SPARK_SETTINGS
+@given(vecs=gemm_corpus, thr=st.sampled_from([-1.5, 0.0, 0.5, 0.95]))
+def test_blocked_gemm_matches_naive_fixed_point(spark, vecs, thr):
+    import math
+
+    import numpy as np
+
+    from uda_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=thr
+        ).collect()
+    }
+
+    def half_up(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    iv = {
+        i: [half_up(float(np.float32(x)) * 1_000_000) for x in v]
+        for i, v in rows
+    }
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            dot = sum(x * y for x, y in zip(iv[a], iv[b]))
+            na = sum(x * x for x in iv[a])
+            nb = sum(x * x for x in iv[b])
+            if na == 0 or nb == 0:
+                continue  # zero vector: score is NULL/NaN, never >= thr
+            score = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+            if score >= thr:
+                want[(a, b)] = score
+    assert got == want

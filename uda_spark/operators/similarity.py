@@ -487,7 +487,11 @@ def _exact_pair_dots_blocked(
     import pandas as pd
 
     nb = n_blocks
-    base = iv.select(
+    # Zero-norm vectors are dropped up front: their cosine is undefined
+    # (NULL downstream, never >= any threshold), and keeping them would
+    # turn the exact-score division into DIVIDE_BY_ZERO under ANSI mode
+    # (the Spark 4 default).  Value-identical to the NULL-score path.
+    base = iv.where(F.col("a_norm") > 0).select(
         F.col("a_id").alias("id"),
         F.col("a_vec").alias("vec"),
         F.col("a_norm").alias("nrm"),
@@ -593,11 +597,17 @@ def within_group_pair_dots(
     import pandas as pd
 
     norm = portable.int_dot("_wv", "_wv", "spark")
-    base = df.select(
-        F.col(group_col).alias("grp"),
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("_wv"),
-    ).withColumn("nrm", F.expr(norm))
+    base = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_wv"),
+        )
+        .withColumn("nrm", F.expr(norm))
+        # zero-norm vectors: cosine undefined, and the exact-score
+        # division would raise under ANSI mode — drop, value-identical
+        .where(F.col("nrm") > 0)
+    )
     out_schema = (
         "grp long, id_a long, id_b long, dot long, norm_a long, norm_b long"
     )
