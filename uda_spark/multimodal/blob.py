@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uda_spark.functions import portable
+from uda_spark.plans import partitioning as PART
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -177,7 +178,9 @@ def decode_images(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("_id"), "data", "meta")
+    src = PART.ensure_min_partitions(
+        df.select(F.col(id_col).alias("_id"), "data", "meta")
+    )
     return src.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
@@ -270,7 +273,9 @@ def resize_images(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("_id"), "data", "meta")
+    src = PART.ensure_min_partitions(
+        df.select(F.col(id_col).alias("_id"), "data", "meta")
+    )
     return src.mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
@@ -309,7 +314,7 @@ def extract_features(df: DataFrame, id_col: str = "id", dim: int = 8) -> DataFra
                 }
             )
 
-    src = df.select(F.col(id_col).alias("_id"), "data")
+    src = PART.ensure_min_partitions(df.select(F.col(id_col).alias("_id"), "data"))
     return src.mapInPandas(feats, schema=FEATURES_SCHEMA)
 
 
@@ -343,7 +348,7 @@ def ahash_images_arrow(df: DataFrame, id_col: str = "id") -> DataFrame:
                 [ids, pa.array(hashes, type=pa.int32())], names=["id", "ahash"]
             )
 
-    src = df.select(F.col(id_col).alias("_id"), "data")
+    src = PART.ensure_min_partitions(df.select(F.col(id_col).alias("_id"), "data"))
     return src.mapInArrow(ah, schema=AHASH_SCHEMA)
 
 
@@ -383,7 +388,7 @@ def ahash_images(df: DataFrame, id_col: str = "id") -> DataFrame:
                 {"id": pdf["_id"], "ahash": pd.Series(hashes, dtype="int32")}
             )
 
-    src = df.select(F.col(id_col).alias("_id"), "data")
+    src = PART.ensure_min_partitions(df.select(F.col(id_col).alias("_id"), "data"))
     return src.mapInPandas(ah, schema=AHASH_SCHEMA)
 
 
@@ -412,7 +417,7 @@ def sample_frames(df: DataFrame, n_frames: int, id_col: str = "id") -> DataFrame
                     chunks.append(bytes(blob[i * step : (i + 1) * step]))
             yield pd.DataFrame({"id": ids, "frame_no": nos, "frame": chunks})
 
-    src = df.select(F.col(id_col).alias("_id"), "data")
+    src = PART.ensure_min_partitions(df.select(F.col(id_col).alias("_id"), "data"))
     return src.mapInPandas(frames, schema=FRAMES_SCHEMA)
 
 
@@ -480,5 +485,5 @@ def decode_audio_frames(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("_id"), "data")
+    src = PART.ensure_min_partitions(df.select(F.col(id_col).alias("_id"), "data"))
     return src.mapInPandas(decode, schema=AUDIO_FRAMES_SCHEMA)
