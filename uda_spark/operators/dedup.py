@@ -781,8 +781,10 @@ def prefix_filter_similarity_pairs(
         )
     else:
         sh = portable.shingles(portable.tokens(text_col, "spark"), shingle_k, "spark")
+        # spread the interpreted shingle HOF over all cores — the local
+        # corpus scan is 1-3 splits (same discipline as _minhash_grouped)
         tk = cache.tracked_persist(
-            corpus.select(
+            PART.ensure_min_partitions(corpus).select(
                 F.col(id_col).alias("doc_id"),
                 F.explode(F.array_distinct(F.expr(sh))).alias("tok"),
             ).distinct()
