@@ -217,6 +217,9 @@ int_vecs = st.lists(
 )
 
 
+@settings(deadline=None)  # pure-python, but the first example can pay a
+# cold numpy/py4j import while the Spark suite saturates all cores —
+# wall-clock deadlines are meaningless under that contention
 @given(v=int_vecs)
 def test_quant_vec_properties(v):
     import duckdb
