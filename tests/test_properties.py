@@ -3424,3 +3424,74 @@ def test_blocked_gemm_matches_naive_fixed_point(spark, vecs, thr):
             if score >= thr:
                 want[(a, b)] = score
     assert got == want
+
+
+gemm_groups = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group id
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@SPARK_SETTINGS
+@given(rows=gemm_groups, thr=st.sampled_from([-1.5, 0.3, 0.9]))
+def test_within_group_gemm_matches_naive(spark, rows, thr):
+    """within_group_pair_dots (the SemDeDup inner loop) must equal the
+    naive per-group all-pairs fixed-point computation for arbitrary
+    group layouts — singleton groups, duplicate vectors, zero vectors,
+    and thresholds where the prefilter must keep everything."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from uda_spark.functions import portable
+    from uda_spark.operators.similarity import within_group_pair_dots
+
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "grp_in long, vec_id long, embedding array<float>"
+    ).select(
+        "grp_in",
+        "vec_id",
+        F.expr(portable.int_vec("embedding", "spark")).alias("v"),
+    )
+    score = portable.cosine_from_ints("dot", "norm_a", "norm_b")
+    got = {
+        (r["grp_in"], r["id_a"], r["id_b"]): r["s"]
+        for r in within_group_pair_dots(df, "grp_in", "vec_id", "v", thr)
+        .select("grp_in", "id_a", "id_b", F.round(F.expr(score), 6).alias("s"))
+        .where(F.col("s") >= thr)
+        .collect()
+    }
+
+    def half_up(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    iv = {
+        i: (g, [half_up(float(np.float32(x)) * 1_000_000) for x in v])
+        for i, (g, v) in enumerate(rows)
+    }
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            ga, va = iv[a]
+            gb, vb = iv[b]
+            if ga != gb:
+                continue
+            na = sum(x * x for x in va)
+            nb = sum(x * x for x in vb)
+            if na == 0 or nb == 0:
+                continue
+            dot = sum(x * y for x, y in zip(va, vb))
+            s = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+            if s >= thr:
+                want[(ga, a, b)] = s
+    assert got == want
