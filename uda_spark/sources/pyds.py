@@ -127,8 +127,12 @@ class _KVWriter(DataSourceArrowWriter):
         n = 0
         with open(tmp, "wb") as fh:
             for batch in iterator:
-                ks = batch.column(0).to_pylist()
-                vs = batch.column(1).to_pylist()
+                # by name, not position: a caller may save a frame whose
+                # columns arrive in (value, key) order
+                ki = batch.schema.get_field_index("key")
+                vi = batch.schema.get_field_index("value")
+                ks = batch.column(ki).to_pylist()
+                vs = batch.column(vi).to_pylist()
                 n += len(ks)
                 fh.write(encode_kv_records(zip(ks, vs)))
         return _Committed(tmp, os.path.join(self._dir, f"part-{pid:05d}"), n)
