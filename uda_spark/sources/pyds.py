@@ -214,7 +214,8 @@ class _KVStreamWriter(DataSourceStreamWriter):
         )
         pairs = []
         for row in iterator:
-            pairs.append((bytes(row[0]), bytes(row[1])))
+            # by name, not position (same contract as the batch writer)
+            pairs.append((bytes(row["key"]), bytes(row["value"])))
         with open(tmp, "wb") as fh:
             fh.write(encode_kv_records(pairs))
         # final_path is completed in commit() once the batchId is known
