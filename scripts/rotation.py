@@ -21,7 +21,10 @@ and a 50-slot window, every query is re-sampled at least once every
 
 Each round: run this module as a script, paste the emitted tuple over
 ``_LRS_ORDER`` in ``uda_spark/registry.py``, bump ``LRS_THROUGH_ROUND``,
-and reset ``_NEW_THIS_ROUND`` to empty (appending names as they land).
+and reset ``_NEW_THIS_ROUND`` and ``_REPROVEN_THIS_ROUND`` to empty
+(appending names as they land; a REPROVEN name is one whose semantics
+and oracle were replaced mid-life — it must re-earn a driver row the
+round it changes, so it sorts right after the new names).
 ``tests/test_oracle_parity.py::test_driver_window_is_lrs_rotation``
 recomputes the ordering from the committed files and fails if the frozen
 tuple drifts.
@@ -74,13 +77,18 @@ def main() -> None:
     import sys
 
     sys.path.insert(0, REPO_ROOT)
-    from uda_spark.registry import LRS_THROUGH_ROUND, _NEW_THIS_ROUND
+    from uda_spark.registry import (
+        LRS_THROUGH_ROUND,
+        _NEW_THIS_ROUND,
+        _REPROVEN_THIS_ROUND,
+    )
 
     through = int(sys.argv[1]) if len(sys.argv) > 1 else LRS_THROUGH_ROUND
-    order = compute_lrs_order(through, exclude=_NEW_THIS_ROUND)
+    exclude = _NEW_THIS_ROUND + _REPROVEN_THIS_ROUND
+    order = compute_lrs_order(through, exclude=exclude)
     last = last_sampled_rounds(through)
     print(f"# LRS order through round {through} "
-          f"({len(order)} names, excluding {len(_NEW_THIS_ROUND)} new)")
+          f"({len(order)} names, excluding {len(exclude)} new/reproven)")
     print(f"# head-50 last-sampled rounds: "
           f"{[last.get(n, 0) for n in order[:50]]}")
     print("_LRS_ORDER: tuple[str, ...] = (")

@@ -342,6 +342,15 @@ EXTENDED = (
     "ml_ab_power_mde",
     "ml_tost_equivalence",
     "events_msprt_always_valid",
+    # round-11 additions (>=0.5s at sf0.1, measured this round)
+    "dedup_threshold_sweep",
+    "dedup_cluster_purity",
+    "events_rfm_migration",
+    "events_retention_curve_fit",
+    "ml_levene_brown_forsythe",
+    "ml_hosmer_lemeshow",
+    "ml_theil_u_association",
+    "ml_qini_uplift",
 )
 
 
@@ -356,6 +365,7 @@ EXTENDED = (
 # overhead, not data scaling.  If a later sweep lifts a query past the
 # floor, move it to EXTENDED and re-run this script for just that name.
 EXCLUDED: dict[str, str] = {
+    "ml_paired_t_test": "overhead floor: 0.373s at sf0.1 (round-11 measurement, warm session min-of-2)",
     "csv_roundtrip_supplier": "overhead floor: 0.477s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "date_functions": "overhead floor: 0.240s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "distinct_pairs": "overhead floor: 0.226s at sf0.1 (TIMEALL r10 full-registry sweep)",

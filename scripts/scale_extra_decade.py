@@ -52,9 +52,17 @@ TARGETS = (
     "udf_cogroup_order_lines",
     "multimodal_decode_stats",
     "multimodal_resize_stats",
+    # round-11 additions (VERDICT r10 #6): the remaining 3-decade tails
+    # whose last ratio was still floor-exit-shaped (4.9–6.6x), plus the
+    # re-parameterized SemDeDup so the k ∝ n contract has a 4th point
+    "text_ngram_jaccard_pairs",
+    "text_decontaminate",
+    "text_repetition_stats",
+    "text_cms_heavy_hitters",
+    "dedup_semdedup_clusters",
 )
-# tables the four target plans actually read — only these are synthesized
-NEEDED = ("lineitem", "orders", "documents")
+# tables the target plans actually read — only these are synthesized
+NEEDED = ("lineitem", "orders", "documents", "embeddings")
 
 
 def _inflate(spark, out_dir: str) -> None:
@@ -94,6 +102,25 @@ def _inflate(spark, out_dir: str) -> None:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    # embeddings: vec_id offsets + a tiny per-copy float perturbation so
+    # the 10x tier has DISTINCT vectors (plain duplication would plant
+    # 10-way exact-dup clusters and measure a dup-pathology workload
+    # instead of a bigger corpus); labels unchanged.
+    emb = t(spark, BASE_SF, "embeddings")
+    vid_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    copies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vid_span))
+        .withColumn(
+            "embedding",
+            F.expr(f"transform(embedding, x -> CAST(x + {i} * 0.0011 AS FLOAT))"),
+        )
+        for i in range(COPIES)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
 def main() -> None:

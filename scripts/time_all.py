@@ -33,7 +33,29 @@ def main() -> None:
     # Warm the session (JVM/codegen/first-scan costs land on a throwaway).
     next(iter(specs.values())).fn(spark, sf).collect()
     release_persisted()
-    out: dict = {"sf_dir": sf, "sec": {}}
+    # Warm the uda_kv Python DataSource too: its first use per session
+    # pays ~5s of worker/registration spin-up, which used to land inside
+    # whichever kv_pyds_* query ran first and made TIMEALL numbers
+    # self-inconsistent with steady-state measurements (VERDICT r10 #2).
+    # The one-time cost is recorded separately instead of hidden.
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as _F
+
+    from uda_spark.sources import pyds as _pyds
+
+    _pyds.register(spark)
+    _t0 = _t.monotonic()
+    with tempfile.TemporaryDirectory() as _d:
+        spark.range(2).select(
+            _F.col("id").cast("string").cast("binary").alias("key"),
+            _F.col("id").cast("string").cast("binary").alias("value"),
+        ).write.format("uda_kv").mode("overwrite").save(_d + "/warm")
+        spark.read.format("uda_kv").load(_d + "/warm").collect()
+    kv_first_use = round(_t.monotonic() - _t0, 3)
+    print(f"# uda_kv first-use warmup: {kv_first_use}s", file=sys.stderr)
+    out: dict = {"sf_dir": sf, "kv_first_use_sec": kv_first_use, "sec": {}}
     for name, spec in specs.items():
         t0 = time.monotonic()
         try:

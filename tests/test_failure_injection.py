@@ -152,3 +152,93 @@ def test_reliable_checkpoint_survives_source_loss(spark, tmp_path):
     finally:
         S.set_checkpoint_mode("local")
         spark.sparkContext.setCheckpointDir(None)
+
+
+def test_stream_sink_replay_after_crash_between_tempwrite_and_commit(
+    spark, tmp_path
+):
+    """VERDICT r10 #8: the OTHER exactly-once failure window of the
+    uda_kv streaming sink.  test_sources_sinks covers crash AFTER sink
+    commit (finals exist, checkpoint commit marker missing); this covers
+    crash BETWEEN task temp-writes and the driver's commit(batchId) —
+    the directory state such a crash leaves is: the batch's temp
+    segments present under the dead query's namespace, NO finals for the
+    batch, and no checkpoint commit marker.  On restart Spark must
+    replay the batch from the checkpointed offsets, a FRESH writer
+    (new namespace) must promote exactly one copy of the data, and the
+    dead attempt's foreign-namespace temps must be left alone (the
+    namespaced sweep is what makes that safe) and never read back.
+    """
+    import os
+
+    from uda_spark.sources import pyds
+    from uda_spark.sources.hadoop_kv import encode_kv_records
+
+    pyds.register(spark)
+    src, dst, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def write_segment(name, pairs):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "wb") as fh:
+            fh.write(encode_kv_records(pairs))
+
+    def pump():
+        q = (
+            spark.readStream.format("uda_kv")
+            .load(src)
+            .writeStream.format("uda_kv")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pairs0 = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(30)]
+    pairs1 = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(30, 75)]
+    write_segment("part-a", pairs0)
+    pump()  # batch 0 commits cleanly
+
+    write_segment("part-b", pairs1)
+    pump()  # batch 1 commits cleanly — now rewind it to the crash state
+
+    # Reconstruct "crashed between temp-write and commit" for batch 1:
+    # its finals never appeared (un-promote them), the dead attempt's
+    # temps linger under a namespace no future writer owns, and the
+    # checkpoint never recorded the commit.
+    b1_finals = [f for f in os.listdir(dst) if f.startswith("part-b000001-")]
+    assert b1_finals, "precondition: batch 1 produced finals"
+    dead_ns = "deadbeefdead"
+    for i, f in enumerate(b1_finals):
+        os.replace(
+            os.path.join(dst, f),
+            os.path.join(dst, f"_tmp-stream-{dead_ns}-attempt{i}"),
+        )
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    pump()  # replay: a fresh writer must promote batch 1 exactly once
+
+    out = spark.read.format("uda_kv").load(dst)
+    keys = sorted(bytes(r.key).decode() for r in out.collect())
+    assert keys == sorted(f"k{i}" for i in range(75)), "exactly-once violated"
+    names = os.listdir(dst)
+    # the dead attempt's foreign temps survive (documented: the sweep is
+    # namespaced so a settling batch can never delete another query's
+    # in-flight files) and are invisible to readers
+    assert [f for f in names if f.startswith(f"_tmp-stream-{dead_ns}-")]
+    # exactly one set of batch-1 finals, and no temps of the live writer
+    assert len([f for f in names if f.startswith("part-b000001-")]) == len(
+        b1_finals
+    )
+    assert not [
+        f
+        for f in names
+        if f.startswith("_tmp-stream-") and dead_ns not in f
+    ]

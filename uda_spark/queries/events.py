@@ -2565,3 +2565,214 @@ SELECT CAST(dims.n AS BIGINT) AS n_blocks,
 FROM dims, s
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — lifecycle analytics: RFM segment migration between halves
+# of the observation window, and a power-law fit of the retention curve.
+
+_RFM_CENTS = "CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)"
+# fixed, deterministic segment rule over (purchase count, purchase cents)
+_RFM_SEG = (
+    "CASE WHEN {f} = 0 THEN 'none' WHEN {f} < 3 THEN 'light' "
+    "WHEN {m} < 500000 THEN 'mid' ELSE 'heavy' END"
+)
+
+
+@register(
+    "events_rfm_migration",
+    oracle=f"""
+WITH b AS (SELECT (MIN({_DUCK_US}) + MAX({_DUCK_US})) // 2 AS mid FROM events),
+pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN {_DUCK_US} < b.mid AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::BIGINT AS f1,
+         SUM(CASE WHEN {_DUCK_US} < b.mid AND event_type = 'purchase'
+                  THEN {_RFM_CENTS} ELSE 0 END)::BIGINT AS m1,
+         SUM(CASE WHEN {_DUCK_US} >= b.mid AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::BIGINT AS f2,
+         SUM(CASE WHEN {_DUCK_US} >= b.mid AND event_type = 'purchase'
+                  THEN {_RFM_CENTS} ELSE 0 END)::BIGINT AS m2
+  FROM events, b GROUP BY user_id, b.mid
+),
+seg AS (
+  SELECT {_RFM_SEG.format(f='f1', m='m1')} AS seg_from,
+         {_RFM_SEG.format(f='f2', m='m2')} AS seg_to
+  FROM pu
+),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM seg)
+SELECT seg_from, seg_to, COUNT(*)::BIGINT AS n_users,
+       (COUNT(*) * 1000000 // n.n)::BIGINT AS share_ppm
+FROM seg, n GROUP BY seg_from, seg_to, n.n
+""",
+    tags=("events", "cohort", "aggregation"),
+)
+def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment-migration matrix: classify every user's purchase
+    behavior (frequency + monetary, fixed deterministic thresholds) in
+    the FIRST half of the observation window and again in the SECOND
+    half, then count users per (from, to) transition — the lifecycle
+    readout behind churn/upsell dashboards ('how many heavy users
+    decayed to light?').  A user inactive in one half classifies as
+    'none' for it, so the matrix is complete over all observed users.
+
+    Exactness: the split point is the integer midpoint of the event
+    time range (exact microseconds); frequencies and cents are exact
+    integers; shares are integer ppm.
+
+    Scale shape: one O(1) min/max scalar, ONE map-side-combined
+    groupBy(user_id) computing both halves' moments with conditional
+    aggregation (the fact table is scanned once, not once per half),
+    then a <=16-row matrix aggregation.
+    """
+    ev = _with_us(t(spark, sf_dir, "events"))
+    mn, mx = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (mn + mx) // 2
+    pu = ev.groupBy("user_id").agg(
+        F.expr(
+            f"SUM(CASE WHEN ts_us < {mid}L AND event_type = 'purchase'"
+            " THEN 1 ELSE 0 END)"
+        ).cast("long").alias("f1"),
+        F.expr(
+            f"SUM(CASE WHEN ts_us < {mid}L AND event_type = 'purchase'"
+            f" THEN {_RFM_CENTS} ELSE 0 END)"
+        ).cast("long").alias("m1"),
+        F.expr(
+            f"SUM(CASE WHEN ts_us >= {mid}L AND event_type = 'purchase'"
+            " THEN 1 ELSE 0 END)"
+        ).cast("long").alias("f2"),
+        F.expr(
+            f"SUM(CASE WHEN ts_us >= {mid}L AND event_type = 'purchase'"
+            f" THEN {_RFM_CENTS} ELSE 0 END)"
+        ).cast("long").alias("m2"),
+    )
+    seg = pu.select(
+        F.expr(_RFM_SEG.format(f="f1", m="m1")).alias("seg_from"),
+        F.expr(_RFM_SEG.format(f="f2", m="m2")).alias("seg_to"),
+    )
+    n = seg.count()
+    return seg.groupBy("seg_from", "seg_to").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr(f"CAST(COUNT(*) * 1000000 div {n}L AS BIGINT)").alias("share_ppm"),
+    )
+
+
+RETENTION_FIT_OFFSETS = 8
+
+
+@register(
+    "events_retention_curve_fit",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id, {_DUCK_US} // {7 * 86400 * 1_000_000} AS week
+  FROM events
+),
+mw AS (SELECT MAX(week) AS maxw FROM act),
+cohort AS (
+  SELECT user_id, MIN(week) AS cw FROM act GROUP BY user_id
+),
+elig AS (
+  SELECT c.user_id, c.cw FROM cohort c, mw
+  WHERE c.cw + {RETENTION_FIT_OFFSETS} <= mw.maxw
+),
+base AS (SELECT COUNT(*)::BIGINT AS b FROM elig),
+ret AS (
+  SELECT CAST(a.week - e.cw AS BIGINT) AS o,
+         COUNT(DISTINCT a.user_id)::BIGINT AS active
+  FROM act a JOIN elig e ON a.user_id = e.user_id
+  WHERE a.week - e.cw BETWEEN 1 AND {RETENTION_FIT_OFFSETS}
+  GROUP BY 1
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(o AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(active AS DOUBLE) / base.b) * 1000000, 0) AS BIGINT) AS y
+  FROM ret, base WHERE active > 0
+),
+s AS (
+  SELECT COUNT(*)::BIGINT AS np, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x::HUGEINT * y)::HUGEINT AS sxy, SUM(x::HUGEINT * x)::HUGEINT AS sxx
+  FROM pts
+)
+SELECT CAST(np AS INT) AS n_points,
+       (SELECT b FROM base) AS base_users,
+       CAST((np * sxy - sx::HUGEINT * sy) * 1000000
+            // NULLIF(np * sxx - sx::HUGEINT * sx, 0) AS BIGINT) AS slope_micro,
+       CAST((sy - ((np * sxy - sx::HUGEINT * sy) * 1000000
+                   // NULLIF(np * sxx - sx::HUGEINT * sx, 0)) * sx // 1000000)
+            // NULLIF(np, 0) AS BIGINT) AS intercept_micro
+FROM s
+""",
+    tags=("events", "cohort", "statistics"),
+)
+def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the pooled retention curve: for weekly offsets
+    1..{RETENTION_FIT_OFFSETS}, the retention rate of fully-observed
+    cohorts (cohort week + window <= max week, so no right-censoring
+    bias), fitted as ln(rate) = a + b·ln(offset) by closed-form OLS —
+    the decay exponent b is THE growth-analytics summary of how fast
+    engagement decays (b ≈ -1 is the classic power-law forgetting
+    curve; events_cohort_retention shows the raw triangle, this query
+    reduces it to the number a forecast uses).
+
+    Exactness: activity/cohort counts are exact integers; ln() runs
+    once per curve POINT (<= {RETENTION_FIT_OFFSETS} of them) on
+    identical exact ratios in both engines and is immediately rounded
+    to integer micro-units, so the OLS normal equations run in EXACT
+    integer arithmetic (DECIMAL(38,0)/HUGEINT for the cross products —
+    the micro-scaled slope numerator passes int64); zero-active
+    offsets are excluded before the log (stated contract), and a
+    degenerate single-point curve NULLs via NULLIF.
+
+    Scale shape: the (user, week) distinct-reduce is the only
+    corpus-scale exchange (shared shape with events_cohort_retention);
+    the retention join co-partitions on user_id; everything past the
+    8-row offset relation is O(1).
+    """
+    from uda_spark.sources.tables import event_micros
+
+    from uda_spark.cache import tracked_persist
+
+    week_us = 7 * 86400 * 1_000_000
+    ev = t(spark, sf_dir, "events")
+    act = tracked_persist(
+        ev.withColumn("ts_us", event_micros(ev))
+        .select("user_id", F.expr(f"ts_us div {week_us}").alias("week"))
+        .distinct()
+    )
+    maxw = act.agg(F.max("week")).first()[0]
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cw"))
+    elig = cohort.where(F.col("cw") + RETENTION_FIT_OFFSETS <= maxw)
+    b = elig.count()
+    ret = (
+        act.join(elig, on="user_id")
+        .withColumn("o", (F.col("week") - F.col("cw")).cast("long"))
+        .where(F.col("o").between(1, RETENTION_FIT_OFFSETS))
+        .groupBy("o")
+        .agg(F.count_distinct("user_id").cast("long").alias("active"))
+    )
+    pts = ret.where(F.col("active") > 0).select(
+        F.expr(
+            "CAST(round(ln(CAST(o AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            f"CAST(round(ln(CAST(active AS DOUBLE) / {b}L) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return s.selectExpr(
+        "CAST(np AS INT) AS n_points",
+        f"CAST({b}L AS BIGINT) AS base_users",
+        "CAST((np * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000"
+        " div NULLIF(np * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0) AS BIGINT)"
+        " AS slope_micro",
+        "CAST((sy - ((np * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000"
+        " div NULLIF(np * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)) * sx"
+        " div 1000000) div NULLIF(np, 0) AS BIGINT) AS intercept_micro",
+    )

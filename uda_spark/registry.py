@@ -236,62 +236,33 @@ _R08_NEW: tuple[str, ...] = (
 # This bounds maximum external-row staleness at ~ceil(N / (50 - new)) rounds
 # permanently; test_driver_window_is_lrs_rotation recomputes the ordering
 # from the committed files and fails if this frozen tuple drifts.
-LRS_THROUGH_ROUND = 9
+LRS_THROUGH_ROUND = 10
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "ml_auprc",
-    "ml_delong_auc_variance",
-    "events_diff_in_diff",
-    "ml_anova_oneway",
-    "ml_srm_check",
-    "ml_fdr_bh_segments",
-    "ml_ab_power_mde",
-    "ml_tost_equivalence",
-    "events_msprt_always_valid",
+    "dedup_threshold_sweep",
+    "dedup_cluster_purity",
+    "events_rfm_migration",
+    "events_retention_curve_fit",
+    "ml_paired_t_test",
+    "ml_levene_brown_forsythe",
+    "ml_hosmer_lemeshow",
+    "ml_theil_u_association",
+    "ml_qini_uplift",
+)
+
+# Queries whose SEMANTICS changed this round (implementation + oracle
+# replaced, not just refactored) and therefore must re-earn an external
+# driver row in the same round — they sort right after the new names.
+# Round 11: dedup_semdedup_clusters's coarse quantizer went from the
+# fixed-k=10 label centroids to the data-scaled k = ceil(n/target)
+# hash-seeded k-means + hard cap (VERDICT r10 #1), changing its output
+# relation; its r10 row proves the OLD semantics, so it re-enters the
+# window head.
+_REPROVEN_THIS_ROUND: tuple[str, ...] = (
     "dedup_semdedup_clusters",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
-    "q19_bracket_join",
-    "in_subquery_segments",
-    "grouping_sets_sales",
-    "like_name_patterns",
-    "percentile_order_values",
-    "range_join_value_buckets",
-    "window_range_30d_sum",
-    "setops_all_suppliers",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q20_promotion_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_sales_opportunity",
-    "sort_by_key",
-    "udf_grouped_zscore",
-    "udf_grouped_agg_median",
-    "udf_cogroup_order_lines",
-    "udtf_order_metrics",
-    "dfsio_roundtrip",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_signatures",
-    "dedup_minhash_near_pairs",
-    "dedup_simhash_signatures",
-    "dedup_simhash_near_pairs",
-    "dedup_embedding_near_pairs",
-    "dedup_embedding_near_pairs_lsh",
-    "dedup_cluster_canonical",
-    "graph_pagerank_neardup",
-    "dedup_incremental_crawl",
-    "sim_embedding_norms",
-    "sim_knn_bruteforce",
-    "sim_label_centroid_dist",
-    "sim_lsh_knn",
     "sim_quantized_knn",
     "text_token_stats",
     "text_quality_langid",
@@ -577,7 +548,56 @@ _LRS_ORDER: tuple[str, ...] = (
     "ml_fairness_equalized_odds",
     "ml_wilcoxon_signed_rank",
     "ml_cochran_q",
-)  # generated by scripts/rotation.py (round 9, through r08)
+    "sort_by_key",
+    "dfsio_roundtrip",
+    "q19_bracket_join",
+    "in_subquery_segments",
+    "grouping_sets_sales",
+    "like_name_patterns",
+    "percentile_order_values",
+    "range_join_value_buckets",
+    "window_range_30d_sum",
+    "setops_all_suppliers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q20_promotion_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_signatures",
+    "dedup_minhash_near_pairs",
+    "dedup_simhash_signatures",
+    "dedup_simhash_near_pairs",
+    "dedup_embedding_near_pairs",
+    "dedup_embedding_near_pairs_lsh",
+    "dedup_cluster_canonical",
+    "graph_pagerank_neardup",
+    "dedup_incremental_crawl",
+    "sim_embedding_norms",
+    "sim_knn_bruteforce",
+    "sim_label_centroid_dist",
+    "sim_lsh_knn",
+    "events_diff_in_diff",
+    "udf_grouped_zscore",
+    "udf_grouped_agg_median",
+    "udf_cogroup_order_lines",
+    "udtf_order_metrics",
+    "ml_auprc",
+    "ml_delong_auc_variance",
+    "ml_anova_oneway",
+    "ml_srm_check",
+    "ml_fdr_bh_segments",
+    "ml_ab_power_mde",
+    "ml_tost_equivalence",
+    "events_msprt_always_valid",
+)  # generated by scripts/rotation.py (round 11, through r10)
 
 
 @dataclass(frozen=True)
@@ -617,14 +637,15 @@ def registration_order() -> tuple[str, ...]:
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered queries in driver-window order: this round's new
-    registrations first (``_NEW_THIS_ROUND``), then the frozen
-    least-recently-sampled ordering (``_LRS_ORDER``), then any leftover
-    names in registration order (safety net for names registered after
-    the tuple was frozen).  Fixed, reproducible, and independent of
-    anything outside the repo."""
+    registrations first (``_NEW_THIS_ROUND``), then this round's
+    semantics-changed re-proofs (``_REPROVEN_THIS_ROUND``), then the
+    frozen least-recently-sampled ordering (``_LRS_ORDER``), then any
+    leftover names in registration order (safety net for names
+    registered after the tuple was frozen).  Fixed, reproducible, and
+    independent of anything outside the repo."""
     _load()
     out: dict[str, QuerySpec] = {}
-    for name in _NEW_THIS_ROUND + _LRS_ORDER:
+    for name in _NEW_THIS_ROUND + _REPROVEN_THIS_ROUND + _LRS_ORDER:
         out[name] = _REGISTRY[name]
     for name, spec in _REGISTRY.items():
         if name not in out:

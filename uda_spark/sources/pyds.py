@@ -131,6 +131,14 @@ class _KVWriter(DataSourceArrowWriter):
                 # columns arrive in (value, key) order
                 ki = batch.schema.get_field_index("key")
                 vi = batch.schema.get_field_index("value")
+                for name, idx in (("key", ki), ("value", vi)):
+                    if batch.column(idx).null_count:
+                        raise ValueError(
+                            f"uda_kv cannot encode NULL in column {name!r}: "
+                            "the VInt record framing has no null "
+                            "representation — filter or coalesce before "
+                            "writing"
+                        )
                 ks = batch.column(ki).to_pylist()
                 vs = batch.column(vi).to_pylist()
                 n += len(ks)
@@ -215,7 +223,15 @@ class _KVStreamWriter(DataSourceStreamWriter):
         pairs = []
         for row in iterator:
             # by name, not position (same contract as the batch writer)
-            pairs.append((bytes(row["key"]), bytes(row["value"])))
+            k, v = row["key"], row["value"]
+            if k is None or v is None:
+                raise ValueError(
+                    "uda_kv cannot encode NULL in column "
+                    f"{'key' if k is None else 'value'!r}: the VInt record "
+                    "framing has no null representation — filter or "
+                    "coalesce before writing"
+                )
+            pairs.append((bytes(k), bytes(v)))
         with open(tmp, "wb") as fh:
             fh.write(encode_kv_records(pairs))
         # final_path is completed in commit() once the batchId is known
