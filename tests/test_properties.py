@@ -3495,3 +3495,75 @@ def test_within_group_gemm_matches_naive(spark, rows, thr):
             if s >= thr:
                 want[(ga, a, b)] = s
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 SemDeDup quantizer pieces
+
+
+vec_corpus = st.lists(
+    st.lists(st.integers(-1_000_000, 1_000_000), min_size=4, max_size=4),
+    min_size=2,
+    max_size=60,
+)
+
+
+@SPARK_SETTINGS
+@given(vecs=vec_corpus)
+def test_assign_nearest_centroid_matches_bruteforce(spark, vecs):
+    """Exact parity with a pure-python argmin (incl. duplicate vectors
+    and distance ties): every row goes to the MINIMUM-dist² centroid,
+    ties to the LOWEST centroid id — the same rule the SQL oracle
+    spells as ORDER BY dist2, cluster."""
+    from uda_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    # duplicate some vectors so exact ties are guaranteed to occur
+    vecs = vecs + [vecs[rng.randrange(len(vecs))] for _ in range(len(vecs) // 3)]
+    cents = [(i * 3 + 1, vecs[rng.randrange(len(vecs))]) for i in range(3)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vid long, v array<bigint>"
+    )
+    got = {
+        r["vid"]: r["cluster"]
+        for r in S.assign_nearest_centroid(df, "vid", "v", cents).collect()
+    }
+    for i, v in enumerate(vecs):
+        best = min(
+            (sum((x - c) ** 2 for x, c in zip(v, cv)), cid) for cid, cv in cents
+        )
+        assert got[i] == best[1], f"row {i}: {got[i]} != {best[1]}"
+
+
+@SPARK_SETTINGS
+@given(
+    sizes=st.lists(st.integers(1, 120), min_size=1, max_size=6),
+    cap=st.integers(1, 50),
+)
+def test_cap_group_sizes_partitions_exactly(spark, sizes, cap):
+    """cap_group_sizes is a pure partition refinement: every row keeps
+    its group (recoverable as out div 2^31), sub ids stay inside
+    [0, ceil(c/cap)), groups at/under the cap stay whole, and no row is
+    lost or duplicated."""
+    from uda_spark.operators import similarity as S
+
+    rows = []
+    rid = 0
+    for g, c in enumerate(sizes):
+        for _ in range(c):
+            rows.append((rid, g))
+            rid += 1
+    df = spark.createDataFrame(rows, "vid long, grp long")
+    out = S.cap_group_sizes(df, "grp", "vid", cap, out_col="g2").collect()
+    assert len(out) == len(rows)
+    assert {r["vid"] for r in out} == {r[0] for r in rows}
+    by_grp: dict = {}
+    for r in out:
+        assert r["g2"] // 2_147_483_648 == r["grp"]
+        by_grp.setdefault(r["grp"], set()).add(r["g2"] % 2_147_483_648)
+    for g, c in enumerate(sizes):
+        nsub = (c + cap - 1) // cap
+        subs = by_grp[g]
+        assert subs <= set(range(nsub))
+        if c <= cap:
+            assert subs == {0}
