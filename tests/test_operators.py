@@ -1695,3 +1695,24 @@ def test_semdedup_planted_giant_cluster_stress(spark):
     # measured: the 10k-row point mass lands in 202 capped sub-groups
     assert giant_groups >= (n_half // (2 * tgt))
     assert wall < 120, f"planted-giant SemDeDup quantizer took {wall:.0f}s"
+
+
+def test_semdedup_quantizer_guards_centroid_collect(spark):
+    """The k·d driver-collect ceiling is a runtime contract, not a
+    docstring promise: a corpus whose k = ceil(n/target) would exceed
+    the cell bound raises a clear error naming both knobs."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from uda_spark.operators import similarity as S
+
+    df = spark.range(100).select(
+        F.col("id").alias("vid"),
+        F.expr("array(id, id + 1, id + 2, id + 3)").alias("v"),
+    )
+    # k = ceil(100/2) = 50, d = 4 -> 200 cells > 100
+    with _pytest.raises(ValueError, match="max_centroid_cells"):
+        S.semdedup_coarse_quantizer(df, "vid", "v", 2, max_centroid_cells=100)
+    # and the same call under the default bound succeeds
+    assert S.semdedup_coarse_quantizer(df, "vid", "v", 2).count() == 100

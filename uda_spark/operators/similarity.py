@@ -739,12 +739,23 @@ def assign_nearest_centroid(
     )
 
 
+# Ceiling on the driver-side centroid relation (k·d int64 cells): 50M
+# cells ≈ 400 MB — generous for a driver, and a hard stop well before a
+# silent OOM.  k = n/target, so at corpus sizes where this trips, the
+# caller must either raise target_cluster_size (SemDeDup at LAION scale
+# runs thousands of points per cluster) or build a hierarchical
+# two-level quantizer from these same operators (assign to sqrt(k)
+# super-clusters first, then quantize within each).
+SEMDEDUP_MAX_CENTROID_CELLS = 50_000_000
+
+
 def semdedup_coarse_quantizer(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     target_cluster_size: int,
     seed_salt: str = "km",
+    max_centroid_cells: int = SEMDEDUP_MAX_CENTROID_CELLS,
 ) -> DataFrame:
     """Data-scaled coarse quantizer for SemDeDup-style within-cluster
     dedup: k = ceil(n / target_cluster_size) hash-seeded integer
@@ -769,6 +780,16 @@ def semdedup_coarse_quantizer(
     tgt = int(target_cluster_size)
     n, min_id = df.agg(F.count("*"), F.min(id_col)).first()
     k = (n + tgt - 1) // tgt
+    dim = len(df.select(vec_col).first()[0])
+    if k * dim > max_centroid_cells:
+        raise ValueError(
+            f"semdedup_coarse_quantizer: k·d = {k}·{dim} = {k * dim} centroid "
+            f"cells exceeds max_centroid_cells={max_centroid_cells} — the "
+            f"driver-side centroid relation would not be metadata-scale. "
+            f"Raise target_cluster_size (k = ceil(n/target)) or build a "
+            f"hierarchical two-level quantizer from assign_nearest_centroid "
+            f"+ this function."
+        )
     stride = max(n // k, 1)
     seed_hash = portable.hash60(
         f"concat('{seed_salt}|', CAST({id_col} AS STRING))", "spark"
