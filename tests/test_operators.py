@@ -1716,3 +1716,20 @@ def test_semdedup_quantizer_guards_centroid_collect(spark):
         S.semdedup_coarse_quantizer(df, "vid", "v", 2, max_centroid_cells=100)
     # and the same call under the default bound succeeds
     assert S.semdedup_coarse_quantizer(df, "vid", "v", 2).count() == 100
+
+
+def test_semdedup_quantizer_empty_corpus(spark):
+    """An empty incremental batch quantizes to an empty result with the
+    (id, vec, cluster) schema instead of a k=0 division."""
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators import similarity as S
+
+    df = (
+        spark.range(5)
+        .select(F.col("id").alias("vid"), F.expr("array(id)").alias("v"))
+        .where(F.lit(False))
+    )
+    out = S.semdedup_coarse_quantizer(df, "vid", "v", 10)
+    assert out.columns == ["vid", "v", "cluster"]
+    assert out.count() == 0

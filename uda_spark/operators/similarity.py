@@ -779,6 +779,12 @@ def semdedup_coarse_quantizer(
     """
     tgt = int(target_cluster_size)
     n, min_id = df.agg(F.count("*"), F.min(id_col)).first()
+    if n == 0:
+        # empty corpus (a legitimate incremental batch): empty result
+        # with the output schema, not a k=0 division
+        return df.select(
+            id_col, vec_col, F.lit(None).cast("long").alias("cluster")
+        ).where(F.lit(False))
     k = (n + tgt - 1) // tgt
     dim = len(df.select(vec_col).first()[0])
     if k * dim > max_centroid_cells:
