@@ -1718,6 +1718,97 @@ def test_semdedup_quantizer_guards_centroid_collect(spark):
     assert S.semdedup_coarse_quantizer(df, "vid", "v", 2).count() == 100
 
 
+def test_semdedup_quantizer_emits_dense_cluster_ids(spark):
+    """VERDICT r11 #1: cluster ids are the seeds' dense 0-based ranks,
+    NOT raw row ids — on a 63-bit id space (snowflake/UUID-derived) raw
+    ids would overflow cap_group_sizes' group*2^31+sub packing.  Shift
+    every vid past 2^40 and check the emitted ids stay small, dense-ish
+    and cap-composable."""
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators import similarity as S
+
+    big = 1 << 40
+    df = spark.range(200).select(
+        (F.col("id") + F.lit(big)).alias("vid"),
+        F.expr(
+            "transform(sequence(0, 7), "
+            "j -> CAST(((id * (j * 7919 + 13)) % 20001) - 10000 AS BIGINT))"
+        ).alias("v"),
+    )
+    assigned = S.semdedup_coarse_quantizer(df, "vid", "v", 20)
+    clusters = sorted(
+        r["cluster"]
+        for r in assigned.select("cluster").distinct().collect()
+    )
+    # dense 0-based ids, bounded by the seed count (<< 2^32), never the
+    # 2^40-shifted row ids
+    assert clusters[0] >= 0 and clusters[-1] < 200
+    # and the composition that motivated the renumbering works: the cap
+    # guard accepts the dense ids where raw 2^40 ids would raise
+    out = S.cap_group_sizes(assigned, "cluster", "vid", 20, out_col="g2")
+    assert out.count() == 200
+
+
+def test_cap_group_sizes_rejects_group_ids_past_2_32(spark):
+    """The grp*2^31+sub packing contract (0 <= group < 2^32) is a
+    runtime raise, not a docstring: a 63-bit group id must error loudly
+    instead of silently wrapping and merging unrelated sub-groups under
+    a non-ANSI session."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from uda_spark.operators import similarity as S
+
+    df = spark.range(10).select(
+        F.col("id").alias("vid"),
+        (F.lit(1 << 40) + (F.col("id") % 2)).alias("grp"),
+    )
+    with _pytest.raises(SparkRuntimeException, match="outside \\[0, 2\\^32\\)"):
+        S.cap_group_sizes(df, "grp", "vid", 4, out_col="g2").collect()
+    neg = spark.range(10).select(
+        F.col("id").alias("vid"), F.lit(-1).cast("long").alias("grp")
+    )
+    with _pytest.raises(SparkRuntimeException, match="outside \\[0, 2\\^32\\)"):
+        S.cap_group_sizes(neg, "grp", "vid", 4, out_col="g2").collect()
+
+
+def test_semdedup_quantizer_guards_realized_seed_overshoot(spark):
+    """ADVICE r11: the k·d pre-check bounds the EXPECTED seed count, but
+    the hash-stride draw can overshoot k — the post-collect guard must
+    bound the ACTUAL driver-resident cells.  n=1000/tgt=200 draws ~9
+    seeds for k=5 (hash-deterministic), so cells=36 > 25 trips only the
+    realized check (k·d = 20 <= 25 passes the pre-check)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators import similarity as S
+
+    df = spark.range(1000).select(
+        F.col("id").alias("vid"),
+        F.expr("array(id, id + 1, id + 2, id + 3)").alias("v"),
+    )
+    with _pytest.raises(ValueError, match="seed draw yielded"):
+        S.semdedup_coarse_quantizer(df, "vid", "v", 200, max_centroid_cells=25)
+
+
+def test_semdedup_quantizer_rejects_all_null_vectors(spark):
+    """ADVICE r11: a NULL first vector used to raise an opaque TypeError
+    from len(None); now it names the column."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators import similarity as S
+
+    df = spark.range(5).select(
+        F.col("id").alias("vid"),
+        F.lit(None).cast("array<bigint>").alias("v"),
+    )
+    with _pytest.raises(ValueError, match="every row's v is NULL"):
+        S.semdedup_coarse_quantizer(df, "vid", "v", 10)
+
+
 def test_semdedup_quantizer_empty_corpus(spark):
     """An empty incremental batch quantizes to an empty result with the
     (id, vec, cluster) schema instead of a k=0 division."""

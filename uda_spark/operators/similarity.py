@@ -775,7 +775,12 @@ def semdedup_coarse_quantizer(
     The two O(1) scalar collects (n, min id) and the O(k·d) centroid
     collects are driver metadata, not data paths — the same k×d relation
     ``kmeans_embeddings`` broadcasts.  Output: (id, vec, cluster) with
-    cluster = the seed row's id.
+    cluster = the DENSE RANK (0-based, ordered by seed row id) of the
+    seed that won — NOT the raw seed id.  Dense ids satisfy
+    :func:`cap_group_sizes`' ``0 <= group < 2^32`` packing contract by
+    construction (k <= max_centroid_cells/dim <= 50M < 2^32) even when
+    the corpus ids are snowflake/UUID-derived 63-bit values, where raw
+    seed ids would overflow ``group * 2^31 + sub`` (VERDICT r11 #1).
     """
     tgt = int(target_cluster_size)
     n, min_id = df.agg(F.count("*"), F.min(id_col)).first()
@@ -786,15 +791,22 @@ def semdedup_coarse_quantizer(
             id_col, vec_col, F.lit(None).cast("long").alias("cluster")
         ).where(F.lit(False))
     k = (n + tgt - 1) // tgt
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if head is None:
+        raise ValueError(
+            f"semdedup_coarse_quantizer: every row's {vec_col} is NULL — "
+            f"cannot derive the vector dimensionality; filter NULL "
+            f"vectors out (or fix the upstream projection) first"
+        )
+    dim = len(head[0])
     if k * dim > max_centroid_cells:
         raise ValueError(
             f"semdedup_coarse_quantizer: k·d = {k}·{dim} = {k * dim} centroid "
             f"cells exceeds max_centroid_cells={max_centroid_cells} — the "
             f"driver-side centroid relation would not be metadata-scale. "
-            f"Raise target_cluster_size (k = ceil(n/target)) or build a "
-            f"hierarchical two-level quantizer from assign_nearest_centroid "
-            f"+ this function."
+            f"Raise target_cluster_size (k = ceil(n/target)) or use "
+            f"semdedup_hierarchical_quantizer (same semantics, all collects "
+            f"O(sqrt(k)·d), level-2 centroids never driver-resident)."
         )
     stride = max(n // k, 1)
     seed_hash = portable.hash60(
@@ -803,10 +815,23 @@ def semdedup_coarse_quantizer(
     seeds = df.where(
         (F.expr(seed_hash) % stride == 0) | (F.col(id_col) == min_id)
     )
-    c0 = [
+    # dense renumber: cluster id = 0-based rank of the seed's row id.
+    # The hash-stride seed count is only ~k in expectation, so re-check
+    # the ACTUAL collected size against the cell ceiling too (the k·d
+    # pre-check bounds the expectation, not the realization).
+    seed_rows = sorted(
         (r[id_col], list(r[vec_col]))
         for r in seeds.select(id_col, vec_col).collect()
-    ]
+    )
+    if len(seed_rows) * dim > max_centroid_cells:
+        raise ValueError(
+            f"semdedup_coarse_quantizer: the hash-stride seed draw yielded "
+            f"{len(seed_rows)} seeds · dim {dim} = {len(seed_rows) * dim} "
+            f"cells, exceeding max_centroid_cells={max_centroid_cells} "
+            f"(expected ~k={k}) — raise target_cluster_size or use "
+            f"semdedup_hierarchical_quantizer."
+        )
+    c0 = [(i, vec) for i, (_, vec) in enumerate(seed_rows)]
     a1 = assign_nearest_centroid(df, id_col, vec_col, c0)
     upd = (
         a1.select("cluster", F.posexplode(vec_col).alias("d", "x"))
@@ -836,7 +861,11 @@ def cap_group_sizes(
 
     ``out_col = group · 2³¹ + sub`` where ``sub = hash60(salt|id) mod
     nsub`` — a pure function of the data, reproducible in a SQL oracle
-    (contract: 0 ≤ group < 2³², integral id).  Groups at or under the
+    (contract: 0 ≤ group < 2³², integral id — ENFORCED at runtime with a
+    per-row ``raise_error`` branch, since a 63-bit group id would wrap
+    silently under a non-ANSI session and merge unrelated sub-groups;
+    ``semdedup_coarse_quantizer`` emits dense ids that satisfy it by
+    construction).  Groups at or under the
     cap keep nsub = 1 (sub = 0), so the guard is a no-op until it is
     needed.  Expected sub-group size is c/nsub ≤ cap; hash placement
     concentrates tightly for cap ≳ 50 (Chernoff: P[size > 2·cap] <
@@ -862,11 +891,25 @@ def cap_group_sizes(
         )
         % F.expr(f"(_gc + {cap - 1}) div {cap}")
     )
+    gcol = F.col(group_col)
+    checked = F.when(
+        (gcol >= 0) & (gcol < F.lit(4_294_967_296)), gcol
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"cap_group_sizes: {group_col}="),
+                gcol.cast("string"),
+                F.lit(
+                    " is outside [0, 2^32) — group*2^31+sub packing would "
+                    "collide; dense-renumber group ids first (e.g. via "
+                    "semdedup_coarse_quantizer)"
+                ),
+            )
+        ).cast("long")
+    )
     return (
         df.join(F.broadcast(counts), on=group_col)
-        .withColumn(
-            out_col, F.col(group_col) * F.lit(2_147_483_648) + sub
-        )
+        .withColumn(out_col, checked * F.lit(2_147_483_648) + sub)
         .drop("_gc")
     )
 
