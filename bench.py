@@ -203,6 +203,9 @@ EXTENDED = [
     "ml_hosmer_lemeshow",
     "ml_theil_u_association",
     "ml_qini_uplift",
+    # round-12 additions
+    "dedup_semdedup_hier_clusters",
+    "dedup_threshold_sweep_lsh",
 ]
 
 

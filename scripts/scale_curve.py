@@ -351,6 +351,9 @@ EXTENDED = (
     "ml_hosmer_lemeshow",
     "ml_theil_u_association",
     "ml_qini_uplift",
+    # round-12 additions (>=0.5s at sf0.1, measured this round)
+    "dedup_semdedup_hier_clusters",
+    "dedup_threshold_sweep_lsh",
 )
 
 

@@ -170,6 +170,7 @@ BNLJ_BOUNDED: dict[str, str] = {
     "ml_fdr_bh_segments": "25-row nation relation x 1-row totals + 1-row BH k* scalar",
     "events_msprt_always_valid": "calendar-day relation x 1-row pooled-variance scalar",
     "dedup_threshold_sweep": "5-row threshold table (SWEEP_THRESHOLDS literal)",
+    "dedup_threshold_sweep_lsh": "5-row threshold table (SWEEP_THRESHOLDS literal)",
     "ml_levene_brown_forsythe": "1-row ANOVA moment relations (tot x terms scalar aggs over 5 groups)",
     "ml_theil_u_association": "1-row entropy/count scalars (ordered-fold arrays over <=20 categories)",
 }

@@ -236,73 +236,25 @@ _R08_NEW: tuple[str, ...] = (
 # This bounds maximum external-row staleness at ~ceil(N / (50 - new)) rounds
 # permanently; test_driver_window_is_lrs_rotation recomputes the ordering
 # from the committed files and fails if this frozen tuple drifts.
-LRS_THROUGH_ROUND = 10
+LRS_THROUGH_ROUND = 11
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "dedup_threshold_sweep",
-    "dedup_cluster_purity",
-    "events_rfm_migration",
-    "events_retention_curve_fit",
-    "ml_paired_t_test",
-    "ml_levene_brown_forsythe",
-    "ml_hosmer_lemeshow",
-    "ml_theil_u_association",
-    "ml_qini_uplift",
+    "dedup_semdedup_hier_clusters",
+    "dedup_threshold_sweep_lsh",
 )
 
 # Queries whose SEMANTICS changed this round (implementation + oracle
 # replaced, not just refactored) and therefore must re-earn an external
 # driver row in the same round — they sort right after the new names.
-# Round 11: dedup_semdedup_clusters's coarse quantizer went from the
-# fixed-k=10 label centroids to the data-scaled k = ceil(n/target)
-# hash-seeded k-means + hard cap (VERDICT r10 #1), changing its output
-# relation; its r10 row proves the OLD semantics, so it re-enters the
-# window head.
+# Round 12: dedup_semdedup_clusters's quantizer now emits DENSE 0-based
+# cluster ids instead of raw seed row ids (VERDICT r11 #1 — the
+# grp*2^31+sub packing contract), changing its output relation; its r11
+# row proves the OLD (raw-id) semantics, so it re-enters the window head.
 _REPROVEN_THIS_ROUND: tuple[str, ...] = (
     "dedup_semdedup_clusters",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
-    "sim_quantized_knn",
-    "text_token_stats",
-    "text_quality_langid",
-    "text_quality_by_source",
-    "text_bpe_token_hist",
-    "text_tfidf_top_terms",
-    "text_bpe_train_merges",
-    "text_pii_redact",
-    "events_hourly_rollup",
-    "events_daily_from_hourly",
-    "events_sessionize",
-    "events_asof_signup",
-    "events_props_extract",
-    "events_user_activity",
-    "events_gap_fill",
-    "events_asof_tolerance",
-    "events_asof_forward",
-    "events_asof_nearest",
-    "events_props_variant",
-    "pipeline_training_data",
-    "streaming_hourly_rollup",
-    "streaming_sessionize",
-    "streaming_sliding_rollup",
-    "streaming_running_totals",
-    "multimodal_frame_sample",
-    "streaming_foreachbatch_sink",
-    "pipeline_sequence_packing",
-    "multimodal_decode_stats",
-    "multimodal_feature_knn",
-    "streaming_distinct_users",
-    "streaming_dedup_watermarked",
-    "streaming_stream_stream_join",
-    "multimodal_resize_stats",
-    "streaming_enrich_static",
-    "udf_scalar_text_stats",
-    "text_ngram_jaccard_pairs",
-    "approx_distinct_users",
-    "approx_percentile_prices",
-    "hll_sketch_two_level",
-    "window_ntile_deciles",
     "window_order_gaps",
     "skew_salted_agg",
     "array_order_profiles",
@@ -597,7 +549,56 @@ _LRS_ORDER: tuple[str, ...] = (
     "ml_ab_power_mde",
     "ml_tost_equivalence",
     "events_msprt_always_valid",
-)  # generated by scripts/rotation.py (round 11, through r10)
+    "text_ngram_jaccard_pairs",
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "hll_sketch_two_level",
+    "window_ntile_deciles",
+    "dedup_threshold_sweep",
+    "dedup_cluster_purity",
+    "sim_quantized_knn",
+    "text_token_stats",
+    "text_quality_langid",
+    "text_quality_by_source",
+    "text_bpe_token_hist",
+    "text_tfidf_top_terms",
+    "text_bpe_train_merges",
+    "text_pii_redact",
+    "events_hourly_rollup",
+    "events_daily_from_hourly",
+    "events_sessionize",
+    "events_asof_signup",
+    "events_props_extract",
+    "events_user_activity",
+    "events_gap_fill",
+    "events_asof_tolerance",
+    "events_asof_forward",
+    "events_asof_nearest",
+    "events_props_variant",
+    "events_rfm_migration",
+    "events_retention_curve_fit",
+    "pipeline_training_data",
+    "streaming_hourly_rollup",
+    "streaming_sessionize",
+    "streaming_sliding_rollup",
+    "streaming_running_totals",
+    "multimodal_frame_sample",
+    "streaming_foreachbatch_sink",
+    "pipeline_sequence_packing",
+    "multimodal_decode_stats",
+    "multimodal_feature_knn",
+    "streaming_distinct_users",
+    "streaming_dedup_watermarked",
+    "streaming_stream_stream_join",
+    "multimodal_resize_stats",
+    "streaming_enrich_static",
+    "udf_scalar_text_stats",
+    "ml_paired_t_test",
+    "ml_levene_brown_forsythe",
+    "ml_hosmer_lemeshow",
+    "ml_theil_u_association",
+    "ml_qini_uplift",
+)  # generated by scripts/rotation.py (round 12, through r11)
 
 
 @dataclass(frozen=True)
