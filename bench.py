@@ -430,22 +430,34 @@ def main() -> None:
     # Calibration-normalized headline (VERDICT r10 #4): hosts drift ±30%
     # between rounds, and three rounds running the raw delta was host
     # noise needing manual adjudication.  The committed clean-host record
-    # (EXTBENCH.json, 2026-08-16) ran the fixed probe in 0.713s — scaling
-    # this run's total by (0.713 / probe_before) expresses it in
+    # (EXTBENCH.json) carries the probe time of ITS host — scaling this
+    # run's total by (record_probe / probe_before) expresses it in
     # clean-host seconds, making round-over-round deltas one-glance
-    # comparable.  The raw value stays the headline; this is the
+    # comparable.  Read from the record (ADVICE r11: a duplicated literal
+    # silently drifts when the record is re-stamped); 0.713 is the
+    # 2026-08-16 record's value, kept as the fallback if the record is
+    # ever missing.  The raw value stays the headline; this is the
     # comparison aid (see BENCHHISTORY.md).
-    CLEAN_HOST_CALIB_SEC = 0.713
+    clean_host_calib_sec = 0.713
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "EXTBENCH.json")) as fh:
+            clean_host_calib_sec = float(
+                json.load(fh)["calib_probe_sec"]["before"]
+            )
+    except (OSError, KeyError, ValueError, TypeError):
+        pass
     normalized = (
         None
         if total is None or not calib_before
-        else round(total * CLEAN_HOST_CALIB_SEC / calib_before, 3)
+        else round(total * clean_host_calib_sec / calib_before, 3)
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "value_normalized": normalized,
+        "calib_anchor_sec": clean_host_calib_sec,
         "all_ok": not failed,
         "unit": "sec",
         # Each per-query number is already the MIN over this many

@@ -64,6 +64,37 @@ TARGETS = (
 # tables the target plans actually read — only these are synthesized
 NEEDED = ("lineitem", "orders", "documents", "embeddings")
 
+# Multimodal blob queries are CPU-bound on the synthesized pixel-buffer
+# volume, not the row count — their honest scale claim is "seconds per
+# decoded GB is ~constant" (VERDICT r11 #6), so their SCALECURVE rows
+# carry the decoded byte volume per tier (bytes = Σ 2·w·h hex chars the
+# stub codec materializes, + the fixed 2·64·64 resize target buffer for
+# the resize query) and the derived sec_per_gb series.
+BYTE_TRACKED = {
+    "multimodal_decode_stats": 0,
+    "multimodal_resize_stats": 2 * 64 * 64,
+}
+
+
+def _decoded_bytes(spark, sf_dir: str, extra_per_img: int) -> int:
+    """Decoded pixel-buffer bytes for one tier: Σ (2·w·h + extra) over
+    the attached-blob relation — the exact buffer sizes the stub codec
+    materializes (multimodal/blob.py:_fake_decode_hex)."""
+    from uda_spark.multimodal import blob as MM
+
+    docs = t(spark, sf_dir, "documents")
+    blobs = MM.attach_blob_column(docs, "text", "doc_id")
+    return int(
+        blobs.agg(
+            F.sum(
+                F.expr(
+                    "2 * CAST(meta.width AS BIGINT) * meta.height"
+                    f" + {int(extra_per_img)}"
+                )
+            )
+        ).first()[0]
+    )
+
 
 def _inflate(spark, out_dir: str) -> None:
     """Write the 10x tier: i-indexed unions with key offsets.  One job
@@ -161,6 +192,24 @@ def main() -> None:
         row["ratio_per_10x"] = ratios
         print(f"# {name}: sf1_synth {best:.3f}s (4th-decade ratio "
               f"{best / base:.2f}x)", file=sys.stderr)
+        if name in BYTE_TRACKED:
+            extra = BYTE_TRACKED[name]
+            tier_dirs = {
+                "sf0.001": "/root/testdata/sf0.001",
+                "sf0.01": "/root/testdata/sf0.01",
+                "sf0.1": BASE_SF,
+                "sf1_synth": synth_dir,
+            }
+            row["bytes"] = {
+                tier: _decoded_bytes(spark, d, extra)
+                for tier, d in tier_dirs.items()
+                if tier in row["sec"]
+            }
+            row["sec_per_gb"] = {
+                tier: round(row["sec"][tier] / (b / 1e9), 2)
+                for tier, b in row["bytes"].items()
+            }
+            print(f"# {name}: sec/GB {row['sec_per_gb']}", file=sys.stderr)
     with open(path, "w") as fh:
         fh.write(json.dumps(curve) + "\n")
     print(json.dumps({

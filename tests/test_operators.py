@@ -1906,3 +1906,84 @@ def test_semdedup_quantizer_empty_corpus(spark):
     out = S.semdedup_coarse_quantizer(df, "vid", "v", 10)
     assert out.columns == ["vid", "v", "cluster"]
     assert out.count() == 0
+
+
+@pytest.mark.slow
+def test_semdedup_hier_planted_giant_super_stress(spark):
+    """Hierarchical-quantizer anti-hotspot: a semantic point mass holding
+    HALF the corpus lands in ONE super-cluster, and without salting its
+    entire level-2 assignment would funnel through a single cogroup
+    task.  With row_replication=8 the (super, salt) split must spread
+    the giant across ~8 tasks, and the downstream cap_group_sizes
+    composition must bound pair work exactly like the flat pipeline.
+    Hash-deterministic inputs — bounds are exact re-run to re-run."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from uda_spark.functions import portable
+    from uda_spark.operators import similarity as S
+
+    n_half, tgt, rep = 10_000, 50, 8
+    giant = spark.range(n_half).select(
+        F.col("id").alias("vid"),
+        F.expr(
+            "transform(sequence(0, 15), "
+            "j -> CAST(100000 * (j + 1) + (id % 101) AS BIGINT))"
+        ).alias("v"),
+    )
+    spread = spark.range(n_half, 2 * n_half).select(
+        F.col("id").alias("vid"),
+        F.expr(
+            "transform(sequence(0, 15), "
+            "j -> CAST(((id * (j * 2654435761 + 40503)) % 2000001) "
+            "- 1000000 AS BIGINT))"
+        ).alias("v"),
+    )
+    corpus = giant.unionByName(spread)
+    t0 = time.monotonic()
+    assigned = S.semdedup_hierarchical_quantizer(
+        corpus, "vid", "v", tgt, row_replication=rep, keep_super=True
+    ).persist()
+    try:
+        total = assigned.count()
+        # the giant mass's super-cluster(s): per-(super, salt) assignment
+        # task sizes — the salting must cap any one task well under the
+        # whole super (the level-2 GEMM reads only that slice)
+        salt_hash = portable.hash60("concat('hr|', CAST(vid AS STRING))", "spark")
+        task_sizes = (
+            assigned.groupBy("super", F.expr(f"pmod({salt_hash}, {rep})"))
+            .count()
+            .agg(F.max("count").alias("max_task"))
+            .first()
+        )
+        max_sup = (
+            assigned.groupBy("super").count().agg(F.max("count")).first()[0]
+        )
+        capped = S.cap_group_sizes(
+            assigned.select("vid", "v", "cluster"), "cluster", "vid", tgt,
+            out_col="g2",
+        )
+        stats = (
+            capped.groupBy("g2")
+            .count()
+            .agg(
+                F.max("count").alias("max_c"),
+                F.sum(F.expr("count * (count - 1) div 2")).alias("pairs"),
+            )
+            .first()
+        )
+        wall = time.monotonic() - t0
+    finally:
+        assigned.unpersist()
+    assert total == 2 * n_half
+    # hash salting spreads the biggest super over ~rep tasks (Chernoff
+    # concentration at these sizes keeps the max near the mean)
+    assert task_sizes["max_task"] <= max_sup // rep + 4 * (
+        max_sup // rep
+    ) ** 0.5
+    # downstream pair-work bounds: same contract as the flat pipeline
+    assert stats["max_c"] <= 2 * tgt
+    assert stats["max_c"] * (stats["max_c"] - 1) // 2 <= tgt * tgt
+    assert stats["pairs"] <= 25 * (2 * n_half)
+    assert wall < 180, f"planted-giant hierarchical quantizer took {wall:.0f}s"

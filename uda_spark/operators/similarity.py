@@ -854,6 +854,7 @@ def semdedup_hierarchical_quantizer(
     super_salt: str = "sup",
     row_replication: int = 8,
     max_centroid_cells: int = SEMDEDUP_MAX_CENTROID_CELLS,
+    keep_super: bool = False,
 ) -> DataFrame:
     """Two-level coarse quantizer for the k·d > ``max_centroid_cells``
     regime the flat :func:`semdedup_coarse_quantizer` refuses (VERDICT
@@ -889,7 +890,9 @@ def semdedup_hierarchical_quantizer(
 
     Output: (id, vec, cluster) — same relation contract as the flat
     quantizer, composable with :func:`cap_group_sizes` +
-    :func:`within_group_pair_dots`.
+    :func:`within_group_pair_dots`.  ``keep_super=True`` appends the
+    level-1 ``super`` column (audits / stress tests that need to see the
+    salting spread).
     """
     import math
 
@@ -969,21 +972,31 @@ def semdedup_hierarchical_quantizer(
     )
     rows = sup.withColumn("_salt", F.expr(f"pmod({salt_hash}, {rep})"))
     out_schema = f"{id_col} long, {vec_col} array<bigint>, cluster long"
+    if keep_super:
+        out_schema += ", super long"
 
     def _cogroup_assign(cents: DataFrame) -> DataFrame:
+        # _salt2 MUST be BIGINT like the rows side's pmod(hash60, rep):
+        # cogroup hash-partitions each side by ITS OWN key types, and
+        # Murmur3(int 3) != Murmur3(bigint 3) — an int salt here
+        # co-locates with the bigint rows salt only when AQE happens to
+        # coalesce both sides to one partition (true at tiny SF, silently
+        # false at scale; caught by the planted-giant stress).
         cr = cents.withColumn(
-            "_salt2", F.explode(F.expr(f"sequence(0, {rep - 1})"))
+            "_salt2",
+            F.explode(F.expr(f"sequence(0L, {rep - 1}L)")),
         )
 
         def assign(key: tuple, left: pd.DataFrame, right: pd.DataFrame):
             if len(left) == 0:
-                return pd.DataFrame(
-                    {
-                        id_col: pd.Series(dtype="int64"),
-                        vec_col: pd.Series(dtype="object"),
-                        "cluster": pd.Series(dtype="int64"),
-                    }
-                )
+                cols = {
+                    id_col: pd.Series(dtype="int64"),
+                    vec_col: pd.Series(dtype="object"),
+                    "cluster": pd.Series(dtype="int64"),
+                }
+                if keep_super:
+                    cols["super"] = pd.Series(dtype="int64")
+                return pd.DataFrame(cols)
             if len(right) == 0:
                 raise RuntimeError(
                     f"semdedup_hierarchical_quantizer: super-cluster "
@@ -999,13 +1012,14 @@ def semdedup_hierarchical_quantizer(
             )
             xn = (X * X).sum(axis=1)
             d2 = xn[:, None] - 2 * (X @ C.T) + cn[None, :]
-            return pd.DataFrame(
-                {
-                    id_col: left[id_col].to_numpy(),
-                    vec_col: left[vec_col],
-                    "cluster": cids[np.argmin(d2, axis=1)],
-                }
-            )
+            cols = {
+                id_col: left[id_col].to_numpy(),
+                vec_col: left[vec_col],
+                "cluster": cids[np.argmin(d2, axis=1)],
+            }
+            if keep_super:
+                cols["super"] = np.full(len(left), key[0], dtype="int64")
+            return pd.DataFrame(cols)
 
         return (
             rows.groupBy("_sup", "_salt")
