@@ -60,6 +60,12 @@ TARGETS = (
     "text_repetition_stats",
     "text_cms_heavy_hitters",
     "dedup_semdedup_clusters",
+    # round-12 additions: the two new dedup queries' last measured decade
+    # (sf0.01 -> sf0.1) is floor-exit-shaped (1.21x / 1.34x), so pin a
+    # genuine 4th point; the hierarchical quantizer also gets its
+    # multi-partition cogroup exercised at 10x here
+    "dedup_semdedup_hier_clusters",
+    "dedup_threshold_sweep_lsh",
 )
 # tables the target plans actually read — only these are synthesized
 NEEDED = ("lineitem", "orders", "documents", "embeddings")
