@@ -388,9 +388,9 @@ EXCLUDED: dict[str, str] = {
     "pipeline_weighted_sample": "overhead floor: 0.328s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "q6_forecast_revenue": "overhead floor: 0.321s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "sample_stratified_hash": "overhead floor: 0.373s at sf0.1 (TIMEALL r10 full-registry sweep)",
-    "scalar_functions": "overhead floor: 0.328s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "scalar_functions": "overhead floor: 0.321s at sf0.1 (round-12 warm min-of-3 re-measurement; the r12 TIMEALL single-iter 1.874s was cold-run contention)",
     "sim_embedding_norms": "overhead floor: 0.280s at sf0.1 (TIMEALL r10 full-registry sweep)",
-    "skew_salted_agg": "overhead floor: 0.462s at sf0.1 (TIMEALL r10 full-registry sweep)",
+    "skew_salted_agg": "overhead floor: 0.389s at sf0.1 (round-12 warm min-of-3 re-measurement; the r12 TIMEALL single-iter 0.741s was cold-run contention)",
     "string_agg_nations": "overhead floor: 0.319s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "text_bpe_token_hist": "overhead floor: 0.335s at sf0.1 (TIMEALL r10 full-registry sweep)",
     "text_chunk_windows": "overhead floor: 0.297s at sf0.1 (TIMEALL r10 full-registry sweep)",
