@@ -1964,20 +1964,53 @@ c1m AS (
   SELECT s2.sup, c1.cluster, c1.centroid
   FROM c1 JOIN seeds2 s2 ON c1.cluster = s2.cluster
 ),
-a2 AS ({_sem_assign_sup_sql('supr', 'c1m')})
-SELECT cluster::BIGINT AS cluster, COUNT(*)::BIGINT AS n_assigned,
-       bit_xor({portable.hash60("'s|' || vec_id::VARCHAR", 'duck')}) AS member_fp
-FROM a2 GROUP BY cluster
+a2 AS ({_sem_assign_sup_sql('supr', 'c1m')}),
+gc AS (SELECT cluster, COUNT(*)::BIGINT AS c FROM a2 GROUP BY cluster),
+capped AS (
+  SELECT a.vec_id, a.v, a.cluster,
+         a.cluster * 2147483648 +
+         ({portable.hash60("'cap|' || a.vec_id::VARCHAR", 'duck')}
+          % ((g.c + {_SEM_T - 1}) // {_SEM_T})) AS grp2
+  FROM a2 a JOIN gc g ON a.cluster = g.cluster
+),
+nn AS (SELECT vec_id, cluster, grp2, v,
+              {portable.int_dot('v', 'v', 'duck')} AS nrm
+       FROM capped),
+prs AS (
+  SELECT a.cluster, b.vec_id AS id_b
+  FROM nn a JOIN nn b ON a.grp2 = b.grp2 AND a.vec_id < b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
+    AND ROUND({portable.cosine_from_ints(portable.int_dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}, 6) >= {SEMDEDUP_T}
+),
+dropped AS (SELECT DISTINCT cluster, id_b AS vec_id FROM prs),
+kept AS (
+  SELECT s.cluster, s.vec_id FROM a2 s
+  LEFT JOIN dropped d ON s.cluster = d.cluster AND s.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+),
+agg_a AS (SELECT cluster, COUNT(*)::BIGINT AS n_assigned FROM a2 GROUP BY cluster),
+agg_d AS (SELECT cluster, COUNT(*)::BIGINT AS nd FROM dropped GROUP BY cluster),
+agg_k AS (SELECT cluster,
+                 bit_xor({portable.hash60("'s|' || vec_id::VARCHAR", 'duck')}) AS kept_fp
+          FROM kept GROUP BY cluster)
+SELECT a.cluster::BIGINT AS cluster, a.n_assigned,
+       COALESCE(d.nd, 0)::BIGINT AS n_dropped,
+       ((a.n_assigned - COALESCE(d.nd, 0)) * 1000000 // a.n_assigned)::BIGINT AS keep_ppm,
+       k.kept_fp
+FROM agg_a a LEFT JOIN agg_d d ON a.cluster = d.cluster
+JOIN agg_k k ON a.cluster = k.cluster
 """,
     tags=("dedup", "similarity", "north-star"),
 )
 def dedup_semdedup_hier_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical two-level SemDeDup quantizer audit: (cluster,
-    n_assigned, member_fp) per level-2 cluster — the k·d >
-    max_centroid_cells scale path the flat quantizer's error message
-    points at, exercised end-to-end against a full DuckDB replay.
+    """FULL SemDeDup on the hierarchical scale path: the same per-cluster
+    dedup audit as dedup_semdedup_clusters — (cluster, n_assigned,
+    n_dropped, keep_ppm, kept_fp) under the min-id dominance rule — but
+    quantized by the TWO-LEVEL quantizer, so a user at the k·d >
+    max_centroid_cells scale (where the flat quantizer refuses) runs the
+    identical dedup semantics with every driver collect O(sqrt(k)·d).
 
-    Two levels (operators/similarity.semdedup_hierarchical_quantizer):
+    Quantizer (operators/similarity.semdedup_hierarchical_quantizer):
     level 1 buckets the corpus into k1 = ceil(sqrt(k)) SUPER-clusters
     with the flat hash-seeded integer k-means (driver collects
     O(sqrt(k)·d)); level 2 re-runs the same seed/assign/Lloyd/reassign
@@ -1988,28 +2021,67 @@ def dedup_semdedup_hier_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell ceiling; here the biggest collect is ~880·64 cells at that
     size).  Assignment runs as salted (super, salt) cogroup GEMM tasks
     so one giant super-cluster spreads over row_replication tasks
-    instead of funnelling through one.
+    instead of funnelling through one.  Downstream is byte-identical to
+    the flat pipeline: cap_group_sizes hard per-group ceiling (dense
+    level-2 ids satisfy the 2³² packing contract by construction), the
+    within-sub-group upper-triangle int64 GEMM, and the dominance
+    survivor rule in Spark SQL.
 
     Everything stays on the exact integer grid (seeds by hash60 stride,
     GEMM dist² in int64 with ties to the lower dense cluster id,
     SUM div COUNT centroid updates), so the DuckDB oracle replays the
-    whole two-level pipeline bit-for-bit; member_fp xor-fingerprints
-    exact cluster membership.  Reference parity: coarse-quantize-then-
-    compare mirrors UDA's partition-then-merge shape (hash-partitioned
-    shuffle, src/Merger), re-expressed as Spark cogroup over dense keys.
+    whole two-level pipeline plus the dedup tail bit-for-bit; kept_fp
+    xor-fingerprints exact survivor membership.  Reference parity:
+    coarse-quantize-then-compare mirrors UDA's partition-then-merge
+    shape (hash-partitioned shuffle, src/Merger), re-expressed as Spark
+    cogroup over dense keys.
     """
     emb = t(spark, sf_dir, "embeddings")
     iv = emb.select(
         "vec_id", F.expr(portable.int_vec("embedding", "spark")).alias("v")
     )
-    assigned = SIM_OP.semdedup_hierarchical_quantizer(
-        iv, "vec_id", "v", SEMDEDUP_TARGET, seed_salt="km", super_salt="sup"
+    assigned = tracked_persist(
+        SIM_OP.semdedup_hierarchical_quantizer(
+            iv, "vec_id", "v", SEMDEDUP_TARGET, seed_salt="km", super_salt="sup"
+        )
+    )
+    tgt = SEMDEDUP_TARGET
+    capped = SIM_OP.cap_group_sizes(
+        assigned, "cluster", "vec_id", tgt, out_col="grp2", salt="cap"
+    )
+    score = portable.cosine_from_ints("dot", "norm_a", "norm_b")
+    dropped = (
+        SIM_OP.within_group_pair_dots(capped, "grp2", "vec_id", "v", 0.30)
+        .where(F.round(F.expr(score), 6) >= F.expr(SEMDEDUP_T))
+        .select(
+            F.expr("grp2 div 2147483648").alias("cluster"),
+            F.col("id_b").alias("vec_id"),
+        )
+        .distinct()
+    )
+    kept = assigned.select("cluster", "vec_id").join(
+        dropped, on=["cluster", "vec_id"], how="left_anti"
     )
     fp = portable.hash60("concat('s|', CAST(vec_id AS STRING))", "spark")
-    return assigned.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_assigned"),
-        F.expr(f"bit_xor({fp})").alias("member_fp"),
-    ).select(F.col("cluster").cast("long").alias("cluster"), "n_assigned", "member_fp")
+    agg_a = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_assigned")
+    )
+    agg_d = dropped.groupBy("cluster").agg(F.count("*").cast("long").alias("nd"))
+    agg_k = kept.groupBy("cluster").agg(F.expr(f"bit_xor({fp})").alias("kept_fp"))
+    return (
+        agg_a.join(agg_d, on="cluster", how="left")
+        .join(agg_k, on="cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_assigned",
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_dropped"),
+            F.expr(
+                "CAST((n_assigned - COALESCE(nd, 0)) * 1000000"
+                " div n_assigned AS BIGINT)"
+            ).alias("keep_ppm"),
+            "kept_fp",
+        )
+    )
 
 
 @register(
