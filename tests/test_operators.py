@@ -1906,6 +1906,9 @@ def test_semdedup_quantizer_empty_corpus(spark):
     out = S.semdedup_coarse_quantizer(df, "vid", "v", 10)
     assert out.columns == ["vid", "v", "cluster"]
     assert out.count() == 0
+    hout = S.semdedup_hierarchical_quantizer(df, "vid", "v", 10)
+    assert hout.columns == ["vid", "v", "cluster"]
+    assert hout.count() == 0
 
 
 @pytest.mark.slow
