@@ -434,17 +434,25 @@ def main() -> None:
     # run's total by (record_probe / probe_before) expresses it in
     # clean-host seconds, making round-over-round deltas one-glance
     # comparable.  Read from the record (ADVICE r11: a duplicated literal
-    # silently drifts when the record is re-stamped); 0.713 is the
-    # 2026-08-16 record's value, kept as the fallback if the record is
-    # ever missing.  The raw value stays the headline; this is the
-    # comparison aid (see BENCHHISTORY.md).
-    clean_host_calib_sec = 0.713
+    # silently drifts when the record is re-stamped).  ADVICE r12: the
+    # anchor must NOT be this record's own probe time — that makes the
+    # unit self-referential (every `--record` run, including a contended
+    # one, would silently re-define it).  It lives in the record's
+    # dedicated ``anchor_sec`` field, which `--record` carries FORWARD
+    # unchanged; only an explicit `--rebase-anchor` re-bases it to the
+    # re-recording run's probe.  Fallbacks: the record's own probe (old
+    # records predate the field), then 0.798 (the r12 clean re-record's
+    # probe, the current anchor) if the record is missing entirely.  The
+    # raw value stays the headline; this is the comparison aid (see
+    # BENCHHISTORY.md).
+    clean_host_calib_sec = 0.798
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "EXTBENCH.json")) as fh:
-            clean_host_calib_sec = float(
-                json.load(fh)["calib_probe_sec"]["before"]
-            )
+            _rec = json.load(fh)
+        clean_host_calib_sec = float(
+            _rec.get("anchor_sec") or _rec["calib_probe_sec"]["before"]
+        )
     except (OSError, KeyError, ValueError, TypeError):
         pass
     normalized = (
@@ -497,9 +505,21 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)),
             "EXTBENCH.json" if record else "EXTBENCH_last.json",
         )
+        out_rec = {**detail, "wall_clock_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        if record:
+            # ADVICE r12: the normalization anchor survives re-records
+            # verbatim — a clean-host re-record refreshes the RECORD, not
+            # the UNIT.  `--rebase-anchor` is the explicit opt-in that
+            # re-defines the unit to this run's probe (document it in
+            # BENCHHISTORY.md when used).
+            out_rec["anchor_sec"] = (
+                round(calib_before, 3)
+                if "--rebase-anchor" in sys.argv and calib_before
+                else clean_host_calib_sec
+            )
         with open(ext_path, "w") as fh:
-            json.dump({**detail, "wall_clock_utc": time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, fh, indent=1)
+            json.dump(out_rec, fh, indent=1)
             fh.write("\n")
     except OSError as exc:
         print(f"# EXTBENCH.json not written: {exc}", file=sys.stderr)

@@ -119,6 +119,39 @@ def main() -> None:
     fixed = rows["sf1_synth_planes4"]["candidate_pairs"]
     knob = rows["sf1_synth_planes7"]["candidate_pairs"]
     base = rows["sf0.1_planes4"]["candidate_pairs"]
+
+    # Recall side at the SAME 10x tier (VERDICT r12 #6: the knob is now
+    # the production default, so its recall trade must be measured, not
+    # delegated as prose).  Ground truth = the exact O(n²) blocked GEMM
+    # at the same threshold (n=20k is within deliberate-exact range);
+    # recall = |lsh ∩ exact| / |exact| for the frozen 4-plane baseline,
+    # the scaled 7-plane knob alone, and the knob with the L (tables)
+    # compensation doubled.
+    emb10 = t(spark, synth_dir, "embeddings")
+    n10 = emb10.count()
+    exact = (
+        S.embedding_near_dup_pairs(
+            emb10, "vec_id", "embedding", threshold=THRESHOLD,
+            max_exact_rows=n10, n_rows=n10,
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_truth = exact.count()
+    recall = {}
+    for planes, tables in [(4, 8), (7, 8), (7, 16)]:
+        lsh = S.embedding_near_dup_pairs(
+            emb10, "vec_id", "embedding", threshold=THRESHOLD,
+            use_lsh=True, n_planes=planes, n_tables=tables,
+        ).select("id_a", "id_b")
+        found = exact.join(lsh, on=["id_a", "id_b"], how="left_semi").count()
+        release_persisted()
+        recall[f"planes{planes}_tables{tables}"] = {
+            "n_found": int(found),
+            "recall": round(found / n_truth, 4) if n_truth else None,
+        }
+    exact.unpersist()
+
     out = {
         "probe": "lsh_planes_knob",
         "threshold": THRESHOLD,
@@ -126,13 +159,22 @@ def main() -> None:
         "rows": rows,
         "candidate_growth_fixed_planes": round(fixed / base, 2),
         "candidate_growth_with_knob": round(knob / base, 2),
+        "recall_10x_tier": {
+            "threshold": THRESHOLD,
+            "n_rows": int(n10),
+            "n_exact_pairs": int(n_truth),
+            **recall,
+        },
         "note": (
             "10x corpus: fixed n_planes=4 grows candidates "
             f"{fixed / base:.1f}x (the 3.42x wall-clock decade in "
-            "SCALECURVE); n_planes=7 (the log2-scaling knob) holds them "
-            f"to {knob / base:.1f}x of the 1x-tier volume. Cost side "
-            "only — production pairs +planes with more tables to hold "
-            "recall (graded by dedup_lsh_recall_eval)."
+            "SCALECURVE); n_planes=7 (the log2-scaling knob, now the "
+            "production default via similarity.scaled_n_planes) holds "
+            f"them to {knob / base:.1f}x of the 1x-tier volume. "
+            "recall_10x_tier measures the trade against the exact "
+            "blocked-GEMM ground truth at the same threshold: +planes "
+            "costs recall per table, and doubling L (tables) buys it "
+            "back — the production pairing documented on the knob."
         ),
     }
     path = os.path.join(

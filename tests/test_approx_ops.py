@@ -83,6 +83,79 @@ def test_embedding_exact_mode_gated_by_row_cap(spark):
         )
 
 
+def test_scaled_n_planes_knob():
+    """VERDICT r12 #6: the data-scaled plane count is the production
+    default.  Pin the formula to the two MEASURED LSHKNOB.json points
+    (sf0.1 tier n=2000 -> 4 planes; 10x synth tier n=20000 -> 7 planes,
+    which held candidate growth to 14.7x vs 100.8x frozen), plus the
+    floor/monotonicity/target-bucket invariants the formula promises."""
+    from uda_spark.operators.similarity import (
+        LSH_TARGET_BUCKET_ROWS,
+        scaled_n_planes,
+    )
+
+    # the two measured knob points
+    assert scaled_n_planes(2_000) == 4
+    assert scaled_n_planes(20_000) == 7
+    # floor: tiny corpora keep the oracle-era 4 planes
+    for n in (0, 1, 100, LSH_TARGET_BUCKET_ROWS):
+        assert scaled_n_planes(n) == 4
+    # expected bucket population stays within [target/2, target] once
+    # past the floor: 2^planes >= n/target > 2^(planes-1)
+    for n in (10_001, 123_456, 10**7, 10**9):
+        p = scaled_n_planes(n)
+        assert n / (1 << p) <= LSH_TARGET_BUCKET_ROWS
+        assert n / (1 << (p - 1)) > LSH_TARGET_BUCKET_ROWS
+    # monotone non-decreasing in n
+    vals = [scaled_n_planes(n) for n in range(1, 50_000, 997)]
+    assert vals == sorted(vals)
+
+
+def test_scaled_planes_is_the_lsh_default(spark):
+    """The operator applies scaled_n_planes when n_planes is omitted:
+    at a corpus size where the knob picks MORE planes than the frozen 4,
+    the default run's pair set must equal an explicit n_planes=
+    scaled_n_planes(n) run (and both remain subsets of the 4-plane
+    superset, since fewer planes = coarser buckets = more candidates)."""
+    from pyspark.sql import functions as F
+
+    from uda_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        scaled_n_planes,
+    )
+
+    n = 5000  # n/target = 20 in (2^4, 2^5]: the knob picks 5 planes
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), "
+            "j -> CAST(((id * (j * 2654435761 + 40503)) % 997) - 498 AS DOUBLE) / 100.0)"
+        ).alias("embedding"),
+    )
+    p = scaled_n_planes(n)
+    assert p == 5
+    got_default = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.6, use_lsh=True
+        ).collect()
+    }
+    got_explicit = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.6, use_lsh=True, n_planes=p
+        ).collect()
+    }
+    got_frozen4 = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.6, use_lsh=True, n_planes=4
+        ).collect()
+    }
+    assert got_default == got_explicit
+    assert got_default <= got_frozen4
+
+
 def test_connected_components_matches_union_find(spark):
     from uda_spark.operators.dedup import connected_components
 

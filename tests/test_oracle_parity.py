@@ -74,6 +74,38 @@ def test_query_matches_oracle(name, spark, duck_smoke):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_doc_query_counts_match_registry():
+    """VERDICT r12 #5: the README/SURVEY query-count claims rotted twice
+    (344 and 325 against a 346-query registry) because nothing held them
+    to the code.  Grep the two doc lines and fail the suite the moment a
+    registration lands without the shop-window numbers following."""
+    import pathlib
+    import re
+
+    from uda_spark.registry import get_oracles, get_queries
+
+    root = pathlib.Path(__file__).parents[1]
+    n_q, n_o = len(get_queries()), len(get_oracles())
+
+    readme = (root / "README.md").read_text()
+    m = re.search(r"\((\d+) queries, ALL (\d+) oracle-checked\)", readme)
+    assert m, "README.md lost its '(N queries, ALL N oracle-checked)' line"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"README.md says {m.group(0)} but the registry has {n_q} queries "
+        f"/ {n_o} oracles — update the README line"
+    )
+
+    survey = (root / "SURVEY.md").read_text()
+    m = re.search(
+        r"\((\d+) registered queries, all (\d+) DuckDB-oracle-checked", survey
+    )
+    assert m, "SURVEY.md lost its '(N registered queries, ...)' status line"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"SURVEY.md says {m.group(0)} but the registry has {n_q} queries "
+        f"/ {n_o} oracles — update the SURVEY status line"
+    )
+
+
 def test_driver_window_is_lrs_rotation():
     """Round 9+ contract: the export order is this round's new
     registrations first, then this round's semantics-changed re-proofs

@@ -312,8 +312,10 @@ def dedup_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     from uda_spark.operators import similarity as SIM
 
     emb = t(spark, sf_dir, "embeddings")
+    # n_planes pinned: the oracle above embeds the 4-plane sign matrix.
+    # Production default is the data-scaled knob (similarity.scaled_n_planes).
     return SIM.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.35, use_lsh=True
+        emb, "vec_id", "embedding", threshold=0.35, use_lsh=True, n_planes=4
     )
 
 
@@ -1927,11 +1929,22 @@ p AS (
          (COUNT(*)::BIGINT + {_SEM_T - 1}) // {_SEM_T} AS k
   FROM iv
 ),
+pp0 AS (
+  SELECT n, min_id, k, CAST(CEIL(SQRT(k::DOUBLE)) AS BIGINT) AS k1d FROM p
+),
 pp AS (
+  -- exact ceil-sqrt (ADVICE r12): the Spark side computes k1 =
+  -- math.isqrt(k-1)+1 in exact integer arithmetic; CEIL(SQRT(double))
+  -- can round the wrong way for k near perfect squares above ~2^52.
+  -- sqrt() is correctly rounded (<=1 ulp), so the double estimate is
+  -- within +-1 of the true smallest m with m*m >= k for all BIGINT k —
+  -- one integer correction step restores exactness.
   SELECT n, min_id, k,
-         CAST(CEIL(SQRT(k::DOUBLE)) AS BIGINT) AS k1,
+         CASE WHEN (k1d - 1) * (k1d - 1) >= k THEN k1d - 1
+              WHEN k1d * k1d < k THEN k1d + 1
+              ELSE k1d END AS k1,
          GREATEST(n // k, 1) AS stride2
-  FROM p
+  FROM pp0
 ),
 p3 AS (
   SELECT n, min_id, k, k1, stride2,
@@ -2143,7 +2156,10 @@ def dedup_threshold_sweep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings")
     n = emb.count()
+    # n_planes pinned: the oracle embeds the 4-plane sign matrix.
+    # Production default is the data-scaled knob (similarity.scaled_n_planes).
     pairs = SIM_OP.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=_SWEEP_MIN_T, use_lsh=True
+        emb, "vec_id", "embedding", threshold=_SWEEP_MIN_T, use_lsh=True,
+        n_planes=4, n_rows=n,
     )
     return _sweep_over_pairs(spark, pairs, n)
