@@ -206,6 +206,8 @@ EXTENDED = [
     # round-12 additions
     "dedup_semdedup_hier_clusters",
     "dedup_threshold_sweep_lsh",
+    # round-13 addition
+    "dedup_lsh_scaled_planes_pairs",
 ]
 
 

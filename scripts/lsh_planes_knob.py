@@ -127,6 +127,12 @@ def main() -> None:
     # recall = |lsh ∩ exact| / |exact| for the frozen 4-plane baseline,
     # the scaled 7-plane knob alone, and the knob with the L (tables)
     # compensation doubled.
+    # Recall is threshold-dependent (per-table SRP collision probability
+    # rises with cosine), so measure BOTH the sweep's expensive low end
+    # (0.2) and the production near-dup cutoff (0.35) from one exact
+    # pass — the 0.35 row is what the "milder at the production
+    # threshold" guidance rests on.
+    PROD_T = 0.35
     emb10 = t(spark, synth_dir, "embeddings")
     n10 = emb10.count()
     exact = (
@@ -134,22 +140,33 @@ def main() -> None:
             emb10, "vec_id", "embedding", threshold=THRESHOLD,
             max_exact_rows=n10, n_rows=n10,
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "score")
         .persist()
     )
-    n_truth = exact.count()
+    n_truth = {thr: exact.where(F.col("score") >= thr).count()
+               for thr in (THRESHOLD, PROD_T)}
     recall = {}
     for planes, tables in [(4, 8), (7, 8), (7, 16)]:
         lsh = S.embedding_near_dup_pairs(
             emb10, "vec_id", "embedding", threshold=THRESHOLD,
             use_lsh=True, n_planes=planes, n_tables=tables,
-        ).select("id_a", "id_b")
-        found = exact.join(lsh, on=["id_a", "id_b"], how="left_semi").count()
+        ).select("id_a", "id_b", F.col("score").alias("lscore")).persist()
+        row = {}
+        for thr in (THRESHOLD, PROD_T):
+            found = (
+                exact.where(F.col("score") >= thr)
+                .join(lsh.where(F.col("lscore") >= thr),
+                      on=["id_a", "id_b"], how="left_semi")
+                .count()
+            )
+            row[f"t{thr}"] = {
+                "n_found": int(found),
+                "recall": round(found / n_truth[thr], 4)
+                if n_truth[thr] else None,
+            }
+        lsh.unpersist()
         release_persisted()
-        recall[f"planes{planes}_tables{tables}"] = {
-            "n_found": int(found),
-            "recall": round(found / n_truth, 4) if n_truth else None,
-        }
+        recall[f"planes{planes}_tables{tables}"] = row
     exact.unpersist()
 
     out = {
@@ -160,9 +177,9 @@ def main() -> None:
         "candidate_growth_fixed_planes": round(fixed / base, 2),
         "candidate_growth_with_knob": round(knob / base, 2),
         "recall_10x_tier": {
-            "threshold": THRESHOLD,
+            "thresholds": [THRESHOLD, PROD_T],
             "n_rows": int(n10),
-            "n_exact_pairs": int(n_truth),
+            "n_exact_pairs": {f"t{thr}": int(v) for thr, v in n_truth.items()},
             **recall,
         },
         "note": (
@@ -172,9 +189,23 @@ def main() -> None:
             "production default via similarity.scaled_n_planes) holds "
             f"them to {knob / base:.1f}x of the 1x-tier volume. "
             "recall_10x_tier measures the trade against the exact "
-            "blocked-GEMM ground truth at the same threshold: +planes "
-            "costs recall per table, and doubling L (tables) buys it "
-            "back — the production pairing documented on the knob."
+            "blocked-GEMM ground truth at BOTH thresholds: at the "
+            f"sweep's low end (t={THRESHOLD}) the knob costs recall "
+            f"{recall['planes4_tables8'][f't{THRESHOLD}']['recall']} -> "
+            f"{recall['planes7_tables8'][f't{THRESHOLD}']['recall']} at "
+            "fixed L=8 (per-table collision probability decays "
+            "exponentially in planes at low similarity) and doubling L "
+            f"recovers {recall['planes7_tables16'][f't{THRESHOLD}']['recall']}; "
+            f"at the production near-dup cutoff (t={PROD_T}) the same "
+            "moves read "
+            f"{recall['planes4_tables8'][f't{PROD_T}']['recall']} -> "
+            f"{recall['planes7_tables8'][f't{PROD_T}']['recall']} -> "
+            f"{recall['planes7_tables16'][f't{PROD_T}']['recall']} (L=16). "
+            "The honest production pairing: scaled planes bound COST; "
+            "to hold recall scale L multiplicatively with added planes, "
+            "or keep low-threshold sweeps on the banded-MinHash / "
+            "prefix-filter exact paths, which are complete by "
+            "construction (dedup_lsh_recall_eval grades that family)."
         ),
     }
     path = os.path.join(

@@ -354,6 +354,9 @@ EXTENDED = (
     # round-12 additions (>=0.5s at sf0.1, measured this round)
     "dedup_semdedup_hier_clusters",
     "dedup_threshold_sweep_lsh",
+    # round-13 addition (sibling dedup_embedding_near_pairs_lsh measured
+    # 2.3s at sf0.1 — same pipeline plus the knob arithmetic)
+    "dedup_lsh_scaled_planes_pairs",
 )
 
 

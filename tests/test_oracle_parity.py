@@ -137,7 +137,7 @@ def test_driver_window_is_lrs_rotation():
 
     # The frozen round is pinned (not "latest file present") so this test
     # stays deterministic after this round's own CORRECTNESS file lands.
-    assert LRS_THROUGH_ROUND == 11
+    assert LRS_THROUGH_ROUND == 12
     exclude = _NEW_THIS_ROUND + _REPROVEN_THIS_ROUND
     expected = compute_lrs_order(LRS_THROUGH_ROUND, exclude=exclude)
     assert _LRS_ORDER == expected, "regenerate with: python scripts/rotation.py"

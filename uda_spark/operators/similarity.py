@@ -275,6 +275,38 @@ def srp_buckets_duck_sql(
     return "\nUNION ALL\n".join(selects)
 
 
+def srp_sign_bits_duck_sql(
+    max_planes: int, n_tables: int, dim: int, id_col: str = "vec_id"
+) -> str:
+    """DuckDB relation of UNPACKED sign bits: (id, tbl, bits) where
+    ``bits`` is the list of the first ``max_planes`` sign bits (1/0) of
+    :func:`srp_sign`'s deterministic hyperplanes, over a CTE ``iv``.
+
+    Unlike :func:`srp_buckets_duck_sql` (which packs a FIXED plane count
+    into an integer bucket at SQL-generation time), this keeps the bits
+    as a list so the CONSUMING query can pick the plane count at QUERY
+    time — ``list_slice(bits, 1, planes)`` equality over the first
+    ``planes`` bits is exactly bucket equality at that plane count.
+    That is what lets the data-scaled :func:`scaled_n_planes` default be
+    oracle-replayed: the oracle derives ``planes`` from the row count
+    with the same exact integer formula and slices, instead of baking
+    one plane count into the sign matrix."""
+    selects = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(max_planes):
+            signs = ", ".join(str(srp_sign(t, p, d)) for d in range(dim))
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> v[i] * ([{signs}])[i]))"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END")
+        selects.append(
+            f"SELECT {id_col}, {t} AS tbl, [{', '.join(bits)}] AS bits FROM iv"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 def srp_buckets(
     df: DataFrame,
     id_col: str,

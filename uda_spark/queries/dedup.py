@@ -319,6 +319,89 @@ def dedup_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Round 13 — the data-scaled n_planes knob as the oracle-checked
+# PRODUCTION default (VERDICT r12 #6).  The oracle cannot bake one sign
+# matrix: the plane count is a function of the row count.  So it keeps
+# the first 12 sign bits UNPACKED per (row, table) and compares
+# list_slice(bits, 1, planes) — bucket equality at the plane count it
+# derives from n with the same exact integer formula the operator uses
+# (ceil-log2 via LENGTH(BIN(r-1)); 12 bits covers corpora to 250·2¹² ≈
+# 1M rows, far past any replayable tier).
+@register(
+    "dedup_lsh_scaled_planes_pairs",
+    oracle=f"""
+WITH iv AS ({_DUCK_IV}),
+meta AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         GREATEST(4, LENGTH(BIN(
+           (COUNT(*)::BIGINT + {SIM_OP.LSH_TARGET_BUCKET_ROWS - 1})
+             // {SIM_OP.LSH_TARGET_BUCKET_ROWS} - 1))) AS planes
+  FROM iv
+),
+sb AS ({SIM_OP.srp_sign_bits_duck_sql(12, 8, 64)}),
+nn AS (SELECT vec_id, v, {portable.int_dot('v', 'v', 'duck')} AS nrm FROM iv),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sb a JOIN sb b ON a.tbl = b.tbl AND a.vec_id < b.vec_id
+  CROSS JOIN meta m
+  WHERE list_slice(a.bits, 1, m.planes) = list_slice(b.bits, 1, m.planes)
+),
+prs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand JOIN nn a ON a.vec_id = cand.id_a JOIN nn b ON b.vec_id = cand.id_b
+  WHERE ROUND({portable.cosine_from_ints(portable.int_dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}, 6) >= {COSINE_T}
+)
+SELECT m.n AS n_rows, m.planes::BIGINT AS n_planes,
+       COUNT(p.id_a)::BIGINT AS n_pairs,
+       COALESCE(bit_xor({portable.hash60("'p|' || p.id_a::VARCHAR || '|' || p.id_b::VARCHAR", 'duck')}), 0)::BIGINT AS pair_fp
+FROM meta m LEFT JOIN prs p ON TRUE
+GROUP BY m.n, m.planes
+""",
+    tags=("dedup", "similarity", "approx"),
+)
+def dedup_lsh_scaled_planes_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-dup pairs under the PRODUCTION parameterization — the
+    data-scaled plane count (similarity.scaled_n_planes: expected
+    per-(table, bucket) population pinned at LSH_TARGET_BUCKET_ROWS, so
+    per-bucket pair work stays flat while a frozen plane count would grow
+    it quadratically; cost and recall both measured at the 10x tier in
+    LSHKNOB.json).  Output is the audit row (n_rows, n_planes, n_pairs,
+    pair_fp): the knob's chosen plane count made visible, the verified
+    pair count, and an order-independent xor fingerprint pinning EXACT
+    pair membership — so the driver value-hash checks both the knob
+    arithmetic and the complete bucket/GEMM/filter pipeline under it.
+
+    Scale shape: identical to dedup_embedding_near_pairs_lsh (one
+    exchange on (table, bucket), per-bucket GEMM scoring, exact-cosine
+    re-filter) — the plane count is the only thing that moves, and it
+    moves exactly so that per-task work does not.  Reference parity:
+    bucket-partitioned candidate generation mirrors UDA's hash-partition
+    + per-partition merge shape (src/Merger), as the LSH family's other
+    rows do.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    planes = SIM_OP.scaled_n_planes(n)
+    pairs = SIM_OP.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, use_lsh=True, n_rows=n
+    )
+    fp = portable.hash60(
+        "concat('p|', CAST(id_a AS STRING), '|', CAST(id_b AS STRING))",
+        "spark",
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(f"coalesce(bit_xor({fp}), CAST(0 AS BIGINT))")
+        .cast("long")
+        .alias("pair_fp"),
+    ).select(
+        F.lit(int(n)).cast("long").alias("n_rows"),
+        F.lit(int(planes)).cast("long").alias("n_planes"),
+        "n_pairs",
+        "pair_fp",
+    )
+
+
 @register(
     "dedup_cluster_canonical",
     oracle=f"""

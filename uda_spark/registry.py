@@ -236,72 +236,25 @@ _R08_NEW: tuple[str, ...] = (
 # This bounds maximum external-row staleness at ~ceil(N / (50 - new)) rounds
 # permanently; test_driver_window_is_lrs_rotation recomputes the ordering
 # from the committed files and fails if this frozen tuple drifts.
-LRS_THROUGH_ROUND = 11
+LRS_THROUGH_ROUND = 12
 
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "dedup_semdedup_hier_clusters",
-    "dedup_threshold_sweep_lsh",
+    "dedup_lsh_scaled_planes_pairs",
 )
 
 # Queries whose SEMANTICS changed this round (implementation + oracle
 # replaced, not just refactored) and therefore must re-earn an external
 # driver row in the same round — they sort right after the new names.
-# Round 12: dedup_semdedup_clusters's quantizer now emits DENSE 0-based
-# cluster ids instead of raw seed row ids (VERDICT r11 #1 — the
-# grp*2^31+sub packing contract), changing its output relation; its r11
-# row proves the OLD (raw-id) semantics, so it re-enters the window head.
+# Round 13: dedup_semdedup_hier_clusters's quantizer replaced the k-row
+# cluster→super broadcast with the carried-super Lloyd aggregation and
+# its oracle's k1 moved from CEIL(SQRT(double)) to the exact integer
+# correction (VERDICT r12 #1 + ADVICE r12) — plan and oracle both
+# changed, so it re-earns its external row.
 _REPROVEN_THIS_ROUND: tuple[str, ...] = (
-    "dedup_semdedup_clusters",
+    "dedup_semdedup_hier_clusters",
 )
 
 _LRS_ORDER: tuple[str, ...] = (
-    "window_order_gaps",
-    "skew_salted_agg",
-    "array_order_profiles",
-    "pivot_priority_by_nation",
-    "merge_orders_refresh",
-    "hll_sketch_persisted_rollup",
-    "kmeans_embeddings",
-    "sim_ivf_knn",
-    "sql_api_supplier_balances",
-    "unpivot_order_metrics",
-    "recursive_cte_part_ancestors",
-    "lateral_top_orders",
-    "stats_scaled_moments",
-    "join_bucketed_colocated",
-    "sample_stratified_hash",
-    "layout_zorder_events",
-    "csv_roundtrip_supplier",
-    "json_roundtrip_nation",
-    "text_roundtrip_documents",
-    "kv_sequencefile_roundtrip",
-    "kv_vint_stream_roundtrip",
-    "schema_evolution_scan",
-    "orc_roundtrip_part",
-    "xml_roundtrip_region",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "filter_project",
-    "join_broadcast_dim",
-    "join_semi",
-    "join_anti",
-    "join_outer_agg",
-    "agg_rollup",
-    "agg_cube",
-    "distinct_pairs",
-    "topk_orders",
-    "setops_customers",
-    "window_rank_orders",
-    "window_running_sum",
-    "scalar_functions",
-    "date_functions",
-    "string_agg_nations",
-    "terasort_rank",
-    "table_digest_orders",
-    "kv_pyds_roundtrip",
     "kv_pyds_stream_ingest",
     "federated_mixed_format_scan",
     "window_percent_rank_balances",
@@ -598,6 +551,55 @@ _LRS_ORDER: tuple[str, ...] = (
     "ml_hosmer_lemeshow",
     "ml_theil_u_association",
     "ml_qini_uplift",
+    "window_order_gaps",
+    "skew_salted_agg",
+    "array_order_profiles",
+    "pivot_priority_by_nation",
+    "merge_orders_refresh",
+    "hll_sketch_persisted_rollup",
+    "kmeans_embeddings",
+    "sim_ivf_knn",
+    "sql_api_supplier_balances",
+    "unpivot_order_metrics",
+    "recursive_cte_part_ancestors",
+    "lateral_top_orders",
+    "stats_scaled_moments",
+    "join_bucketed_colocated",
+    "sample_stratified_hash",
+    "layout_zorder_events",
+    "csv_roundtrip_supplier",
+    "json_roundtrip_nation",
+    "text_roundtrip_documents",
+    "kv_sequencefile_roundtrip",
+    "kv_vint_stream_roundtrip",
+    "schema_evolution_scan",
+    "orc_roundtrip_part",
+    "xml_roundtrip_region",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "filter_project",
+    "join_broadcast_dim",
+    "join_semi",
+    "join_anti",
+    "join_outer_agg",
+    "agg_rollup",
+    "agg_cube",
+    "distinct_pairs",
+    "topk_orders",
+    "setops_customers",
+    "window_rank_orders",
+    "window_running_sum",
+    "scalar_functions",
+    "date_functions",
+    "string_agg_nations",
+    "terasort_rank",
+    "table_digest_orders",
+    "kv_pyds_roundtrip",
+    "dedup_semdedup_clusters",
+    "dedup_threshold_sweep_lsh",
 )  # generated by scripts/rotation.py (round 12, through r11)
 
 
