@@ -1716,7 +1716,11 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, "cluster", "vec_id", tgt, out_col="grp2", salt="cap"
     )
     score = portable.cosine_from_ints("dot", "norm_a", "norm_b")
-    dropped = (
+    # persisted: the anti-join (kept) AND agg_d both consume this
+    # relation, and its subtree is the pair-GEMM stage — the single most
+    # expensive stage of the query; without the persist Spark computes
+    # it twice (round-13 profile: ~2x the tail cost at every scale)
+    dropped = tracked_persist(
         SIM_OP.within_group_pair_dots(capped, "grp2", "vec_id", "v", 0.30)
         .where(F.round(F.expr(score), 6) >= F.expr(SEMDEDUP_T))
         .select(
@@ -2146,7 +2150,11 @@ def dedup_semdedup_hier_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, "cluster", "vec_id", tgt, out_col="grp2", salt="cap"
     )
     score = portable.cosine_from_ints("dot", "norm_a", "norm_b")
-    dropped = (
+    # persisted: the anti-join (kept) AND agg_d both consume this
+    # relation, and its subtree is the pair-GEMM stage — the single most
+    # expensive stage of the query; without the persist Spark computes
+    # it twice (round-13 profile: ~2x the tail cost at every scale)
+    dropped = tracked_persist(
         SIM_OP.within_group_pair_dots(capped, "grp2", "vec_id", "v", 0.30)
         .where(F.round(F.expr(score), 6) >= F.expr(SEMDEDUP_T))
         .select(
