@@ -391,6 +391,13 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    # Convergence check: per-node labels are monotonically NON-INCREASING
+    # (each round takes a min with the old label), so the label SUM
+    # strictly decreases until the fixpoint — sum unchanged ⟺ no node
+    # changed, exactly.  One scalar aggregate on the just-checkpointed
+    # relation replaces the old updated⋈labels inequality join + count
+    # per round (r13; one fewer join/exchange per round, same labels).
+    prev_sum = None
     for _ in range(max_iterations):
         # neighbor labels: for each edge (src,dst), dst's current label
         nbr = (
@@ -411,16 +418,13 @@ def connected_components(
             )
         )
         updated = updated.transform(_snapshot)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="node")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = updated.agg(
+            F.sum("component").cast("decimal(38,0)")
+        ).first()[0]
         labels = updated
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -491,12 +495,20 @@ def _star_round(
     sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
+    # NO distinct here (r13, guide §2.4): min is duplicate-insensitive,
+    # so duplicate (hi, lo) rows cannot change the small-star groupBy-min
+    # below, and every downstream consumer dedups at the round's final
+    # distinct — the intermediate distinct was a full exchange of the
+    # rewritten edge list per round for nothing (measured at sf0.1:
+    # CC tail 1.36s → 1.06s, labels identical).  The hot-degree counts
+    # may inflate with duplicates, which only shifts keys between the
+    # broadcast and shuffled paths of _min_join — both compute the same
+    # relation.
     large = (
         _min_join(sym, "u", "v", True, hot_degree_threshold)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         .where(F.col("hi") != F.col("lo"))
-        .distinct()
     )
     # small-star: each node connects its smaller neighbors (and itself)
     # to the minimum of that set — flattens local trees into stars
