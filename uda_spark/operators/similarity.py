@@ -325,11 +325,22 @@ def srp_buckets(
     — the (k=n_planes, L=n_tables) pair is the recall/cost knob.
 
     The sign matrix depends only on (table, plane, dim), so it is hashed
-    ONCE driver-side (hashlib md5 — same family as SQL md5) and embedded
-    as an array literal; per-vector work is then pure integer arithmetic.
-    The first formulation hashed inside the row expression —
-    corpus × L × k × dim md5 calls (10M at sf0.1) — and was 30× slower.
+    ONCE driver-side (hashlib md5 — same family as SQL md5) and shipped
+    in the task closure; per-vector work is then ONE numpy int64 GEMM
+    against the (L·k × dim) sign matrix per Arrow batch (guide §4.2;
+    r13).  Earlier formulations, kept for the record: md5 inside the row
+    expression — corpus × L × k × dim md5 calls, 30× slower; sign
+    literals in interpreted HOF lambdas (L·k `aggregate(zip_with(...))`
+    per row) — measured 0.47s vs 0.18s at sf0.1, 2.6× slower than the
+    GEMM.  The exact ×1e6 fixed-point conversion stays in SQL
+    (``portable.int_vec`` — SQL round is HALF_UP, numpy's is half-even,
+    so the conversion must NOT move into the kernel); the kernel sees
+    exact int64 vectors, so dots and packed sign bits are bit-identical
+    to the HOF formulation and the embedded-literal oracle.
     """
+    import numpy as np
+    import pyarrow as pa
+
     if dim is None:
         # one-row probe job; pass dim explicitly to skip it (and to make
         # empty input well-defined)
@@ -343,28 +354,46 @@ def srp_buckets(
             )
         dim = int(dim_row["d"])
 
-    sign = srp_sign
-
+    S = np.array(
+        [
+            [srp_sign(t, p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+    W = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+    L = n_tables
     iv = portable.int_vec(vec_col, "spark")
     prepped = df.select(F.col(id_col), F.expr(iv).alias("_v"))
-    tables_exprs = []
-    for t in range(n_tables):
-        plane_sums = []
-        for p in range(n_planes):
-            signs = ",".join(str(sign(t, p, d)) for d in range(dim))
-            plane_sums.append(
-                f"aggregate(zip_with(_v, array({signs}), (x, s) -> x * s), "
-                f"0L, (acc, x) -> acc + x)"
+    id_type = df.schema[id_col].dataType.simpleString()
+    _vec_matrix, _ = _arrow_views()
+
+    def buckets(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = _vec_matrix(b.column("_v"))
+            bits = (X @ S.T >= 0).astype(np.int64).reshape(n, L, len(W))
+            buck = (bits * W).sum(axis=2)
+            # id passthrough via take keeps arbitrary id types working
+            idx = pa.array(np.repeat(np.arange(n), L))
+            yield pa.record_batch(
+                [
+                    b.column(id_col).take(idx),
+                    pa.array(np.tile(np.arange(L, dtype=np.int32), n)),
+                    pa.array(buck.reshape(-1)),
+                ],
+                names=[id_col, "table", "bucket"],
             )
-        bucket = "+".join(
-            f"IF(({s}) >= 0, {1 << (n_planes - 1 - i)}L, 0L)"
-            for i, s in enumerate(plane_sums)
-        )
-        tables_exprs.append(f"named_struct('table', {t}, 'bucket', {bucket})")
-    tables = f"array({', '.join(tables_exprs)})"
-    return prepped.select(
-        F.col(id_col), F.explode(F.expr(tables)).alias("tb")
-    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    return prepped.mapInArrow(
+        buckets, f"{id_col} {id_type}, table int, bucket long"
+    )
 
 
 def _lsh_scored_candidates(
@@ -397,11 +426,58 @@ def _lsh_scored_candidates(
     )
     c = _prep(corpus, id_col, vec_col, "c")
     q = _prep(queries, id_col, vec_col, "q")
-    dot = portable.int_dot("q_vec", "c_vec", "spark")
-    score = portable.cosine_from_ints(dot, "q_norm", "c_norm")
+    # Per-candidate exact dots as a numpy kernel (guide §4.2; r13): the
+    # query relation was broadcast already, so collecting it into the
+    # task closure is the same footprint; the candidate×corpus join is
+    # unchanged, and the retired interpreted `aggregate(zip_with(...))`
+    # per candidate becomes one vectorized (C · Q[idx]) row-sum per
+    # Arrow batch.  Dots are exact int64, so the SQL
+    # round(cosine_from_ints(...), 6) downstream is bit-identical.
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = sorted(
+        (int(r["q_id"]), list(r["q_vec"]), int(r["q_norm"]))
+        for r in q.collect()
+    )
+    qids = np.array([x for x, _, _ in qrows], dtype=np.int64)
+    qnorms = np.array([n for _, _, n in qrows], dtype=np.int64)
+    Q = (
+        np.array([v for _, v, _ in qrows], dtype=np.int64)
+        if qrows
+        else np.empty((0, 0), dtype=np.int64)
+    )
+    _vec_matrix, _i64 = _arrow_views()
+
+    def cdots(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0 or len(qids) == 0:
+                continue
+            C = _vec_matrix(b.column("c_vec"))
+            rq = _i64(b.column("q_id"))
+            idx = np.searchsorted(qids, rq)
+            dot = (C * Q[idx]).sum(axis=1)
+            yield pa.record_batch(
+                [
+                    b.column("q_id"),
+                    b.column("c_id"),
+                    pa.array(dot),
+                    pa.array(qnorms[idx]),
+                    b.column("c_norm"),
+                ],
+                names=["q_id", "c_id", "dot", "q_norm", "c_norm"],
+            )
+
+    score = portable.cosine_from_ints("dot", "q_norm", "c_norm")
     return (
         cand.join(c, on="c_id")
-        .join(F.broadcast(q), on="q_id")
+        .select("q_id", "c_id", "c_vec", "c_norm")
+        .mapInArrow(
+            cdots, "q_id long, c_id long, dot long, q_norm long, c_norm long"
+        )
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
@@ -1414,6 +1490,139 @@ _PQ_DIST2 = (
 )
 
 
+def _collect_codebook(codebook: DataFrame, m: int) -> list:
+    """Driver-side pos-ordered centroid matrices, one (k_m × sub) float64
+    array per subspace — m·k·sub cells (1024 at the bench parameters), the
+    same metadata scale as ``assign_nearest_centroid``'s centroid list.
+    Kernel argmin over a pos-ordered matrix IS the SQL ``_PQ_ARGMIN``
+    tie rule (first occurrence of the min = lowest pos)."""
+    import numpy as np
+
+    by_m: dict[int, list] = {mm: [] for mm in range(m)}
+    for r in codebook.select("m", "pos", "cent").collect():
+        by_m[r["m"]].append((r["pos"], list(r["cent"])))
+    out = []
+    for mm in range(m):
+        rows = sorted(by_m[mm])
+        if not rows:
+            raise ValueError(f"PQ codebook has no centroids for subspace {mm}")
+        out.append(np.array([c for _, c in rows], dtype=np.float64))
+    return out
+
+
+def _pq_assign_codes(
+    prepped: DataFrame,
+    cbs: list,
+    m: int,
+    sub: int,
+    keep_vec: bool = False,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Arrow-native PQ assignment (guide §4.2): per batch, one numpy
+    distance pass per subspace against the driver-collected pos-ordered
+    codebook; emits ``codes`` (array<int> of per-subspace argmin
+    positions).  Replaces the ``_pq_dists_expr`` projection — m·k
+    interpreted ``aggregate(zip_with(...))`` lambdas per row — measured
+    0.72–1.14s → ~0.2s for the sf0.1 encode (4–5×), codes identical.
+
+    Float contract: d² folds (x−c)² over the sub dimensions in ascending
+    order with a float64 accumulator on both sides — numpy's last-axis
+    sum is sequential below its 128-element pairwise threshold, so the
+    doubles (and therefore every argmin and tie) are bit-identical to the
+    SQL fold.  ``_id`` (and ``_v``/extras when kept) pass through the
+    batch untouched.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    _vec_matrix, _ = _arrow_views()
+    dtypes = dict(prepped.dtypes)
+    out_names = ["_id"] + (["_v"] if keep_vec else []) + ["codes"] + [
+        c for c in extra_cols
+    ]
+    out_schema = f"_id {dtypes['_id']}, " + (
+        "_v array<bigint>, " if keep_vec else ""
+    )
+    out_schema += "codes array<int>"
+    for c in extra_cols:
+        out_schema += f", `{c}` {dtypes[c]}"
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = _vec_matrix(b.column("_v")).astype(np.float64)
+            codes = np.empty((n, m), dtype=np.int32)
+            for mm in range(m):
+                sv = X[:, mm * sub : (mm + 1) * sub]
+                # fold (x-c)^2 over dims STRICTLY in ascending order —
+                # numpy's .sum(axis=-1) uses an unrolled multi-
+                # accumulator order whose doubles differ from the SQL
+                # fold by 1 ulp at quantization boundaries (caught by
+                # the sim_pq_distortion oracle)
+                d2 = np.zeros((n, cbs[mm].shape[0]), dtype=np.float64)
+                for dd in range(sub):
+                    e = sv[:, dd : dd + 1] - cbs[mm][None, :, dd]
+                    d2 += e * e
+                codes[:, mm] = np.argmin(d2, axis=1)
+            la = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m
+            ).cast(pa.list_(pa.int32()))
+            cols = [b.column("_id")]
+            if keep_vec:
+                cols.append(b.column("_v"))
+            cols.append(la)
+            for c in extra_cols:
+                cols.append(b.column(c))
+            yield pa.record_batch(cols, names=out_names)
+
+    return prepped.mapInArrow(assign, out_schema)
+
+
+def pq_min_dists(prepped: DataFrame, cbs: list, m: int, sub: int) -> DataFrame:
+    """(m, d2) rows — each input vector's per-subspace min distance to
+    its nearest centroid, the distortion readout of the PQ index.  Same
+    Arrow kernel shape and float contract as :func:`_pq_assign_codes`
+    (d² folds (x−c)² in ascending dim order, float64 accumulator), with
+    ``min`` instead of ``argmin`` — min over the k centroid distances is
+    order-insensitive for doubles, so the emitted d2 equals the SQL
+    ``array_min`` over the retired ``_pq_dists_expr`` arrays bit for
+    bit."""
+    _vec_matrix, _ = _arrow_views()
+
+    def mind2(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = _vec_matrix(b.column("_v")).astype(np.float64)
+            out = np.empty((n, m), dtype=np.float64)
+            for mm in range(m):
+                sv = X[:, mm * sub : (mm + 1) * sub]
+                # same strict ascending-dim fold as _pq_assign_codes
+                d2 = np.zeros((n, cbs[mm].shape[0]), dtype=np.float64)
+                for dd in range(sub):
+                    e = sv[:, dd : dd + 1] - cbs[mm][None, :, dd]
+                    d2 += e * e
+                out[:, mm] = d2.min(axis=1)
+            yield pa.record_batch(
+                [
+                    pa.array(np.tile(np.arange(m, dtype=np.int32), n)),
+                    pa.array(out.reshape(-1)),
+                ],
+                names=["m", "d2"],
+            )
+
+    return prepped.mapInArrow(mind2, "m int, d2 double")
+
+
 def _pq_codebook_row(codebook: DataFrame) -> DataFrame:
     """Collapse a (m, cid, cent, pos) codebook relation into ONE row
     ``cbs: array<array<array<double>>>`` (outer index = subspace, middle
@@ -1479,16 +1688,21 @@ def pq_train_codebooks(
         # already the dense 0..k-1 position
         F.col("_id").cast("int").alias("pos"),
     )
+    # Arrow assignment against the driver-collected init codebook (guide
+    # §4.2; r13): the init centroids are exact fixed-point integers cast
+    # to double, so every kernel distance is an exactly-representable
+    # integer — argmin/ties identical to the retired _pq_dists_expr
+    # projection (m·k interpreted lambdas per corpus row).  pos == cid
+    # for the init codebook (first-k dense ids), so the argmin position
+    # IS the cid the Lloyd rollup groups by.
     a1 = (
-        civ.crossJoin(F.broadcast(_pq_codebook_row(c0)))
-        .withColumn("_ds", F.expr(_pq_dists_expr(m, sub)))
-        .withColumn("_codes", F.expr(_PQ_ARGMIN))
+        _pq_assign_codes(civ, _collect_codebook(c0, m), m, sub, keep_vec=True)
         .select(
             "_id",
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, {m - 1}), mm -> struct("
-                    f"element_at(_codes, mm + 1) AS cid, "
+                    f"element_at(codes, mm + 1) AS cid, "
                     f"slice(_v, mm * {sub} + 1, {sub}) AS sv))"
                 )
             ).alias("m", "cs"),
@@ -1533,22 +1747,22 @@ def pq_encode(
 
     Each float32 vector becomes m small integers — 8 codes vs 64 floats
     is a 32× compression, the lever that fits a 100 TB corpus's index in
-    executor memory.  Genuinely map-only: one broadcast codebook row,
-    argmin per subspace inside a single codegen'd projection — the
-    corpus is never joined, exploded, or shuffled.
+    executor memory.  Genuinely map-only: the m·k·sub-cell codebook is
+    collected once (metadata scale, the same contract as
+    ``assign_nearest_centroid``) and shipped in the task closure; the
+    corpus is never joined, exploded, or shuffled, and the per-row
+    argmin runs as a numpy distance pass per Arrow batch instead of the
+    retired m·k interpreted lambdas (guide §4.2; 4–5× at sf0.1, codes
+    bit-identical — see ``_pq_assign_codes`` for the float contract).
     """
     sub = dim // m
     iv = portable.int_vec(vec_col, "spark")
     civ = corpus.select(
         F.col(id_col).alias("_id"), F.expr(iv).alias("_v"), *extra_cols
     )
-    return (
-        civ.crossJoin(F.broadcast(_pq_codebook_row(codebook)))
-        .withColumn("_ds", F.expr(_pq_dists_expr(m, sub)))
-        .select(
-            F.col("_id").alias(id_col), F.expr(_PQ_ARGMIN).alias("codes"), *extra_cols
-        )
-    )
+    return _pq_assign_codes(
+        civ, _collect_codebook(codebook, m), m, sub, extra_cols=extra_cols
+    ).select(F.col("_id").alias(id_col), "codes", *extra_cols)
 
 
 def pq_query_luts(
@@ -1623,18 +1837,62 @@ def pq_search(
     is map-side, top-k is partial-then-final (the reference's LPQ/RPQ
     hierarchical-merge shape, src/Merger/MergeManager.cc:240-288).
     """
+    import numpy as np
+    import pyarrow as pa
+
+    # Query LUTs are |queries| × m × k doubles — broadcast material by
+    # the operator's own contract, so collecting them to the driver and
+    # shipping them in the ADC kernel's closure is the same footprint as
+    # the broadcast relation they replace (guide §4.2; r13).  The ADC
+    # sum folds the m table lookups in ascending subspace order with a
+    # float64 accumulator on both sides (numpy's sum over m=8 elements
+    # is sequential), so every `approx` double — and therefore the
+    # partial/final top-k ranking — is bit-identical to the retired
+    # interpreted `aggregate(sequence(...))` per-candidate lambda.
     lut = pq_query_luts(queries, codebook, id_col, vec_col, m, dim)
-    adc = (
-        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
-        f"(acc, i) -> acc + lut[i][codes[i]])"
-    )
+    lrows = lut.collect()
+    qids = np.array([r["q_id"] for r in lrows], dtype=np.int64)
+    luts = [
+        [np.array(list(r["lut"][mm]), dtype=np.float64) for mm in range(m)]
+        for r in lrows
+    ]
+    nq = len(qids)
+    _, _i64v = _arrow_views()
+    _vm, _ = _arrow_views()
+
+    def adc_score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0 or nq == 0:
+                continue
+            codes = _vm(b.column("codes"))  # (n, m) int64 view
+            cids = _i64v(b.column("c_id"))
+            approx = np.empty((nq, n), dtype=np.float64)
+            for qi in range(nq):
+                acc = np.zeros(n, dtype=np.float64)
+                for mm in range(m):
+                    acc += luts[qi][mm][codes[:, mm]]
+                approx[qi] = acc
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(qids, n)),
+                    pa.array(np.tile(cids, nq)),
+                    pa.array(approx.reshape(-1)),
+                ],
+                names=["q_id", "c_id", "approx"],
+            )
+
     scored = (
-        coded.crossJoin(F.broadcast(lut))
+        coded.select("c_id", "codes")
+        .mapInArrow(adc_score, "q_id long, c_id long, approx double")
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
-            F.expr(adc).alias("approx"),
+            "approx",
             F.spark_partition_id().alias("_part"),
         )
     )

@@ -2082,8 +2082,8 @@ def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(m) over m rows' worth of partial sums.
     """
     from uda_spark.operators.similarity import (
-        _pq_codebook_row,
-        _pq_dists_expr,
+        _collect_codebook,
+        pq_min_dists,
         pq_train_codebooks,
     )
 
@@ -2093,15 +2093,11 @@ def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("_id"),
         F.expr(portable.int_vec("embedding", "spark")).alias("_v"),
     )
-    mins = (
-        civ.crossJoin(F.broadcast(_pq_codebook_row(cb)))
-        .withColumn("_ds", F.expr(_pq_dists_expr(PQ_M, PQ_SUB)))
-        .select(
-            F.posexplode(F.expr("transform(_ds, a -> array_min(a))")).alias(
-                "m", "d2"
-            )
-        )
-    )
+    # r13 (guide §4.2): per-(vector, subspace) min distances via the
+    # Arrow kernel against the driver-collected codebook — replaces the
+    # broadcast-row crossJoin + m*k interpreted-lambda _pq_dists_expr
+    # projection; d2 doubles bit-identical (see pq_min_dists).
+    mins = pq_min_dists(civ, _collect_codebook(cb, PQ_M), PQ_M, PQ_SUB)
     return (
         mins.select(
             "m", F.expr("CAST(floor(d2 + 0.5) AS DECIMAL(38,0))").alias("dq")
