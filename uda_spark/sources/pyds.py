@@ -37,8 +37,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -161,7 +161,7 @@ class _KVWriter(DataSourceArrowWriter):
                 os.remove(m.tmp_path)
 
 
-class _KVStreamWriter(DataSourceStreamWriter):
+class _KVStreamWriter(DataSourceStreamArrowWriter):
     """Exactly-once streaming sink for VInt segments.
 
     Per micro-batch, each task writes a uniquely-named temp segment and
@@ -211,6 +211,11 @@ class _KVStreamWriter(DataSourceStreamWriter):
         self._ns = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _Committed:
+        # r13 (guide §4, the write-leg twin of the stream reader fix):
+        # was a row-based DataSourceStreamWriter — every record of every
+        # micro-batch crossed as one pickled Row.  The Arrow variant
+        # receives the same micro-batch as RecordBatches; column
+        # extraction and the NULL guard mirror the batch _KVWriter.
         import uuid
 
         from pyspark import TaskContext
@@ -220,22 +225,26 @@ class _KVStreamWriter(DataSourceStreamWriter):
         tmp = os.path.join(
             self._dir, f"_tmp-stream-{self._ns}-{uuid.uuid4().hex}"
         )
-        pairs = []
-        for row in iterator:
-            # by name, not position (same contract as the batch writer)
-            k, v = row["key"], row["value"]
-            if k is None or v is None:
-                raise ValueError(
-                    "uda_kv cannot encode NULL in column "
-                    f"{'key' if k is None else 'value'!r}: the VInt record "
-                    "framing has no null representation — filter or "
-                    "coalesce before writing"
-                )
-            pairs.append((bytes(k), bytes(v)))
+        n = 0
         with open(tmp, "wb") as fh:
-            fh.write(encode_kv_records(pairs))
+            for batch in iterator:
+                # by name, not position (same contract as the batch writer)
+                ki = batch.schema.get_field_index("key")
+                vi = batch.schema.get_field_index("value")
+                for name, idx in (("key", ki), ("value", vi)):
+                    if batch.column(idx).null_count:
+                        raise ValueError(
+                            f"uda_kv cannot encode NULL in column {name!r}: "
+                            "the VInt record framing has no null "
+                            "representation — filter or coalesce before "
+                            "writing"
+                        )
+                ks = batch.column(ki).to_pylist()
+                vs = batch.column(vi).to_pylist()
+                n += len(ks)
+                fh.write(encode_kv_records(zip(ks, vs)))
         # final_path is completed in commit() once the batchId is known
-        return _Committed(tmp, f"{pid:05d}", len(pairs))
+        return _Committed(tmp, f"{pid:05d}", n)
 
     def commit(self, messages, batchId: int) -> None:
         keep = set()
@@ -349,7 +358,9 @@ class UdaKVDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _KVStreamReader(self.options)
 
-    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DataSourceStreamArrowWriter:
         return _KVStreamWriter(self.options)
 
 
