@@ -483,6 +483,10 @@ def main() -> None:
         "pipeline_phases": pipeline_phases,
         "failed_queries": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # echo the honored env knobs so the driver's scaling harness can
+        # see the core count this run actually used (VERDICT r13 #7)
+        "cpus": cpus,
+        "sf_dir": sf_dir,
         "loadavg_before": loadavg_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "calib_probe_sec": {"before": calib_before, "after": _calibration_probe()},
@@ -545,6 +549,10 @@ def main() -> None:
                 "queries": timings,
                 "failed_queries": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # echo the honored core-count env (VERDICT r13 #7): the
+                # env IS read (local[{cpus}], shuffle=cpus) — say so in
+                # the line the driver parses
+                "cpus": cpus,
                 # host-conditions stamp: ~60 bytes, still far under the
                 # ~2.2 kB driver tail window
                 "loadavg": detail["loadavg_before"] + detail["loadavg_after"],

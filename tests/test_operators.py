@@ -2076,3 +2076,54 @@ def test_semdedup_hier_planted_giant_super_stress(spark):
     assert stats["max_c"] * (stats["max_c"] - 1) // 2 <= tgt * tgt
     assert stats["pairs"] <= 25 * (2 * n_half)
     assert wall < 180, f"planted-giant hierarchical quantizer took {wall:.0f}s"
+
+
+class TestR14Guards:
+    """Round-14 hardening: exact decimal convergence sums, bounded
+    driver collects in the kernel-closure paths, integral-id contract."""
+
+    def test_cc_convergence_sum_exact_near_long_max(self, spark):
+        """VERDICT r13 #2: the convergence check must accumulate in
+        DECIMAL, not sum longs and cast the result — with node ids near
+        2^62 a 5-node component's label sum overflows int64 (ANSI mode
+        throws, non-ANSI wraps and can falsely converge)."""
+        from uda_spark.operators.dedup import connected_components
+
+        base = 1 << 62
+        chain = spark.createDataFrame(
+            [(base + i, base + i + 1) for i in range(4)],
+            "doc_a long, doc_b long",
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(chain, max_iterations=10).collect()
+        }
+        assert got == {base + i: base for i in range(5)}
+
+    def test_bounded_collect_raises_past_cap(self, spark):
+        from uda_spark.operators.similarity import (
+            _MAX_CLOSURE_ROWS,
+            _bounded_collect,
+        )
+
+        import pytest
+
+        small = spark.range(10)
+        assert len(_bounded_collect(small, "t")) == 10
+        big = spark.range(_MAX_CLOSURE_ROWS + 5)
+        with pytest.raises(ValueError, match="broadcast-material"):
+            _bounded_collect(big, "t")
+
+    def test_lsh_scored_candidates_requires_integral_ids(self, spark):
+        """ADVICE r13: the scoring kernel keys queries by int64 — a
+        non-integer id must fail with a named TypeError at the function
+        boundary, not inside the collect."""
+        import pytest
+
+        from uda_spark.operators.similarity import _lsh_scored_candidates
+
+        df = spark.createDataFrame(
+            [("a", [1.0, 2.0]), ("b", [2.0, 1.0])], "doc string, vec array<double>"
+        )
+        with pytest.raises(TypeError, match="integral"):
+            _lsh_scored_candidates(df, df, "doc", "vec", 2, 2)

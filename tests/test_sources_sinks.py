@@ -525,3 +525,23 @@ class TestPythonDataSourceStreamWriter:
 
         w.abort([_Committed(os.path.join(d, a), "00000", 1), None], 0)
         assert sorted(os.listdir(d)) == [foreign, "part-b000000-00000"]
+
+
+class TestR14WriterSchemaGuard:
+    """ADVICE r13: get_field_index returns -1 for a missing column and
+    batch.column(-1) silently reads the LAST column — the Arrow writers
+    must raise a schema error instead."""
+
+    def test_batch_write_missing_key_column_raises(self, spark, tmp_path):
+        import pytest
+
+        from uda_spark.sources import pyds
+
+        pyds.register(spark)
+        path = str(tmp_path / "kv_nokey")
+        bad = spark.range(3).select(
+            F.col("id").cast("string").cast("binary").alias("k"),
+            F.lit("v").cast("binary").alias("value"),
+        )
+        with pytest.raises(Exception, match="requires 'key' and 'value'"):
+            bad.write.format("uda_kv").mode("overwrite").save(path)

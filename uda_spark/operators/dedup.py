@@ -418,8 +418,12 @@ def connected_components(
             )
         )
         updated = updated.transform(_snapshot)
+        # Cast INSIDE the aggregate so accumulation is exact decimal:
+        # summing long first would overflow at corpus-scale id ranges
+        # (~1e12 nodes × 64-bit ids) — ANSI throws, non-ANSI wraps and
+        # could falsely report convergence (r14 fix).
         cur_sum = updated.agg(
-            F.sum("component").cast("decimal(38,0)")
+            F.sum(F.col("component").cast("decimal(38,0)"))
         ).first()[0]
         labels = updated
         if prev_sum is not None and cur_sum == prev_sum:

@@ -23,6 +23,27 @@ from uda_spark.functions import portable
 from uda_spark.plans.partitioning import ensure_min_partitions
 
 
+# Driver-collect bound for kernel-closure relations (query vectors, query
+# LUTs): broadcast-material by contract, but the retired broadcast
+# formulations failed LOUDLY at the broadcast threshold, so a bare
+# .collect() of a caller-supplied relation must do the same instead of
+# OOMing the driver silently at scale (r14; same pattern as the
+# semdedup centroid-cell ceiling).
+_MAX_CLOSURE_ROWS = 1 << 16
+
+
+def _bounded_collect(df: DataFrame, what: str) -> list:
+    rows = df.limit(_MAX_CLOSURE_ROWS + 1).collect()
+    if len(rows) > _MAX_CLOSURE_ROWS:
+        raise ValueError(
+            f"{what}: more than {_MAX_CLOSURE_ROWS} rows would be collected "
+            "to the driver for the kernel closure — this relation is "
+            "broadcast-material by contract; reduce the query set or use "
+            "the brute-force/shuffled path"
+        )
+    return rows
+
+
 def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     iv = portable.int_vec(vec_col, "spark")
     out = df.select(
@@ -436,9 +457,19 @@ def _lsh_scored_candidates(
     import numpy as np
     import pyarrow as pa
 
+    # The kernel keys queries by int64 (searchsorted over the sorted id
+    # array; output schema q_id/c_id long) — require an integral id up
+    # front instead of failing inside the collect (r14, ADVICE).
+    id_type = dict(queries.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"_lsh_scored_candidates requires an integral {id_col!r} "
+            f"(got {id_type}); srp_buckets itself preserves arbitrary id "
+            "types — use it directly for non-integer ids"
+        )
     qrows = sorted(
         (int(r["q_id"]), list(r["q_vec"]), int(r["q_norm"]))
-        for r in q.collect()
+        for r in _bounded_collect(q, "_lsh_scored_candidates queries")
     )
     qids = np.array([x for x, _, _ in qrows], dtype=np.int64)
     qnorms = np.array([n for _, _, n in qrows], dtype=np.int64)
@@ -1623,39 +1654,6 @@ def pq_min_dists(prepped: DataFrame, cbs: list, m: int, sub: int) -> DataFrame:
     return prepped.mapInArrow(mind2, "m int, d2 double")
 
 
-def _pq_codebook_row(codebook: DataFrame) -> DataFrame:
-    """Collapse a (m, cid, cent, pos) codebook relation into ONE row
-    ``cbs: array<array<array<double>>>`` (outer index = subspace, middle
-    index = centroid pos) — a broadcastable literal-sized structure so
-    assignment/encoding can run as a pure projection over the corpus,
-    with no join and no shuffle."""
-    return (
-        codebook.groupBy("m")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cent"))).alias("pc"))
-        .select("m", F.expr("transform(pc, e -> e.cent)").alias("cents"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("m", "cents"))).alias("mc"))
-        .select(F.expr("transform(mc, e -> e.cents)").alias("cbs"))
-    )
-
-
-def _pq_dists_expr(m: int, sub: int) -> str:
-    """Per-subspace distance arrays ``_ds[m][pos]`` for a row with ``_v``
-    (fixed-point vector) against the broadcast ``cbs`` codebook —
-    codegen'd HOF arithmetic, identical summation order to the oracle."""
-    return (
-        f"transform(sequence(0, {m - 1}), mm -> "
-        f"transform(element_at(cbs, mm + 1), c -> "
-        f"aggregate(zip_with(slice(_v, mm * {sub} + 1, {sub}), c, "
-        f"(x, cc) -> (x - cc) * (x - cc)), CAST(0 AS DOUBLE), (acc, e) -> acc + e)))"
-    )
-
-
-# argmin by position: first occurrence of the min == lowest pos == lowest
-# cid (pos is the cid-order dense rank), matching the oracle's tie rule
-_PQ_ARGMIN = "transform(_ds, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"
-
-
 def pq_train_codebooks(
     corpus: DataFrame, id_col: str, vec_col: str, m: int = 8, k: int = 16, dim: int = 64
 ) -> DataFrame:
@@ -1850,7 +1848,7 @@ def pq_search(
     # partial/final top-k ranking — is bit-identical to the retired
     # interpreted `aggregate(sequence(...))` per-candidate lambda.
     lut = pq_query_luts(queries, codebook, id_col, vec_col, m, dim)
-    lrows = lut.collect()
+    lrows = _bounded_collect(lut, "pq_search query LUTs")
     qids = np.array([r["q_id"] for r in lrows], dtype=np.int64)
     luts = [
         [np.array(list(r["lut"][mm]), dtype=np.float64) for mm in range(m)]

@@ -131,6 +131,14 @@ class _KVWriter(DataSourceArrowWriter):
                 # columns arrive in (value, key) order
                 ki = batch.schema.get_field_index("key")
                 vi = batch.schema.get_field_index("value")
+                if ki < 0 or vi < 0:
+                    # get_field_index returns -1 for a missing column and
+                    # batch.column(-1) would silently read the LAST column
+                    # — fail like the retired row path (row["key"]) did
+                    raise ValueError(
+                        "uda_kv requires 'key' and 'value' columns; got "
+                        f"{batch.schema.names}"
+                    )
                 for name, idx in (("key", ki), ("value", vi)):
                     if batch.column(idx).null_count:
                         raise ValueError(
@@ -231,6 +239,14 @@ class _KVStreamWriter(DataSourceStreamArrowWriter):
                 # by name, not position (same contract as the batch writer)
                 ki = batch.schema.get_field_index("key")
                 vi = batch.schema.get_field_index("value")
+                if ki < 0 or vi < 0:
+                    # get_field_index returns -1 for a missing column and
+                    # batch.column(-1) would silently read the LAST column
+                    # — fail like the retired row path (row["key"]) did
+                    raise ValueError(
+                        "uda_kv requires 'key' and 'value' columns; got "
+                        f"{batch.schema.names}"
+                    )
                 for name, idx in (("key", ki), ("value", vi)):
                     if batch.column(idx).null_count:
                         raise ValueError(
