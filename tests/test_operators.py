@@ -2127,3 +2127,126 @@ class TestR14Guards:
         )
         with pytest.raises(TypeError, match="integral"):
             _lsh_scored_candidates(df, df, "doc", "vec", 2, 2)
+
+
+class TestArrowTextKernels:
+    """The Arrow tokenize/shingle/signature kernels (guide §4.2) must be
+    value-identical to the relational HOF formulations they replace —
+    asserted here by running BOTH paths over the real corpus plus a
+    tokenizer torture set, and by a JVM-vs-Python case-mapping sweep."""
+
+    TORTURE = [
+        (1, ""),                                  # empty text: one empty token
+        (2, "a"),                                 # single sub-k token
+        (3, "  leading and  double  spaces "),    # empty tokens kept
+        (4, "MiXeD CaSe TOKENS lower PARITY"),
+        (5, "tab\tand\nnewline stay intact"),     # split is on ' ' only
+        (6, "ΣΊΣΥΦΟΣ ΟΔΥΣΣΕΥΣ greek FINAL sigma"),
+        (7, "İstanbul ırmak STRASSE ẞ Ångström K"),  # tricky case maps
+        (8, "ПРИВЕТ МИР cyrillic Ёлка"),
+        (9, "same same same same"),               # duplicate shingles
+        (10, "x y x y x y x y"),                  # duplicate bigrams
+    ]
+
+    def _both(self, spark, fn):
+        from uda_spark.operators import dedup as D
+
+        saved = D.USE_ARROW_TEXT_KERNELS
+        try:
+            D.USE_ARROW_TEXT_KERNELS = False
+            old = fn()
+            D.USE_ARROW_TEXT_KERNELS = True
+            new = fn()
+        finally:
+            D.USE_ARROW_TEXT_KERNELS = saved
+        return old, new
+
+    def test_lower_parity_wide_codepoint_sweep(self, spark):
+        # Python str.lower() must equal Spark lower() (JVM Locale.ROOT
+        # case mapping) — swept over ASCII, Latin-1/Extended, Greek and
+        # Cyrillic blocks plus the classic one-offs (İ ı ẞ K Å ς Σ ι̣).
+        cps = (
+            list(range(0x20, 0x250))
+            + list(range(0x370, 0x530))
+            + [0x130, 0x131, 0x1E9E, 0x212A, 0x212B, 0x345, 0x3C2, 0x3A3]
+        )
+        rows = [(cp, chr(cp)) for cp in sorted(set(cps))]
+        out = (
+            spark.createDataFrame(rows, "cp int, c string")
+            .select("cp", "c", F.lower("c").alias("lo"))
+            .collect()
+        )
+        bad = [(r["cp"], r["lo"], r["c"].lower()) for r in out if r["lo"] != r["c"].lower()]
+        assert bad == [], f"JVM vs Python lower() diverge: {bad[:10]}"
+        # context-sensitive final sigma agrees too
+        ctx = (
+            spark.createDataFrame([("ΟΣ",), ("ΣΟ",), ("Σ",)], "s string")
+            .select("s", F.lower("s").alias("lo"))
+            .collect()
+        )
+        assert all(r["lo"] == r["s"].lower() for r in ctx)
+
+    def _corpus_plus_torture(self, spark):
+        from tests.conftest import SF_SMOKE
+        from uda_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        extra = spark.createDataFrame(
+            [(100_000 + i, s) for i, s in self.TORTURE], "doc_id long, text string"
+        )
+        return docs.unionByName(extra)
+
+    def test_minhash_grouped_kernel_matches_relational(self, spark):
+        from uda_spark.operators import dedup as D
+
+        docs = self._corpus_plus_torture(spark)
+        old, new = self._both(
+            spark, lambda: D._minhash_grouped(docs, "text", "doc_id", 16, 3).collect()
+        )
+        o = {r["doc"]: r for r in old}
+        n = {r["doc"]: r for r in new}
+        assert set(o) == set(n)
+        for d in o:
+            for h in range(16):
+                assert o[d][f"h{h}"] == n[d][f"h{h}"], (d, h)
+            assert sorted(o[d]["sset"]) == sorted(n[d]["sset"]), d
+
+    def test_simhash_kernel_matches_relational(self, spark):
+        from uda_spark.operators import dedup as D
+
+        docs = self._corpus_plus_torture(spark)
+        old, new = self._both(
+            spark,
+            lambda: {
+                r["doc_id"]: r["sig"]
+                for r in D.simhash_signatures(docs, "text", "doc_id").collect()
+            },
+        )
+        assert old == new
+
+    def test_shingle_rows_kernel_matches_explode(self, spark):
+        from uda_spark.operators import dedup as D
+
+        docs = self._corpus_plus_torture(spark)
+        rows_new = {
+            (r["doc"], r["s"])
+            for r in D.shingle_rows_arrow(docs, "text", "doc_id", 3).collect()
+        }
+        sh = D.with_shingles(docs, "text", 3).select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.array_distinct("shingles")).alias("s"),
+        )
+        rows_old = {(r["doc"], r["s"]) for r in sh.collect()}
+        assert rows_new == rows_old
+
+    def test_kernel_dispatch_falls_back_on_nonlong_ids(self, spark):
+        from uda_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [("a", "alpha beta gamma delta"), ("b", "alpha beta gamma delta")],
+            "doc_id string, text string",
+        )
+        assert not D._arrow_text_kernel_ok(docs, "text", "doc_id")
+        # generic-id relational path still works end to end
+        pairs = D.minhash_near_dup_pairs(docs, "text", "doc_id").collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [("a", "b")]

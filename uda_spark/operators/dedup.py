@@ -44,6 +44,153 @@ def with_shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     return df.withColumn("shingles", F.expr(portable.shingles(toks, k, "spark")))
 
 
+# Arrow tokenize/shingle/signature kernels (guide §4.2) — the default.
+# False falls back to the relational (HOF + explode + aggregate)
+# formulation; the A/B harness and the parity tests flip this to prove
+# both paths produce identical values.
+USE_ARROW_TEXT_KERNELS = True
+
+
+def _arrow_text_kernel_ok(df: DataFrame, text_col: str, id_col: str) -> bool:
+    """The Arrow tokenize kernels hard-code (long id, string text) Arrow
+    output schemas; any other input types take the type-generic relational
+    path so results (values AND schema) are identical either way."""
+    from pyspark.sql.types import LongType, StringType
+
+    try:
+        return isinstance(df.schema[id_col].dataType, LongType) and isinstance(
+            df.schema[text_col].dataType, StringType
+        )
+    except (KeyError, TypeError):
+        return False
+
+
+def _doc_shingler(k: int):
+    """Tokenize+shingle one document — the Python twin of
+    ``portable.tokens`` + ``portable.shingles``.
+
+    Parity contract (tests/test_operators.py::test_arrow_shingle_parity):
+    ``str.lower()`` must equal Spark's ``lower()`` and DuckDB's
+    ``lower()`` over the corpus alphabet, and ``str.split(' ')`` equals
+    Spark's ``split(_, ' ')`` (both keep empty strings, including
+    leading/trailing).  Nested function on purpose: cloudpickle
+    serializes it BY VALUE so Python workers never need ``uda_spark``
+    importable (zero-install contract, same as the GEMM kernels in
+    operators/similarity.py).
+    """
+
+    def shingle_set(text: str):
+        toks = text.lower().split(" ")
+        n = len(toks)
+        if n >= k:
+            return {" ".join(toks[i : i + k]) for i in range(n - k + 1)}
+        return {" ".join(toks)}
+
+    return shingle_set
+
+
+def shingle_rows_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(doc, s): one row per DISTINCT per-doc shingle — the Arrow-kernel
+    replacement for ``with_shingles`` + ``explode(array_distinct(...))``.
+
+    The shingle HOF (``transform(sequence(...), i -> array_join(slice(...``
+    executes interpreted (CodegenFallback) per document; guide §4.2 moves
+    that per-row work into one ``mapInArrow`` pass.  NULL texts raise —
+    callers filter them first (the signature NULL contract lives there).
+    Distinct-per-doc order: sorted (vs the explode path's array order),
+    invisible downstream — every consumer treats (doc, s) as a set.
+    """
+    shingle_set = _doc_shingler(k)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list[int] = []
+            out_s: list[str] = []
+            for i, txt in zip(ids, texts):
+                if txt is None:
+                    raise ValueError(
+                        "shingle kernel received NULL text — filter upstream"
+                    )
+                ss = sorted(shingle_set(txt))
+                out_ids.extend([i] * len(ss))
+                out_s.extend(ss)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64()), pa.array(out_s, pa.string())],
+                names=["doc", "s"],
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_text")
+    ).mapInArrow(gen, "doc long, s string")
+
+
+def _minhash_grouped_arrow(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int, k: int
+) -> DataFrame:
+    """Map-only MinHash: (doc, h0..h{n-1}, sset) computed per document
+    inside one ``mapInArrow`` pass — no shingle explode, no md5
+    projection rows, no hash-aggregate exchange (every doc's shingles
+    live in its own row, so the per-doc MIN needs no shuffle at all).
+
+    Value-identical to the relational ``_minhash_grouped``: same salted
+    md5 family (md5(f"{salt}|{shingle}") over UTF-8 bytes, hex chunks of
+    8), same bytewise min (ASCII hex, so Python ``min`` == UTF8String
+    binary min), ``sset`` sorted instead of ``collect_set`` order (every
+    consumer is order-insensitive: sizes and ``array_intersect`` only).
+    """
+    shingle_set = _doc_shingler(k)
+    n_salts = n_hashes // 4
+
+    def gen(batches):
+        from hashlib import md5
+
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            hcols: list[list[str]] = [[] for _ in range(4 * n_salts)]
+            ssets: list[list[str]] = []
+            for txt in texts:
+                if txt is None:
+                    raise ValueError(
+                        "minhash kernel received NULL text — filter upstream"
+                    )
+                sl = sorted(shingle_set(txt))
+                ssets.append(sl)
+                raw = [s.encode("utf-8") for s in sl]
+                h = 0
+                for salt in range(n_salts):
+                    pre = b"%d|" % salt
+                    digs = [md5(pre + b).hexdigest() for b in raw]
+                    for c in range(0, 32, 8):
+                        hcols[h].append(min(d[c : c + 8] for d in digs))
+                        h += 1
+            arrays = [pa.array(ids, pa.int64())]
+            names = ["doc"]
+            for i, col in enumerate(hcols):
+                arrays.append(pa.array(col, pa.string()))
+                names.append(f"h{i}")
+            arrays.append(pa.array(ssets, pa.list_(pa.string())))
+            names.append("sset")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    schema = (
+        "doc long, "
+        + ", ".join(f"h{i} string" for i in range(n_hashes))
+        + ", sset array<string>"
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_text")
+    ).mapInArrow(gen, schema)
+
+
 def _minhash_grouped(
     df: DataFrame,
     text_col: str,
@@ -82,6 +229,19 @@ def _minhash_grouped(
     # responsibility stays with that caller.
     if shingle_rows is not None:
         ex = shingle_rows.select("doc", "s")
+    elif USE_ARROW_TEXT_KERNELS and _arrow_text_kernel_ok(df, text_col, id_col):
+        # Map-only Arrow kernel (guide §4.2): per-doc shingle set, salted
+        # md5 family and 4·n_salts chunk-MINs all inside one mapInArrow
+        # pass — the shingle HOF, the explode, the md5 projection AND the
+        # hash-aggregate exchange disappear.  Value-identical (see
+        # _minhash_grouped_arrow docstring + parity tests).
+        return _minhash_grouped_arrow(
+            PART.ensure_min_partitions(df.where(F.col(text_col).isNotNull())),
+            text_col,
+            id_col,
+            n_hashes,
+            k,
+        )
     else:
         sh = with_shingles(
             PART.ensure_min_partitions(df.where(F.col(text_col).isNotNull())),
@@ -321,6 +481,12 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Empty text DOES sign (it tokenizes to one empty token — the
     tokenizer keeps empty strings), matching the MinHash contract.
     """
+    if USE_ARROW_TEXT_KERNELS and _arrow_text_kernel_ok(df, text_col, id_col):
+        return _simhash_signatures_arrow(
+            PART.ensure_min_partitions(df.where(F.col(text_col).isNotNull())),
+            text_col,
+            id_col,
+        )
     toks = portable.tokens(text_col, "spark")
     tok = PART.ensure_min_partitions(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col), F.explode(F.expr(toks)).alias("t")
@@ -347,6 +513,76 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for i in range(1, portable.SIMHASH_BITS + 1)
     )
     return grouped.select(F.col(id_col), F.expr(sig).alias("sig"))
+
+
+def _simhash_signatures_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Map-only SimHash: (id, sig) computed per document inside one
+    ``mapInArrow`` pass — the token explode, the two md5 projections and
+    the 60-bit-SUM hash aggregate all collapse into the kernel (a doc's
+    tokens live in its own row, so the vote sums need no shuffle).
+
+    Value-identical to the relational formulation: vote i of token t is
+    the high bit of hex char i of md5(t) || md5('x' || t) (here
+    ``c >= '8'`` over the hexdigest — same definition), signature bit i
+    is set iff 2·ones_i − n_tokens >= 0, packed at 2^(60−i).  Exact
+    integer arithmetic throughout; duplicate tokens vote once per
+    OCCURRENCE (Counter-weighted), matching the explode semantics.
+    Per-batch digest memoization is a pure cache — votes depend only on
+    the token bytes.
+    """
+
+    def gen(batches):
+        from collections import Counter
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+
+        bits = portable_bits = 60
+        cache: dict[str, "np.ndarray"] = {}
+
+        def votes(tok: str):
+            v = cache.get(tok)
+            if v is None:
+                hx = md5(tok.encode("utf-8")).hexdigest() + md5(
+                    ("x" + tok).encode("utf-8")
+                ).hexdigest()
+                v = np.array(
+                    [1 if c >= "8" else 0 for c in hx[:portable_bits]],
+                    dtype=np.int64,
+                )
+                cache[tok] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            sigs: list[int] = []
+            for txt in texts:
+                if txt is None:
+                    raise ValueError(
+                        "simhash kernel received NULL text — filter upstream"
+                    )
+                toks = txt.lower().split(" ")
+                n = len(toks)
+                ones = np.zeros(bits, dtype=np.int64)
+                for tok, cnt in Counter(toks).items():
+                    ones += cnt * votes(tok)
+                sig = 0
+                for i in range(bits):
+                    if 2 * int(ones[i]) - n >= 0:
+                        sig += 1 << (bits - 1 - i)
+                sigs.append(sig)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(sigs, pa.int64())],
+                names=["doc", "sig"],
+            )
+
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+        .mapInArrow(gen, "doc long, sig long")
+        .withColumnRenamed("doc", id_col)
+    )
 
 
 def connected_components(
@@ -796,14 +1032,24 @@ def prefix_filter_similarity_pairs(
             F.col("doc").alias("doc_id"), F.col("s").alias("tok")
         )
     else:
+        # Measured r14: swapping this build for shingle_rows_arrow was a
+        # WASH-to-slight-loss (interleaved min-of-5 at sf0.1: relational
+        # 4.32s vs kernel 4.59s full-query; bare tk 0.50 vs 0.71) — at
+        # k=3 the explode+HOF is one cheap pass here and the kernel pays
+        # the JVM→Python→JVM row transfer without removing any exchange
+        # (unlike _minhash_grouped, where the kernel also absorbs the md5
+        # projection and the signature aggregate).  Kept relational.
         sh = portable.shingles(portable.tokens(text_col, "spark"), shingle_k, "spark")
         # spread the interpreted shingle HOF over all cores — the local
-        # corpus scan is 1-3 splits (same discipline as _minhash_grouped)
+        # corpus scan is 1-3 splits (same discipline as _minhash_grouped).
+        # (explode(array_distinct(...)) already emits unique (doc, tok)
+        # rows; the historical .distinct() here was a redundant exchange,
+        # kept out of both paths.)
         tk = cache.tracked_persist(
             PART.ensure_min_partitions(corpus).select(
                 F.col(id_col).alias("doc_id"),
                 F.explode(F.array_distinct(F.expr(sh))).alias("tok"),
-            ).distinct()
+            )
         )
     dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")

@@ -1304,19 +1304,20 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus shingle pass feeds both pair generators (the exact
     # ssjoin and the MinHash signatures consume the identical distinct
     # (doc, shingle) relation — recomputing it was the single biggest
-    # cost of this query): tokenize/shingle once, persist, share.
+    # cost of this query): tokenize/shingle once (Arrow kernel, guide
+    # §4.2), persist, share.
     from uda_spark.plans import partitioning as PART
 
-    shingle_rows = tracked_persist(
-        D.with_shingles(
-            PART.ensure_min_partitions(corpus.where(F.col("text").isNotNull())),
-            "text",
-            3,
-        ).select(
-            F.col("doc_id").alias("doc"),
-            F.explode(F.array_distinct("shingles")).alias("s"),
+    nn = PART.ensure_min_partitions(corpus.where(F.col("text").isNotNull()))
+    if D.USE_ARROW_TEXT_KERNELS and D._arrow_text_kernel_ok(nn, "text", "doc_id"):
+        shingle_rows = tracked_persist(D.shingle_rows_arrow(nn, "text", "doc_id", 3))
+    else:
+        shingle_rows = tracked_persist(
+            D.with_shingles(nn, "text", 3).select(
+                F.col("doc_id").alias("doc"),
+                F.explode(F.array_distinct("shingles")).alias("s"),
+            )
         )
-    )
     truth = D.prefix_filter_similarity_pairs(
         corpus, "text", "doc_id",
         threshold_num=PFX_NUM, threshold_den=PFX_DEN,

@@ -1542,12 +1542,20 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_suppliers",
         F.expr("rev_cents * 1000000 div total_cents").alias("share_ppm"),
     )
-    hhi = shares.groupBy("l_partkey").agg(
-        F.max("n_suppliers").cast("long").alias("n_suppliers"),
-        F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias(
-            "hhi_ppm"
-        ),
-        F.max("share_ppm").cast("long").alias("top_share_ppm"),
+    # The hhi relation feeds BOTH the p90 rank pipeline (via global_rank's
+    # snapshot) and the final output join — without a persist the whole
+    # lineitem double-aggregate chain executes twice (guide §5: reuse >
+    # recompute for a tiny aggregate).  Released by release_persisted().
+    from uda_spark.cache import tracked_persist
+
+    hhi = tracked_persist(
+        shares.groupBy("l_partkey").agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias(
+                "hhi_ppm"
+            ),
+            F.max("share_ppm").cast("long").alias("top_share_ppm"),
+        )
     )
     from uda_spark.operators.sort import global_rank
 
