@@ -41,6 +41,14 @@ def _sink_name(prefix: str) -> str:
     return f"{prefix}_{next(_SINK_IDS)}"
 
 
+def _ev_parts(spark, sf_dir: str) -> int:
+    """Scale-adaptive state-partition count for the event-stream queries
+    (streaming/windows.py:scaled_state_partitions over the events input)."""
+    from uda_spark.sources.tables import table_path
+
+    return ST.scaled_state_partitions(spark, table_path(sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Flagship end-to-end training-data pipeline
 
@@ -214,7 +222,9 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = ST.events_file_stream(spark, sf_dir)
     result = ST.hourly_counts_stream(ev)
-    return ST.run_stream_to_memory(result, _sink_name("hourly_sink"))
+    return ST.run_stream_to_memory(
+        result, _sink_name("hourly_sink"), state_partitions=_ev_parts(spark, sf_dir)
+    )
 
 
 @register(
@@ -256,7 +266,9 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = ST.events_file_stream(spark, sf_dir)
     result = ST.sessionize_stream(ev, gap_seconds=SESSION_GAP_S)
-    return ST.run_stream_to_memory(result, _sink_name("session_sink"))
+    return ST.run_stream_to_memory(
+        result, _sink_name("session_sink"), state_partitions=_ev_parts(spark, sf_dir)
+    )
 
 
 @register(
@@ -284,7 +296,9 @@ def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result."""
     ev = ST.events_file_stream(spark, sf_dir)
     result = ST.sliding_counts_stream(ev, duration="2 hours", slide="1 hour")
-    return ST.run_stream_to_memory(result, _sink_name("sliding_sink"))
+    return ST.run_stream_to_memory(
+        result, _sink_name("sliding_sink"), state_partitions=_ev_parts(spark, sf_dir)
+    )
 
 
 @register(
@@ -312,7 +326,8 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ST.events_file_stream(spark, sf_dir)
     result = running_totals_stream(ev)
     sink = ST.run_stream_to_memory(
-        result, _sink_name("running_sink"), mode="update"
+        result, _sink_name("running_sink"), mode="update",
+        state_partitions=_ev_parts(spark, sf_dir),
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -605,7 +620,10 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = ST.events_file_stream(spark, sf_dir)
     result = ev.select("user_id").dropDuplicates(["user_id"])
-    return ST.run_stream_to_memory(result, _sink_name("distinct_sink"), mode="append")
+    return ST.run_stream_to_memory(
+        result, _sink_name("distinct_sink"), mode="append",
+        state_partitions=_ev_parts(spark, sf_dir),
+    )
 
 
 @register(
@@ -632,7 +650,8 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return ST.run_stream_to_memory(
-        result, _sink_name("dedup_wm_sink"), mode="append"
+        result, _sink_name("dedup_wm_sink"), mode="append",
+        state_partitions=_ev_parts(spark, sf_dir),
     )
 
 
@@ -666,7 +685,10 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev1 = ST.events_file_stream(spark, sf_dir)
     ev2 = ST.events_file_stream(spark, sf_dir)
     result = ST.purchase_after_signup_stream(ev1, ev2, window_s=3600)
-    return ST.run_stream_to_memory(result, _sink_name("ssj_sink"), mode="append")
+    return ST.run_stream_to_memory(
+        result, _sink_name("ssj_sink"), mode="append",
+        state_partitions=_ev_parts(spark, sf_dir),
+    )
 
 
 RESIZE_W, RESIZE_H = 64, 64
@@ -744,7 +766,9 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ST.events_file_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     result = ST.enrich_static_stream(ev, dim)
-    return ST.run_stream_to_memory(result, _sink_name("enrich_sink"))
+    return ST.run_stream_to_memory(
+        result, _sink_name("enrich_sink"), state_partitions=_ev_parts(spark, sf_dir)
+    )
 
 
 STRAT_PER_SOURCE = 12  # balanced per-stratum budget
@@ -851,7 +875,10 @@ def streaming_cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f") % {CMS_W}"
     )
     sk_stream = ST.cms_sketch_stream(ev, d=CMS_D, w=CMS_W)
-    sketch = ST.run_stream_to_memory(sk_stream, _sink_name("cms_sketch_sink"))
+    sketch = ST.run_stream_to_memory(
+        sk_stream, _sink_name("cms_sketch_sink"),
+        state_partitions=_ev_parts(spark, sf_dir),
+    )
     exact = t(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count("*").alias("exact_n")
     )
@@ -1826,7 +1853,10 @@ def streaming_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").cast("long").alias("max_us"),
         F.count("*").cast("long").alias("n_events"),
     )
-    sink = ST.run_stream_to_memory(agg, _sink_name("freshness_sink"), mode="complete")
+    sink = ST.run_stream_to_memory(
+        agg, _sink_name("freshness_sink"), mode="complete",
+        state_partitions=_ev_parts(spark, sf_dir),
+    )
     g = sink.agg(F.max("max_us").alias("g_max"))
     return sink.crossJoin(F.broadcast(g)).select(
         "event_type",

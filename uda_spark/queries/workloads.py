@@ -291,7 +291,10 @@ def kv_pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses and duplicates nothing.
     """
     from uda_spark.sources import pyds
-    from uda_spark.streaming.windows import run_stream_to_memory
+    from uda_spark.streaming.windows import (
+        run_stream_to_memory,
+        scaled_state_partitions,
+    )
 
     pyds.register(spark)
     path = os.path.join(
@@ -309,7 +312,11 @@ def kv_pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.agg(
         F.count("*").alias("n_rows"), F.expr(f"bit_xor({chk})").alias("checksum")
     )
-    return run_stream_to_memory(agg, f"kv_stream_sink_{next(_KV_SINK_IDS)}")
+    return run_stream_to_memory(
+        agg,
+        f"kv_stream_sink_{next(_KV_SINK_IDS)}",
+        state_partitions=scaled_state_partitions(spark, path),
+    )
 
 
 @register(

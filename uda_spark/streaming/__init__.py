@@ -5,6 +5,8 @@ from uda_spark.streaming.windows import (
     sliding_counts_stream,
     sessionize_stream,
     run_stream_to_memory,
+    scaled_state_partitions,
+    input_bytes,
     enrich_static_stream,
     cms_sketch_stream,
 )
@@ -16,6 +18,8 @@ __all__ = [
     "sliding_counts_stream",
     "sessionize_stream",
     "run_stream_to_memory",
+    "scaled_state_partitions",
+    "input_bytes",
     "enrich_static_stream",
     "cms_sketch_stream",
 ]

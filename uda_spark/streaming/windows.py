@@ -16,10 +16,52 @@ in production — the operator graph is source-agnostic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uda_spark.sources.tables import event_micros, table_path
+
+# Compressed input bytes per streaming STATE partition.  Stateful
+# exchanges are outside AQE's reach (coalescing never fires on a state
+# store), so the partition count would otherwise be whatever
+# spark.sql.shuffle.partitions says — a constant tuned for batch width.
+# Every state partition pays a fixed per-micro-batch cost (store open,
+# delta write, commit, snapshot bookkeeping) of ~10-100 ms locally, so a
+# partition must hold enough state to amortize it; measured at sf0.1
+# (2 MB events input, availableNow): the stream-stream join runs 2.8 s at
+# 4 state partitions vs 10-80 s at 32, the windowed rollups ~2-3x faster.
+# At 100 TB the defaultParallelism cap binds instead and this knob is
+# inert — it only trims the SMALL end, exactly like AQE coalescing does
+# for stateless exchanges.  Env-overridable for production tuning.
+STATE_PARTITION_TARGET_BYTES = int(
+    os.environ.get("UDA_STREAM_STATE_TARGET_BYTES", str(512 * 1024))
+)
+
+
+def input_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the given files/directories (local FS; a
+    cluster deployment would ask the Hadoop FS the same question)."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def scaled_state_partitions(spark: SparkSession, *paths: str) -> int:
+    """Streaming state-partition count derived from INPUT SIZE (guide §2:
+    scale-adaptive partitioning, not a constant tuned for either local
+    mode or the cluster): ceil(input_bytes / target) clamped to
+    [1, defaultParallelism]."""
+    size = input_bytes(*paths)
+    cap = max(1, spark.sparkContext.defaultParallelism)
+    t = STATE_PARTITION_TARGET_BYTES
+    return max(1, min((size + t - 1) // t, cap))
 
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,18 +153,39 @@ def sessionize_stream(
     )
 
 
-def run_stream_to_memory(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    result: DataFrame,
+    name: str,
+    mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (availableNow trigger) into an in-memory table; returns the table as a
-    DataFrame.  Used by tests to compare streaming vs batch output."""
-    query = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    DataFrame.  Used by tests to compare streaming vs batch output.
+
+    ``state_partitions`` (see :func:`scaled_state_partitions`) sizes the
+    stateful exchanges for the query: the state-store partition count is
+    fixed from ``spark.sql.shuffle.partitions`` at query start and AQE
+    never coalesces it, so it is set here for the duration of the start
+    and restored after — partitioning never changes WHAT a keyed
+    aggregation/join/dedup emits, only how it is split."""
+    spark = result.sparkSession
+    saved = None
+    if state_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return result.sparkSession.table(name)
 
 
