@@ -953,6 +953,75 @@ def assign_nearest_centroid(
     )
 
 
+def assign_nearest_centroid_f64(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    cent: DataFrame,
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment against DOUBLE-mean centroids
+    (the ``sim_ivf_knn`` convention: exact integer sums divided once) —
+    the f64 sibling of :func:`assign_nearest_centroid`, replacing the
+    interpreted per-(row, centroid) ``aggregate(zip_with(...))`` fold +
+    per-row top-1 window with one Arrow pass.
+
+    Bit-identical to the SQL formulation: dist² accumulates per
+    DIMENSION in ascending order (an explicit d-loop of IEEE float64
+    adds — numpy's pairwise ``sum`` would round differently), and the
+    argmin ties to the LOWEST cluster id (centroid rows sorted by id, so
+    numpy's first-min rule IS ``ORDER BY dist2, cluster``).  The
+    centroid relation is k rows by contract — collected with the
+    bounded-collect guard and closure-shipped.
+
+    Input columns must be (long id, array<bigint> vec, int label);
+    output: ``(id_col long, label_col int, cluster_col int)``.
+    """
+    rows = _bounded_collect(cent, "assign_nearest_centroid_f64 centroids")
+    if not rows:
+        raise ValueError("assign_nearest_centroid_f64 requires >= 1 centroid")
+    cs = sorted((int(r[cluster_col]), list(r[centroid_col])) for r in rows)
+    cent_vecs = [v for _, v in cs]
+    cids = [c for c, _ in cs]
+    widths = {len(v) for v in cent_vecs}
+    if len(widths) != 1:
+        raise ValueError(f"ragged centroid widths: {sorted(widths)}")
+    _vec_matrix, _ = _arrow_views()
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cent_vecs, dtype=np.float64)
+        ids = np.array(cids, dtype=np.int32)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            X = _vec_matrix(b.column(vec_col)).astype(np.float64, copy=False)
+            if X.shape[1] != C.shape[1]:
+                raise ValueError(
+                    f"vector width {X.shape[1]} != centroid width {C.shape[1]}"
+                )
+            acc = np.zeros((X.shape[0], C.shape[0]))
+            for d in range(C.shape[1]):
+                diff = X[:, d : d + 1] - C[None, :, d].reshape(1, -1)
+                acc = acc + diff * diff
+            yield pa.record_batch(
+                [
+                    b.column(id_col),
+                    b.column(label_col),
+                    pa.array(ids[np.argmin(acc, axis=1)], type=pa.int32()),
+                ],
+                names=[id_col, label_col, cluster_col],
+            )
+
+    return ensure_min_partitions(df.select(id_col, label_col, vec_col)).mapInArrow(
+        assign, f"{id_col} long, {label_col} int, {cluster_col} int"
+    )
+
+
 # Ceiling on the driver-side centroid relation (k·d int64 cells): 50M
 # cells ≈ 400 MB — generous for a driver, and a hard stop well before a
 # silent OOM.  k = n/target, so at corpus sizes where this trips, the
