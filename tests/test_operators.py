@@ -2250,3 +2250,18 @@ class TestArrowTextKernels:
         # generic-id relational path still works end to end
         pairs = D.minhash_near_dup_pairs(docs, "text", "doc_id").collect()
         assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [("a", "b")]
+
+    def test_ngram_jaccard_gemm_matches_relational(self, spark):
+        # query-level twin of the kernel parity tests: the block-GEMM
+        # formulation of text_ngram_jaccard_pairs must emit the identical
+        # (doc_a, doc_b, jaccard) rows (exact doubles) as the relational
+        # self-join it replaces.
+        from tests.conftest import SF_SMOKE
+        from uda_spark.operators import dedup as D
+        from uda_spark.registry import all_specs
+
+        spec = all_specs()["text_ngram_jaccard_pairs"]
+        old, new = self._both(
+            spark, lambda: sorted(map(tuple, spec.fn(spark, SF_SMOKE).collect()))
+        )
+        assert old == new and len(old) > 0

@@ -82,7 +82,80 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= NGRAM_BLOCK_CAP)
         .select("doc_id")
     )
-    tk = docs.join(F.broadcast(keep), on="doc_id").select(
+    kept = docs.join(F.broadcast(keep), on="doc_id").select(
+        "doc_id", "lang", "source", "text"
+    )
+    from uda_spark.operators.dedup import USE_ARROW_TEXT_KERNELS, _doc_shingler
+
+    if USE_ARROW_TEXT_KERNELS:
+        # Per-block pairwise intersections as ONE incidence GEMM per
+        # (lang, source) group (r14, guide §4.2): tokenize+bigram each
+        # doc in Python (parity-tested twin of the HOF — see
+        # operators/dedup._doc_shingler), build the docs × distinct-grams
+        # 0/1 matrix, and read every n_inter off A @ A.T.  Replaces the
+        # block self-join (gram-array shuffle + per-pair array_intersect
+        # hash sets) with float64 BLAS; counts are small integers, so the
+        # f64 GEMM is exact, and jaccard is the same single IEEE division
+        # the SQL computed — bit-identical output.  Block width is capped
+        # at NGRAM_BLOCK_CAP docs upstream, and the GEMM is row-chunked
+        # so no task materializes more than ~CAP·8MB of dot cells.
+        import pyarrow as pa
+
+        shingler = _doc_shingler(2)
+        thr = 1.0 / 20  # the same double CAST(1 AS DOUBLE)/20 evaluates to
+
+        from typing import Tuple
+
+        # NOTE: full annotations required — pyspark 4.1.2's grouped
+        # applyInArrow eval-type inference swallows its own failure into
+        # an UnboundLocalError when they are missing (r13 finding).
+        def block_pairs(key: Tuple[pa.Scalar, ...], tbl: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow as pa
+
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            # NULL text -> NULL grams -> NULL jaccard -> filtered: the doc
+            # contributes no pairs either way, so skip it up front.
+            pairs_in = [(i, shingler(t)) for i, t in zip(ids, texts) if t is not None]
+            vocab: dict[str, int] = {}
+            for _, gs in pairs_in:
+                for g in gs:
+                    vocab.setdefault(g, len(vocab))
+            n = len(pairs_in)
+            A = np.zeros((n, max(1, len(vocab))), dtype=np.float64)
+            for i, (_, gs) in enumerate(pairs_in):
+                for g in gs:
+                    A[i, vocab[g]] = 1.0
+            sizes = A.sum(axis=1)
+            idv = np.array([i for i, _ in pairs_in], dtype=np.int64)
+            out_a: list = []
+            out_b: list = []
+            out_j: list = []
+            chunk = max(1, (8 << 20) // max(1, n * 8))
+            for lo in range(0, n, chunk):
+                hi = min(n, lo + chunk)
+                inter = A[lo:hi] @ A.T  # exact: 0/1 entries, counts < 2^53
+                union = sizes[lo:hi, None] + sizes[None, :] - inter
+                jac = inter / union  # the SQL's one IEEE division
+                mask = (idv[lo:hi, None] < idv[None, :]) & (jac >= thr)
+                ii, jj = np.nonzero(mask)
+                out_a.append(idv[lo + ii])
+                out_b.append(idv[jj])
+                out_j.append(jac[ii, jj])
+            cat = (lambda xs: np.concatenate(xs) if xs else np.array([]))
+            return pa.table(
+                {
+                    "doc_a": pa.array(cat(out_a), pa.int64()),
+                    "doc_b": pa.array(cat(out_b), pa.int64()),
+                    "jaccard": pa.array(cat(out_j), pa.float64()),
+                }
+            )
+
+        return kept.groupBy("lang", "source").applyInArrow(
+            block_pairs, "doc_a long, doc_b long, jaccard double"
+        )
+    tk = kept.select(
         "doc_id", "lang", "source", F.array_distinct(F.expr(grams)).alias("grams")
     )
     a, b = tk.alias("a"), tk.alias("b")
