@@ -2265,3 +2265,16 @@ class TestArrowTextKernels:
             spark, lambda: sorted(map(tuple, spec.fn(spark, SF_SMOKE).collect()))
         )
         assert old == new and len(old) > 0
+
+    def test_repetition_stats_kernel_matches_relational(self, spark):
+        # query-level twin: the map-only bigram Counter kernel in
+        # text_repetition_stats must emit identical rows (exact longs +
+        # round(6) doubles) as the two-exchange relational aggregate.
+        from tests.conftest import SF_SMOKE
+        from uda_spark.registry import all_specs
+
+        spec = all_specs()["text_repetition_stats"]
+        old, new = self._both(
+            spark, lambda: sorted(map(tuple, spec.fn(spark, SF_SMOKE).collect()))
+        )
+        assert old == new and len(old) > 0

@@ -435,16 +435,69 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division + round(6) is bit-identical across engines.
     """
     docs = t(spark, sf_dir, "documents")
-    cnt = (
-        docs.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-    )
-    agg = cnt.groupBy("doc_id").agg(
-        F.max("c").cast("long").alias("top_cnt"),
-        F.sum("c").cast("long").alias("n_bigrams"),
-        F.count("*").cast("long").alias("n_distinct"),
-    )
+    from uda_spark.operators.dedup import USE_ARROW_TEXT_KERNELS, _arrow_text_kernel_ok
+
+    if USE_ARROW_TEXT_KERNELS and _arrow_text_kernel_ok(docs, "text", "doc_id"):
+        # Map-only Arrow kernel (r14, guide §4.2): a document's bigram
+        # multiset lives entirely in its own row, so top_cnt/n_bigrams/
+        # n_distinct need NO exchange at all — the explode, the
+        # (doc, bg) count aggregate and the per-doc rollup (two
+        # exchanges) collapse into one Counter pass per doc.  The two
+        # fractions stay the same single IEEE divisions + round(6) the
+        # relational projection computed — bit-identical output.
+        from uda_spark.plans import partitioning as PART
+
+        def gen(batches):
+            from collections import Counter
+
+            import pyarrow as pa
+
+            for b in batches:
+                ids = b.column(0).to_pylist()
+                texts = b.column(1).to_pylist()
+                top, nbg, ndis = [], [], []
+                for txt in texts:
+                    toks = txt.lower().split(" ")
+                    n = len(toks)
+                    if n >= 2:
+                        grams = [
+                            toks[i] + " " + toks[i + 1] for i in range(n - 1)
+                        ]
+                    else:
+                        grams = [" ".join(toks)]
+                    c = Counter(grams)
+                    top.append(max(c.values()))
+                    nbg.append(len(grams))
+                    ndis.append(len(c))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids, pa.int64()),
+                        pa.array(top, pa.int64()),
+                        pa.array(nbg, pa.int64()),
+                        pa.array(ndis, pa.int64()),
+                    ],
+                    names=["doc_id", "top_cnt", "n_bigrams", "n_distinct"],
+                )
+
+        # tokenizer is the parity-tested twin of portable.tokens (same
+        # contract as operators/dedup._doc_shingler); NULL texts drop,
+        # exactly as the explode path drops them
+        agg = PART.ensure_min_partitions(
+            docs.where(F.col("text").isNotNull())
+        ).select("doc_id", "text").mapInArrow(
+            gen, "doc_id long, top_cnt long, n_bigrams long, n_distinct long"
+        )
+    else:
+        cnt = (
+            docs.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bg"))
+            .groupBy("doc_id", "bg")
+            .agg(F.count("*").alias("c"))
+        )
+        agg = cnt.groupBy("doc_id").agg(
+            F.max("c").cast("long").alias("top_cnt"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
     return agg.select(
         "doc_id",
         "top_cnt",
