@@ -2266,6 +2266,61 @@ class TestArrowTextKernels:
         )
         assert old == new and len(old) > 0
 
+    def test_decontaminate_kernel_matches_relational(self, spark):
+        # per-doc-distinct gram-hash kernel vs explode+hash60+distinct
+        from tests.conftest import SF_SMOKE
+        from uda_spark.registry import all_specs
+
+        spec = all_specs()["text_decontaminate"]
+        old, new = self._both(
+            spark, lambda: sorted(map(tuple, spec.fn(spark, SF_SMOKE).collect()))
+        )
+        assert old == new and len(old) > 0
+
+    def test_dup_ngram_coverage_kernel_matches_relational(self, spark):
+        # per-doc gram-hash COUNT kernel vs explode+hash60+groupBy
+        from tests.conftest import SF_SMOKE
+        from uda_spark.registry import all_specs
+
+        spec = all_specs()["text_dup_ngram_coverage"]
+        old, new = self._both(
+            spark, lambda: sorted(map(tuple, spec.fn(spark, SF_SMOKE).collect()))
+        )
+        assert old == new and len(old) > 0
+
+    def test_gram_hash_rows_null_text_mirrors_explode(self, spark):
+        # NULL text must produce the same (doc, NULL gh) row the explode
+        # path emits (shingles(NULL) = [NULL], md5(NULL) = NULL), in both
+        # the distinct and the counted variant.
+        from uda_spark.functions import portable
+        from uda_spark.operators.dedup import gram_hash_rows_arrow
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        sh = portable.shingles(portable.tokens("text", "spark"), 5, "spark")
+        rel = docs.select(
+            F.col("doc_id").alias("doc"), F.explode(F.expr(sh)).alias("g")
+        ).select("doc", F.expr(portable.hash60("g", "spark")).alias("gh"))
+        rel_distinct = {(r["doc"], r["gh"]) for r in rel.distinct().collect()}
+        ker = {
+            (r["doc"], r["gh"])
+            for r in gram_hash_rows_arrow(docs, "text", "doc_id", 5).collect()
+        }
+        assert ker == rel_distinct
+        rel_counts = {
+            (r["doc"], r["gh"]): r["c"]
+            for r in rel.groupBy("doc", "gh").agg(F.count("*").alias("c")).collect()
+        }
+        ker_counts = {
+            (r["doc"], r["gh"]): r["c"]
+            for r in gram_hash_rows_arrow(
+                docs, "text", "doc_id", 5, counts=True
+            ).collect()
+        }
+        assert ker_counts == rel_counts
+
     def test_repetition_stats_kernel_matches_relational(self, spark):
         # query-level twin: the map-only bigram Counter kernel in
         # text_repetition_stats must emit identical rows (exact longs +

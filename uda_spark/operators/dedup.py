@@ -130,6 +130,84 @@ def shingle_rows_arrow(
     ).mapInArrow(gen, "doc long, s string")
 
 
+def gram_hash_rows_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int, counts: bool = False
+) -> DataFrame:
+    """(doc, gh[, c]): 60-bit portable gram hashes per document, computed
+    in one map-only Arrow pass — the kernel replacement for
+    ``explode(shingles) -> hash60 projection -> per-doc distinct/count``.
+
+    A document's grams live entirely in its own row, so BOTH the per-doc
+    distinct (``counts=False``; the decontaminate shape) and the per-doc
+    occurrence count (``counts=True``; the dup-coverage shape) need no
+    exchange at all.  Value parity with the relational formulation:
+
+    - ``int(md5(g).hexdigest()[:15], 16)`` == Spark's
+      ``conv(substring(md5(g),1,15),16,10)`` (same big-endian fold of
+      the first 15 hex chars — see portable.hash60).
+    - tokenize/shingle is the parity-tested ``_doc_shingler`` contract
+      (``str.lower()``/``split(' ')`` == JVM ``lower()``/``split``).
+    - NULL text mirrors the explode path exactly: shingles(NULL) is
+      ``[NULL]``, md5(NULL) is NULL — one (doc, NULL gh[, c=1]) row.
+    - collisions of two distinct grams within one doc merge into one gh
+      in both paths (the relational path groups/distincts on gh too).
+    """
+
+    def gen(batches):
+        from collections import Counter
+        from hashlib import md5
+
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_i: list[int] = []
+            out_g: list = []
+            out_c: list[int] = []
+            for i, txt in zip(ids, texts):
+                if txt is None:
+                    out_i.append(i)
+                    out_g.append(None)
+                    out_c.append(1)
+                    continue
+                toks = txt.lower().split(" ")
+                n = len(toks)
+                if n >= k:
+                    grams = [" ".join(toks[j : j + k]) for j in range(n - k + 1)]
+                else:
+                    grams = [" ".join(toks)]
+                if counts:
+                    cc = Counter(
+                        int(md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        for g in grams
+                    )
+                    for gh in sorted(cc):
+                        out_i.append(i)
+                        out_g.append(gh)
+                        out_c.append(cc[gh])
+                else:
+                    ghs = sorted(
+                        {
+                            int(md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                            for g in grams
+                        }
+                    )
+                    out_i.extend([i] * len(ghs))
+                    out_g.extend(ghs)
+            arrays = [pa.array(out_i, pa.int64()), pa.array(out_g, pa.int64())]
+            names = ["doc", "gh"]
+            if counts:
+                arrays.append(pa.array(out_c, pa.int64()))
+                names.append("c")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    schema = "doc long, gh long" + (", c long" if counts else "")
+    return df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_text")
+    ).mapInArrow(gen, schema)
+
+
 def _minhash_grouped_arrow(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int, k: int
 ) -> DataFrame:

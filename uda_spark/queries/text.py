@@ -558,12 +558,46 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit means "inspect", not "silently drop".
     """
     docs = t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(F.expr(_DECON_GRAMS_SPARK)).alias("g")
-    ).select("doc_id", F.expr(portable.hash60("g", "spark")).alias("gh"))
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
-    eval_grams = grams.where(is_eval).select("gh").distinct()
-    corpus = grams.where(~is_eval).distinct()
+    from uda_spark.operators.dedup import (
+        USE_ARROW_TEXT_KERNELS,
+        _arrow_text_kernel_ok,
+        gram_hash_rows_arrow,
+    )
+
+    if USE_ARROW_TEXT_KERNELS and _arrow_text_kernel_ok(docs, "text", "doc_id"):
+        # Map-only Arrow kernel (r14, guide §4.2): each document's gram
+        # set lives in its own row, so the per-doc DISTINCT that the
+        # corpus side needed a full (doc_id, gh) exchange for happens
+        # inside the kernel — the explode, the hash60 projection and the
+        # distinct exchange all collapse into one mapInArrow pass per
+        # side (the eval filter pushes below the kernel, so the two
+        # passes together still scan each doc once).  Same 60-bit md5
+        # fold, same (doc, gh) relation — bit-identical join/count.
+        from uda_spark.plans import partitioning as PART
+
+        eval_grams = (
+            gram_hash_rows_arrow(
+                PART.ensure_min_partitions(docs.where(is_eval)),
+                "text",
+                "doc_id",
+                DECON_K,
+            )
+            .select("gh")
+            .distinct()
+        )
+        corpus = gram_hash_rows_arrow(
+            PART.ensure_min_partitions(docs.where(~is_eval)),
+            "text",
+            "doc_id",
+            DECON_K,
+        ).withColumnRenamed("doc", "doc_id")
+    else:
+        grams = docs.select(
+            "doc_id", F.explode(F.expr(_DECON_GRAMS_SPARK)).alias("g")
+        ).select("doc_id", F.expr(portable.hash60("g", "spark")).alias("gh"))
+        eval_grams = grams.where(is_eval).select("gh").distinct()
+        corpus = grams.where(~is_eval).distinct()
     hits = (
         corpus.join(F.broadcast(eval_grams), on="gh")
         .groupBy("doc_id")
@@ -1805,11 +1839,34 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two-exchange shape as the inverted index, ending in O(1)
     output.
     """
-    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(_SP_TOKS))
-    occ = docs.select(
-        "doc_id", F.explode(F.expr(_DUPGRAM_SP)).alias("g")
-    ).select("doc_id", F.expr(_DUPGRAM_H_SP).alias("gh"))
-    per = occ.groupBy("gh", "doc_id").agg(F.count("*").alias("c"))
+    docs = t(spark, sf_dir, "documents")
+    from uda_spark.operators.dedup import (
+        USE_ARROW_TEXT_KERNELS,
+        _arrow_text_kernel_ok,
+        gram_hash_rows_arrow,
+    )
+
+    if USE_ARROW_TEXT_KERNELS and _arrow_text_kernel_ok(docs, "text", "doc_id"):
+        # Map-only Arrow kernel (r14, guide §4.2): the (gh, doc) count
+        # is per-document (each doc's grams live in its own row), so the
+        # explode, the hash60 projection and the first count exchange
+        # collapse into one Counter pass per doc; only the tiny
+        # (gh -> total_occ, n_docs) rollup still shuffles.
+        from uda_spark.plans import partitioning as PART
+
+        per = gram_hash_rows_arrow(
+            PART.ensure_min_partitions(docs),
+            "text",
+            "doc_id",
+            DUPGRAM_K,
+            counts=True,
+        ).withColumnRenamed("doc", "doc_id")
+    else:
+        toks = docs.withColumn("toks", F.expr(_SP_TOKS))
+        occ = toks.select(
+            "doc_id", F.explode(F.expr(_DUPGRAM_SP)).alias("g")
+        ).select("doc_id", F.expr(_DUPGRAM_H_SP).alias("gh"))
+        per = occ.groupBy("gh", "doc_id").agg(F.count("*").alias("c"))
     g = per.groupBy("gh").agg(
         F.sum("c").alias("total_occ"), F.count("*").alias("n_docs")
     )
