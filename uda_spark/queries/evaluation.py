@@ -2565,7 +2565,13 @@ def ml_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction over |groups| rows.  Totals are 1-row aggregates.
     """
     orders = t(spark, sf_dir, "orders")
-    vg = (
+    from uda_spark.cache import tracked_persist
+
+    # vg (the full orders aggregate) feeds THREE executions without a
+    # persist: the vt rollup's cumulative-count (whose repartitionByRange
+    # samples it, then exchanges it) and the rank join below (guide §5).
+    # Released by release_persisted().
+    vg = tracked_persist(
         orders.selectExpr(
             "CAST(o_totalprice * 100 AS BIGINT) AS v", "o_orderpriority AS g"
         )

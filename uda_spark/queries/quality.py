@@ -479,10 +479,17 @@ def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     window even at full-catalog part cardinality.
     """
     li = t(spark, sf_dir, "lineitem")
+    from uda_spark.cache import tracked_persist
     from uda_spark.operators.sort import global_cumulative_sum
     from uda_spark.queries.common import revenue_expr
 
-    rev = li.groupBy("l_partkey").agg(F.sum(revenue_expr()).alias("rev_d"))
+    # rev (the full lineitem aggregate) feeds THREE executions without a
+    # persist: the grand total, global_cumulative_sum's range-boundary
+    # sampling pass, and its actual exchange (guide §5: reuse >
+    # recompute).  Released by release_persisted().
+    rev = tracked_persist(
+        li.groupBy("l_partkey").agg(F.sum(revenue_expr()).alias("rev_d"))
+    )
     tot = rev.agg(F.sum("rev_d").cast("double").alias("t"))
     cum_excl = global_cumulative_sum(
         rev.withColumn("_neg_rev", -F.col("rev_d")),
