@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uda_spark.operators.sort import snapshot as _snapshot
+from uda_spark.operators.sort import snapshot_lazy as _snapshot_lazy
 
 from uda_spark import cache
 from uda_spark.functions import portable
@@ -731,7 +732,13 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        updated = updated.transform(_snapshot)
+        # LAZY checkpoint: the convergence probe right below is the
+        # single full-pass consumer, so it materializes the round's
+        # labels and computes the sum in ONE job (the eager variant
+        # paid a dedicated count job per round).  The initial `edges`
+        # snapshot above stays EAGER: it fans out into two union
+        # branches of the same stage, where unpersisted blocks race.
+        updated = updated.transform(_snapshot_lazy)
         # Cast INSIDE the aggregate so accumulation is exact decimal:
         # summing long first would overflow at corpus-scale id ranges
         # (~1e12 nodes × 64-bit ids) — ANSI throws, non-ANSI wraps and
@@ -933,7 +940,11 @@ def connected_components_star(
     global LAST_STAR_ROUNDS
     prev_sig = None
     for rounds_used in range(1, max_iterations + 1):
-        edges = _star_round(edges, hot_degree_threshold).transform(_snapshot)
+        # LAZY checkpoint: the signature probe below is the single
+        # full-pass consumer — materialization and convergence check
+        # share one job per round (initial snapshot stays eager: it
+        # fans out into the round's two union branches).
+        edges = _star_round(edges, hot_degree_threshold).transform(_snapshot_lazy)
         row = edges.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uda_spark.operators.sort import snapshot as _snapshot
+from uda_spark.operators.sort import snapshot_lazy as _snapshot_lazy
 
 FP = 1_000_000_000  # fixed-point scale
 
@@ -85,7 +86,12 @@ def pagerank_fp(
                     f"{base_int}L + ({damping_pct} * coalesce(s, 0L)) div 100"
                 ).alias("rank_fp"),
             )
-            .transform(_snapshot)
+            # LAZY checkpoint: each round's ranks have exactly one
+            # consumer (the next round's contribs join, or the final
+            # select) — the dedicated materialization job per round
+            # was pure overhead.  With AQE the round's shuffle stages
+            # still execute here, so plan size stays constant.
+            .transform(_snapshot_lazy)
         )
     return ranks.select("node", "rank_fp")
 

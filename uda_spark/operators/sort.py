@@ -76,6 +76,31 @@ def snapshot(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def snapshot_lazy(df: DataFrame) -> DataFrame:
+    """:func:`snapshot` minus the dedicated materialization job: the RDD
+    is only MARKED for local checkpointing, and the caller's
+    immediately-following full-pass action (the offsets/convergence
+    probe every two-pass operator and iterative loop runs anyway)
+    computes and persists it in ONE job instead of two.
+
+    Only valid when exactly one consumer action runs before the relation
+    fans out to multiple consumers — otherwise concurrent tasks can race
+    on the not-yet-persisted blocks and recompute the upstream subtree
+    per branch.  Callers with fan-out directly after the snapshot (e.g.
+    the initial edge materialization of the CC loops) must keep the
+    eager :func:`snapshot`.
+
+    ``reliable`` mode stays eager: a reliable checkpoint writes its files
+    in a separate pass after the first job, so laziness saves nothing
+    there and unpersisted recompute risks diverge — this is purely a
+    local-mode job-count optimization with identical semantics (same
+    lineage truncation, same stable partition ids once materialized).
+    """
+    if _CHECKPOINT_MODE == "reliable":
+        return snapshot(df)
+    return df.localCheckpoint(eager=False)
+
+
 def total_order_sort(df: DataFrame, keys: Sequence[str], ascending: bool = True) -> DataFrame:
     """Globally sort ``df`` by ``keys`` (range partition + partition sort)."""
     cols = [F.col(k).asc() if ascending else F.col(k).desc() for k in keys]
@@ -110,14 +135,16 @@ def global_rank(
     n = num_partitions or spark.sparkContext.defaultParallelism
     key_cols = [F.col(k) for k in keys]
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
-    # Eager checkpoint (snapshot), not persist: the offsets job and the
+    # Checkpoint (snapshot), not persist: the offsets job and the
     # rank job must observe the SAME physical partition ids.  A persisted
     # plan can still recompute (cache eviction / executor loss), and a
     # re-evaluated range exchange may be coalesced differently by AQE per
     # downstream plan, silently shifting ids between the two jobs.
     # Checkpointing truncates lineage so both jobs read the one
     # materialized snapshot; local vs reliable is set_checkpoint_mode.
-    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
+    # LAZY variant: the offsets collect below is the single full-pass
+    # consumer that materializes the checkpoint — one job, not two.
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot_lazy)
     w = Window.partitionBy("_pid").orderBy(*key_cols)
     ranked = snap.withColumn("_rn", F.row_number().over(w))
 
@@ -166,7 +193,7 @@ def global_cumulative_sum(
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
     # snapshot() for the same reason as global_rank: the subtotal job
     # and the window job must observe identical physical partition ids.
-    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot_lazy)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*key_cols)
@@ -225,7 +252,7 @@ def global_cumulative_extreme(
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
     # snapshot() for the same reason as global_rank: the extremes job
     # and the window job must observe identical physical partition ids.
-    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot_lazy)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*key_cols)
@@ -284,7 +311,7 @@ def grouped_global_cumulative_sum(
     parted = df.repartitionByRange(n, *gcols, *ocols).sortWithinPartitions(
         *gcols, *ocols
     )
-    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot_lazy)
     w = (
         Window.partitionBy("_pid", *group_keys)
         .orderBy(*ocols)
@@ -406,7 +433,7 @@ def global_cumulative_sums(
     parted = df.repartitionByRange(n, *key_cols).sortWithinPartitions(*key_cols)
     # snapshot(): the subtotal job and the window job must see the
     # same physical partition ids (see global_rank)
-    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot)
+    snap = parted.withColumn("_pid", F.spark_partition_id()).transform(snapshot_lazy)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*key_cols)
