@@ -1033,16 +1033,20 @@ SEMDEDUP_MAX_CENTROID_CELLS = 50_000_000
 
 
 def _corpus_count_min(df: DataFrame, id_col: str, vec_col: str):
-    """ONE metadata pass shared by both quantizers: (row count, min id),
-    plus the NULL-vector guard.  A NULL ``vec_col`` anywhere would
-    surface later as an opaque ``TypeError`` inside a seed collect or a
-    GEMM ``np.vstack`` (ADVICE r12: the old first()-based probe only
+    """ONE metadata pass shared by both quantizers: (row count, min id,
+    vector dim), plus the NULL-vector guard.  A NULL ``vec_col`` anywhere
+    would surface later as an opaque ``TypeError`` inside a seed collect
+    or a GEMM ``np.vstack`` (ADVICE r12: the old first()-based probe only
     caught the ALL-null column) — count them in the same aggregate and
-    raise a named error up front, covering partial-NULL corpora too."""
-    n, min_id, n_null = df.agg(
+    raise a named error up front, covering partial-NULL corpora too.
+    dim rides along as max(size) so the flat quantizer's cell-ceiling
+    check needs no separate first() job (ragged dims fail later in the
+    GEMM's contiguous-buffer reshape exactly as before)."""
+    n, min_id, n_null, dim = df.agg(
         F.count("*"),
         F.min(id_col),
         F.sum(F.col(vec_col).isNull().cast("long")),
+        F.max(F.size(vec_col)),
     ).first()
     if n and n_null:
         raise ValueError(
@@ -1050,7 +1054,7 @@ def _corpus_count_min(df: DataFrame, id_col: str, vec_col: str):
             f"{vec_col} — NULL vectors cannot be quantized; filter them "
             f"out (or fix the upstream projection) first"
         )
-    return n, min_id
+    return n, min_id, dim
 
 
 def semdedup_coarse_quantizer(
@@ -1089,8 +1093,10 @@ def semdedup_coarse_quantizer(
     """
     tgt = int(target_cluster_size)
     # ADVICE r12: the hierarchical caller already paid this metadata
-    # pass — accept it instead of re-scanning the corpus.
-    n, min_id = (
+    # pass — accept it instead of re-scanning the corpus.  dim rides in
+    # the same aggregate (r14: the separate first() probe was one whole
+    # job per quantizer call for one scalar).
+    n, min_id, dim = (
         _corpus_count_min(df, id_col, vec_col)
         if corpus_meta is None
         else corpus_meta
@@ -1102,8 +1108,6 @@ def semdedup_coarse_quantizer(
             id_col, vec_col, F.lit(None).cast("long").alias("cluster")
         ).where(F.lit(False))
     k = (n + tgt - 1) // tgt
-    # _corpus_count_min guarantees no NULL vectors past this point
-    dim = len(df.select(vec_col).first()[0])
     if k * dim > max_centroid_cells:
         raise ValueError(
             f"semdedup_coarse_quantizer: k·d = {k}·{dim} = {k * dim} centroid "
@@ -1222,7 +1226,7 @@ def semdedup_hierarchical_quantizer(
     # ONE metadata scan for (n, min id) + the NULL-vector guard, shared
     # with the level-1 flat quantizer below (ADVICE r12: this used to be
     # a df.count() here plus a second full agg inside the flat call)
-    n, min_id = _corpus_count_min(df, id_col, vec_col)
+    n, min_id, dim = _corpus_count_min(df, id_col, vec_col)
     if n == 0:
         return df.select(
             id_col, vec_col, F.lit(None).cast("long").alias("cluster")
@@ -1238,7 +1242,7 @@ def semdedup_hierarchical_quantizer(
             target1,
             seed_salt=super_salt,
             max_centroid_cells=max_centroid_cells,
-            corpus_meta=(n, min_id),
+            corpus_meta=(n, min_id, dim),
         ).withColumnRenamed("cluster", "_sup")
     )
     stride2 = max(n // k, 1)
