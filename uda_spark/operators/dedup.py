@@ -51,6 +51,14 @@ def with_shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
 # both paths produce identical values.
 USE_ARROW_TEXT_KERNELS = True
 
+# When the map-only Arrow kernel feeds a persisted signature relation
+# whose sset arrays are then joined twice (candidate verification), one
+# explicit doc repartition before the persist replaces two downstream
+# sset exchanges (the relational path gets that layout for free from
+# its final aggregate).  Value-identical either way; flag exists for
+# in-session A/B.
+REPARTITION_KERNEL_SIGNATURES = True
+
 
 def _arrow_text_kernel_ok(df: DataFrame, text_col: str, id_col: str) -> bool:
     """The Arrow tokenize kernels hard-code (long id, string text) Arrow
@@ -428,9 +436,23 @@ def minhash_near_dup_pairs(
     # both sides of the candidate-verification join — without it the
     # (md5-heavy) shingle/signature subtree is recomputed three times.
     # Long-lived callers release via uda_spark.cache.release_persisted().
-    sh = cache.tracked_persist(
-        _minhash_grouped(df, text_col, id_col, n_hashes, k, shingle_rows)
-    )
+    g = _minhash_grouped(df, text_col, id_col, n_hashes, k, shingle_rows)
+    if (
+        shingle_rows is None
+        and REPARTITION_KERNEL_SIGNATURES
+        and USE_ARROW_TEXT_KERNELS
+        and _arrow_text_kernel_ok(df, text_col, id_col)
+    ):
+        # The Arrow kernel path is map-only, so the persisted relation
+        # carries the scan partitioning; both verify joins below would
+        # then each exchange the sset projection (the heavy shingle
+        # arrays) by doc.  One explicit doc repartition BEFORE the
+        # persist moves the arrays once and is reused by both joins
+        # (the relational path gets this layout for free from its final
+        # hash aggregate).  Interleaved 3-way A/B at sf0.1/32c, med of
+        # 6: kernel 1.46 / kernel+repart 1.31 / relational 1.33.
+        g = g.repartition(F.col("doc"))
+    sh = cache.tracked_persist(g)
     banded = _banded(sh, n_hashes, bands)
     if max_bucket_size is not None:
         banded = cap_buckets(banded, max_bucket_size)
@@ -497,8 +519,22 @@ def incremental_dedup(
         .distinct()
     )
 
-    ng = cache.tracked_persist(_minhash_grouped(new_df, text_col, id_col, n_hashes, k))
-    bg = cache.tracked_persist(_minhash_grouped(base_df, text_col, id_col, n_hashes, k))
+    def _grouped_for_join(side: DataFrame) -> DataFrame:
+        g = _minhash_grouped(side, text_col, id_col, n_hashes, k)
+        if (
+            REPARTITION_KERNEL_SIGNATURES
+            and USE_ARROW_TEXT_KERNELS
+            and _arrow_text_kernel_ok(side, text_col, id_col)
+        ):
+            # same layout reasoning as minhash_near_dup_pairs: the
+            # map-only kernel output repartitions by doc once so the
+            # verify joins (on the renamed doc) reuse the persisted
+            # partitioning instead of exchanging the sset arrays.
+            g = g.repartition(F.col("doc"))
+        return g
+
+    ng = cache.tracked_persist(_grouped_for_join(new_df))
+    bg = cache.tracked_persist(_grouped_for_join(base_df))
     nb = _banded(ng, n_hashes, bands)
     bb = _banded(bg, n_hashes, bands)
     if max_bucket_size is not None:
