@@ -55,7 +55,24 @@ def main() -> None:
         spark.read.format("uda_kv").load(_d + "/warm").collect()
     kv_first_use = round(_t.monotonic() - _t0, 3)
     print(f"# uda_kv first-use warmup: {kv_first_use}s", file=sys.stderr)
-    out: dict = {"sf_dir": sf, "kv_first_use_sec": kv_first_use, "sec": {}}
+
+    def calib() -> float:
+        # bench.py's fixed single-thread probe: a probe 2x its ~0.8s
+        # idle-host anchor explains a 2x-slower sweep without blaming
+        # the queries (this host's external tenant load swings 1-3x).
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(12_000_000):
+            acc += i * i
+        _ = acc
+        return round(time.perf_counter() - t0, 3)
+
+    out: dict = {
+        "sf_dir": sf,
+        "kv_first_use_sec": kv_first_use,
+        "calib_before_sec": calib(),
+        "sec": {},
+    }
     for name, spec in specs.items():
         t0 = time.monotonic()
         try:
@@ -66,6 +83,7 @@ def main() -> None:
             print(f"# FAIL {name}: {exc}", file=sys.stderr)
         release_persisted()
         print(f"# {name}: {out['sec'][name]}", file=sys.stderr)
+    out["calib_after_sec"] = calib()
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TIMEALL.json"
     )
